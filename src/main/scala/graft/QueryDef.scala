@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One engine query: name, Spark implementation, optional DuckDB oracle SQL.
+  * The driver hash-compares the Spark result against the oracle run on the
+  * same parquet tables, sorting columns by name — so every computed column is
+  * aliased identically on both sides.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Exact, order-independent sum of a double column: sum in decimal (exact,
+    * associative) then one deterministic IEEE cast back to double. Makes
+    * Spark-vs-DuckDB aggregate comparison bit-exact regardless of partial-agg
+    * ordering. Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
+    */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Oracle-side twin of [[dsum]]. */
+  def dsumSql(expr: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Exact mean: decimal sum divided by count in double space — both engines
+    * perform the identical two IEEE operations. */
+  def davg(c: Column, scale: Int = 4): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)).cast("double")
+
+  def davgSql(expr: String, scale: Int = 4): String =
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT($expr) AS DOUBLE)"
+}
