@@ -9,11 +9,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    _root_.graft.queries.RefQueries.defs
+    _root_.graft.queries.RefQueries.defs ++
+      _root_.graft.queries.RefQueries2.defs ++
+      _root_.graft.queries.GoldQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q21_cost_report chains the full Gold-report operator spine:
+    * window dedup → sum-case pivot → listagg → join → running total.
+    */
   def entry(spark: SparkSession): DataFrame =
-    modules.head.fn(spark, "/root/testdata/sf0.001")
+    queries("q21_cost_report")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
