@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** North-star text-analysis operators over the `documents` table
+  * (token counting, quality scoring, language ID, fingerprinting, exact
+  * dedup). All pure narrow transformations or hash-groupBys — linear scans
+  * that parallelize trivially at 100 TB.
+  */
+object TextQueries {
+
+  private val stopwordListSql =
+    TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── Token counting (whitespace tokenization; codegen'd split/size).
+    QueryDef(
+      "q30_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            TextAnalysis.tokenCount($"text").as("n_tokens"),
+            length($"text").as("n_chars_measured"),
+            $"n_chars")
+      },
+      Some("""SELECT doc_id,
+        |CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) END AS n_tokens,
+        |CAST(length(text) AS INT) AS n_chars_measured, n_chars
+        |FROM documents""".stripMargin)),
+
+    // ── Quality scoring: char-class ratios + stopword density + composite
+    //    score; per-row double math, no aggregation → exact cross-engine.
+    QueryDef(
+      "q31_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        val cols = TextAnalysis.qualityColumns($"text")
+        Tables.documents(s, dir)
+          .select($"doc_id" +: cols.map { case (n, c) => c.as(n) }: _*)
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS len,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len, CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    len - CAST(length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+        |    len - CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+        |    CAST(len(list_filter(toks, t -> list_contains($stopwordListSql, t))) AS DOUBLE) AS n_stop,
+        |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) AS n_nonspace
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN len > 0 THEN n_punct / len ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN len > 0 THEN n_digit / len ELSE 0.0 END AS digit_ratio,
+        |  CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stopword_ratio,
+        |  CASE WHEN n_tok > 0 THEN n_nonspace / n_tok ELSE 0.0 END AS avg_token_len,
+        |  least(len / 500.0, 1.0) * 0.4
+        |    + least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.4
+        |    + greatest(1.0 - (CASE WHEN len > 0 THEN n_punct / len ELSE 0.0 END) * 10.0, 0.0) * 0.2
+        |    AS quality_score
+        |FROM r""".stripMargin)),
+
+    // ── Heuristic language ID: marker-word density per language, argmax
+    //    with fixed tie-break order (en, de, fr, es; 'und' when no markers).
+    QueryDef(
+      "q32_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        val cols = TextAnalysis.langIdColumns($"text")
+        Tables.documents(s, dir)
+          .select($"doc_id" +: $"lang".as("lang_labeled") +:
+            cols.map { case (n, c) => c.as(n) }: _*)
+      },
+      Some {
+        val markerSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+          s"CASE WHEN n_tok > 0 THEN CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE) / n_tok ELSE 0.0 END AS score_$lang"
+        }.mkString(",\n    ")
+        s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, lang, toks, CAST(len(toks) AS DOUBLE) AS n_tok FROM t),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    $markerSql
+        |  FROM n)
+        |SELECT doc_id, lang AS lang_labeled, score_en, score_de, score_fr, score_es,
+        |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0.0 THEN 'und'
+        |       WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+        |       WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+        |       WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM s""".stripMargin
+      }),
+
+    // ── Document fingerprinting: md5 of normalized text + 60-bit numeric
+    //    form (rolling-hash stand-in; same value both engines).
+    QueryDef(
+      "q33_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val cols = TextAnalysis.fingerprintColumns($"text")
+        Tables.documents(s, dir)
+          .select($"doc_id" +: cols.map { case (n, c) => c.as(n) }: _*)
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp_md5,
+        |  ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp_num
+        |FROM t""".stripMargin)),
+
+    // ── Exact deduplication: hash-groupBy on the normalized fingerprint;
+    //    keeper = min doc_id per group, duplicate count and member list.
+    //    This is the 100 TB-scale exact-dedup shape: one shuffle on a
+    //    64/128-bit hash key, no pairwise comparison.
+    QueryDef(
+      "q34_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+          .groupBy($"fp")
+          .agg(
+            min($"doc_id").as("keeper_doc_id"),
+            count(lit(1)).as("n_copies"),
+            array_join(array_sort(collect_list($"doc_id".cast("string"))), ",")
+              .as("member_ids"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS member_ids
+        |FROM t GROUP BY fp""".stripMargin))
+  )
+}
