@@ -12,7 +12,9 @@ object SparkEntry {
     _root_.graft.queries.RefQueries.defs ++
       _root_.graft.queries.RefQueries2.defs ++
       _root_.graft.queries.GoldQueries.defs ++
-      _root_.graft.queries.TextQueries.defs
+      _root_.graft.queries.TextQueries.defs ++
+      _root_.graft.queries.DedupQueries.defs ++
+      _root_.graft.queries.SimilarityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q21_cost_report chains the full Gold-report operator spine:

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora.
+  *
+  * Scale design (100 TB):
+  * - exact dedup = one shuffle on a content hash (see TextQueries q34);
+  * - n-gram Jaccard is exact but pairwise, so it only runs inside explicit
+  *   blocks (here: `source`) — never globally;
+  * - MinHash+LSH is the global path: fixed-size signatures (one narrow
+  *   pass), band keys, equi-join on (band, key) so candidate generation is
+  *   a plain shuffle join, then exact Jaccard verification only on the
+  *   tiny candidate set;
+  * - SimHash gives a 32-bit signature whose equality (or low Hamming
+  *   distance over banded substrings) is the candidate filter.
+  */
+object Dedup {
+  val NumHashes = 32
+  val BandRows = 4 // 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8
+  def numBands: Int = NumHashes / BandRows
+
+  /** doc_id + distinct word-3-shingles, the shared substrate. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextAnalysis.shingles(col(textCol))).as("shingle"))
+
+  /** One minhash column per seed: min over shingles of hash60(seed:shingle).
+    * A single groupBy — 32 aggregates, no row explosion.
+    */
+  def minhashSignatures(shingles: DataFrame, idCol: String): DataFrame = {
+    val aggs = (0 until NumHashes).map { i =>
+      min(TextAnalysis.hash60(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")
+    }
+    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (id, band_id, band_key) rows: band_key = comma-joined run of
+    * [[BandRows]] minhashes. 4 rows per doc with 8 bands.
+    */
+  def bandRows(sigs: DataFrame, idCol: String): DataFrame = {
+    val bandKeys = (0 until numBands).map { b =>
+      val cols = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}").cast("string"))
+      struct(lit(b).as("band_id"), concat_ws(",", cols: _*).as("band_key"))
+    }
+    sigs.select(col(idCol), explode(array(bandKeys: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** Distinct candidate pairs from any shared LSH band. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
+    a.join(b, Seq("band_id", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard for given (doc_a, doc_b) pairs via shingle-set sizes and
+    * an intersection count — only ever evaluated on candidates.
+    */
+  def jaccardFor(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val sa = shingles.select(col(idCol).as("doc_a"), col("shingle"))
+    val sb = shingles.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = sa.join(sb, Seq("shingle"))
+      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_shingles").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_shingles").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+  }
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash per document: for each bit j, sum ±1 votes of the
+    * distinct-token hash bits; bit set iff the vote is positive. One
+    * explode + one groupBy with 32 sum aggregates.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+      .withColumn("h", TextAnalysis.hash60(col("tok")))
+    val votes = (0 until SimhashBits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"v$j")
+    }
+    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val value = (0 until SimhashBits).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    voted.select(col(idCol), value.as("simhash"))
+  }
+}

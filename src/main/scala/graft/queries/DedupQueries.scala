@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection queries (MinHash+LSH, exact n-gram Jaccard,
+  * SimHash). Oracle SQL is generated from the same loops as the Spark
+  * plans so both engines hash the identical md5-derived values.
+  */
+object DedupQueries {
+
+  /** Shared oracle CTE: distinct word-3-shingles per doc. */
+  private val shingleCte =
+    """t AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM (SELECT doc_id, source, w,
+      |        unnest(generate_series(1, len(w) - 2)) AS i FROM t))""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── Exact n-gram Jaccard near-dup, blocked by `source` (pairwise is
+    //    only ever run inside a block — the 100 TB rule; global similarity
+    //    goes through LSH below).
+    QueryDef(
+      "q35_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            explode(TextAnalysis.shingles($"text")).as("shingle"))
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a").join(sh.as("b"),
+            $"a.source" === $"b.source" && $"a.shingle" === $"b.shingle" &&
+              $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+          .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+          .select($"doc_a", $"doc_b",
+            ($"n_inter".cast("double") /
+              ($"n_a" + $"n_b" - $"n_inter").cast("double")).as("jaccard"))
+          .where($"jaccard" >= 0.5)
+      },
+      Some(s"""WITH $shingleCte,
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  ni * 1.0 / (x.n + y.n - ni) AS jaccard
+        |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        |WHERE ni * 1.0 / (x.n + y.n - ni) >= 0.5""".stripMargin)),
+
+    // ── MinHash + LSH banding: 32 md5-derived minhashes → 8 band keys →
+    //    equi-join candidates → exact-Jaccard verification. The global
+    //    near-dup path: no pairwise work outside hash-equal buckets.
+    QueryDef(
+      "q36_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Dedup.shingleRows(Tables.documents(s, dir), "doc_id", "text")
+        val sigs = Dedup.minhashSignatures(sh, "doc_id")
+        val cands = Dedup.candidatePairs(Dedup.bandRows(sigs, "doc_id"), "doc_id")
+        Dedup.jaccardFor(cands, sh, "doc_id").where($"jaccard" >= 0.5)
+      },
+      Some {
+        val nb = Dedup.numBands
+        val r = Dedup.BandRows
+        s"""WITH $shingleCte,
+        |mh AS (
+        |  SELECT doc_id, i.range AS i,
+        |    MIN(('0x' || substr(md5(i.range || ':' || shingle), 1, 15))::BIGINT) AS mh
+        |  FROM sh CROSS JOIN range(${Dedup.NumHashes}) i GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, CAST(i // $r AS INT) AS band_id,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |  COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) AS jaccard
+        |FROM cand c
+        |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        |JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
+        |WHERE COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) >= 0.5""".stripMargin
+      }),
+
+    // ── SimHash signatures: 32-bit sign-vote hash over distinct tokens.
+    //    Equality (or banded Hamming) is the candidate filter at scale.
+    QueryDef(
+      "q37_simhash",
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"),
+      Some {
+        val bits = Dedup.SimhashBits
+        val votes = (0 until bits)
+          .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS v$j").mkString(",\n    ")
+        val value = (0 until bits)
+          .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+          .mkString(" + ")
+        s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+        |v AS (SELECT doc_id,
+        |    $votes
+        |  FROM h GROUP BY 1)
+        |SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM v""".stripMargin
+      })
+  )
+}
