@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** Path-based medallion warehouse: `schema.table` → `<root>/<schema>/<table>`
+  * parquet directories. Replaces the reference's Snowflake schemas
+  * (`sql/reset_schemas.sql:9-12`) with a storage layout that scales to a
+  * distributed filesystem unchanged.
+  *
+  * Batch idempotency (the reference's DELETE WHERE load_id + re-insert,
+  * `transformations/utils.py:36-43`) maps to `load_id`-partitioned writes
+  * with dynamic partition overwrite: rewriting a batch replaces exactly its
+  * partition directories, atomically per partition — no transactional store
+  * needed (SURVEY.md §7.4 risk 4).
+  */
+final class Catalog(val spark: SparkSession, val root: String) {
+
+  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  def path(schema: String, table: String): String = s"$root/$schema/$table"
+
+  def exists(schema: String, table: String): Boolean =
+    Files.exists(Paths.get(path(schema, table)))
+
+  def read(schema: String, table: String): DataFrame =
+    spark.read.parquet(path(schema, table))
+
+  /** Append rows (ledgers, Bronze landings). */
+  def append(df: DataFrame, schema: String, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(schema, table))
+
+  /** Append partitioned by load_id so per-batch rewrite prunes to one
+    * partition and batch-scoped reads (`WHERE load_id = ?`) prune files.
+    */
+  def appendBatched(df: DataFrame, schema: String, table: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy("load_id")
+      .parquet(path(schema, table))
+
+  /** Idempotent batch rewrite: dynamic overwrite of just the partitions
+    * present in `df` (the reference's delete+insert, S11).
+    */
+  def overwriteBatch(df: DataFrame, schema: String, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy("load_id")
+      .parquet(path(schema, table))
+
+  /** Full rebuild (CTAS, S12/S13). */
+  def overwrite(df: DataFrame, schema: String, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(schema, table))
+
+  /** Schema reset utility (S14): drop a whole schema directory. */
+  def dropSchema(schema: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rm)
+      Files.deleteIfExists(p)
+    }
+    val p = Paths.get(s"$root/$schema")
+    if (Files.exists(p)) rm(p)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Config-driven Bronze ingestion (reference S1-S7,
+  * `/root/reference/scripts/ingestion_logic.py`):
+  * glob listing, tolerant schema'd CSV / whole-document JSON reads, audit
+  * columns, a load ledger with RUNNING→SUCCESS/FAILURE transitions, and
+  * idempotent skip of already-SUCCESS files.
+  *
+  * Differences from the reference are deliberate Spark-first choices:
+  * schemas come from [[Schemas.bronze]] instead of DESC TABLE introspection,
+  * and per-file loads append into `load_id`-partitioned parquet instead of
+  * COPY INTO. Control flow (listing, ledger) is driver-side over tiny data;
+  * all row movement is executor-side.
+  */
+final class Ingestion(catalog: Catalog) {
+  import catalog.spark
+  import spark.implicits._
+
+  private val ADMIN = "admin"
+
+  /** S3: glob files matching the config pattern (reference LIST+regex,
+    * ingestion_logic.py:101-113). Hadoop glob works on any supported FS.
+    */
+  def listFiles(sourcePath: String, pattern: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val glob = new org.apache.hadoop.fs.Path(s"$sourcePath/$pattern")
+    val st = fs.globStatus(glob)
+    if (st == null) Seq.empty
+    else st.toSeq.filter(_.isFile).map(_.getPath.toString).sorted
+  }
+
+  /** S6: files already loaded with SUCCESS for this table are skipped. */
+  def alreadyLoaded(targetTable: String): Set[String] =
+    if (!catalog.exists(ADMIN, "ingestion_logs")) Set.empty
+    else catalog.read(ADMIN, "ingestion_logs")
+      .where($"status" === "SUCCESS" && $"target_table" === targetTable)
+      .select($"file_name").distinct().as[String].collect().toSet
+
+  private def nextLoadId(): Long =
+    if (!catalog.exists(ADMIN, "ingestion_logs")) 1L
+    else catalog.read(ADMIN, "ingestion_logs")
+      .agg(max($"load_id")).as[Option[Long]].head().getOrElse(0L) + 1L
+
+  private def log(entry: Schemas.IngestionLog): Unit =
+    catalog.append(Seq(entry).toDF(), ADMIN, "ingestion_logs")
+
+  /** S4/S5: load one file into Bronze with audit columns; returns rows
+    * loaded. CSV options mirror the reference's tolerant format
+    * (file_format_csv.sql:1-7): header, quotes, NULL_IF('NULL','null',''),
+    * PERMISSIVE on malformed rows.
+    */
+  def loadFile(detail: Schemas.FileDetail, file: String, loadId: Long): Long = {
+    val raw = detail.format.toUpperCase match {
+      case "CSV" =>
+        val schema = Schemas.bronze.getOrElse(detail.target_table,
+          throw new IllegalArgumentException(
+            s"no bronze schema for ${detail.target_table}"))
+        spark.read.schema(schema)
+          .option("header", "true")
+          .option("quote", "\"")
+          .option("escape", "\"")
+          .option("nullValue", "")
+          .option("mode", "PERMISSIVE")
+          .csv(file)
+          // NULL_IF ('NULL','null',''): normalize string columns post-read
+          .select(schema.fields.map { f =>
+            if (f.dataType == org.apache.spark.sql.types.StringType)
+              when(upper(col(f.name)) === "NULL", lit(null)).otherwise(col(f.name))
+                .as(f.name)
+            else col(f.name)
+          }: _*)
+      case "JSON" =>
+        // whole-document-per-file VARIANT landing (ingestion_logic.py:78-80):
+        // keep the raw text; downstream parses with parse_json (variant).
+        spark.read.option("wholetext", "true").text(file)
+          .select($"value".as("raw_data"))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format $other")
+    }
+    val withAudit = raw
+      .withColumn("_ingestion_time", current_timestamp())
+      .withColumn("_source_file", lit(file))
+      .withColumn("load_id", lit(loadId))
+    catalog.appendBatched(withAudit, detail.target_schema, detail.target_table)
+    catalog.read(detail.target_schema, detail.target_table)
+      .where($"load_id" === loadId).count()
+  }
+
+  /** Ingest every pending file for one config row; one load_id per file
+    * (reference: per-file ledger row + COPY, ingestion_logic.py:124-201).
+    * Returns (file, load_id, rows) for loaded files.
+    */
+  def ingest(detail: Schemas.FileDetail): Seq[(String, Long, Long)] = {
+    val done = alreadyLoaded(detail.target_table)
+    val pending = listFiles(detail.source_path, detail.file_pattern)
+      .filterNot(done.contains)
+    pending.map { file =>
+      val loadId = nextLoadId()
+      val t0 = new Timestamp(System.currentTimeMillis())
+      log(Schemas.IngestionLog(loadId, file, detail.target_table,
+        "RUNNING", 0L, "", t0))
+      try {
+        val rows = loadFile(detail, file, loadId)
+        log(Schemas.IngestionLog(loadId, file, detail.target_table,
+          "SUCCESS", rows, "", t0))
+        (file, loadId, rows)
+      } catch {
+        case e: Exception =>
+          log(Schemas.IngestionLog(loadId, file, detail.target_table,
+            "FAILURE", 0L, String.valueOf(e.getMessage), t0))
+          (file, loadId, -1L)
+      }
+    }
+  }
+
+  /** S1: run the whole config (the dynamic-ingestion DAG,
+    * dynamic_ingestion_dag.py:18-26).
+    */
+  def ingestAll(config: Seq[Schemas.FileDetail]): Map[String, Seq[(String, Long, Long)]] =
+    config.map(d => d.target_table -> ingest(d)).toMap
+}

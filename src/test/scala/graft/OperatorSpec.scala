@@ -1,0 +1,150 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{SilverTransforms, TimelineFlatten}
+import org.apache.spark.sql.functions._
+
+/** Unit tests on tiny literal frames: boundary values for the zone
+  * bucketing (59/60/99/100/129/130), malformed geo strings, fuzzy column
+  * resolution, shingle edge cases, dedup invariants (SURVEY.md §5.2).
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hr zone thresholds at boundaries") {
+    val zones = Seq(59.0, 60.0, 99.0, 100.0, 129.0, 130.0).toDF("bpm")
+      .select(new SilverTransforms(null).hrZone($"bpm").as("z"))
+      .as[String].collect()
+    assert(zones.toSeq == Seq(
+      "Resting", "Normal", "Normal", "Elevated", "Elevated", "High"))
+  }
+
+  test("hr zone null -> Unknown") {
+    val z = Seq[Option[Double]](None).toDF("bpm")
+      .select(new SilverTransforms(null).hrZone($"bpm")).as[String].head()
+    assert(z == "Unknown")
+  }
+
+  test("geo parsing: valid, spaced, malformed, missing part") {
+    val rows = Seq(
+      "35.6586° , 139.7454°",
+      "35.65°,139.74°",
+      "garbage location",
+      "12.5").toDF("loc")
+      .select(TimelineFlatten.latOf($"loc").as("lat"),
+        TimelineFlatten.lngOf($"loc").as("lng"))
+      .collect()
+    assert(rows(0).getDouble(0) == 35.6586 && rows(0).getDouble(1) == 139.7454)
+    assert(rows(1).getDouble(0) == 35.65 && rows(1).getDouble(1) == 139.74)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+    assert(rows(3).getDouble(0) == 12.5 && rows(3).isNullAt(1))
+  }
+
+  test("fuzzy heart-rate column resolution") {
+    val t = new SilverTransforms(null)
+    assert(t.resolveHrColumns(Seq("timestamp", "beats_per_minute", "x"))
+      == ("timestamp", "beats_per_minute"))
+    assert(t.resolveHrColumns(Seq("log_time", "bpm")) == ("log_time", "bpm"))
+    assert(t.resolveHrColumns(Seq("Timestamp", "HeartRate"))
+      == ("Timestamp", "HeartRate"))
+    intercept[IllegalArgumentException] {
+      t.resolveHrColumns(Seq("a", "b"))
+    }
+  }
+
+  test("shingles: short docs yield empty, 3+ words roll") {
+    val out = Seq("one two", "one two three four", "")
+      .toDF("text")
+      .select(TextAnalysis.shingles($"text").as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq("one two three", "two three four"))
+    assert(out(2).isEmpty)
+  }
+
+  test("token count: blank and multi-space") {
+    val out = Seq("", "  ", "a  b\tc").toDF("text")
+      .select(TextAnalysis.tokenCount($"text")).as[Int].collect()
+    assert(out.toSeq == Seq(0, 0, 3))
+  }
+
+  test("exact dedup groups duplicates under one fingerprint") {
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different doc"))
+      .toDF("doc_id", "text")
+    val groups = docs
+      .select($"doc_id",
+        md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+      .groupBy($"fp").agg(count(lit(1)).as("n"), min($"doc_id").as("keeper"))
+      .collect()
+    assert(groups.length == 2)
+    assert(groups.find(_.getAs[Long]("n") == 2).get.getAs[Long]("keeper") == 1L)
+  }
+
+  test("minhash LSH finds exact duplicates and ranks jaccard=1") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different sentence about spark engines here"),
+      (4L, "short one"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(docs, "doc_id", "text")
+    val cands = Dedup.candidatePairs(
+      Dedup.bandRows(Dedup.minhashSignatures(sh, "doc_id"), "doc_id"), "doc_id")
+    val j = Dedup.jaccardFor(cands, sh, "doc_id").collect()
+    assert(j.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L && r.getAs[Double]("jaccard") == 1.0))
+    // doc 3 shares no shingles: never paired with 1/2
+    assert(!j.exists(r => r.getAs[Long]("doc_b") == 3L))
+  }
+
+  test("simhash: identical docs equal, disjoint docs differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(sh(0)._2 == sh(1)._2)
+    assert(sh(0)._2 != sh(2)._2)
+  }
+
+  test("cosine kernel: orthogonal, identical, zero vectors") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(1f, 2f)),
+      (Array(0f, 0f), Array(1f, 1f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(
+        Similarity.dotExact($"a", $"b"),
+        Similarity.norm2Exact($"a"),
+        Similarity.norm2Exact($"b")).as("c"))
+      .as[Double].collect()
+    assert(df(0) == 0.0)
+    assert(df(1) == 1.0)
+    assert(df(2) == 0.0) // zero-norm guard
+  }
+
+  test("brute-force topk is ordered and k-bounded") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(4)(d => math.sin(i * 4 + d).toFloat)))
+      .toDF("id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.where($"id" < 2), vecs, 5)
+    val rows = top.collect()
+    assert(rows.length == 10) // 2 queries x 5
+    val perQ = rows.groupBy(_.getAs[Long]("query_id"))
+    perQ.values.foreach { rs =>
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine_sim"))
+      assert(sims.toSeq == sims.sortBy(-_).toSeq)
+    }
+  }
+
+  test("lsh signature is deterministic and fixed-width") {
+    val vecs = Seq((1L, Array(1f, -2f, 3f)), (2L, Array(1f, -2f, 3f)))
+      .toDF("id", "embedding")
+      .select(Similarity.lshSignature($"embedding", 8).as("sig"))
+      .as[String].collect()
+    assert(vecs(0) == vecs(1))
+    assert(vecs(0).length == 8 && vecs(0).forall(c => c == '0' || c == '1'))
+  }
+}

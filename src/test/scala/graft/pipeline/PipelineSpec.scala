@@ -1,0 +1,233 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Golden end-to-end medallion test on reference-shaped fixtures
+  * (FIXTURES.md §B): CSV/JSON landing → Bronze (audit cols, ledger,
+  * idempotent skip) → Silver transforms → Gold reports, including
+  * re-upload dedup (W1/W2) and idempotent re-runs.
+  */
+class PipelineSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def write(dir: String, name: String, content: String): String = {
+    Files.createDirectories(Paths.get(dir))
+    val p = Paths.get(dir, name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  private lazy val root = Files.createTempDirectory("graft_wh").toString
+  private lazy val landing = Files.createTempDirectory("graft_land").toString
+  private lazy val catalog = new Catalog(spark, root)
+  private lazy val ingestion = new Ingestion(catalog)
+  private lazy val silver = new SilverTransforms(catalog)
+
+  private lazy val config = Seq(
+    Schemas.FileDetail(1, "c", "s", landing, "transactions*.csv", "bronze",
+      "transactions", "CSV"),
+    Schemas.FileDetail(2, "c", "s", landing, "manual_logs*.csv", "bronze",
+      "manual_logs", "CSV"),
+    Schemas.FileDetail(3, "c", "s", landing, "flight_logs*.csv", "bronze",
+      "flight_logs", "CSV"),
+    Schemas.FileDetail(4, "c", "s", landing, "sleep*.csv", "bronze",
+      "fitbit_sleep_score", "CSV"),
+    Schemas.FileDetail(5, "c", "s", landing, "hr*.csv", "bronze",
+      "fitbit_heart_rate", "CSV"),
+    Schemas.FileDetail(6, "c", "s", landing, "steps*.csv", "bronze",
+      "fitbit_steps", "CSV"),
+    Schemas.FileDetail(7, "c", "s", landing, "timeline*.json", "bronze",
+      "google_timeline", "JSON"))
+
+  private def seedFixtures(): Unit = {
+    write(landing, "transactions_1.csv",
+      """country,date,name,type,amount,comments
+        |Japan,2026-02-19,Hotel Tokyo,Hotel,"$1,200.50",Shinjuku hotel
+        |Japan,2026-02-19,Ramen,Food,12.00,Dinner
+        |Japan,2026-02-20,JR Pass,Travel,300.00,NULL
+        |Japan,2026-02-20,Museum,,25.00,
+        |Japan,not-a-date,Ghost,Misc,10.00,bad date row
+        |""".stripMargin)
+    write(landing, "manual_logs_1.csv",
+      """day,date,flag,country,city,description,comments,food,travel,hotel
+        |1,2026-02-19,1.0,Japan,Tokyo,Arrival day,Long flight,Ramen,Flight,Shinjuku
+        |2,2026-02-20,0.0,Japan,Tokyo,Museum day,,Sushi,Train,Shinjuku
+        |""".stripMargin)
+    write(landing, "flight_logs_1.csv",
+      ("date,flight_number,from,to,dep_time,arr_time,duration,airline,aircraft," +
+        "registration,seat_number,seat_type,flight_class,flight_reason,note," +
+        "dep_id,arr_id,airline_id,aircraft_id\n" +
+        "2026-02-18,NH110,LHR,HND,09:00,17:30,11:30,ANA,B789,JA890A,32A," +
+        "window,economy,leisure,,1,2,3,4\n" +
+        "2026-02-18,NH006,HND,KIX,19:00,20:15,01:15,ANA,B738,JA301B,12C," +
+        "aisle,economy,leisure,,2,5,3,6\n"))
+    write(landing, "sleep_1.csv",
+      """sleep_log_entry_id,timestamp,overall_score,composition_score,revitalization_score,duration_score,deep_sleep_in_minutes,resting_heart_rate,restlessness
+        |100,2026-02-19 07:30:00,65,20.0,18,25.0,45,52,0.12
+        |101,2026-02-20 08:00:00,90,28.0,27,30.0,80,48,0.05
+        |""".stripMargin)
+    write(landing, "hr_1.csv",
+      """timestamp,beats_per_minute,data_source
+        |2026-02-19 10:00:05,55.0,fitbit
+        |2026-02-19 10:00:35,57.0,fitbit
+        |2026-02-19 10:01:10,110.0,fitbit
+        |2026-02-19 11:00:10,135.0,fitbit
+        |""".stripMargin)
+    write(landing, "steps_1.csv",
+      """timestamp,steps,data_source
+        |2026-02-19 10:05:00,500,fitbit
+        |2026-02-19 10:40:00,250,fitbit
+        |2026-02-19 12:00:00,1000,fitbit
+        |""".stripMargin)
+    write(landing, "timeline_1.json",
+      """{ "semanticSegments": [
+        |  { "startTime": "2026-02-19T09:00:00", "endTime": "2026-02-19T10:30:00",
+        |    "visit": { "probability": 0.93,
+        |      "topCandidate": { "placeId": "ChIJ123",
+        |        "placeLocation": { "latLng": "35.6586° , 139.7454°" } } } },
+        |  { "startTime": "2026-02-19T11:00:00", "endTime": "2026-02-19T11:45:00",
+        |    "activity": { "distanceMeters": 1234.5,
+        |      "topCandidate": { "type": "WALKING", "probability": 0.87 },
+        |      "start": { "latLng": "35.65°, 139.74°" },
+        |      "end":   { "latLng": "35.66°, 139.75°" } } },
+        |  { "startTime": "2026-02-19T12:00:00", "endTime": "2026-02-19T12:10:00",
+        |    "visit": { "probability": 0.5,
+        |      "topCandidate": { "placeId": "ChIJ999",
+        |        "placeLocation": "garbage location" } } },
+        |  { "startTime": "2026-02-19T13:00:00", "endTime": "2026-02-19T13:05:00" }
+        |] }
+        |""".stripMargin)
+  }
+
+  test("e2e: ingest -> silver -> gold with dedup and idempotency") {
+    import spark.implicits._
+    seedFixtures()
+    val r1 = ingestion.ingestAll(config)
+    assert(r1("transactions").size == 1)
+    val txRows = catalog.read("bronze", "transactions")
+    assert(txRows.count() == 5)
+    assert(txRows.columns.contains("_source_file"))
+
+    // idempotent: second run loads nothing
+    val r2 = ingestion.ingestAll(config)
+    assert(r2.values.forall(_.isEmpty), s"unexpected reloads: $r2")
+    assert(catalog.read("bronze", "transactions").count() == 5)
+
+    // silver
+    silver.runAll()
+    val stx = catalog.read("silver", "transactions")
+    assert(stx.where($"type" === "uncategorized").count() == 1)
+    assert(stx.where($"name" === "Hotel Tokyo").select("amount")
+      .as[Double].head() == 1200.50)
+    assert(stx.where($"name" === "Ghost").select("date").head().isNullAt(0))
+
+    val hrMin = catalog.read("silver", "heart_rate_minute")
+    assert(hrMin.count() == 3) // 10:00 (2 readings), 10:01, 11:00
+    assert(hrMin.where($"hr_zone" === "Resting").count() == 1) // mean 56
+    assert(hrMin.where($"hr_zone" === "High").count() == 1) // 135
+
+    val steps = catalog.read("silver", "steps_hourly")
+    assert(steps.count() == 24) // scaffold: 1 date x 24 hours
+    assert(steps.where($"hour" === 10).select("steps").as[Long].head() == 750)
+    assert(steps.where($"hour" === 3).select("steps").as[Long].head() == 0)
+
+    val segs = catalog.read("silver", "timeline_segments")
+    assert(segs.count() == 3) // 4th segment (neither) dropped
+    val visit = segs.where($"place_id" === "ChIJ123")
+    assert(visit.select("visit_latitude").as[Double].head() == 35.6586)
+    val badLoc = segs.where($"place_id" === "ChIJ999")
+    assert(badLoc.select("visit_latitude").head().isNullAt(0))
+    val walk = segs.where($"segment_type" === "ACTIVITY")
+    assert(walk.select("activity_type").as[String].head() == "WALKING")
+    assert(walk.select("start_latitude").as[Double].head() == 35.65)
+
+    // gold: full travel cost
+    val cost = Gold.fullTravelCost(
+      catalog.read("silver", "transactions"),
+      catalog.read("silver", "manual_logs"))
+    val rows = cost.collect()
+    assert(rows.length == 2)
+    val d1 = rows(0)
+    assert(d1.getAs[Double]("hotel") == 1200.50)
+    assert(d1.getAs[Double]("food") == 12.0)
+    assert(d1.getAs[Double]("total") == 1212.50)
+    val d2 = rows(1)
+    assert(d2.getAs[Double]("travel") == 300.0)
+    // uncategorized spend is outside the 5 pivot categories, exactly like
+    // the reference's TOTAL (sum of the 5 CASE columns only)
+    assert(d2.getAs[Double]("misc") == 0.0)
+    assert(d2.getAs[Double]("total") == 300.0)
+    assert(d2.getAs[Double]("running_total") == 1212.50 + 300.0)
+    assert(d2.getAs[Double]("daily_avg") == (1212.50 + 300.0) / 2)
+
+    // gold: tax report — flight day 02-18 joined to wake-up 02-19 (score 65)
+    val tax = Gold.travelTaxReport(
+      catalog.read("silver", "flight_logs"),
+      catalog.read("silver", "sleep_scores"),
+      catalog.read("silver", "heart_rate_hourly"))
+    val taxRows = tax.orderBy("report_date").collect()
+    val travelDay = taxRows.find(_.getAs[Boolean]("is_travel_day")).get
+    assert(travelDay.getAs[java.sql.Date]("report_date").toString == "2026-02-18")
+    assert(math.abs(travelDay.getAs[Double]("total_flight_hours") - 12.75) < 1e-9)
+    assert(travelDay.getAs[Long]("flight_count") == 2)
+    assert(travelDay.getAs[String]("destination_city") == "HND, KIX")
+    // 12.75h flight and next-day score 65 -> High Strain
+    assert(travelDay.getAs[String]("recovery_status") == "High Strain")
+    // wake 02-20 score 90 -> its travel day 02-19 row: Well Recovered
+    val recovered = taxRows.find(r =>
+      r.getAs[java.sql.Date]("report_date").toString == "2026-02-19").get
+    assert(recovered.getAs[String]("recovery_status") == "Well Recovered")
+    assert(recovered.getAs[String]("destination_city") == "No Travel")
+
+    // gold: transport mode from timeline
+    val modes = Gold.transportModeAnalysis(segs).collect()
+    assert(modes.length == 1)
+    assert(modes(0).getAs[String]("activity_type") == "WALKING")
+    assert(math.abs(modes(0).getAs[Double]("total_distance_km") - 1.2345) < 1e-9)
+
+    // gold: daily summary JSON
+    val json = Gold.dailySummary("2026-02-19",
+      catalog.read("silver", "daily_spend"),
+      catalog.read("silver", "steps_hourly"),
+      catalog.read("silver", "sleep_scores"),
+      catalog.read("silver", "manual_logs"),
+      catalog.read("silver", "flight_logs"),
+      segs)
+    assert(json.contains("\"TOTAL_SPENT\":1212.5"))
+    assert(json.contains("\"TOTAL_STEPS\":1750"))
+    assert(json.contains("ChIJ123") || json.contains("WALKING"))
+  }
+
+  test("re-upload: latest load wins in gold (W1/W2 dedup)") {
+    import spark.implicits._
+    // re-upload transactions with corrected amounts + updated manual log
+    write(landing, "transactions_1.csv", // same file name => same _source_file
+      """country,date,name,type,amount,comments
+        |Japan,2026-02-19,Hotel Tokyo,Hotel,"$1,300.00",Corrected rate
+        |Japan,2026-02-19,Ramen,Food,12.00,Dinner
+        |Japan,2026-02-20,JR Pass,Travel,300.00,NULL
+        |""".stripMargin)
+    // force reload by clearing the ledger entry trick: new file name instead
+    write(landing, "transactions_2.csv",
+      """country,date,name,type,amount,comments
+        |Japan,2026-02-19,Hotel Tokyo,Hotel,"$1,300.00",Corrected rate
+        |""".stripMargin)
+    write(landing, "manual_logs_2.csv",
+      """day,date,flag,country,city,description,comments,food,travel,hotel
+        |1,2026-02-19,1.0,Japan,Tokyo,Arrival day v2,Updated,Ramen,Flight,Shinjuku
+        |""".stripMargin)
+    ingestion.ingestAll(config)
+    silver.runAll()
+
+    val logs = catalog.read("silver", "manual_logs")
+    // W2: one row per date, latest load wins
+    val cost = Gold.fullTravelCost(
+      catalog.read("silver", "transactions"), logs)
+    val d1 = cost.collect()(0)
+    assert(d1.getAs[String]("description") == "Arrival day v2")
+    // transactions_2 is a NEW _source_file: its rows coexist with file 1's
+    // (W1 filters per file, not per date)
+    assert(d1.getAs[Double]("hotel") == 1200.50 + 1300.00)
+  }
+}
