@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.Multimodal
+import graft.QueryDef._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multimodal metadata, geo-math (F10), and the batch twin of the
+  * streaming hourly rollup.
+  */
+object ExtQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── Multimodal metadata extraction over binary payloads (documents.text
+    //    encoded as the stand-in payload): byte length, content hash, magic
+    //    bytes, sniffed type — all codegen'd expressions, no decode.
+    QueryDef(
+      "q38_binary_meta",
+      (s, dir) => {
+        import s.implicits._
+        val withBin = Tables.documents(s, dir)
+          .select($"doc_id", $"text".cast("binary").as("payload"))
+        withBin.select($"doc_id" +:
+          Multimodal.metadataColumns($"payload").map { case (n, c) => c.as(n) }: _*)
+      },
+      Some("""SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |sha256(text) AS sha256,
+        |substr(hex(encode(text)), 1, 8) AS header_hex,
+        |CASE WHEN substr(hex(encode(text)), 1, 8) = '89504E47' THEN 'png'
+        |     WHEN substr(hex(encode(text)), 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |     WHEN substr(hex(encode(text)), 1, 8) = '25504446' THEN 'pdf'
+        |     WHEN substr(hex(encode(text)), 1, 8) = '52494646' THEN 'riff'
+        |     ELSE 'unknown' END AS media_type
+        |FROM documents""".stripMargin)),
+
+    // ── F10 great-circle bearing between consecutive per-user positions
+    //    (travel_and_movement_map.py:22-38) + lag window. Positions derived
+    //    deterministically from event values; rounded to 6 decimals so
+    //    libm ulp differences cannot flip the compare.
+    QueryDef(
+      "q39_bearing",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select($"user_id", $"event_id", $"ts",
+            (($"value" % 90.0) - 45.0).as("lat"),
+            ((($"value" * 2.0) % 360.0) - 180.0).as("lon"))
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val withPrev = e
+          .withColumn("prev_lat", lag($"lat", 1).over(w))
+          .withColumn("prev_lon", lag($"lon", 1).over(w))
+          .where($"prev_lat".isNotNull)
+        val dLon = radians($"lon" - $"prev_lon")
+        val y = sin(dLon) * cos(radians($"lat"))
+        val x = cos(radians($"prev_lat")) * sin(radians($"lat")) -
+          sin(radians($"prev_lat")) * cos(radians($"lat")) * cos(dLon)
+        withPrev.select($"user_id", $"event_id",
+          round(pmod(degrees(atan2(y, x)) + 360.0, lit(360.0)), 6).as("bearing"))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    (value % 90.0) - 45.0 AS lat,
+        |    ((value * 2.0) % 360.0) - 180.0 AS lon
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id, lat, lon,
+        |    LAG(lat) OVER w AS prev_lat, LAG(lon) OVER w AS prev_lon
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |  ROUND(((degrees(atan2(
+        |    sin(radians(lon - prev_lon)) * cos(radians(lat)),
+        |    cos(radians(prev_lat)) * sin(radians(lat))
+        |      - sin(radians(prev_lat)) * cos(radians(lat)) * cos(radians(lon - prev_lon))
+        |  )) + 360.0) % 360.0), 6) AS bearing
+        |FROM p WHERE prev_lat IS NOT NULL""".stripMargin)),
+
+    // ── Batch twin of the streaming hourly window rollup
+    //    (graft.streaming.EventStream.hourlyCounts): window() tumbling agg.
+    QueryDef(
+      "q43_hourly_window",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+          .select($"window.start".as("hour_ts"), $"event_type", $"n_events",
+            $"total_value")
+      },
+      Some(s"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+}
