@@ -21,18 +21,43 @@ object Dedup {
   val BandRows = 4 // 8 bands x 4 rows: P(candidate) = 1-(1-j^4)^8
   def numBands: Int = NumHashes / BandRows
 
-  /** doc_id + distinct word-3-shingles, the shared substrate. */
+  /** doc_id + distinct word-3-shingles, the shared substrate. Tokens are
+    * materialized into a column before shingling so the text is split once
+    * per row, not once per element_at reference.
+    */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(TextAnalysis.shingles(col(textCol))).as("shingle"))
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_w"))
+      .select(col(idCol),
+        explode(TextAnalysis.shinglesFromTokens(col("_w"))).as("shingle"))
 
-  /** One minhash column per seed: min over shingles of hash60(seed:shingle).
-    * A single groupBy — 32 aggregates, no row explosion.
+  /** Mersenne prime 2^31-1: with a,b,h' < 2^31 every product stays below
+    * 2^63, so the whole permutation runs in codegen'd long arithmetic — no
+    * decimal, no overflow, identical in any engine with 64-bit ints.
+    */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic permutation constants, derived once driver-side from the
+    * same md5 scheme both engines share; interpolated as literals into the
+    * oracle SQL so the two computations are identical.
+    */
+  def permA(i: Int): Long = (TextAnalysis.hash60Java(s"a$i") % (MinhashP - 1)) + 1
+  def permB(i: Int): Long = TextAnalysis.hash60Java(s"b$i") % MinhashP
+
+  /** One minhash column per permutation: ONE md5 per shingle row reduced
+    * mod p, then 32 cheap linear permutations (a*h'+b) mod p in plain long
+    * arithmetic. A single groupBy with 32 min-aggregates — no row
+    * explosion, no per-seed rehashing: signature generation stays one
+    * narrow codegen'd pass at 100 TB.
     */
   def minhashSignatures(shingles: DataFrame, idCol: String): DataFrame = {
+    // project the md5-derived base hash ONCE; the 32 permutations reference
+    // the materialized column, not 32 copies of the md5 expression
+    val hashed = shingles.select(col(idCol),
+      (TextAnalysis.hash60(col("shingle")) % MinhashP).as("_h"))
     val aggs = (0 until NumHashes).map { i =>
-      min(TextAnalysis.hash60(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i")
+      min((lit(permA(i)) * col("_h") + lit(permB(i))) % MinhashP).as(s"mh$i")
     }
-    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** (id, band_id, band_key) rows: band_key = comma-joined run of
@@ -57,12 +82,18 @@ object Dedup {
   }
 
   /** Exact Jaccard for given (doc_a, doc_b) pairs via shingle-set sizes and
-    * an intersection count — only ever evaluated on candidates.
+    * an intersection count — only ever evaluated on candidates: both shingle
+    * sides are first semi-join-restricted to documents appearing in a pair,
+    * so the shingle self-join is proportional to the candidate set, not the
+    * corpus.
     */
   def jaccardFor(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
-    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    val sa = shingles.select(col(idCol).as("doc_a"), col("shingle"))
-    val sb = shingles.select(col(idCol).as("doc_b"), col("shingle"))
+    val candDocs = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol))).distinct()
+    val candShingles = shingles.join(candDocs, Seq(idCol), "left_semi")
+    val sizes = candShingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val sa = candShingles.select(col(idCol).as("doc_a"), col("shingle"))
+    val sb = candShingles.select(col(idCol).as("doc_b"), col("shingle"))
     val inter = sa.join(sb, Seq("shingle"))
       .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))

@@ -28,6 +28,16 @@ object Similarity {
       (acc, x) => (acc + x).cast(DEC))
       .cast("double")
 
+  /** Fast approximate double dot for PREFILTERING only: plain double fold,
+    * ~1e-14 relative error. Never emitted — exact decimal rescoring decides
+    * the final value (two-phase pattern, see q41).
+    */
+  def dotFast(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
   /** Exact squared L2 norm (same decimal-sum construction). */
   def norm2Exact(a: Column): Column =
     aggregate(
@@ -46,23 +56,27 @@ object Similarity {
       when(n2a > 0.0 && n2b > 0.0, dot / (sqrt(n2a) * sqrt(n2b))).otherwise(0.0),
       9)
 
-  /** Deterministic pseudo-random hyperplane sign for (plane, dim):
-    * ±1 from the 60-bit md5 hash — reproducible in any engine.
+  /** Deterministic pseudo-random hyperplane sign for (plane, dim): ±1 from
+    * the 60-bit md5 hash — computed ONCE driver-side (same value as the
+    * per-row md5 the DuckDB oracle computes; see tests).
     */
-  def planeSign(plane: Int, dim: Column): Column = {
-    val h = TextAnalysis.hash60(concat(lit(s"plane$plane:"), dim.cast("string")))
-    when(pmod(h, lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-  }
+  def planeSignJava(plane: Int, dim: Int): Double =
+    if (TextAnalysis.hash60Java(s"plane$plane:$dim") % 2 == 0) 1.0 else -1.0
 
   /** Random-hyperplane LSH signature: one bit per plane = sign of the
-    * projection of `vec` onto the ±1 hyperplane. Returns a compact bit
-    * string like "1011..." usable as an equi-join bucket key.
+    * projection of `vec` onto the ±1 hyperplane. The plane vectors are
+    * literal arrays (no hashing in the per-row hot path). Returns a compact
+    * bit string like "1011..." usable as an equi-join bucket key.
+    *
+    * `maxDim` bounds the sign tables; vectors longer than it would need a
+    * larger table (explicit error beats silent truncation).
     */
-  def lshSignature(vec: Column, nPlanes: Int): Column = {
+  def lshSignature(vec: Column, nPlanes: Int, maxDim: Int = 256): Column = {
     val bits = (0 until nPlanes).map { p =>
+      val signs = array((0 until maxDim).map(d => lit(planeSignJava(p, d))): _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          (x.cast("double") * planeSign(p, i)).cast(DEC)),
+        zip_with(vec, slice(signs, lit(1), size(vec)), (x, s) =>
+          (x.cast("double") * s).cast(DEC)),
         lit(0).cast(DEC),
         (acc, x) => (acc + x).cast(DEC))
       when(proj >= 0, lit("1")).otherwise(lit("0"))

@@ -25,6 +25,16 @@ object TextAnalysis {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[hash60]] for deriving deterministic constants
+    * (permutation seeds, hyperplane signs) once instead of per row.
+    */
+  def hash60Java(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
 
@@ -96,12 +106,21 @@ object TextAnalysis {
       "fp_num" -> hash60(norm))
   }
 
-  /** Word n-gram shingles (default 3); [] when the doc has fewer words. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
+  /** Shingles over an ALREADY-MATERIALIZED token array column. Callers must
+    * project `tokens(text)` into a real column first: every `element_at`
+    * reference re-embeds its input expression tree, so passing `tokens(text)`
+    * directly would re-split the text O(words) times per row.
+    */
+  def shinglesFromTokens(w: Column, n: Int = 3): Column =
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(0), size(w) - n), i =>
         concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-gram shingles (default 3); [] when the doc has fewer words.
+    * Convenience form for tests/small inputs — hot paths should use
+    * [[shinglesFromTokens]] over a materialized token column.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 }

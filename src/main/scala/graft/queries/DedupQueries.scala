@@ -31,12 +31,19 @@ object DedupQueries {
       "q35_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
+        // join on the 60-bit shingle hash, not the string: cheaper shuffle
+        // keys and compares; both engines hash with the same md5 scheme so
+        // (unlikely) collisions are mirrored exactly
         val sh = Tables.documents(s, dir)
+          .select($"doc_id", $"source", TextAnalysis.tokens($"text").as("_w"))
           .select($"doc_id", $"source",
-            explode(TextAnalysis.shingles($"text")).as("shingle"))
+            explode(TextAnalysis.shinglesFromTokens($"_w")).as("shingle"))
+          .select($"doc_id", $"source",
+            TextAnalysis.hash60($"shingle").as("h"))
+          .distinct()
         val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("a").join(sh.as("b"),
-            $"a.source" === $"b.source" && $"a.shingle" === $"b.shingle" &&
+            $"a.source" === $"b.source" && $"a.h" === $"b.h" &&
               $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
           .agg(count(lit(1)).as("n_inter"))
@@ -49,10 +56,14 @@ object DedupQueries {
           .where($"jaccard" >= 0.5)
       },
       Some(s"""WITH $shingleCte,
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |hsh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
-        |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+        |  FROM hsh a JOIN hsh b ON a.source = b.source AND a.h = b.h
         |    AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
@@ -67,19 +78,32 @@ object DedupQueries {
       "q36_minhash_lsh",
       (s, dir) => {
         import s.implicits._
+        // the shingle substrate feeds both signature generation and the
+        // jaccard verification — cache it (at 100 TB: checkpoint instead)
         val sh = Dedup.shingleRows(Tables.documents(s, dir), "doc_id", "text")
+          .cache()
         val sigs = Dedup.minhashSignatures(sh, "doc_id")
+        // candidate pairs are consumed three times by the verifier (doc
+        // restriction, intersection semi-join, final join) — cache the tiny
+        // set so signature generation runs once
         val cands = Dedup.candidatePairs(Dedup.bandRows(sigs, "doc_id"), "doc_id")
+          .cache()
         Dedup.jaccardFor(cands, sh, "doc_id").where($"jaccard" >= 0.5)
       },
       Some {
-        val nb = Dedup.numBands
         val r = Dedup.BandRows
+        val perms = (0 until Dedup.NumHashes).map { i =>
+          s"(${Dedup.permA(i)}, ${Dedup.permB(i)}, $i)"
+        }.mkString(", ")
         s"""WITH $shingleCte,
+        |hs AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.MinhashP} AS h
+        |  FROM sh),
+        |perm(a, b, i) AS (VALUES $perms),
         |mh AS (
-        |  SELECT doc_id, i.range AS i,
-        |    MIN(('0x' || substr(md5(i.range || ':' || shingle), 1, 15))::BIGINT) AS mh
-        |  FROM sh CROSS JOIN range(${Dedup.NumHashes}) i GROUP BY 1, 2),
+        |  SELECT doc_id, i, MIN((a * h + b) % ${Dedup.MinhashP}) AS mh
+        |  FROM hs CROSS JOIN perm GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, CAST(i // $r AS INT) AS band_id,
         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key

@@ -62,8 +62,13 @@ object SimilarityQueries {
           $"embedding".as("ea"), $"n2".as("na"))
         val b = e.select($"vec_id".as("vec_b"), $"label",
           $"embedding".as("eb"), $"n2".as("nb"))
+        // two-phase: cheap double prefilter with margin, exact decimal
+        // rescore only near/above the threshold — the emitted value is
+        // always the exact one.
+        val prelim = Similarity.dotFast($"ea", $"eb") / (sqrt($"na") * sqrt($"nb"))
         a.join(b, Seq("label"))
           .where($"vec_a" < $"vec_b")
+          .where(prelim >= 0.4 - 1e-6)
           .select($"vec_a", $"vec_b", $"label",
             Similarity.cosine(
               Similarity.dotExact($"ea", $"eb"), $"na", $"nb").as("cosine_sim"))
