@@ -90,14 +90,13 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(candidates.sparkSession)
     val q = broadcast(
-      queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
-        norm2Exact(col("embedding")).as("q_n2")))
-    val c = candidates.select(col("id").as("cand_id"), col("embedding").as("c_emb"),
-      norm2Exact(col("embedding")).as("c_n2"))
+      queries.select(col("id").as("query_id"), col("embedding").as("q_emb")))
+    val c = candidates.select(col("id").as("cand_id"), col("embedding").as("c_emb"))
     val scored = q.join(c, col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        cosine(dotExact(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2"))
+        graft.functions.GraftFunctions.cosineSimExact(col("q_emb"), col("c_emb"))
           .as("cosine_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("cand_id").asc)

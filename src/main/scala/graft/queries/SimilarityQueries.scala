@@ -55,23 +55,26 @@ object SimilarityQueries {
       "q41_embedding_near_dup",
       (s, dir) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.{dotExact, dotFast}
+        // norms once per vector; per-pair: native fast-double prefilter
+        // with margin, then the native exact dot only near the threshold —
+        // the emitted value is always the exact one
         val e = Tables.embeddings(s, dir)
           .select($"vec_id", $"label", $"embedding",
-            Similarity.norm2Exact($"embedding").as("n2"))
+            dotExact($"embedding", $"embedding").as("n2"))
         val a = e.select($"vec_id".as("vec_a"), $"label",
           $"embedding".as("ea"), $"n2".as("na"))
         val b = e.select($"vec_id".as("vec_b"), $"label",
           $"embedding".as("eb"), $"n2".as("nb"))
-        // two-phase: cheap double prefilter with margin, exact decimal
-        // rescore only near/above the threshold — the emitted value is
-        // always the exact one.
-        val prelim = Similarity.dotFast($"ea", $"eb") / (sqrt($"na") * sqrt($"nb"))
         a.join(b, Seq("label"))
           .where($"vec_a" < $"vec_b")
-          .where(prelim >= 0.4 - 1e-6)
+          .where(dotFast($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")) >= 0.4 - 1e-6)
           .select($"vec_a", $"vec_b", $"label",
-            Similarity.cosine(
-              Similarity.dotExact($"ea", $"eb"), $"na", $"nb").as("cosine_sim"))
+            round(
+              when($"na" > 0.0 && $"nb" > 0.0,
+                dotExact($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")))
+                .otherwise(0.0), 9).as("cosine_sim"))
           .where($"cosine_sim" >= 0.4)
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

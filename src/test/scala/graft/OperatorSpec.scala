@@ -139,6 +139,32 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("native cosine_sim_exact matches the composed decimal kernel bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f))
+    }.toDF("id", "embedding")
+    val a = vecs.select($"id".as("ia"), $"embedding".as("ea"))
+    val b = vecs.select($"id".as("ib"), $"embedding".as("eb"))
+    val both = a.join(b, $"ia" < $"ib")
+      .select(
+        graft.functions.GraftFunctions.cosineSimExact($"ea", $"eb").as("native"),
+        Similarity.cosine(
+          Similarity.dotExact($"ea", $"eb"),
+          Similarity.norm2Exact($"ea"),
+          Similarity.norm2Exact($"eb")).as("composed"))
+    assert(both.where($"native" =!= $"composed").isEmpty)
+  }
+
+  test("cosine_sim_exact callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT cosine_sim_exact(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c")
+      .as[Double].head()
+    assert(out == 1.0)
+  }
+
   test("lsh signature is deterministic and fixed-width") {
     val vecs = Seq((1L, Array(1f, -2f, 3f)), (2L, Array(1f, -2f, 3f)))
       .toDF("id", "embedding")
