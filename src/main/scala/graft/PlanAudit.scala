@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for selected queries so scan
+  * pushdown (PushedFilters/ReadSchema), join strategy (broadcast vs SMJ),
+  * and whole-stage codegen coverage can be audited. Findings + the 100 TB
+  * design notes live in PLANS.md.
+  *
+  * Usage: sbt "runMain graft.PlanAudit [queryName ...]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q01_group_agg", "q02_filter_project", "q03_join_agg",
+        "q06_topk", "q21_cost_report", "q36_minhash_lsh", "q40_cosine_topk")
+    names.foreach { n =>
+      println(s"\n${"=" * 70}\n== $n\n${"=" * 70}")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-style invariants over seeded random inputs (SURVEY.md §5.4):
+  * running total = prefix sum, scaffold density, window dedup keeps exactly
+  * the max-load row per key, jaccard bounds, quality-score bounds.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  test("running total is the prefix sum, for random daily series") {
+    (1 to 5).foreach { _ =>
+      val days = (1 to 30).map(d =>
+        (java.sql.Date.valueOf(f"2026-01-$d%02d"), rnd.nextInt(1000).toDouble))
+      val df = days.toDF("d", "v")
+      val w = Window.orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = df.withColumn("rt", sum($"v").over(w))
+        .orderBy($"d").select($"rt").as[Double].collect()
+      val want = days.map(_._2).scanLeft(0.0)(_ + _).tail
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("dense scaffold always yields |dates| x 24 rows, sums preserved") {
+    (1 to 3).foreach { _ =>
+      val events = (1 to 200).map { _ =>
+        (java.sql.Timestamp.valueOf(
+          f"2026-02-${1 + rnd.nextInt(5)}%02d ${rnd.nextInt(24)}%02d:15:00"),
+          rnd.nextInt(100).toLong)
+      }
+      val df = events.toDF("ts", "steps")
+      val hourly = df.groupBy(to_date($"ts").as("date"), hour($"ts").as("hour"))
+        .agg(sum($"steps").as("steps"))
+      val scaffold = df.select(to_date($"ts").as("date")).distinct()
+        .select($"date", explode(sequence(lit(0), lit(23))).as("hour"))
+      val dense = scaffold.join(hourly, Seq("date", "hour"), "left")
+        .na.fill(0L, Seq("steps"))
+      val nDates = df.select(to_date($"ts")).distinct().count()
+      assert(dense.count() == nDates * 24)
+      assert(dense.agg(sum($"steps")).as[Long].head() == events.map(_._2).sum)
+    }
+  }
+
+  test("latest-per-key dedup keeps exactly one row per key, with max load_id") {
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 300).map { i =>
+        (s"k${rnd.nextInt(40)}", rnd.nextInt(10).toLong, i.toLong)
+      }
+      val df = rows.toDF("key", "load_id", "payload")
+      val w = Window.partitionBy($"key")
+        .orderBy($"load_id".desc, $"payload".desc)
+      val dedup = df.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      val keys = rows.map(_._1).distinct
+      assert(dedup.count() == keys.size)
+      val maxLoads = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> rs.map(_._2).max
+      }
+      dedup.select($"key", $"load_id").as[(String, Long)].collect()
+        .foreach { case (k, l) => assert(l == maxLoads(k), s"key $k") }
+    }
+  }
+
+  test("jaccard is within [0,1], symmetric inputs give 1") {
+    val words = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    (1 to 3).foreach { _ =>
+      val docs = (1L to 20L).map { i =>
+        (i, Seq.fill(8 + rnd.nextInt(10))(words(rnd.nextInt(words.size)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val sh = Dedup.shingleRows(docs, "doc_id", "text")
+      val all = sh.select($"doc_id".as("doc_a"))
+        .crossJoin(sh.select($"doc_id".as("doc_b")))
+        .where($"doc_a" < $"doc_b").distinct()
+      val j = Dedup.jaccardFor(all, sh, "doc_id")
+        .select($"jaccard").as[Double].collect()
+      assert(j.forall(x => x >= 0.0 && x <= 1.0))
+    }
+  }
+
+  test("quality score stays in [0,1] for arbitrary strings") {
+    val gens = Seq("", "   ", "a", "!!!!!!", "1234 5678",
+      "the quick brown fox. over, the lazy; dog!",
+      Seq.fill(300)("word").mkString(" "), "éüñ unicode text")
+    val cols = TextAnalysis.qualityColumns($"text")
+    val scores = gens.toDF("text")
+      .select(cols.toMap.apply("quality_score").as("q")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0), scores.toSeq.toString)
+  }
+}
