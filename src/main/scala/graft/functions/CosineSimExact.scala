@@ -139,6 +139,32 @@ case class DotFast(left: Expression, right: Expression)
   override def prettyName: String = "dot_fast"
 }
 
+/** SparkSessionExtensions entry point: users opt in with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`; sessions built
+  * that way get graft's native functions without calling
+  * [[GraftFunctions.register]] manually.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim_exact"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimExact].getName, "cosine_sim_exact"),
+      (exprs: Seq[Expression]) => CosineSimExact(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_exact"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotExact].getName, "dot_exact"),
+      (exprs: Seq[Expression]) => DotExact(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_fast"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotFast].getName, "dot_fast"),
+      (exprs: Seq[Expression]) => DotFast(exprs(0), exprs(1))))
+  }
+}
+
 object GraftFunctions {
   /** Register graft's native expressions with a session's function
     * registry; afterwards they are callable from SQL and via

@@ -165,6 +165,13 @@ class OperatorSpec extends SparkSpec {
     assert(out == 1.0)
   }
 
+  test("GraftExtensions injects the function set without error") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(exts)
+    // full end-to-end injection needs a fresh session (extensions bind at
+    // build time); the registry route is covered by the SQL-call test above
+  }
+
   test("lsh signature is deterministic and fixed-width") {
     val vecs = Seq((1L, Array(1f, -2f, 3f)), (2L, Array(1f, -2f, 3f)))
       .toDF("id", "embedding")

@@ -121,6 +121,8 @@ class PipelineSpec extends SparkSpec {
     assert(stx.where($"name" === "Hotel Tokyo").select("amount")
       .as[Double].head() == 1200.50)
     assert(stx.where($"name" === "Ghost").select("date").head().isNullAt(0))
+    // NULL_IF: the literal string "NULL" landed as SQL NULL
+    assert(stx.where($"name" === "JR Pass").select("comments").head().isNullAt(0))
 
     val hrMin = catalog.read("silver", "heart_rate_minute")
     assert(hrMin.count() == 3) // 10:00 (2 readings), 10:01, 11:00
