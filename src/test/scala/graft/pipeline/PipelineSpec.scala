@@ -201,6 +201,33 @@ class PipelineSpec extends SparkSpec {
     assert(json.contains("ChIJ123") || json.contains("WALKING"))
   }
 
+  test("silver re-run is a no-op; Reprocess=true replays idempotently") {
+    import spark.implicits._
+    // all batches already SUCCESS -> nothing pending
+    assert(silver.pendingLoadIds("transactions").isEmpty)
+    val before = catalog.read("silver", "transactions").count()
+    silver.runAll()
+    assert(catalog.read("silver", "transactions").count() == before)
+    // Reprocess=true replays every bronze batch; dynamic partition
+    // overwrite keeps the table identical (delete+insert semantics)
+    val replayIds = silver.pendingLoadIds("transactions", reprocess = true)
+    assert(replayIds.nonEmpty)
+    replayIds.foreach(silver.processTransactions)
+    assert(catalog.read("silver", "transactions").count() == before)
+  }
+
+  test("schema reset drops and allows rebuild (S14)") {
+    val scratch = new Catalog(spark, Files.createTempDirectory("graft_reset").toString)
+    import spark.implicits._
+    scratch.append(Seq((1L, "x")).toDF("id", "v"), "gold", "t1")
+    assert(scratch.exists("gold", "t1"))
+    scratch.dropSchema("gold")
+    assert(!scratch.exists("gold", "t1"))
+    // rebuild after reset works
+    scratch.append(Seq((2L, "y")).toDF("id", "v"), "gold", "t1")
+    assert(scratch.read("gold", "t1").count() == 1)
+  }
+
   test("re-upload: latest load wins in gold (W1/W2 dedup)") {
     import spark.implicits._
     // re-upload transactions with corrected amounts + updated manual log
