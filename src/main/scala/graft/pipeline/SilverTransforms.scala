@@ -210,11 +210,15 @@ final class SilverTransforms(catalog: Catalog) {
     runBatch("google_timeline", "timeline_segments", loadId)(TimelineFlatten.flatten)
 
   /** Run every processor for all pending batches (the transformation DAG,
-    * transformation_logic.py:12-56). Returns dataset → rows per batch.
+    * transformation_logic.py:12-56). `only` mirrors the DAG's
+    * `transformation` run-parameter (restrict to one dataset,
+    * transformation_logic.py:30-38). Returns dataset → rows per batch.
     */
-  def runAll(reprocess: Boolean = false): Map[String, Seq[(Long, Long)]] = {
+  def runAll(reprocess: Boolean = false,
+      only: Option[String] = None): Map[String, Seq[(Long, Long)]] = {
     def run(ds: String, f: Long => Long): (String, Seq[(Long, Long)]) =
-      ds -> pendingLoadIds(ds, reprocess).map { id =>
+      if (only.exists(_ != ds)) ds -> Seq.empty
+      else ds -> pendingLoadIds(ds, reprocess).map { id =>
         id -> (try f(id) catch { case _: Exception => -1L })
       }
     Map(

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics extensions beyond the reference's surface: rollup hierarchies,
+  * gap-based sessionization, and an as-of join composed from windows
+  * (preference (a) of the custom-operator ladder — no custom plan node
+  * needed, and the composition shuffles once on the natural key).
+  */
+object AnalyticsQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── ROLLUP hierarchy totals (region→nation subtotals + grand total).
+    //    GROUPING() disambiguates subtotal rows; decimal sums keep the
+    //    compare exact. One shuffle; rollup expands group sets map-side.
+    QueryDef(
+      "q25_rollup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+          .rollup($"r_name", $"n_name")
+          .agg(
+            dsum($"c_acctbal").as("total_acctbal"),
+            count(lit(1)).as("n_customers"),
+            grouping($"r_name").as("g_region"),
+            grouping($"n_name").as("g_nation"))
+      },
+      Some(s"""SELECT r_name, n_name,
+        |${dsumSql("c_acctbal")} AS total_acctbal,
+        |COUNT(*) AS n_customers,
+        |CAST(GROUPING(r_name) AS TINYINT) AS g_region,
+        |CAST(GROUPING(n_name) AS TINYINT) AS g_nation
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)),
+
+    // ── Gap-based sessionization: a new session starts when a user is idle
+    //    > 30 minutes. lag + conditional flag + running sum = session id —
+    //    the standard scale shape: one shuffle on user_id, windows stay
+    //    inside each user partition.
+    QueryDef(
+      "q26_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val flagged = Tables.events(s, dir)
+          .select($"user_id", $"event_id", $"ts", $"value")
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_session",
+            when($"prev_ts".isNull ||
+              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_no",
+            sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        flagged
+          .groupBy($"user_id", $"session_no")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min($"ts").as("session_start"),
+            max($"ts").as("session_end"),
+            dsum($"value").as("session_value"))
+          .withColumn("duration_s",
+            unix_timestamp($"session_end") - unix_timestamp($"session_start"))
+      },
+      Some(s"""WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_no
+        |  FROM flagged)
+        |SELECT user_id, session_no, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  ${dsumSql("value")} AS session_value,
+        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+        |FROM sess GROUP BY 1, 2""".stripMargin)),
+
+    // ── Ranking family: dense_rank / ntile / lead over per-customer order
+    //    history (the window functions the reference never needed but any
+    //    analytics engine must own). Key-partitioned — fully parallel.
+    QueryDef(
+      "q28_ranking",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        Tables.orders(s, dir)
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+            dense_rank().over(w).as("order_seq"),
+            ntile(4).over(w).as("quartile"),
+            datediff(
+              to_date(lead($"o_orderdate", 1).over(w)),
+              to_date($"o_orderdate")).as("days_to_next"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |CAST(DENSE_RANK() OVER w AS INT) AS order_seq,
+        |CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |  CAST(LEAD(o_orderdate, 1) OVER w AS DATE)) AS INT) AS days_to_next
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
+    // ── As-of join by composition: for each purchase, the most recent
+    //    PRIOR click of the same user. Union-tag + last_value(ignoreNulls)
+    //    over an ordered per-user window — one shuffle on user_id, no
+    //    custom plan node (SURVEY.md §7.3 ladder, option (a)).
+    QueryDef(
+      "q27_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .where($"event_type".isin("click", "purchase"))
+          .select($"user_id", $"event_id", $"ts", $"event_type")
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("last_click_ts",
+            last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
+          .where($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"),
+            $"last_click_ts",
+            (unix_timestamp($"ts") - unix_timestamp($"last_click_ts"))
+              .as("seconds_since_click"))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |tagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_click_ts
+        |  FROM e)
+        |SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |  last_click_ts,
+        |  CAST(date_diff('second', last_click_ts, ts) AS BIGINT)
+        |    AS seconds_since_click
+        |FROM tagged WHERE event_type = 'purchase'""".stripMargin))
+  )
+}

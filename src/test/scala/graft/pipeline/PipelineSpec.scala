@@ -228,6 +228,43 @@ class PipelineSpec extends SparkSpec {
     assert(scratch.read("gold", "t1").count() == 1)
   }
 
+  test("dashboard query surface over the warehouse (§3.2)") {
+    import spark.implicits._
+    val segs = catalog.read("silver", "timeline_segments")
+    val tx = catalog.read("silver", "transactions")
+    val (d1, d2) = ("2026-02-18", "2026-02-21")
+
+    val v = Dashboard.visits(segs, d1, d2)
+    assert(v.count() == 1) // ChIJ123 has coords; ChIJ999's are null-parsed
+    assert(v.select("lat").as[Double].head() == 35.6586)
+
+    val m = Dashboard.movements(segs, d1, d2)
+    assert(m.count() == 1 &&
+      m.select("activity_type").as[String].head() == "WALKING")
+
+    assert(Dashboard.flights(
+      catalog.read("silver", "flight_logs"), d1, d2).count() == 2)
+    assert(Dashboard.sleep(
+      catalog.read("silver", "sleep_scores"), d1, d2).count() == 2)
+    assert(Dashboard.dailySteps(
+      catalog.read("silver", "steps_hourly"), d1, d2)
+      .agg(sum($"total_steps")).as[Long].head() == 1750)
+
+    val spend = Dashboard.spendByType(tx, d1, d2)
+    assert(spend.where($"type" === "Hotel")
+      .select("total_amount").as[Double].head() == 1200.50)
+    val top = Dashboard.topTransactions(tx, d1, d2, k = 2).collect()
+    assert(top.length == 2 && top(0).getAs[String]("name") == "Hotel Tokyo")
+    val modes = Dashboard.distanceByMode(segs, d1, d2).collect()
+    assert(modes.length == 1 &&
+      math.abs(modes(0).getAs[Double]("total_km") - 1.2345) < 1e-9)
+
+    // `only` run-parameter restricts the DAG to one dataset
+    val restricted = silver.runAll(reprocess = true, only = Some("manual_logs"))
+    assert(restricted("manual_logs").nonEmpty)
+    assert(restricted.filterKeys(_ != "manual_logs").values.forall(_.isEmpty))
+  }
+
   test("re-upload: latest load wins in gold (W1/W2 dedup)") {
     import spark.implicits._
     // re-upload transactions with corrected amounts + updated manual log
