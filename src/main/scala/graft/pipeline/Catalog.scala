@@ -48,6 +48,21 @@ final class Catalog(val spark: SparkSession, val root: String) {
   def overwrite(df: DataFrame, schema: String, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path(schema, table))
 
+  /** Bucketed managed table (Hive-layout parquet in the session warehouse):
+    * co-locates both sides of a recurring join on the bucket key so the
+    * join plans WITHOUT an Exchange — at 100 TB this converts every
+    * fact-fact join on the key into a local zip of bucket files. Requires
+    * saveAsTable (bucket metadata lives in the session catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", s"$root/bucketed/$table")
+      .saveAsTable(table)
+
+  def readTable(table: String): DataFrame = spark.table(table)
+
   /** Schema reset utility (S14): drop a whole schema directory. */
   def dropSchema(schema: String): Unit = {
     def rm(p: java.nio.file.Path): Unit = {

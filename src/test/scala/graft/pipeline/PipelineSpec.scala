@@ -265,6 +265,26 @@ class PipelineSpec extends SparkSpec {
     assert(restricted.filterKeys(_ != "manual_logs").values.forall(_.isEmpty))
   }
 
+  test("bucketed tables join without a shuffle Exchange") {
+    import spark.implicits._
+    val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "rv")
+    catalog.writeBucketed(left, "bkt_left", "k", 4)
+    catalog.writeBucketed(right, "bkt_right", "k", 4)
+    // disable broadcast so the planner exercises the bucketed SMJ path the
+    // way it would on two large fact tables
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = catalog.readTable("bkt_left")
+        .join(catalog.readTable("bkt_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("re-upload: latest load wins in gold (W1/W2 dedup)") {
     import spark.implicits._
     // re-upload transactions with corrected amounts + updated manual log
