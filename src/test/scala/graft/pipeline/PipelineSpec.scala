@@ -265,6 +265,24 @@ class PipelineSpec extends SparkSpec {
     assert(restricted.filterKeys(_ != "manual_logs").values.forall(_.isEmpty))
   }
 
+  test("CSV tolerance: short rows land with nulls (column-count mismatch)") {
+    import spark.implicits._
+    val land2 = Files.createTempDirectory("graft_land2").toString
+    val cat2 = new Catalog(spark, Files.createTempDirectory("graft_wh2").toString)
+    val ing2 = new Ingestion(cat2)
+    write(land2, "transactions_x.csv",
+      """country,date,name,type,amount,comments
+        |Japan,2026-03-01,Full Row,Food,10.00,ok
+        |Japan,2026-03-02,Short Row
+        |""".stripMargin)
+    ing2.ingest(Schemas.FileDetail(9, "c", "s", land2, "transactions*.csv",
+      "bronze", "transactions", "CSV"))
+    val rows = cat2.read("bronze", "transactions")
+    assert(rows.count() == 2) // PERMISSIVE keeps the short row
+    val short = rows.where($"name" === "Short Row").head()
+    assert(short.isNullAt(short.fieldIndex("amount")))
+  }
+
   test("bucketed tables join without a shuffle Exchange") {
     import spark.implicits._
     val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
