@@ -30,6 +30,17 @@ object Dedup {
       .select(col(idCol),
         explode(TextAnalysis.shinglesFromTokens(col("_w"))).as("shingle"))
 
+  /** (id, h) with h = 60-bit md5 hash of each distinct shingle. All
+    * downstream work (minhash, sizes, intersections) runs on the 8-byte
+    * hash, never the shingle string: narrower shuffles, cheaper compares.
+    * DISTINCT is taken AFTER hashing so an (astronomically unlikely) md5
+    * collision folds identically in Spark and the DuckDB oracle.
+    */
+  def hashedShingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleRows(docs, idCol, textCol)
+      .select(col(idCol), TextAnalysis.hash60(col("shingle")).as("h"))
+      .distinct()
+
   /** Mersenne prime 2^31-1: with a,b,h' < 2^31 every product stays below
     * 2^63, so the whole permutation runs in codegen'd long arithmetic — no
     * decimal, no overflow, identical in any engine with 64-bit ints.
@@ -43,17 +54,14 @@ object Dedup {
   def permA(i: Int): Long = (TextAnalysis.hash60Java(s"a$i") % (MinhashP - 1)) + 1
   def permB(i: Int): Long = TextAnalysis.hash60Java(s"b$i") % MinhashP
 
-  /** One minhash column per permutation: ONE md5 per shingle row reduced
-    * mod p, then 32 cheap linear permutations (a*h'+b) mod p in plain long
-    * arithmetic. A single groupBy with 32 min-aggregates — no row
-    * explosion, no per-seed rehashing: signature generation stays one
-    * narrow codegen'd pass at 100 TB.
+  /** One minhash column per permutation: the pre-hashed shingle rows of
+    * [[hashedShingleRows]] reduced mod p, then 32 cheap linear permutations
+    * (a*h'+b) mod p in plain long arithmetic. A single groupBy with 32
+    * min-aggregates — no row explosion, no per-seed rehashing: signature
+    * generation stays one narrow codegen'd pass at 100 TB.
     */
-  def minhashSignatures(shingles: DataFrame, idCol: String): DataFrame = {
-    // project the md5-derived base hash ONCE; the 32 permutations reference
-    // the materialized column, not 32 copies of the md5 expression
-    val hashed = shingles.select(col(idCol),
-      (TextAnalysis.hash60(col("shingle")) % MinhashP).as("_h"))
+  def minhashSignatures(hashedShingles: DataFrame, idCol: String): DataFrame = {
+    val hashed = hashedShingles.select(col(idCol), (col("h") % MinhashP).as("_h"))
     val aggs = (0 until NumHashes).map { i =>
       min((lit(permA(i)) * col("_h") + lit(permB(i))) % MinhashP).as(s"mh$i")
     }
@@ -81,23 +89,21 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact Jaccard for given (doc_a, doc_b) pairs via shingle-set sizes and
-    * an intersection count — only ever evaluated on candidates: both shingle
-    * sides are first semi-join-restricted to documents appearing in a pair,
-    * so the shingle self-join is proportional to the candidate set, not the
-    * corpus.
+  /** Exact Jaccard for given (doc_a, doc_b) pairs over the hashed-shingle
+    * substrate. Pairs-first join order: broadcast the (tiny) candidate set
+    * onto the a-side shingles, then equi-join the b-side on (doc_b, h).
+    * Work is O(|pairs| × shingles-per-doc) — NEVER a shingle-frequency
+    * self-join, so a globally common shingle cannot blow up the plan.
     */
-  def jaccardFor(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
-    val candDocs = pairs.select(col("doc_a").as(idCol))
-      .union(pairs.select(col("doc_b").as(idCol))).distinct()
-    val candShingles = shingles.join(candDocs, Seq(idCol), "left_semi")
-    val sizes = candShingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    val sa = candShingles.select(col(idCol).as("doc_a"), col("shingle"))
-    val sb = candShingles.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = sa.join(sb, Seq("shingle"))
-      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+  def jaccardFor(pairs: DataFrame, hashedShingles: DataFrame, idCol: String): DataFrame = {
+    val sizes = hashedShingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val sa = hashedShingles.select(col(idCol).as("doc_a"), col("h"))
+    val sb = hashedShingles.select(col(idCol).as("doc_b"), col("h"))
+    val inter = broadcast(pairs)
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    pairs
+    broadcast(pairs)
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("n_inter"))
       .join(sizes.select(col(idCol).as("doc_a"), col("n_shingles").as("n_a")), "doc_a")

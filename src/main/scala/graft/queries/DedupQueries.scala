@@ -33,7 +33,10 @@ object DedupQueries {
         import s.implicits._
         // join on the 60-bit shingle hash, not the string: cheaper shuffle
         // keys and compares; both engines hash with the same md5 scheme so
-        // (unlikely) collisions are mirrored exactly
+        // (unlikely) collisions are mirrored exactly. localCheckpoint
+        // materializes the substrate once — the sizes agg and BOTH sides of
+        // the self-join reuse it instead of re-deriving the explode+md5
+        // lineage (at cluster scale: checkpoint/persist to storage).
         val sh = Tables.documents(s, dir)
           .select($"doc_id", $"source", TextAnalysis.tokens($"text").as("_w"))
           .select($"doc_id", $"source",
@@ -41,6 +44,7 @@ object DedupQueries {
           .select($"doc_id", $"source",
             TextAnalysis.hash60($"shingle").as("h"))
           .distinct()
+          .localCheckpoint()
         val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("a").join(sh.as("b"),
             $"a.source" === $"b.source" && $"a.h" === $"b.h" &&
@@ -78,16 +82,18 @@ object DedupQueries {
       "q36_minhash_lsh",
       (s, dir) => {
         import s.implicits._
-        // the shingle substrate feeds both signature generation and the
-        // jaccard verification — cache it (at 100 TB: checkpoint instead)
-        val sh = Dedup.shingleRows(Tables.documents(s, dir), "doc_id", "text")
-          .cache()
+        // the hashed-shingle substrate feeds signature generation, set
+        // sizes, and intersection counts — localCheckpoint materializes it
+        // ONCE so a single action can't recompute the explode+md5 lineage
+        // per consumer (at 100 TB: checkpoint/persist to storage instead)
+        val sh = Dedup.hashedShingleRows(Tables.documents(s, dir), "doc_id", "text")
+          .localCheckpoint()
         val sigs = Dedup.minhashSignatures(sh, "doc_id")
-        // candidate pairs are consumed three times by the verifier (doc
-        // restriction, intersection semi-join, final join) — cache the tiny
-        // set so signature generation runs once
-        val cands = Dedup.candidatePairs(Dedup.bandRows(sigs, "doc_id"), "doc_id")
-          .cache()
+        // band rows are self-joined for candidates — checkpoint so the
+        // signature groupBy runs once, not once per join side; candidate
+        // pairs are consumed by three joins in the verifier, same deal
+        val bands = Dedup.bandRows(sigs, "doc_id").localCheckpoint()
+        val cands = Dedup.candidatePairs(bands, "doc_id").localCheckpoint()
         Dedup.jaccardFor(cands, sh, "doc_id").where($"jaccard" >= 0.5)
       },
       Some {
@@ -96,14 +102,14 @@ object DedupQueries {
           s"(${Dedup.permA(i)}, ${Dedup.permB(i)}, $i)"
         }.mkString(", ")
         s"""WITH $shingleCte,
-        |hs AS (
-        |  SELECT doc_id,
-        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.MinhashP} AS h
+        |hsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
         |  FROM sh),
         |perm(a, b, i) AS (VALUES $perms),
         |mh AS (
-        |  SELECT doc_id, i, MIN((a * h + b) % ${Dedup.MinhashP}) AS mh
-        |  FROM hs CROSS JOIN perm GROUP BY 1, 2),
+        |  SELECT doc_id, i, MIN((a * (h % ${Dedup.MinhashP}) + b) % ${Dedup.MinhashP}) AS mh
+        |  FROM hsh CROSS JOIN perm GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, CAST(i // $r AS INT) AS band_id,
         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
@@ -113,11 +119,11 @@ object DedupQueries {
         |  FROM bands a JOIN bands b
         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
         |    AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
         |inter AS (
         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
-        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-        |    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  FROM cand c JOIN hsh a ON a.doc_id = c.doc_a
+        |    JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
         |  GROUP BY 1, 2)
         |SELECT c.doc_a, c.doc_b,
         |  COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) AS jaccard

@@ -88,7 +88,7 @@ class OperatorSpec extends SparkSpec {
       (3L, "a completely different sentence about spark engines here"),
       (4L, "short one"))
       .toDF("doc_id", "text")
-    val sh = Dedup.shingleRows(docs, "doc_id", "text")
+    val sh = Dedup.hashedShingleRows(docs, "doc_id", "text")
     val cands = Dedup.candidatePairs(
       Dedup.bandRows(Dedup.minhashSignatures(sh, "doc_id"), "doc_id"), "doc_id")
     val j = Dedup.jaccardFor(cands, sh, "doc_id").collect()

@@ -74,7 +74,7 @@ class PropertySpec extends SparkSpec {
         (i, Seq.fill(8 + rnd.nextInt(10))(words(rnd.nextInt(words.size)))
           .mkString(" "))
       }.toDF("doc_id", "text")
-      val sh = Dedup.shingleRows(docs, "doc_id", "text")
+      val sh = Dedup.hashedShingleRows(docs, "doc_id", "text")
       val all = sh.select($"doc_id".as("doc_a"))
         .crossJoin(sh.select($"doc_id".as("doc_b")))
         .where($"doc_a" < $"doc_b").distinct()
