@@ -80,11 +80,16 @@ object Dedup {
       .select(col(idCol), col("band.band_id"), col("band.band_key"))
   }
 
-  /** Distinct candidate pairs from any shared LSH band. */
+  /** Distinct candidate pairs from any shared LSH band. The build side is
+    * band rows — numBands small rows per doc — so it broadcasts far past
+    * this scale; beyond broadcast range the equi-join on (band_id,
+    * band_key) shuffles both sides by the band key, which is exactly the
+    * LSH bucketing a 100 TB run wants.
+    */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
     val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
-    a.join(b, Seq("band_id", "band_key"))
+    a.join(broadcast(b), Seq("band_id", "band_key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
@@ -99,15 +104,17 @@ object Dedup {
     val sizes = hashedShingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val sa = hashedShingles.select(col(idCol).as("doc_a"), col("h"))
     val sb = hashedShingles.select(col(idCol).as("doc_b"), col("h"))
-    val inter = broadcast(pairs)
-      .join(sa, Seq("doc_a"))
-      .join(sb, Seq("doc_b", "h"))
+    // a-side expansion (|pairs| x shingles-per-doc rows) stays broadcastable
+    // because pairs is the verified candidate set, not the corpus; every
+    // join below is map-side — the only shuffle is the pair-count groupBy
+    val expanded = sa.join(broadcast(pairs), Seq("doc_a"))
+    val inter = sb.join(broadcast(expanded), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    broadcast(pairs)
-      .join(inter, Seq("doc_a", "doc_b"), "left")
+    pairs
+      .join(broadcast(inter), Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("n_inter"))
-      .join(sizes.select(col(idCol).as("doc_a"), col("n_shingles").as("n_a")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n_shingles").as("n_b")), "doc_b")
+      .join(broadcast(sizes.select(col(idCol).as("doc_a"), col("n_shingles").as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select(col(idCol).as("doc_b"), col("n_shingles").as("n_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
