@@ -34,4 +34,17 @@ object QueryDef {
 
   def davgSql(expr: String, scale: Int = 4): String =
     s"CAST(CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT($expr) AS DOUBLE)"
+
+  /** Exact mean over 1e-9-TRUNCATED values: floor(x*1e9) summed in long,
+    * then two deterministic IEEE divisions. Unlike the decimal casts above,
+    * floor has no rounding-mode ties (HALF_UP Spark vs HALF_EVEN DuckDB
+    * disagree on exact half-ulp values, which binary floats can hit), so
+    * this is safe for float-valued columns with no exact decimal form.
+    */
+  def tavg(c: Column): Column =
+    (sum(floor(c * lit(1e9)).cast("long")).cast("double") / lit(1e9)) / count(c)
+
+  /** Oracle-side twin of [[tavg]]. */
+  def tavgSql(expr: String): String =
+    s"(CAST(SUM(CAST(floor(($expr) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) / COUNT($expr)"
 }

@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the first north-star batch:
+  * BPE-style sub-word tokenization, IVF approximate nearest neighbors,
+  * near-dup keeper selection, per-label centroids (the IVF "training"
+  * primitive), and corpus vocabulary building.
+  *
+  * Scale notes are inline per query; the common theme is that every
+  * pairwise-looking step is restricted to a broadcastable set (centroids,
+  * probes) or a hash bucket (simhash), never the corpus cross product.
+  */
+object TrainingDataQueries {
+
+  /** Exact decimal dot of two DuckDB list columns over index i (oracle). */
+  private def dotSql(a: String, b: String) =
+    s"CAST(SUM(CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE)"
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single other glyphs —
+    * the GPT-2-style split that sub-word vocabularies are trained over.
+    * Identical regex semantics in Java (Spark) and RE2 (DuckDB).
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── Sub-word (BPE-ish) token statistics next to whitespace tokens.
+    //    Pure narrow map stage: one regex pass per row, no shuffle.
+    QueryDef(
+      "q44_bpe_tokens",
+      (s, dir) => {
+        import s.implicits._
+        val toks = regexp_extract_all(lower($"text"), lit(BpePattern), lit(0))
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            size(toks).as("n_bpe_tokens"),
+            size(array_distinct(toks)).as("n_distinct_bpe"),
+            TextAnalysis.tokenCount($"text").as("n_ws_tokens"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS bpe
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(bpe) AS INT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(bpe)) AS INT) AS n_distinct_bpe,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) END
+        |    AS n_ws_tokens
+        |FROM t""".stripMargin)),
+
+    // ── IVF approximate nearest neighbors: coarse-quantize every vector to
+    //    its nearest centroid cell (centroids broadcast — one narrow pass),
+    //    probe the 2 best cells per query, exact-rescore only inside probed
+    //    cells. At 100 TB the assignment is a map stage and the probe join
+    //    is equi on cell id: no all-pairs work anywhere.
+    QueryDef(
+      "q45_ivf_ann",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.cosineSimExact
+        val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        // stand-in for a k-means codebook: deterministic, oracle-able
+        val cents = broadcast(
+          e.where($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding".as("ce")))
+        val scored = e.join(cents)
+          .select($"vec_id", $"embedding", $"cid",
+            round(cosineSimExact($"embedding", $"ce"), 9).as("c_sim"))
+        val bySim = Window.partitionBy($"vec_id")
+          .orderBy($"c_sim".desc, $"cid".asc)
+        val ranked = scored
+          .withColumn("rn", row_number().over(bySim))
+        val assign = ranked.where($"rn" === 1)
+          .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"), $"cid")
+        val probes = ranked.where($"vec_id" >= 100 && $"vec_id" < 105 && $"rn" <= 2)
+          .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"cid")
+        val rescored = assign.join(broadcast(probes), Seq("cid"))
+          .where($"cand_id" =!= $"query_id")
+          .select($"query_id", $"cand_id",
+            round(cosineSimExact($"q_emb", $"c_emb"), 9).as("cosine_sim"))
+        val topk = Window.partitionBy($"query_id")
+          .orderBy($"cosine_sim".desc, $"cand_id".asc)
+        rescored.withColumn("rank", row_number().over(topk).cast("int"))
+          .where($"rank" <= 10)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < 8),
+        |terms AS (
+        |  SELECT e.vec_id, e.embedding, cid, ce,
+        |    unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM e CROSS JOIN cent),
+        |scored AS (
+        |  SELECT vec_id, cid,
+        |    ROUND(${dotSql("embedding", "ce")}, 9) AS c_sim
+        |  FROM terms GROUP BY vec_id, embedding, cid, ce),
+        |ranked AS (
+        |  SELECT vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
+        |  FROM scored),
+        |assign AS (SELECT vec_id AS cand_id, cid FROM ranked WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cid FROM ranked
+        |  WHERE vec_id >= 100 AND vec_id < 105 AND rn <= 2),
+        |cand AS (
+        |  SELECT query_id, cand_id FROM probes JOIN assign USING (cid)
+        |  WHERE cand_id <> query_id),
+        |rterms AS (
+        |  SELECT query_id, cand_id, q.embedding AS qe, c.embedding AS ce,
+        |    unnest(generate_series(1, len(q.embedding))) AS i
+        |  FROM cand JOIN e q ON q.vec_id = query_id JOIN e c ON c.vec_id = cand_id),
+        |rescored AS (
+        |  SELECT query_id, cand_id,
+        |    ROUND(${dotSql("qe", "ce")} /
+        |      (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("ce", "ce")})), 9) AS cs
+        |  FROM rterms GROUP BY query_id, cand_id, qe, ce)
+        |SELECT query_id, cand_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT query_id, cand_id, cs AS cosine_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, cand_id ASC) AS rank
+        |  FROM rescored)
+        |WHERE rank <= 10""".stripMargin)),
+
+    // ── Near-dup keeper selection over SimHash buckets: a doc is dropped
+    //    iff a smaller-id doc has the identical 32-bit signature. One
+    //    narrow signature pass + one window over the signature — the
+    //    keep/drop decision never compares documents pairwise.
+    QueryDef(
+      "q46_near_dup_keep",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        val bySig = Window.partitionBy($"simhash")
+        sigs
+          .withColumn("keeper_doc_id", min($"doc_id").over(bySig))
+          .select($"doc_id", $"simhash", $"keeper_doc_id",
+            ($"doc_id" =!= $"keeper_doc_id").as("dropped"))
+      },
+      Some {
+        val bits = Dedup.SimhashBits
+        val votes = (0 until bits)
+          .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS v$j").mkString(",\n    ")
+        val value = (0 until bits)
+          .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+          .mkString(" + ")
+        s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+        |v AS (SELECT doc_id,
+        |    $votes
+        |  FROM h GROUP BY 1),
+        |sig AS (SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM v)
+        |SELECT doc_id, simhash,
+        |  MIN(doc_id) OVER (PARTITION BY simhash) AS keeper_doc_id,
+        |  doc_id <> MIN(doc_id) OVER (PARTITION BY simhash) AS dropped
+        |FROM sig""".stripMargin
+      }),
+
+    // ── Per-label mean embedding: the codebook/centroid-training primitive
+    //    (k-means update step). posexplode + groupBy(label, dim) is one
+    //    shuffle of (label, dim) cells; exact decimal sums keep the means
+    //    bit-identical across engines and partial-agg orders.
+    QueryDef(
+      "q47_label_centroids",
+      (s, dir) => {
+        import s.implicits._
+        Tables.embeddings(s, dir)
+          .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+          .groupBy($"label", $"dim")
+          .agg(QueryDef.tavg(col("v").cast("double")).as("centroid_v"),
+            count(lit(1)).as("n_vectors"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT label, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings)
+        |SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  ${QueryDef.tavgSql("CAST(embedding[i] AS DOUBLE)")} AS centroid_v,
+        |  COUNT(*) AS n_vectors
+        |FROM t GROUP BY 1, 2""".stripMargin)),
+
+    // ── Corpus vocabulary: global token frequencies, top 50. The classic
+    //    word-count shape: partial-agg map-side, one shuffle on token, then
+    //    TakeOrderedAndProject (no global sort materialization).
+    QueryDef(
+      "q48_vocab_topk",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("freq"))
+          .orderBy($"freq".desc, $"token".asc)
+          .limit(50)
+      },
+      Some("""WITH t AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT unnest(toks) AS token FROM t)
+        |SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1
+        |ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin))
+  )
+}

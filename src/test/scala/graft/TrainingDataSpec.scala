@@ -1,0 +1,66 @@
+package graft
+
+import graft.queries.TrainingDataQueries
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the second training-data batch: BPE-ish tokenization,
+  * truncated-fixed-point means, and simhash keeper selection.
+  */
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BPE pattern splits letter runs, digit runs, and single glyphs") {
+    val toks = Seq("Hello, world42!  x").toDF("text")
+      .select(regexp_extract_all(lower($"text"),
+        lit(TrainingDataQueries.BpePattern), lit(0)).as("t"))
+      .as[Seq[String]].head()
+    assert(toks == Seq("hello", ",", "world", "42", "!", "x"))
+  }
+
+  test("tavg matches plain avg to 1e-9 and is exactly reproducible") {
+    val vals = Seq(0.1, 0.25, -0.5, 0.333333333, 1.0)
+    val df = vals.toDF("v")
+    val t = df.agg(QueryDef.tavg($"v").as("m")).as[Double].head()
+    val plain = vals.sum / vals.size
+    assert(math.abs(t - plain) < 1e-8, s"t=$t plain=$plain")
+    val t2 = df.agg(QueryDef.tavg($"v").as("m")).as[Double].head()
+    assert(t == t2)
+  }
+
+  test("simhash keeper: one keeper per signature group, smallest id wins") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (5L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"),
+      (9L, "totally different words entirely here now"))
+      .toDF("doc_id", "text")
+    val sigs = graft.ext.Dedup.simhash(docs, "doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"simhash")
+    val out = sigs.withColumn("keeper", min($"doc_id").over(w))
+      .select($"doc_id", $"keeper", ($"doc_id" =!= $"keeper").as("dropped"))
+      .collect()
+    val dupGroup = out.filter(r => Seq(1L, 5L, 3L).contains(r.getLong(0)))
+    assert(dupGroup.forall(_.getLong(1) == 1L))
+    assert(dupGroup.count(!_.getBoolean(2)) == 1)
+    assert(out.find(_.getLong(0) == 9L).get.getBoolean(2) == false)
+  }
+
+  test("IVF: a centroid's own nearest cell is itself") {
+    // when queries ARE centroids, rank-1 assignment must be the identity
+    val dir = "/root/testdata/sf0.001"
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val cents = e.where($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+      .orderBy($"c_sim".desc, $"cid".asc)
+    val best = e.where($"vec_id" < 8).join(broadcast(cents))
+      .select($"vec_id", $"cid",
+        round(GraftFunctions.cosineSimExact($"embedding", $"ce"), 9).as("c_sim"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"vec_id", $"cid").as[(Long, Long)].collect()
+    assert(best.forall { case (v, c) => v == c })
+  }
+}
