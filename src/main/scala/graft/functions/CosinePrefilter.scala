@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Optimizer rule: threshold filters over the exact cosine kernel gain a
+  * cheap double-precision prefilter.
+  *
+  *   Filter(cosine_sim_exact(a,b) >= t)
+  *     ==>  Filter(fast_cosine(a,b) >= t - margin  AND  cosine_sim_exact(a,b) >= t)
+  *
+  * The fast form is a plain double fold (DotFast), ~10-50x cheaper per pair
+  * than the exact decimal sum; the conjunction short-circuits, so the exact
+  * kernel only runs on pairs already near the threshold. This automates the
+  * two-phase pattern q41 writes by hand — at 100 TB candidate-pair scale the
+  * exact kernel is the hot path and the prefilter drops ~all of it.
+  *
+  * Semantics are EXACTLY preserved:
+  * - |fast - exact| ≤ kernel rounding (≤ 0.5e-9 from the 9-decimal round)
+  *   plus float fold error (~1e-14 relative) — both ≪ margin 1e-6, so the
+  *   prefilter never rejects a pair the exact filter would keep;
+  * - zero-norm vectors make the fast form NaN; Spark orders NaN above all
+  *   doubles, so NaN >= t-margin passes and the exact kernel (which defines
+  *   cosine = 0.0 there) still decides;
+  * - the rule only fires for t > margin and skips any Filter that already
+  *   contains a DotFast (idempotence under the optimizer's fixed-point batch,
+  *   and respect for hand-written prefilters like q41's).
+  *
+  * Registered via `spark.experimental.extraOptimizations`
+  * ([[GraftFunctions.register]]) or `SparkSessionExtensions
+  * .injectOptimizerRule` ([[GraftExtensions]]).
+  */
+object CosinePrefilter extends Rule[LogicalPlan] {
+  val Margin = 1e-6
+
+  /** LEGACY eval mode pinned: under ANSI (the Spark 4 default) Divide
+    * raises on a zero divisor, but the zero-norm case must flow through as
+    * NaN — which Spark orders above every double, so the pair falls through
+    * to the exact kernel's cosine=0.0 definition.
+    */
+  private def fastCosine(a: Expression, b: Expression): Expression =
+    Divide(DotFast(a, b),
+      Multiply(Sqrt(DotFast(a, a)), Sqrt(DotFast(b, b)), EvalMode.LEGACY),
+      EvalMode.LEGACY)
+
+  private def prefixed(cond: Expression, c: CosineSimExact, t: Double): Expression =
+    And(GreaterThanOrEqual(fastCosine(c.left, c.right), Literal(t - Margin)), cond)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) if !cond.exists(_.isInstanceOf[DotFast]) =>
+      // transformUp: a top-down transform would descend into the rewritten
+      // And's children and match the embedded original again, unboundedly
+      val newCond = cond.transformUp {
+        case ge @ GreaterThanOrEqual(c: CosineSimExact, Literal(t: Double, DoubleType))
+            if t > Margin => prefixed(ge, c, t)
+        case gt @ GreaterThan(c: CosineSimExact, Literal(t: Double, DoubleType))
+            if t > Margin => prefixed(gt, c, t)
+        case le @ LessThanOrEqual(Literal(t: Double, DoubleType), c: CosineSimExact)
+            if t > Margin => prefixed(le, c, t)
+        case lt @ LessThan(Literal(t: Double, DoubleType), c: CosineSimExact)
+            if t > Margin => prefixed(lt, c, t)
+      }
+      if (newCond eq cond) f else Filter(newCond, child)
+  }
+}

@@ -162,6 +162,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotFast].getName, "dot_fast"),
       (exprs: Seq[Expression]) => DotFast(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => CosinePrefilter)
   }
 }
 
@@ -184,6 +185,9 @@ object GraftFunctions {
       "dot_fast",
       exprs => DotFast(exprs(0), exprs(1)),
       "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(CosinePrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CosinePrefilter
   }
 
   /** Column-level entry points (require [[register]] on the session). */
