@@ -71,13 +71,21 @@ object TrainingDataQueries {
         val scored = e.join(cents)
           .select($"vec_id", $"embedding", $"cid",
             round(cosineSimExact($"embedding", $"ce"), 9).as("c_sim"))
+        // assignment via max_by, not a window: partial aggregation collapses
+        // the K centroid scores to 1 row per vector map-side, so the
+        // exchange carries one row per vector and never sorts — at 100 TB
+        // this is K× less shuffle than rank-over-partition. Ties break to
+        // the smallest cid via the (c_sim, -cid) struct ordering.
+        val assign = scored.groupBy($"vec_id")
+          .agg(max_by($"cid", struct($"c_sim", -$"cid")).as("cid"),
+            first($"embedding").as("c_emb"))
+          .select($"vec_id".as("cand_id"), $"c_emb", $"cid")
+        // probe ranking only runs on the (pushed-down) 5-query slice
         val bySim = Window.partitionBy($"vec_id")
           .orderBy($"c_sim".desc, $"cid".asc)
-        val ranked = scored
+        val probes = scored.where($"vec_id" >= 100 && $"vec_id" < 105)
           .withColumn("rn", row_number().over(bySim))
-        val assign = ranked.where($"rn" === 1)
-          .select($"vec_id".as("cand_id"), $"embedding".as("c_emb"), $"cid")
-        val probes = ranked.where($"vec_id" >= 100 && $"vec_id" < 105 && $"rn" <= 2)
+          .where($"rn" <= 2)
           .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"cid")
         val rescored = assign.join(broadcast(probes), Seq("cid"))
           .where($"cand_id" =!= $"query_id")
