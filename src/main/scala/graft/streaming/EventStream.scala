@@ -66,6 +66,84 @@ object EventStream {
       }
   }
 
+  /** Session event with microsecond-exact time (java.sql.Timestamp in
+    * [[UserEvent]] drops sub-millisecond precision, which would desync
+    * session bounds from the batch plan). */
+  case class SessEvent(user_id: Long, ts: java.time.Instant, value: Double)
+  /** Open session being accumulated in keyed state (epoch MICROS). */
+  case class OpenSession(user_id: Long, start: Long, end: Long,
+      n: Long, total: Double)
+  /** A closed session, emitted when the gap passes or state times out. */
+  case class SessionRow(user_id: Long, session_start: java.time.Instant,
+      session_end: java.time.Instant, n_events: Long, session_value: Double)
+
+  /** Streaming sessionization with the SAME gap semantics as the batch
+    * q26 plan (new session when >gap since the previous event), expressed
+    * as flatMapGroupsWithState + EventTimeTimeout: state holds at most ONE
+    * open session per user, closed sessions are emitted as soon as a
+    * same-batch event overshoots the gap, and the watermark fires the
+    * timeout that flushes idle sessions — so state is bounded by the
+    * number of concurrently-active users, not by history. This is the
+    * production upgrade of [[userActivity]]'s NoTimeout accumulator.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    def instant(us: Long): java.time.Instant =
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+    def micros(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    def close(s: OpenSession): SessionRow = SessionRow(
+      s.user_id, instant(s.start), instant(s.end), s.n, s.total)
+    events.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"), col("value")).as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val done = close(state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            // micro-batch arrival order is not event order — sort the batch
+            val evs = it.toArray.sortBy(e => micros(e.ts))
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            evs.foreach { e =>
+              val t = micros(e.ts)
+              open = open match {
+                case Some(s) if t - s.end <= gapUs =>
+                  Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += close(s)
+                  Some(OpenSession(uid, t, t, 1L, e.value))
+                case None =>
+                  Some(OpenSession(uid, t, t, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // GroupState timeout is millisecond-based; round UP so the
+              // timeout can never fire a microsecond early
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000L + 1L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup on event_id: state bounded by the watermark
+    * (duplicates are only possible within the lateness window, so expired
+    * keys are dropped). The streaming twin of batch `dropDuplicates`.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming query to completion over currently-available data
     * (memory sink), returning the result — used by tests to assert
     * streaming/batch parity.

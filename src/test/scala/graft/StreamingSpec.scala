@@ -34,6 +34,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming sessionize: closed sessions match the batch q26 plan") {
+    val streamed = EventStream.runToBatch(spark,
+      EventStream.sessionize(EventStream.readStream(spark, dir)).toDF(),
+      "sessions_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    // batch truth with identical gap semantics (the q26 shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val batch = spark.read.parquet(dir)
+      .select($"user_id", $"ts", $"value")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum($"new_session").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"), max($"ts").as("session_end"),
+        sum($"value").as("session_value"))
+    assert(streamed.count() > 0, "no sessions were closed")
+    // every closed streaming session must exist identically in batch truth
+    val mismatched = streamed.as("s")
+      .join(batch.as("b"),
+        $"s.user_id" === $"b.user_id" &&
+          $"s.session_start" === $"b.session_start", "left")
+      .where($"b.user_id".isNull ||
+        $"s.session_end" =!= $"b.session_end" ||
+        $"s.n_events" =!= $"b.n_events" ||
+        abs($"s.session_value" - $"b.session_value") > 1e-6)
+    assert(mismatched.isEmpty, mismatched.take(5).mkString("\n"))
+  }
+
+  test("streaming dedup matches batch dropDuplicates") {
+    // duplicate every event once so the dedup has real work
+    val dupDir = Files.createTempDirectory("graft_dup").toString
+    val base = spark.read.parquet(dir)
+    base.union(base).write.mode("overwrite").parquet(dupDir)
+    val streamed = EventStream.runToBatch(spark,
+      EventStream.dedupStream(EventStream.readStream(spark, dupDir)),
+      "dedup_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(streamed.count() == base.count())
+    assert(streamed.select("event_id").distinct().count() == base.count())
+  }
+
   test("stateful per-user activity matches batch groupBy") {
     val streamed = EventStream.runToBatch(spark,
       EventStream.userActivity(
