@@ -68,6 +68,20 @@ object Dedup {
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[minhashSignatures]] via the single TypedImperativeAggregate
+    * ([[graft.functions.MinHashSig]]): one array<long> buffer per doc,
+    * K mulmods per row in one JVM loop instead of K codegen'd min columns.
+    * Same signatures bit-for-bit; preferable when K is large (128-256).
+    * Output schema matches [[minhashSignatures]] (mh0..mhK-1 columns).
+    */
+  def minhashSignaturesAgg(hashedShingles: DataFrame, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(hashedShingles.sparkSession)
+    val sig = hashedShingles.groupBy(col(idCol))
+      .agg(call_function("minhash_sig", col("h")).as("_sig"))
+    val cols = (0 until NumHashes).map(i => col("_sig").getItem(i).as(s"mh$i"))
+    sig.select(col(idCol) +: cols: _*)
+  }
+
   /** (id, band_id, band_key) rows: band_key = comma-joined run of
     * [[BandRows]] minhashes. 4 rows per doc with 8 bands.
     */

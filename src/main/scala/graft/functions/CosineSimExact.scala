@@ -185,6 +185,10 @@ object GraftFunctions {
       "dot_fast",
       exprs => DotFast(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinHashSig(exprs.head).toAggregateExpression(),
+      "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(CosinePrefilter))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CosinePrefilter

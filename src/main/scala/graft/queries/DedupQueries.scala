@@ -88,7 +88,10 @@ object DedupQueries {
         // per consumer (at 100 TB: checkpoint/persist to storage instead)
         val sh = Dedup.hashedShingleRows(Tables.documents(s, dir), "doc_id", "text")
           .localCheckpoint()
-        val sigs = Dedup.minhashSignatures(sh, "doc_id")
+        // single TypedImperativeAggregate: one array buffer + one mulmod
+        // loop per row (vs 32 codegen'd min columns; see MinHashSigSpec for
+        // the bit-for-bit equivalence of the two paths)
+        val sigs = Dedup.minhashSignaturesAgg(sh, "doc_id")
         // band rows are self-joined for candidates — checkpoint so the
         // signature groupBy runs once, not once per join side; candidate
         // pairs are consumed by three joins in the verifier, same deal

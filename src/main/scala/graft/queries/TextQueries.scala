@@ -16,6 +16,34 @@ object TextQueries {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // ── Corpus length profiling: exact interpolated percentiles per source.
+    //    Exact `percentile` buffers each group's values (ObjectHashAggregate)
+    //    — correct here because groups are few and bounded; the 100 TB path
+    //    for high-cardinality groups is approx_percentile (t-digest sketch,
+    //    mergeable map-side). Rounded to 6 decimals: interpolation arithmetic
+    //    differs by ulps across engines, never by 1e-6 on integer inputs.
+    QueryDef(
+      "q29_length_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupBy($"source")
+          .agg(
+            expr("round(percentile(n_chars, 0.5), 6)").as("p50_chars"),
+            expr("round(percentile(n_chars, 0.9), 6)").as("p90_chars"),
+            expr("round(percentile(n_chars, 0.99), 6)").as("p99_chars"),
+            min($"n_chars").as("min_chars"),
+            max($"n_chars").as("max_chars"),
+            count(lit(1)).as("n_docs"))
+      },
+      Some("""SELECT source,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+        |  round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY source""".stripMargin)),
+
     // ── Token counting (whitespace tokenization; codegen'd split/size).
     QueryDef(
       "q30_token_stats",
