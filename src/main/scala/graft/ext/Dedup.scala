@@ -134,6 +134,48 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair list: every node gets
+    * `cluster_id` = the smallest node id reachable from it. Min-label
+    * propagation — each round joins current labels across edges, takes the
+    * elementwise min, and checkpoints (the iterative-algorithm pattern:
+    * lineage must be cut per round or the plan doubles). Converges in
+    * O(diameter) rounds; near-dup clusters are shallow, so this terminates
+    * in 2-4 rounds in practice. The monotone label sum is the fixpoint
+    * test — one cheap scalar agg per round instead of a full join-compare.
+    * At 100 TB-scale graphs the upgrade is the large-star/small-star
+    * two-phase algorithm (Kiveris et al., "Connected Components in
+    * MapReduce"), which bounds rounds to O(log n) on skewed degree
+    * distributions; the label-propagation loop below is the right shape for
+    * dedup graphs, whose components are tiny by construction.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    // materialize the pair source ONCE: both edge directions (and every
+    // propagation round) would otherwise re-run the upstream plan — for
+    // near-dup inputs that plan is an expensive similarity join
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var lastSum = labels.agg(sum("cluster_id")).head().getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      labels = labels.union(prop)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val s = labels.agg(sum("cluster_id")).head().getLong(0)
+      converged = s == lastSum // labels only decrease: equal sum = fixpoint
+      lastSum = s
+      round += 1
+    }
+    labels
+  }
+
   val SimhashBits = 32
 
   /** 32-bit SimHash per document: for each bit j, sum ±1 votes of the

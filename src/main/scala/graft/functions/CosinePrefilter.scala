@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
@@ -48,20 +48,29 @@ object CosinePrefilter extends Rule[LogicalPlan] {
   private def prefixed(cond: Expression, c: CosineSimExact, t: Double): Expression =
     And(GreaterThanOrEqual(fastCosine(c.left, c.right), Literal(t - Margin)), cond)
 
+  // transformUp: a top-down transform would descend into the rewritten
+  // And's children and match the embedded original again, unboundedly
+  private def rewrite(cond: Expression): Expression = cond.transformUp {
+    case ge @ GreaterThanOrEqual(c: CosineSimExact, Literal(t: Double, DoubleType))
+        if t > Margin => prefixed(ge, c, t)
+    case gt @ GreaterThan(c: CosineSimExact, Literal(t: Double, DoubleType))
+        if t > Margin => prefixed(gt, c, t)
+    case le @ LessThanOrEqual(Literal(t: Double, DoubleType), c: CosineSimExact)
+        if t > Margin => prefixed(le, c, t)
+    case lt @ LessThan(Literal(t: Double, DoubleType), c: CosineSimExact)
+        if t > Margin => prefixed(lt, c, t)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) if !cond.exists(_.isInstanceOf[DotFast]) =>
-      // transformUp: a top-down transform would descend into the rewritten
-      // And's children and match the embedded original again, unboundedly
-      val newCond = cond.transformUp {
-        case ge @ GreaterThanOrEqual(c: CosineSimExact, Literal(t: Double, DoubleType))
-            if t > Margin => prefixed(ge, c, t)
-        case gt @ GreaterThan(c: CosineSimExact, Literal(t: Double, DoubleType))
-            if t > Margin => prefixed(gt, c, t)
-        case le @ LessThanOrEqual(Literal(t: Double, DoubleType), c: CosineSimExact)
-            if t > Margin => prefixed(le, c, t)
-        case lt @ LessThan(Literal(t: Double, DoubleType), c: CosineSimExact)
-            if t > Margin => prefixed(lt, c, t)
-      }
+      val newCond = rewrite(cond)
       if (newCond eq cond) f else Filter(newCond, child)
+    // predicate pushdown folds these filters into join conditions (the
+    // common resting place for pair-similarity thresholds: an equi-join on
+    // the blocking key with the cosine threshold as the extra condition),
+    // so the rewrite must reach Join conditions too
+    case j @ Join(_, _, _, Some(cond), _) if !cond.exists(_.isInstanceOf[DotFast]) =>
+      val newCond = rewrite(cond)
+      if (newCond eq cond) j else j.copy(condition = Some(newCond))
   }
 }

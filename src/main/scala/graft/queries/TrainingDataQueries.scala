@@ -194,6 +194,52 @@ object TrainingDataQueries {
         |  COUNT(*) AS n_vectors
         |FROM t GROUP BY 1, 2""".stripMargin)),
 
+    // ── Duplicate clustering: embedding near-dup pairs (label-blocked,
+    //    exact cosine >= 0.4 — the CosinePrefilter rule injects the cheap
+    //    double prefilter automatically) fed into min-label-propagation
+    //    connected components. cluster_id = smallest member id. The oracle
+    //    computes the same closure with a recursive CTE.
+    QueryDef(
+      "q49_dup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.cosineSimExact
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id", $"label", $"embedding")
+        val a = e.select($"vec_id".as("vec_a"), $"label", $"embedding".as("ea"))
+        val b = e.select($"vec_id".as("vec_b"), $"label", $"embedding".as("eb"))
+        val pairs = a.join(b, Seq("label"))
+          .where($"vec_a" < $"vec_b")
+          .where(cosineSimExact($"ea", $"eb") >= 0.4)
+          .select($"vec_a", $"vec_b")
+        Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+      },
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |terms AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    a.embedding AS ea, b.embedding AS eb,
+        |    unnest(generate_series(1, len(a.embedding))) AS i
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT vec_a, vec_b,
+        |    ${dotSql("ea", "eb")} AS dot,
+        |    ${dotSql("ea", "ea")} AS na,
+        |    ${dotSql("eb", "eb")} AS nb
+        |  FROM terms GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT vec_a, vec_b FROM dots
+        |  WHERE ROUND(CASE WHEN na > 0 AND nb > 0
+        |    THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END, 9) >= 0.4),
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION SELECT vec_b, vec_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src)
+        |SELECT id, LEAST(id, MIN(dst)) AS cluster_id
+        |FROM (SELECT src AS id, dst FROM reach) GROUP BY id""".stripMargin)),
+
     // ── Corpus vocabulary: global token frequencies, top 50. The classic
     //    word-count shape: partial-agg map-side, one shuffle on token, then
     //    TakeOrderedAndProject (no global sort materialization).

@@ -65,6 +65,15 @@ class CosinePrefilterSpec extends SparkSpec {
     assert(countDotFast(manual) == 1)
   }
 
+  test("rule reaches thresholds pushed into join conditions") {
+    val l = pairs.select($"id".as("lid"), $"a")
+    val r = pairs.select($"id".as("rid"), $"b")
+    val joined = l.join(r,
+      $"lid" === $"rid" && GraftFunctions.cosineSimExact($"a", $"b") >= 0.9)
+    assert(countDotFast(joined) >= 3)
+    assert(joined.select($"lid").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("no rewrite for thresholds at or below the margin") {
     val q = pairs.where(GraftFunctions.cosineSimExact($"a", $"b") >= 0.0)
     assert(countDotFast(q) == 0)

@@ -45,6 +45,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(out.find(_.getLong(0) == 9L).get.getBoolean(2) == false)
   }
 
+  test("connected components: chains, triangles, isolated pairs") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("a", "b")
+    val cc = graft.ext.Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+    assert(cc.size == 9)
+  }
+
+  test("connected components: long path needs multiple rounds") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = graft.ext.Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 12L).forall(cc(_) == 1L))
+  }
+
   test("IVF: a centroid's own nearest cell is itself") {
     // when queries ARE centroids, rank-1 assignment must be the identity
     val dir = "/root/testdata/sf0.001"
