@@ -199,14 +199,21 @@ object RefQueries2 {
         |  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45.0)""".stripMargin)),
 
     // ── W1 latest-batch-per-partition filter (sp_full_travel_costs.sql:14-17):
-    //    max().over(partition) + equality filter keeps ALL rows of the max group.
+    //    keeps ALL rows of each key's max group. Implemented as partial-agg
+    //    max + broadcast join-back instead of max().over(partition): the agg
+    //    collapses map-side to one row per key, the per-key maxes broadcast,
+    //    and the fact rows are filtered IN PLACE — no fact shuffle, no sort,
+    //    which is the shape that survives 100 TB (WindowExec would shuffle
+    //    and sort every fact row by key). Falls back to a shuffled hash join
+    //    on the key when the per-key table outgrows broadcast range.
     QueryDef(
       "q19_latest_batch",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"l_suppkey")
-        Tables.lineitem(s, dir)
-          .withColumn("max_ship", max($"l_shipdate").over(w))
+        val li = Tables.lineitem(s, dir)
+        val maxes = li.groupBy($"l_suppkey")
+          .agg(max($"l_shipdate").as("max_ship"))
+        li.join(broadcast(maxes), Seq("l_suppkey"))
           .where($"l_shipdate" === $"max_ship")
           .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate",
             $"l_quantity")
