@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ext.TextAnalysis
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** North-star text-analysis operators over the `documents` table
@@ -129,6 +130,101 @@ object TextQueries {
         |       ELSE 'es' END AS pred_lang
         |FROM s""".stripMargin
       }),
+
+    // ── Char-trigram language ID, self-trained: pass 1 builds a top-30
+    //    trigram profile per labeled language (count-of-docs, deterministic
+    //    (cnt DESC, trigram ASC) cut); pass 2 scores every doc by profile
+    //    overlap over its distinct trigrams and argmaxes. The profile is
+    //    broadcast-sized by construction (30 × #languages rows); the doc
+    //    side is one linear explode + two groupBys. Character semantics
+    //    (substr/length) are per-codepoint in both engines, so CJK text
+    //    trigram-izes identically.
+    QueryDef(
+      "q50_lang_trigram",
+      (s, dir) => {
+        import s.implicits._
+        val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", norm.as("norm"))
+        // Spark's sequence() errors when stop < start (negative default
+        // step) — guard short docs; DuckDB's generate_series is just empty
+        val tgArr = when(length($"norm") >= 3,
+          array_distinct(transform(
+            sequence(lit(1), length($"norm") - 2),
+            i => $"norm".substr(i, lit(3)))))
+          .otherwise(array().cast("array<string>"))
+        // four consumers (lang counts, totals, doc sizes, profile matches)
+        // — materialize the explode once (cluster analog: persist)
+        val tg = docs.select($"doc_id", $"lang", explode(tgArr).as("trigram"))
+          .localCheckpoint()
+        // profile = top-30 DISTINCTIVE trigrams per language: a trigram
+        // qualifies only when this language owns >= 40% of its occurrences
+        // (common trigrams appear in every profile and carry no signal)
+        val byLang = Window.partitionBy($"p_lang")
+          .orderBy($"cnt".desc, $"trigram".asc)
+        val counts = tg.groupBy($"lang".as("p_lang"), $"trigram")
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        // totals re-aggregate the (lang, trigram) counts — never rescan tg
+        val totals = counts.groupBy($"trigram").agg(sum($"cnt").as("tot"))
+        val profile = counts.join(totals, Seq("trigram"))
+          .where($"cnt".cast("double") / $"tot".cast("double") >= 0.4)
+          .withColumn("rn", row_number().over(byLang))
+          .where($"rn" <= 30)
+          .select($"p_lang", $"trigram")
+        val sizes = tg.groupBy($"doc_id").agg(count(lit(1)).as("n_tg"))
+        val matches = tg.join(broadcast(profile), Seq("trigram"))
+          .groupBy($"doc_id", $"p_lang").agg(count(lit(1)).as("m"))
+        val byScore = Window.partitionBy($"doc_id")
+          .orderBy($"score".desc, $"p_lang".asc)
+        val best = matches.join(sizes, Seq("doc_id"))
+          .select($"doc_id", $"p_lang",
+            ($"m".cast("double") / $"n_tg".cast("double")).as("score"))
+          .withColumn("rn", row_number().over(byScore))
+          .where($"rn" === 1)
+        docs.select($"doc_id", $"lang".as("lang_labeled"))
+          .join(best.select($"doc_id", $"p_lang", $"score"), Seq("doc_id"), "left")
+          .select($"doc_id", $"lang_labeled",
+            coalesce($"p_lang", lit("und")).as("pred_lang"),
+            round(coalesce($"score", lit(0.0)), 9).as("score"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT doc_id, lang, substr(norm, i, 3) AS trigram
+        |  FROM (SELECT doc_id, lang, norm,
+        |        unnest(generate_series(1, length(norm) - 2)) AS i FROM d)),
+        |cnts AS (
+        |  SELECT lang AS p_lang, trigram, COUNT(*) AS cnt
+        |  FROM tg GROUP BY 1, 2),
+        |tots AS (SELECT trigram, SUM(cnt) AS tot FROM cnts GROUP BY 1),
+        |prof AS (
+        |  SELECT p_lang, trigram FROM (
+        |    SELECT c.p_lang, c.trigram,
+        |      ROW_NUMBER() OVER (PARTITION BY c.p_lang
+        |        ORDER BY c.cnt DESC, c.trigram ASC) AS rn
+        |    FROM cnts c JOIN tots t ON c.trigram = t.trigram
+        |    WHERE c.cnt * 1.0 / t.tot >= 0.4)
+        |  WHERE rn <= 30),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_tg FROM tg GROUP BY 1),
+        |m AS (
+        |  SELECT tg.doc_id, prof.p_lang, COUNT(*) AS m
+        |  FROM tg JOIN prof ON tg.trigram = prof.trigram
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, p_lang, score FROM (
+        |    SELECT m.doc_id, m.p_lang,
+        |      m.m * 1.0 / sz.n_tg AS score,
+        |      ROW_NUMBER() OVER (PARTITION BY m.doc_id
+        |        ORDER BY m.m * 1.0 / sz.n_tg DESC, m.p_lang ASC) AS rn
+        |    FROM m JOIN sz ON m.doc_id = sz.doc_id)
+        |  WHERE rn = 1)
+        |SELECT d.doc_id, d.lang AS lang_labeled,
+        |  COALESCE(best.p_lang, 'und') AS pred_lang,
+        |  ROUND(COALESCE(best.score, 0.0), 9) AS score
+        |FROM d LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin)),
 
     // ── Document fingerprinting: md5 of normalized text + 60-bit numeric
     //    form (rolling-hash stand-in; same value both engines).
