@@ -84,6 +84,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val edges = (1 to 25).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val members = (0 until n).groupBy(find).values
+      val want = members.flatMap { ms =>
+        val label = ms.min.toLong; ms.map(m => m.toLong -> label)
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // spark result covers exactly the nodes that appear in an edge
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == touched)
+      got.foreach { case (id, c) => assert(c == want(id), s"node $id") }
+    }
+  }
+
   test("quality score stays in [0,1] for arbitrary strings") {
     val gens = Seq("", "   ", "a", "!!!!!!", "1234 5678",
       "the quick brown fox. over, the lazy; dog!",
