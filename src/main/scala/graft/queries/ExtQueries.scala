@@ -36,6 +36,43 @@ object ExtQueries {
         |     ELSE 'unknown' END AS media_type
         |FROM documents""".stripMargin)),
 
+    // ── Multimodal frame/chunk sampling (the video-frame-extraction shape):
+    //    every 2nd 64-byte slice of each payload as (doc, chunk_index,
+    //    chunk) rows via Multimodal.sampleChunks, then per-doc sample
+    //    stats. Binary slicing is a codegen'd projection after a bounded
+    //    index explode — payloads never shuffle, the aggregate carries only
+    //    the stats.
+    QueryDef(
+      "q51_chunk_sample",
+      (s, dir) => {
+        import s.implicits._
+        val withBin = Tables.documents(s, dir)
+          .select($"doc_id", $"text".cast("binary").as("payload"))
+        Multimodal.sampleChunks(withBin, "doc_id", "payload",
+            chunkBytes = 64, everyK = 2)
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            sum(length($"chunk")).as("sampled_bytes"),
+            max($"chunk_index").as("last_chunk_index"))
+      },
+      Some("""WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |idx AS (
+        |  SELECT doc_id, hx,
+        |    unnest(generate_series(0, greatest(n // 64 - 1, 0), 2)) AS chunk_index
+        |  FROM b),
+        |chunks AS (
+        |  -- DuckDB cannot slice BLOBs: slice the hex form, 2 chars/byte
+        |  SELECT doc_id, chunk_index,
+        |    length(substr(hx, chunk_index * 128 + 1, 128)) // 2 AS chunk_bytes
+        |  FROM idx)
+        |SELECT doc_id, COUNT(*) AS n_sampled,
+        |  SUM(chunk_bytes) AS sampled_bytes,
+        |  MAX(chunk_index) AS last_chunk_index
+        |FROM chunks GROUP BY doc_id""".stripMargin)),
+
     // ── F10 great-circle bearing between consecutive per-user positions
     //    (travel_and_movement_map.py:22-38) + lag window. Positions derived
     //    deterministically from event values; rounded to 6 decimals so
