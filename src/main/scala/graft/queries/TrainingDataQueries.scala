@@ -63,14 +63,22 @@ object TrainingDataQueries {
       (s, dir) => {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
-        import graft.functions.GraftFunctions.cosineSimExact
+        import graft.functions.GraftFunctions.dotExact
+        // exact squared norm computed ONCE per vector, reused by every
+        // centroid score and every rescore — 1/3 the decimal work of the
+        // fused cosine kernel per pair
+        def cosine(dot: org.apache.spark.sql.Column,
+            na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+          round(when(na > 0.0 && nb > 0.0, dot / (sqrt(na) * sqrt(nb)))
+            .otherwise(0.0), 9)
         val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+          .withColumn("n2", dotExact($"embedding", $"embedding"))
         // stand-in for a k-means codebook: deterministic, oracle-able
-        val cents = broadcast(
-          e.where($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding".as("ce")))
+        val cents = broadcast(e.where($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("ce"), $"n2".as("cn2")))
         val scored = e.join(cents)
-          .select($"vec_id", $"embedding", $"cid",
-            round(cosineSimExact($"embedding", $"ce"), 9).as("c_sim"))
+          .select($"vec_id", $"embedding", $"n2", $"cid",
+            cosine(dotExact($"embedding", $"ce"), $"n2", $"cn2").as("c_sim"))
         // assignment via max_by, not a window: partial aggregation collapses
         // the K centroid scores to 1 row per vector map-side, so the
         // exchange carries one row per vector and never sorts — at 100 TB
@@ -78,34 +86,45 @@ object TrainingDataQueries {
         // the smallest cid via the (c_sim, -cid) struct ordering.
         val assign = scored.groupBy($"vec_id")
           .agg(max_by($"cid", struct($"c_sim", -$"cid")).as("cid"),
-            first($"embedding").as("c_emb"))
-          .select($"vec_id".as("cand_id"), $"c_emb", $"cid")
+            first($"embedding").as("c_emb"), first($"n2").as("c_n2"))
+          .select($"vec_id".as("cand_id"), $"c_emb", $"c_n2", $"cid")
         // probe ranking only runs on the (pushed-down) 5-query slice
         val bySim = Window.partitionBy($"vec_id")
           .orderBy($"c_sim".desc, $"cid".asc)
         val probes = scored.where($"vec_id" >= 100 && $"vec_id" < 105)
           .withColumn("rn", row_number().over(bySim))
           .where($"rn" <= 2)
-          .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"cid")
+          .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+            $"n2".as("q_n2"), $"cid")
         val rescored = assign.join(broadcast(probes), Seq("cid"))
           .where($"cand_id" =!= $"query_id")
           .select($"query_id", $"cand_id",
-            round(cosineSimExact($"q_emb", $"c_emb"), 9).as("cosine_sim"))
+            cosine(dotExact($"q_emb", $"c_emb"), $"q_n2", $"c_n2").as("cosine_sim"))
         val topk = Window.partitionBy($"query_id")
           .orderBy($"cosine_sim".desc, $"cand_id".asc)
         rescored.withColumn("rank", row_number().over(topk).cast("int"))
           .where($"rank" <= 10)
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |n2 AS (
+        |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS n2
+        |  FROM (SELECT vec_id, embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i FROM e)
+        |  GROUP BY vec_id, embedding),
         |cent AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < 8),
         |terms AS (
         |  SELECT e.vec_id, e.embedding, cid, ce,
         |    unnest(generate_series(1, len(e.embedding))) AS i
         |  FROM e CROSS JOIN cent),
-        |scored AS (
-        |  SELECT vec_id, cid,
-        |    ROUND(${dotSql("embedding", "ce")}, 9) AS c_sim
+        |dots AS (
+        |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
         |  FROM terms GROUP BY vec_id, embedding, cid, ce),
+        |scored AS (
+        |  SELECT d.vec_id, d.cid,
+        |    ROUND(CASE WHEN v.n2 > 0 AND c.n2 > 0
+        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.n2)) ELSE 0.0 END, 9) AS c_sim
+        |  FROM dots d JOIN n2 v ON d.vec_id = v.vec_id
+        |    JOIN n2 c ON d.cid = c.vec_id),
         |ranked AS (
         |  SELECT vec_id, cid,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
@@ -120,11 +139,15 @@ object TrainingDataQueries {
         |  SELECT query_id, cand_id, q.embedding AS qe, c.embedding AS ce,
         |    unnest(generate_series(1, len(q.embedding))) AS i
         |  FROM cand JOIN e q ON q.vec_id = query_id JOIN e c ON c.vec_id = cand_id),
+        |rdots AS (
+        |  SELECT query_id, cand_id, ${dotSql("qe", "ce")} AS dot
+        |  FROM rterms GROUP BY query_id, cand_id, qe, ce),
         |rescored AS (
         |  SELECT query_id, cand_id,
-        |    ROUND(${dotSql("qe", "ce")} /
-        |      (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("ce", "ce")})), 9) AS cs
-        |  FROM rterms GROUP BY query_id, cand_id, qe, ce)
+        |    ROUND(CASE WHEN q.n2 > 0 AND c.n2 > 0
+        |      THEN r.dot / (sqrt(q.n2) * sqrt(c.n2)) ELSE 0.0 END, 9) AS cs
+        |  FROM rdots r JOIN n2 q ON r.query_id = q.vec_id
+        |    JOIN n2 c ON r.cand_id = c.vec_id)
         |SELECT query_id, cand_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
         |  SELECT query_id, cand_id, cs AS cosine_sim,
         |    ROW_NUMBER() OVER (PARTITION BY query_id
