@@ -91,12 +91,19 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(candidates.sparkSession)
-    val q = broadcast(
-      queries.select(col("id").as("query_id"), col("embedding").as("q_emb")))
-    val c = candidates.select(col("id").as("cand_id"), col("embedding").as("c_emb"))
+    // native dot (NOT this object's composed-expression dotExact): squared
+    // norms once per side, one dot per pair — 1/3 the decimal work of the
+    // fused kernel, same emitted values (identical IEEE ops)
+    val dot = graft.functions.GraftFunctions.dotExact _
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("embedding").as("q_emb"),
+      dot(col("embedding"), col("embedding")).as("q_n2")))
+    val c = candidates.select(col("id").as("cand_id"),
+      col("embedding").as("c_emb"),
+      dot(col("embedding"), col("embedding")).as("c_n2"))
     val scored = q.join(c, col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        graft.functions.GraftFunctions.cosineSimExact(col("q_emb"), col("c_emb"))
+        cosine(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2"))
           .as("cosine_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("cand_id").asc)
