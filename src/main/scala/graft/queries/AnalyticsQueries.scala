@@ -149,6 +149,58 @@ object AnalyticsQueries {
         |  last_click_ts,
         |  CAST(date_diff('second', last_click_ts, ts) AS BIGINT)
         |    AS seconds_since_click
-        |FROM tagged WHERE event_type = 'purchase'""".stripMargin))
+        |FROM tagged WHERE event_type = 'purchase'""".stripMargin)),
+
+    // ── CUBE multi-dimensional profiling: every (source × lang) combination
+    //    plus both marginals and the grand total in ONE pass — group-set
+    //    expansion happens map-side before a single shuffle. Rolled-up
+    //    dimensions surface as '<all>' (the fixture columns are never null,
+    //    so the sentinel is unambiguous and avoids cross-engine
+    //    GROUPING_ID bit-order differences).
+    QueryDef(
+      "q52_cube_profile",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .cube($"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            dsum($"n_chars".cast("double")).as("total_chars"))
+          .select(coalesce($"source", lit("<all>")).as("source"),
+            coalesce($"lang", lit("<all>")).as("lang"),
+            $"n_docs", $"total_chars")
+      },
+      Some(s"""SELECT COALESCE(source, '<all>') AS source,
+        |  COALESCE(lang, '<all>') AS lang,
+        |  COUNT(*) AS n_docs,
+        |  ${dsumSql("CAST(n_chars AS DOUBLE)")} AS total_chars
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin)),
+
+    // ── RANGE-frame moving window: per-user rolling 1-hour event-value sum
+    //    keyed on integer epoch seconds. RANGE (not ROWS) so peer rows at
+    //    the same timestamp are included regardless of physical order —
+    //    the only frame kind that is deterministic under shuffled input,
+    //    and therefore the cross-engine-safe one.
+    QueryDef(
+      "q53_range_window",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"epoch_s")
+          .rangeBetween(-3600L, 0L)
+        Tables.events(s, dir)
+          .select($"event_id", $"user_id", $"ts", $"value",
+            unix_timestamp($"ts").as("epoch_s"))
+          // OVER binds to the SUM; the exactness cast happens outside the
+          // window (decimal sum inside the frame, ONE cast per output row)
+          .withColumn("hour_sum",
+            sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .over(w).cast("double"))
+          .select($"event_id", $"user_id", $"epoch_s", $"hour_sum")
+      },
+      Some("""SELECT event_id, user_id,
+        |  date_diff('second', TIMESTAMP '1970-01-01', ts) AS epoch_s,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+        |    ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |FROM events""".stripMargin))
   )
 }
