@@ -128,6 +128,43 @@ object ExtQueries {
       },
       Some(s"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
         |COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ── The SAME hourly rollup executed through Structured Streaming:
+    //    readStream over the events parquet (files = micro-batches), a
+    //    watermarked tumbling-window aggregate, run to completion into a
+    //    memory sink. Decimal sums stay exact across micro-batch state
+    //    updates, so the streaming result hash-matches the batch oracle —
+    //    the engine's streaming/batch parity IS the correctness check.
+    QueryDef(
+      "q54_stream_hourly",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        // the file stream source wants a DIRECTORY of arriving files —
+        // stage the fixture behind a symlink in a temp dir
+        val srcDir = java.nio.file.Files.createTempDirectory("q54_events")
+        java.nio.file.Files.createSymbolicLink(
+          srcDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val agg = s.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "2 hours")
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+          .select($"window.start".as("hour_ts"), $"event_type", $"n_events",
+            $"total_value")
+        val sink = "q54_sink_" + java.util.UUID.randomUUID().toString.take(8)
+        graft.streaming.EventStream.runToBatch(s, agg, sink)
+      },
+      Some(s"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin))
   )
 }
