@@ -201,6 +201,29 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
         |    ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts)
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+
+    // ── The dedicated pivot operator (vs q07's manual sum-case): explicit
+    //    value list so the plan is a single pass — with values declared,
+    //    pivot compiles to the same one-shuffle sum-case expansion and
+    //    never runs the extra distinct-values job.
+    QueryDef(
+      "q55_pivot_api",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(dsum($"l_quantity"))
+          .select($"l_linestatus",
+            coalesce($"A", lit(0.0)).as("qty_a"),
+            coalesce($"N", lit(0.0)).as("qty_n"),
+            coalesce($"R", lit(0.0)).as("qty_r"))
+      },
+      Some(s"""SELECT l_linestatus,
+        |  COALESCE(${dsumSql("CASE WHEN l_returnflag = 'A' THEN l_quantity END")}, 0.0) AS qty_a,
+        |  COALESCE(${dsumSql("CASE WHEN l_returnflag = 'N' THEN l_quantity END")}, 0.0) AS qty_n,
+        |  COALESCE(${dsumSql("CASE WHEN l_returnflag = 'R' THEN l_quantity END")}, 0.0) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin))
   )
 }

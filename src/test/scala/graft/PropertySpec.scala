@@ -106,6 +106,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("skew salting: salted two-phase aggregation equals direct aggregation") {
+    // the PLANS.md skew mitigation, proven semantics-preserving: spray hot
+    // keys across S salts, partially aggregate (key, salt), then reduce the
+    // S partials per key. Counts and decimal sums re-aggregate losslessly.
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 2000).map { _ =>
+        val key = if (rnd.nextInt(100) < 80) "hot" else s"k${rnd.nextInt(20)}"
+        (key, rnd.nextInt(1000) / 100.0)
+      }
+      val df = rows.toDF("key", "v")
+      val direct = df.groupBy($"key")
+        .agg(count(lit(1)).as("n"), QueryDef.dsum($"v").as("total"))
+      val salted = df
+        .withColumn("salt", pmod(crc32($"v".cast("string")), lit(8)))
+        .groupBy($"key", $"salt")
+        .agg(count(lit(1)).as("pn"),
+          sum($"v".cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("pt"))
+        .groupBy($"key")
+        .agg(sum($"pn").as("n"), sum($"pt").cast("double").as("total"))
+      val d = direct.orderBy("key").collect().map(_.toSeq)
+      val sl = salted.orderBy("key").collect().map(_.toSeq)
+      assert(d.toSeq == sl.toSeq)
+    }
+  }
+
   test("quality score stays in [0,1] for arbitrary strings") {
     val gens = Seq("", "   ", "a", "!!!!!!", "1234 5678",
       "the quick brown fox. over, the lazy; dog!",
