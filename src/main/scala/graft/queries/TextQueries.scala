@@ -132,9 +132,10 @@ object TextQueries {
       }),
 
     // ── Char-trigram language ID, self-trained: pass 1 builds a top-30
-    //    trigram profile per labeled language (count-of-docs, deterministic
-    //    (cnt DESC, trigram ASC) cut); pass 2 scores every doc by profile
-    //    overlap over its distinct trigrams and argmaxes. The profile is
+    //    trigram profile per labeled language (occurrence counts,
+    //    deterministic (cnt DESC, trigram ASC) cut); pass 2 scores every
+    //    doc by the profile-matched share of its trigram occurrences and
+    //    argmaxes. The profile is
     //    broadcast-sized by construction (30 × #languages rows); the doc
     //    side is one linear explode + two groupBys. Character semantics
     //    (substr/length) are per-codepoint in both engines, so CJK text
@@ -146,16 +147,20 @@ object TextQueries {
         val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
         val docs = Tables.documents(s, dir)
           .select($"doc_id", $"lang", norm.as("norm"))
-        // Spark's sequence() errors when stop < start (negative default
-        // step) — guard short docs; DuckDB's generate_series is just empty
-        val tgArr = when(length($"norm") >= 3,
-          array_distinct(transform(
-            sequence(lit(1), length($"norm") - 2),
-            i => $"norm".substr(i, lit(3)))))
-          .otherwise(array().cast("array<string>"))
-        // four consumers (lang counts, totals, doc sizes, profile matches)
-        // — materialize the explode once (cluster analog: persist)
-        val tg = docs.select($"doc_id", $"lang", explode(tgArr).as("trigram"))
+        // occurrence-frequency substrate (each trigram counted every time
+        // it appears): position explode + substr stay fully codegen'd with
+        // no dedup pass at all — higher-order transform/array_distinct
+        // lambdas would run interpreted, and a row-level DISTINCT would
+        // shuffle the raw substrate. Guard: Spark's sequence() errors when
+        // stop < start; sub-3-char docs drop here and re-enter as 'und'
+        // via the final left join. Materialized once for its consumers
+        // (lang counts, doc sizes, profile matches; totals derive from
+        // counts) — cluster analog: persist.
+        val tg = docs
+          .where(length($"norm") >= 3)
+          .select($"doc_id", $"lang",
+            explode(sequence(lit(1), length($"norm") - 2)).as("i"), $"norm")
+          .select($"doc_id", $"lang", $"norm".substr($"i", lit(3)).as("trigram"))
           .localCheckpoint()
         // profile = top-30 DISTINCTIVE trigrams per language: a trigram
         // qualifies only when this language owns >= 40% of its occurrences
@@ -193,7 +198,7 @@ object TextQueries {
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
         |  FROM documents),
         |tg AS (
-        |  SELECT DISTINCT doc_id, lang, substr(norm, i, 3) AS trigram
+        |  SELECT doc_id, lang, substr(norm, i, 3) AS trigram
         |  FROM (SELECT doc_id, lang, norm,
         |        unnest(generate_series(1, length(norm) - 2)) AS i FROM d)),
         |cnts AS (
