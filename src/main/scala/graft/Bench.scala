@@ -18,14 +18,16 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").limit(10).count()
     }
     Tables.events(spark, sfDir).limit(10).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted name order: Map iteration order is arbitrary, and a stable
+    // sequence keeps per-query timings comparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
