@@ -1,0 +1,57 @@
+package graft
+
+/** Plan-shape regression tests: the physical properties PLANS.md documents
+  * (scan pushdown, broadcast joins, top-k without global sort, no
+  * window-sort where an agg+join serves) must survive refactors. String
+  * matching on the executed plan is deliberate — it breaks loudly if a
+  * future change silently degrades the plan.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02 pushes predicates and prunes columns at the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(!p.contains("PushedFilters: []"), p.take(800))
+    // projection reaches the reader: full lineitem is 11 columns
+    assert(p.contains("ReadSchema"), p.take(800))
+  }
+
+  test("q03 broadcasts the dimension tables") {
+    val p = planOf("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q06 top-k is TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q06_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q19 latest-batch avoids the window sort entirely") {
+    val p = planOf("q19_latest_batch")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("q04 dedup window gets WindowGroupLimit pushdown") {
+    val p = planOf("q04_dedup_latest")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("q45 probe/centroid joins broadcast; no shuffle of candidate vectors") {
+    val p = planOf("q45_ivf_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q48 vocabulary ends in TakeOrderedAndProject with partial aggregation") {
+    val p = planOf("q48_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+}
