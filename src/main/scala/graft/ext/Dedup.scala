@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Near-duplicate detection for document corpora.
   *
@@ -159,7 +160,12 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).localCheckpoint()
-    var lastSum = labels.agg(sum("cluster_id")).head().getLong(0)
+    // decimal sum: long-sum overflow on billion-scale node ids could alias
+    // two different label states and end the loop early
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)
+    var lastSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -168,8 +174,9 @@ object Dedup {
       labels = labels.union(prop)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
-      val s = labels.agg(sum("cluster_id")).head().getLong(0)
-      converged = s == lastSum // labels only decrease: equal sum = fixpoint
+      val s = labelSum(labels)
+      // labels only decrease: equal sum = fixpoint
+      converged = s.compareTo(lastSum) == 0
       lastSum = s
       round += 1
     }
