@@ -38,4 +38,17 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every fixture table as a temp view so the whole engine
+    * surface is reachable from plain `spark.sql(...)` (plus graft's native
+    * functions via [[graft.functions.GraftFunctions.register]]). The
+    * events view gets the nanos-rebuild applied, so SQL users see a real
+    * timestamp column.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    all.filterNot(_ == "events")
+      .foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+    graft.functions.GraftFunctions.register(spark)
+  }
 }
