@@ -56,25 +56,21 @@ object SimilarityQueries {
       (s, dir) => {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
-        import graft.functions.GraftFunctions.{dotExact, dotFast}
-        // norms once per vector; per-pair: native fast-double prefilter
-        // with margin, then the native exact dot only near the threshold —
-        // the emitted value is always the exact one
+        import graft.functions.GraftFunctions.cosineSimExact
+        // written in the NAIVE exact form on purpose: the CosinePrefilter
+        // optimizer rule injects the fast-double margin prefilter under
+        // this threshold automatically (PlanShapeSpec asserts it), so the
+        // exact decimal kernel only runs near the decision boundary — the
+        // hand-written two-phase version this replaces lives on in q40/q45
+        // as the precomputed-norm pattern
         val e = Tables.embeddings(s, dir)
-          .select($"vec_id", $"label", $"embedding",
-            dotExact($"embedding", $"embedding").as("n2"))
-        val a = e.select($"vec_id".as("vec_a"), $"label",
-          $"embedding".as("ea"), $"n2".as("na"))
-        val b = e.select($"vec_id".as("vec_b"), $"label",
-          $"embedding".as("eb"), $"n2".as("nb"))
+          .select($"vec_id", $"label", $"embedding")
+        val a = e.select($"vec_id".as("vec_a"), $"label", $"embedding".as("ea"))
+        val b = e.select($"vec_id".as("vec_b"), $"label", $"embedding".as("eb"))
         a.join(b, Seq("label"))
           .where($"vec_a" < $"vec_b")
-          .where(dotFast($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")) >= 0.4 - 1e-6)
           .select($"vec_a", $"vec_b", $"label",
-            round(
-              when($"na" > 0.0 && $"nb" > 0.0,
-                dotExact($"ea", $"eb") / (sqrt($"na") * sqrt($"nb")))
-                .otherwise(0.0), 9).as("cosine_sim"))
+            cosineSimExact($"ea", $"eb").as("cosine_sim"))
           .where($"cosine_sim" >= 0.4)
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

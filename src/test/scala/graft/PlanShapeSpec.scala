@@ -49,6 +49,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q41's naive exact-cosine threshold gets the rule-injected prefilter") {
+    // (q49 uses the same predicate shape but returns eagerly-checkpointed
+    // labels, so its visible plan is just the checkpoint scan)
+    val p = planOf("q41_embedding_near_dup")
+    assert(p.contains("dot_fast"), s"missing prefilter: ${p.take(600)}")
+    assert(p.contains("cosine_sim_exact"), "missing exact kernel")
+  }
+
   test("q48 vocabulary ends in TakeOrderedAndProject with partial aggregation") {
     val p = planOf("q48_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
