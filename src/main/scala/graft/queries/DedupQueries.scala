@@ -52,8 +52,8 @@ object DedupQueries {
           .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
           .agg(count(lit(1)).as("n_inter"))
         inter
-          .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
-          .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+          .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a"))), "doc_a")
+          .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b"))), "doc_b")
           .select($"doc_a", $"doc_b",
             ($"n_inter".cast("double") /
               ($"n_a" + $"n_b" - $"n_inter").cast("double")).as("jaccard"))
