@@ -63,6 +63,35 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   def readTable(table: String): DataFrame = spark.table(table)
 
+  /** Small-file compaction: rewrite a table into ~`targetBytes` files.
+    * Append-per-batch ingestion (this catalog's write pattern) accumulates
+    * one file set per load; at 100 TB the resulting small-file population
+    * dominates scan planning and NameNode/listing pressure, so periodic
+    * compaction is part of the operating model. Partitioned tables keep
+    * their `load_id` layout (coalesce happens within partitions via the
+    * dynamic overwrite); plain tables rewrite to `ceil(bytes/target)`
+    * files. Returns the resulting file count.
+    */
+  def compact(schema: String, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val p = path(schema, table)
+    val df = spark.read.parquet(p)
+    val partitioned = df.columns.contains("load_id") &&
+      Files.list(Paths.get(p)).anyMatch(_.getFileName.toString.startsWith("load_id="))
+    val bytes = Files.walk(Paths.get(p)).filter(Files.isRegularFile(_))
+      .mapToLong(Files.size(_)).sum()
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // eager localCheckpoint fully materializes BEFORE the overwrite and
+    // cuts lineage — unlike cache(), a lost block fails loudly instead of
+    // recomputing from the path being overwritten (production-scale analog:
+    // write to a staging path and atomically rename)
+    val staged = df.repartition(nFiles).localCheckpoint()
+    if (partitioned) overwriteBatch(staged, schema, table)
+    else overwrite(staged, schema, table)
+    Files.walk(Paths.get(p)).filter(Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet")).count()
+  }
+
   /** Schema reset utility (S14): drop a whole schema directory. */
   def dropSchema(schema: String): Unit = {
     def rm(p: java.nio.file.Path): Unit = {

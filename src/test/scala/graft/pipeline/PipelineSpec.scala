@@ -334,4 +334,24 @@ class PipelineSpec extends SparkSpec {
     // (W1 filters per file, not per date)
     assert(d1.getAs[Double]("hotel") == 1200.50 + 1300.00)
   }
+
+  test("compaction reduces file count and preserves content exactly") {
+    import spark.implicits._
+    val cat3 = new Catalog(spark, Files.createTempDirectory("graft_wh3").toString)
+    // simulate many tiny append batches -> many small files
+    (1L to 12L).foreach { lid =>
+      cat3.appendBatched(
+        (1 to 50).map(i => (lid * 100 + i, s"v$i", lid)).toDF("id", "v", "load_id"),
+        "silver", "compact_me")
+    }
+    val before = cat3.read("silver", "compact_me").orderBy("id").collect()
+    val nBefore = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(cat3.path("silver", "compact_me")))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet")).count()
+    val nAfter = cat3.compact("silver", "compact_me")
+    assert(nAfter < nBefore, s"$nAfter vs $nBefore")
+    val after = cat3.read("silver", "compact_me").orderBy("id").collect()
+    assert(after.toSeq == before.toSeq)
+  }
 }
