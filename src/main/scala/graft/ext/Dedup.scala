@@ -39,7 +39,8 @@ object Dedup {
     */
   def hashedShingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     shingleRows(docs, idCol, textCol)
-      .select(col(idCol), TextAnalysis.hash60(col("shingle")).as("h"))
+      .select(col(idCol),
+        TextAnalysis.hash60Fast(docs.sparkSession, col("shingle")).as("h"))
       .distinct()
 
   /** Mersenne prime 2^31-1: with a,b,h' < 2^31 every product stays below
@@ -192,7 +193,7 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
-      .withColumn("h", TextAnalysis.hash60(col("tok")))
+      .withColumn("h", TextAnalysis.hash60Fast(docs.sparkSession, col("tok")))
     val votes = (0 until SimhashBits).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"v$j")
     }

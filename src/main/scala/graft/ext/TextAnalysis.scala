@@ -25,6 +25,16 @@ object TextAnalysis {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Native-expression form of [[hash60]] (graft.functions.Hash60): same
+    * bits straight from the digest, skipping the hex render + base-16
+    * parse. Needs a session for function resolution — hot paths that hash
+    * hundreds of thousands of shingles/tokens use this one.
+    */
+  def hash60Fast(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function("hash60", c)
+  }
+
   /** Driver-side twin of [[hash60]] for deriving deterministic constants
     * (permutation seeds, hyperplane signs) once instead of per row.
     */

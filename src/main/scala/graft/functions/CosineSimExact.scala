@@ -189,6 +189,10 @@ object GraftFunctions {
       "minhash_sig",
       exprs => MinHashSig(exprs.head).toAggregateExpression(),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash60",
+      exprs => Hash60(exprs.head),
+      "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(CosinePrefilter))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CosinePrefilter

@@ -42,7 +42,7 @@ object DedupQueries {
           .select($"doc_id", $"source",
             explode(TextAnalysis.shinglesFromTokens($"_w")).as("shingle"))
           .select($"doc_id", $"source",
-            TextAnalysis.hash60($"shingle").as("h"))
+            TextAnalysis.hash60Fast(s, $"shingle").as("h"))
           .distinct()
           .localCheckpoint()
         val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))

@@ -1,0 +1,29 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** The native Hash60 expression must be bit-identical to the composed
+  * conv(substring(md5)) form AND the driver-side Java twin, across ASCII,
+  * unicode (incl. CJK, the zh documents), empty, and long strings.
+  */
+class Hash60Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("native, composed, and driver-side hash60 agree on varied inputs") {
+    val rnd = new Random(7)
+    val cases = Seq("", " ", "a", "hello world", "éüñ", "日本語のテキスト",
+      "mixed 日本 text 123", "\t\n", "x" * 5000) ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(40)).mkString)
+    val df = cases.toDF("s")
+    val got = df.select(
+        TextAnalysis.hash60Fast(spark, $"s").as("fast"),
+        TextAnalysis.hash60($"s").as("composed"))
+      .as[(Long, Long)].collect()
+    got.zip(cases).foreach { case ((fast, composed), s) =>
+      assert(fast == composed, s"mismatch for '${s.take(30)}'")
+      assert(fast == TextAnalysis.hash60Java(s), s"java twin for '${s.take(30)}'")
+    }
+  }
+}
