@@ -5,7 +5,7 @@ name := "traveldataingestionspark"
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
-scalacOptions ++= Seq("-encoding", "UTF-8")
+scalacOptions ++= Seq("-encoding", "UTF-8", "-deprecation")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,

@@ -68,7 +68,7 @@ final class Ingestion(catalog: Catalog) {
           .option("mode", "PERMISSIVE")
           .csv(file)
           // NULL_IF ('NULL','null',''): normalize string columns post-read
-          .select(schema.fields.map { f =>
+          .select(schema.fields.toIndexedSeq.map { f =>
             if (f.dataType == org.apache.spark.sql.types.StringType)
               when(upper(col(f.name)) === "NULL", lit(null)).otherwise(col(f.name))
                 .as(f.name)

@@ -262,7 +262,7 @@ class PipelineSpec extends SparkSpec {
     // `only` run-parameter restricts the DAG to one dataset
     val restricted = silver.runAll(reprocess = true, only = Some("manual_logs"))
     assert(restricted("manual_logs").nonEmpty)
-    assert(restricted.filterKeys(_ != "manual_logs").values.forall(_.isEmpty))
+    assert(restricted.view.filterKeys(_ != "manual_logs").values.forall(_.isEmpty))
   }
 
   test("CSV tolerance: short rows land with nulls (column-count mismatch)") {
