@@ -96,16 +96,20 @@ object Dedup {
       .select(col(idCol), col("band.band_id"), col("band.band_key"))
   }
 
-  /** Distinct candidate pairs from any shared LSH band. The build side is
-    * band rows — numBands small rows per doc — so it broadcasts far past
-    * this scale; beyond broadcast range the equi-join on (band_id,
-    * band_key) shuffles both sides by the band key, which is exactly the
-    * LSH bucketing a 100 TB run wants.
+  /** Distinct candidate pairs from any shared LSH band: an equi-join of the
+    * band rows against themselves on (band_id, band_key) — the LSH
+    * bucketing itself IS the join key, so at any scale this is a plain
+    * keyed shuffle (or a runtime broadcast when AQE measures the side as
+    * small). Deliberately NO `broadcast()` hint: the side is
+    * corpus-proportional (numBands rows per doc) and a hard hint never
+    * falls back — Spark would try to collect the whole corpus's bands to
+    * the driver. Size-based planning / AQE picks broadcast exactly when
+    * it's actually safe.
     */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
     val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
-    a.join(broadcast(b), Seq("band_id", "band_key"))
+    a.join(b, Seq("band_id", "band_key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
@@ -120,17 +124,21 @@ object Dedup {
     val sizes = hashedShingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val sa = hashedShingles.select(col(idCol).as("doc_a"), col("h"))
     val sb = hashedShingles.select(col(idCol).as("doc_b"), col("h"))
-    // a-side expansion (|pairs| x shingles-per-doc rows) stays broadcastable
-    // because pairs is the verified candidate set, not the corpus; every
-    // join below is map-side — the only shuffle is the pair-count groupBy
-    val expanded = sa.join(broadcast(pairs), Seq("doc_a"))
-    val inter = sb.join(broadcast(expanded), Seq("doc_b", "h"))
+    // Work is bounded by |pairs| x shingles-per-doc, but every side here
+    // (pairs, the expansion, per-doc sizes) is corpus-proportional, so none
+    // carries a hard broadcast() hint — a hint never falls back by size,
+    // it collects the side to the driver regardless. AQE's runtime stats
+    // turn these into broadcast joins whenever the candidate set really is
+    // small; otherwise they are keyed shuffles on (doc, h) / (doc_a, doc_b),
+    // which is the correct 100 TB shape.
+    val expanded = sa.join(pairs, Seq("doc_a"))
+    val inter = sb.join(expanded, Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     pairs
-      .join(broadcast(inter), Seq("doc_a", "doc_b"), "left")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("n_inter"))
-      .join(broadcast(sizes.select(col(idCol).as("doc_a"), col("n_shingles").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col(idCol).as("doc_b"), col("n_shingles").as("n_b"))), "doc_b")
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_shingles").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_shingles").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
@@ -181,7 +189,82 @@ object Dedup {
       lastSum = s
       round += 1
     }
+    // exiting via the round cap without the fixpoint means the labels are
+    // WRONG (some component is only partially merged) — fail loudly rather
+    // than return silently-incorrect cluster ids; components deeper than
+    // the cap should route through [[connectedComponentsStar]]
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "component diameter exceeds the cap; use connectedComponentsStar")
     labels
+  }
+
+  /** Skew-and-diameter-safe connected components: alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SOCC'14). Each round rewires edges toward the
+    * current per-node minimum neighbor, which contracts long paths and
+    * high-degree stars in O(log^2 n) rounds — label propagation above needs
+    * O(diameter) rounds and one straggler task per mega-component, so this
+    * is the variant for adversarial graphs.
+    *
+    * large-star: each undirected edge {a,b}, seen from its smaller endpoint
+    * u (so v > u), is replaced by (v, m(u)) where m(u) = min of u's
+    * neighborhood including u. small-star: each edge keyed by its LARGER
+    * endpoint u re-links u and all its smaller neighbors to m(u). Each is a
+    * groupBy(min) + join per round. Fixpoint = the canonical (max,min) edge
+    * set stops changing, detected by (count, xxhash64 checksum-sum) — a
+    * collision would need two distinct edge sets with equal counts AND
+    * equal 64-bit hash sums within one run.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v")).localCheckpoint()
+    val nodes = fwd.select(col("u")).union(fwd.select(col("v").as("u")))
+      .distinct().localCheckpoint()
+    // canonical undirected form: u = max endpoint, v = min endpoint
+    def canon(df: DataFrame): DataFrame = df.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    var edges = canon(fwd).localCheckpoint()
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var last = checksum(edges)
+    var round = 0
+    var converged = last._1 == 0L // edgeless input is already a fixpoint
+    while (!converged && round < maxRounds) {
+      // ── large-star: symmetrize, group by u, attach each v > u to m(u)
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = canon(
+        sym.join(mL, "u").where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))).localCheckpoint()
+      // ── small-star: key = larger endpoint; re-link u and all its smaller
+      //    neighbors to the minimum of that neighborhood
+      val mS = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val j = afterLarge.join(mS, "u")
+      val afterSmall = canon(
+        j.select(col("v").as("u"), col("m").as("v"))
+          .union(mS.select(col("u"), col("m").as("v")))).localCheckpoint()
+      edges = afterSmall
+      val s = checksum(edges)
+      converged = s._1 == last._1 && s._2.compareTo(last._2) == 0
+      last = s
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxRounds rounds")
+    // fixpoint edges form stars: (member, component-min). Roots (and any
+    // node never re-linked below another) label themselves.
+    val members = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+    val roots = nodes.join(members, nodes("u") === members("id"), "left_anti")
+      .select(col("u").as("id"), col("u").as("cluster_id"))
+    members.union(roots)
   }
 
   val SimhashBits = 32

@@ -21,9 +21,15 @@ import org.apache.spark.sql.types.DoubleType
   * - |fast - exact| ≤ kernel rounding (≤ 0.5e-9 from the 9-decimal round)
   *   plus float fold error (~1e-14 relative) — both ≪ margin 1e-6, so the
   *   prefilter never rejects a pair the exact filter would keep;
-  * - zero-norm vectors make the fast form NaN; Spark orders NaN above all
-  *   doubles, so NaN >= t-margin passes and the exact kernel (which defines
-  *   cosine = 0.0 there) still decides;
+  * - zero-norm vectors make the fast form NULL (under EvalMode.LEGACY a
+  *   zero DIVISOR yields NULL, not NaN), so the prefilter predicate is
+  *   NULL there — and the conjunction stays correct because the exact
+  *   kernel defines cosine = 0.0 for zero norms, making the original
+  *   predicate `0.0 >= t` = false for every t the rule fires on (t >
+  *   margin > 0): And(NULL, false) = false, the same rejection the
+  *   un-rewritten filter produces. Equally under Not(...): Not(And(NULL,
+  *   false)) = Not(false) = true = Not(original). Pinned by the zero-norm
+  *   cases in CosinePrefilterSpec;
   * - the rule only fires for t > margin and skips any Filter that already
   *   contains a DotFast (idempotence under the optimizer's fixed-point batch,
   *   and respect for hand-written prefilters like q41's).
@@ -37,8 +43,8 @@ object CosinePrefilter extends Rule[LogicalPlan] {
 
   /** LEGACY eval mode pinned: under ANSI (the Spark 4 default) Divide
     * raises on a zero divisor, but the zero-norm case must flow through as
-    * NaN — which Spark orders above every double, so the pair falls through
-    * to the exact kernel's cosine=0.0 definition.
+    * NULL (legacy zero-divisor semantics) so the surrounding conjunction
+    * can resolve it — see the zero-norm bullet in the class doc.
     */
   private def fastCosine(a: Expression, b: Expression): Expression =
     Divide(DotFast(a, b),

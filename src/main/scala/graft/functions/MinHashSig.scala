@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.ext.Dedup
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -24,6 +25,12 @@ import java.nio.ByteBuffer
   *
   * Partial aggregation works as usual: merge = elementwise min, so map-side
   * combine bounds the shuffle to one K-long array per (partition, group).
+  *
+  * Null semantics match the codegen'd min-column path: a group whose every
+  * input is null yields a NULL signature (each `min(...)` column is null
+  * there), tracked by a seen-flag slot appended to the buffer. Input must
+  * be LongType — enforced in `checkInputDataTypes` so a mistyped child is
+  * an analysis error, not a runtime ClassCastException.
   */
 case class MinHashSig(
     child: Expression,
@@ -37,11 +44,19 @@ case class MinHashSig(
   private val p: Long = Dedup.MinhashP
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires a BIGINT child, got ${child.dataType.catalogString}")
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def createAggregationBuffer(): Array[Long] =
-    Array.fill(numHashes)(Long.MaxValue)
+  // buffer slot numHashes is the seen flag (0 = no non-null input yet)
+  override def createAggregationBuffer(): Array[Long] = {
+    val buf = Array.fill(numHashes + 1)(Long.MaxValue)
+    buf(numHashes) = 0L
+    buf
+  }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -53,6 +68,7 @@ case class MinHashSig(
         if (m < buf(i)) buf(i) = m
         i += 1
       }
+      buf(numHashes) = 1L
     }
     buf
   }
@@ -63,20 +79,23 @@ case class MinHashSig(
       if (b(i) < a(i)) a(i) = b(i)
       i += 1
     }
+    a(numHashes) |= b(numHashes)
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    if (buf(numHashes) == 0L) null
+    else new GenericArrayData(buf.take(numHashes))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * numHashes)
+    val bb = ByteBuffer.allocate(8 * (numHashes + 1))
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(numHashes)(bb.getLong)
+    Array.fill(numHashes + 1)(bb.getLong)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSig =

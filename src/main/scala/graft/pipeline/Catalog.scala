@@ -85,9 +85,26 @@ final class Catalog(val spark: SparkSession, val root: String) {
     // cuts lineage — unlike cache(), a lost block fails loudly instead of
     // recomputing from the path being overwritten (production-scale analog:
     // write to a staging path and atomically rename)
-    val staged = df.repartition(nFiles).localCheckpoint()
-    if (partitioned) overwriteBatch(staged, schema, table)
-    else overwrite(staged, schema, table)
+    if (partitioned) {
+      // repartition must follow the table's partitionBy(load_id) layout: a
+      // round-robin repartition(nFiles) would give every write task rows of
+      // ~every load_id, emitting up to nFiles × #partitions files. Hashing
+      // on (load_id, salt) keeps each output file inside one partition
+      // directory, with `salt` splitting any single load that exceeds the
+      // per-file byte budget.
+      import org.apache.spark.sql.functions._
+      val nLoads = math.max(1L, df.select("load_id").distinct().count())
+      val perLoadFiles =
+        math.max(1, math.ceil(bytes.toDouble / nLoads / targetBytes).toInt)
+      val salt = pmod(
+        xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(perLoadFiles))
+      val staged = df
+        .repartition(nFiles, col("load_id"), salt).localCheckpoint()
+      overwriteBatch(staged, schema, table)
+    } else {
+      val staged = df.repartition(nFiles).localCheckpoint()
+      overwrite(staged, schema, table)
+    }
     Files.walk(Paths.get(p)).filter(Files.isRegularFile(_))
       .filter(_.getFileName.toString.endsWith(".parquet")).count()
   }

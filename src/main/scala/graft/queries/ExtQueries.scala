@@ -69,7 +69,7 @@ object ExtQueries {
         |    length(substr(hx, chunk_index * 128 + 1, 128)) // 2 AS chunk_bytes
         |  FROM idx)
         |SELECT doc_id, COUNT(*) AS n_sampled,
-        |  SUM(chunk_bytes) AS sampled_bytes,
+        |  CAST(SUM(chunk_bytes) AS BIGINT) AS sampled_bytes,
         |  MAX(chunk_index) AS last_chunk_index
         |FROM chunks GROUP BY doc_id""".stripMargin)),
 

@@ -200,12 +200,13 @@ object RefQueries2 {
 
     // ── W1 latest-batch-per-partition filter (sp_full_travel_costs.sql:14-17):
     //    keeps ALL rows of each key's max group. Implemented as partial-agg
-    //    max + broadcast join-back instead of max().over(partition): the agg
-    //    collapses map-side to one row per key, the per-key maxes broadcast,
-    //    and the fact rows are filtered IN PLACE — no fact shuffle, no sort,
-    //    which is the shape that survives 100 TB (WindowExec would shuffle
-    //    and sort every fact row by key). Falls back to a shuffled hash join
-    //    on the key when the per-key table outgrows broadcast range.
+    //    max + join-back instead of max().over(partition): the agg collapses
+    //    map-side to one row per key, and when the per-key maxes measure
+    //    small at runtime AQE broadcasts them so the fact rows are filtered
+    //    IN PLACE — no fact shuffle, no sort, the shape that survives 100 TB
+    //    (WindowExec would shuffle and sort every fact row by key). No hard
+    //    broadcast() hint: the maxes side is proportional to distinct keys,
+    //    and a hint never falls back by size — size-based planning decides.
     QueryDef(
       "q19_latest_batch",
       (s, dir) => {
@@ -213,7 +214,7 @@ object RefQueries2 {
         val li = Tables.lineitem(s, dir)
         val maxes = li.groupBy($"l_suppkey")
           .agg(max($"l_shipdate").as("max_ship"))
-        li.join(broadcast(maxes), Seq("l_suppkey"))
+        li.join(maxes, Seq("l_suppkey"))
           .where($"l_shipdate" === $"max_ship")
           .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate",
             $"l_quantity")

@@ -147,12 +147,30 @@ object EventStream {
   /** Run a streaming query to completion over currently-available data
     * (memory sink), returning the result — used by tests to assert
     * streaming/batch parity.
+    *
+    * `Trigger.AvailableNow` processes everything pending in as few
+    * micro-batches as possible and then terminates on its own — no
+    * `processAllAvailable` polling and no empty trailing batches.
+    *
+    * `statePartitions` sizes the state store to the key domain: streaming
+    * state partition count is pinned by the first batch's checkpoint, so
+    * it should be chosen from expected distinct keys (here: windows ×
+    * event types, a few thousand), not inherited from the batch shuffle
+    * width — each state partition costs a store instance plus per-batch
+    * delta-file commits.
     */
   def runToBatch(spark: SparkSession, streamed: DataFrame, name: String,
-      outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory").queryName(name).outputMode(outputMode).start()
-    try q.processAllAvailable() finally q.stop()
+      outputMode: OutputMode = OutputMode.Complete(),
+      statePartitions: Int = 8): DataFrame = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = streamed.writeStream
+        .format("memory").queryName(name).outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table(name)
   }
 }

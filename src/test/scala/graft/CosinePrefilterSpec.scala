@@ -74,6 +74,37 @@ class CosinePrefilterSpec extends SparkSpec {
     assert(joined.select($"lid").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("negated thresholds: optimizer normalizes Not away, results exact") {
+    // BooleanSimplification folds Not(c >= t) into c < t before this rule
+    // runs, so negated predicates reach the rule as upper bounds, which it
+    // deliberately leaves alone (the prefilter accelerates lower bounds) —
+    // pin both the non-rewrite and the zero-norm row surviving negation
+    val q = pairs.where(!(GraftFunctions.cosineSimExact($"a", $"b") >= 0.9))
+    assert(countDotFast(q) == 0)
+    // row 3 (zero norm, exact cosine 0.0) and row 2 (orthogonal) survive
+    assert(q.select($"id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("rewrite under an explicit Not stays exact on zero norms: " +
+      "Not(And(NULL, false)) = true") {
+    // the optimizer never hands the rule a surviving Not (see above), but
+    // the rewrite is defined for it — verify the three-valued-logic
+    // reasoning directly at the expression level with a zero-norm pair
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, OneRowRelation}
+    import org.apache.spark.sql.types._
+    def litArr(xs: Seq[Float]) = Literal.create(xs, ArrayType(FloatType))
+    val cos = graft.functions.CosineSimExact(
+      litArr(Seq(1.0f, 0.0f)), litArr(Seq(0.0f, 0.0f))) // zero-norm side
+    val cond = Not(GreaterThanOrEqual(cos, Literal(0.9)))
+    val rewritten = CosinePrefilter(Filter(cond, OneRowRelation()))
+      .asInstanceOf[Filter].condition
+    assert(rewritten.exists(_.isInstanceOf[DotFast]), rewritten.sql)
+    val row = org.apache.spark.sql.catalyst.InternalRow.empty
+    assert(cond.eval(row) == true)       // Not(0.0 >= 0.9)
+    assert(rewritten.eval(row) == true)  // Not(And(NULL, false))
+  }
+
   test("no rewrite for thresholds at or below the margin") {
     val q = pairs.where(GraftFunctions.cosineSimExact($"a", $"b") >= 0.0)
     assert(countDotFast(q) == 0)

@@ -106,6 +106,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("star-contraction CC matches a union-find reference on random graphs") {
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val edges = (1 to 25).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val members = (0 until n).groupBy(find).values
+      val want = members.flatMap { ms =>
+        val label = ms.min.toLong; ms.map(m => m.toLong -> label)
+      }.toMap
+      val got = Dedup.connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == touched)
+      got.foreach { case (id, c) => assert(c == want(id), s"node $id") }
+    }
+  }
+
+  test("star-contraction converges on graphs whose diameter exceeds the " +
+      "label-propagation round cap; label propagation fails loudly there") {
+    // a path 0-1-…-12 has diameter 12: label propagation with maxRounds=5
+    // CANNOT finish and must throw instead of returning partial labels
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, "a", "b", maxRounds = 5)
+    }
+    // star contraction halves path length per round: well within 50
+    val got = Dedup.connectedComponentsStar(path, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L to 12L).toSet)
+    assert(got.values.forall(_ == 0L), got.toString)
+  }
+
+  test("star-contraction CC on a high-degree hub (skew shape)") {
+    // hub-and-spoke: node 50 connected to everything — the degree-skew
+    // case large-star/small-star is built for
+    val star = (0L until 50L).map(i => (50L, i)).toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(star, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L to 50L).toSet)
+    assert(got.values.forall(_ == 0L))
+  }
+
   test("skew salting: salted two-phase aggregation equals direct aggregation") {
     // the PLANS.md skew mitigation, proven semantics-preserving: spray hot
     // keys across S salts, partially aggregate (key, salt), then reduce the

@@ -354,4 +354,40 @@ class PipelineSpec extends SparkSpec {
     val after = cat3.read("silver", "compact_me").orderBy("id").collect()
     assert(after.toSeq == before.toSeq)
   }
+
+  test("compaction of a partitioned table larger than one target file " +
+      "still reduces files and respects the load_id layout") {
+    import spark.implicits._
+    val cat4 = new Catalog(spark, Files.createTempDirectory("graft_wh4").toString)
+    (1L to 6L).foreach { lid =>
+      cat4.appendBatched(
+        (1 to 400).map(i => (lid * 1000 + i, s"value_$i" * 8, lid))
+          .toDF("id", "v", "load_id"),
+        "silver", "compact_big")
+    }
+    val p = Paths.get(cat4.path("silver", "compact_big"))
+    def parquetFiles() = java.nio.file.Files.walk(p)
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map[String](_.toString).toArray.toSeq.map(_.toString)
+    val before = cat4.read("silver", "compact_big").orderBy("id").collect()
+    val nBefore = parquetFiles().size
+    // tiny target => nFiles > 1, the case where a round-robin repartition
+    // would EXPLODE the file count (nFiles x #partitions)
+    val bytes = java.nio.file.Files.walk(p)
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    val target = bytes / 4
+    val nAfter = cat4.compact("silver", "compact_big", targetBytes = target)
+    assert(nAfter < nBefore, s"$nAfter vs $nBefore")
+    // every output file must live inside exactly one load_id directory,
+    // with at most ceil(perLoad/target)=1 file per partition here
+    val byDir = parquetFiles().groupBy(f => f.split("/").init.last)
+    assert(byDir.keySet.forall(_.startsWith("load_id=")), byDir.keySet.toString)
+    byDir.foreach { case (dir, fs) =>
+      assert(fs.size <= 2, s"$dir has ${fs.size} files after compaction")
+    }
+    val after = cat4.read("silver", "compact_big").orderBy("id").collect()
+    assert(after.toSeq == before.toSeq)
+  }
 }
