@@ -83,11 +83,37 @@ case class CosineSimExact(left: Expression, right: Expression)
 /** Exact dot product twin of [[CosineSimExact]] — same
   * sum-of-18-decimal-rounded double products, returned as double. Lets
   * callers reuse precomputed norms instead of recomputing them per pair.
+  *
+  * Accepts `array<float>` and `array<double>` on either side (a float
+  * widened to double is exact, so mixed-type dots are well-defined) —
+  * trained k-means centroids are double arrays dotted against float
+  * embeddings.
   */
 case class DotExact(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_exact expects array<float|double>, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  private lazy val leftIsDouble = left.dataType match {
+    case ArrayType(DoubleType, _) => true; case _ => false
+  }
+  private lazy val rightIsDouble = right.dataType match {
+    case ArrayType(DoubleType, _) => true; case _ => false
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -96,8 +122,9 @@ case class DotExact(left: Expression, right: Expression)
     var acc = JBigDecimal.ZERO
     var i = 0
     while (i < n) {
-      val p = new JBigDecimal(a.getFloat(i).toDouble * b.getFloat(i).toDouble)
-        .setScale(18, RoundingMode.HALF_UP)
+      val x = if (leftIsDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (rightIsDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      val p = new JBigDecimal(x * y).setScale(18, RoundingMode.HALF_UP)
       acc = acc.add(p)
       i += 1
     }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, KMeans, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,64 @@ object TrainingDataQueries {
   /** Exact decimal dot of two DuckDB list columns over index i (oracle). */
   private def dotSql(a: String, b: String) =
     s"CAST(SUM(CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE)"
+
+  /** Oracle twin of [[graft.ext.KMeans.trainCodebook]]: `iters` unrolled
+    * Lloyd rounds as a CTE chain (merge decisions are data-dependent, so
+    * the oracle replays training rather than receiving it). Produces CTEs
+    * `e` / `n2` (double-cast embeddings + exact norms) and per round r:
+    * `km_assign{r}` (nearest-centroid by rounded cosine, ties to smallest
+    * cid), `km_cells{r}` ((cid, dim) floor-fixed-point means), `km_c{r}` /
+    * `km_cn{r}` (assembled centroid lists + norms).
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      val p = r - 1
+      s"""km_terms$r AS (
+        |  SELECT e.vec_id, e.embedding, c.cid, c.ce,
+        |    unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM e CROSS JOIN km_c$p c),
+        |km_dots$r AS (
+        |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
+        |  FROM km_terms$r GROUP BY vec_id, embedding, cid, ce),
+        |km_scored$r AS (
+        |  SELECT d.vec_id, d.cid,
+        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
+        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS c_sim
+        |  FROM km_dots$r d JOIN n2 v ON d.vec_id = v.vec_id
+        |    JOIN km_cn$p c ON d.cid = c.cid),
+        |km_assign$r AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
+        |    FROM km_scored$r) WHERE rn = 1),
+        |km_cells$r AS (
+        |  SELECT cid, CAST(i - 1 AS INT) AS dim,
+        |    ${QueryDef.tavgSql("embedding[i]")} AS cv,
+        |    COUNT(*) AS n_vectors
+        |  FROM (SELECT a.cid, e.embedding,
+        |      unnest(generate_series(1, len(e.embedding))) AS i
+        |    FROM km_assign$r a JOIN e ON a.vec_id = e.vec_id)
+        |  GROUP BY 1, 2),
+        |km_c$r AS (
+        |  SELECT cid, list(cv ORDER BY dim) AS ce FROM km_cells$r GROUP BY cid),
+        |km_cn$r AS (
+        |  SELECT cid, ${dotSql("ce", "ce")} AS cn2
+        |  FROM (SELECT cid, ce, unnest(generate_series(1, len(ce))) AS i
+        |    FROM km_c$r)
+        |  GROUP BY cid, ce)""".stripMargin
+    }
+    s"""e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      |  FROM embeddings),
+      |n2 AS (
+      |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS n2
+      |  FROM (SELECT vec_id, embedding,
+      |      unnest(generate_series(1, len(embedding))) AS i FROM e)
+      |  GROUP BY vec_id, embedding),
+      |km_c0 AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < $k),
+      |km_cn0 AS (SELECT vec_id AS cid, n2 AS cn2 FROM n2 WHERE vec_id < $k),
+      |${rounds.mkString(",\n")}""".stripMargin
+  }
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single other glyphs —
     * the GPT-2-style split that sub-word vocabularies are trained over.
@@ -54,10 +112,11 @@ object TrainingDataQueries {
         |FROM t""".stripMargin)),
 
     // ── IVF approximate nearest neighbors: coarse-quantize every vector to
-    //    its nearest centroid cell (centroids broadcast — one narrow pass),
-    //    probe the 2 best cells per query, exact-rescore only inside probed
-    //    cells. At 100 TB the assignment is a map stage and the probe join
-    //    is equi on cell id: no all-pairs work anywhere.
+    //    its nearest TRAINED centroid cell (codebook = 2 Lloyd rounds via
+    //    KMeans.trainCodebook, broadcast — one narrow pass), probe the 2
+    //    best cells per query, exact-rescore only inside probed cells. At
+    //    100 TB the assignment is a map stage and the probe join is equi on
+    //    cell id: no all-pairs work anywhere.
     QueryDef(
       "q45_ivf_ann",
       (s, dir) => {
@@ -71,11 +130,13 @@ object TrainingDataQueries {
             na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
           round(when(na > 0.0 && nb > 0.0, dot / (sqrt(na) * sqrt(nb)))
             .otherwise(0.0), 9)
-        val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        val raw = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        val e = raw
+          .select($"vec_id",
+            transform($"embedding", x => x.cast("double")).as("embedding"))
           .withColumn("n2", dotExact($"embedding", $"embedding"))
-        // stand-in for a k-means codebook: deterministic, oracle-able
-        val cents = broadcast(e.where($"vec_id" < 8)
-          .select($"vec_id".as("cid"), $"embedding".as("ce"), $"n2".as("cn2")))
+        val cents = broadcast(KMeans.trainCodebook(raw, k = 8, iters = 2)
+          .select($"cid", $"ce", $"cn2"))
         val scored = e.join(cents)
           .select($"vec_id", $"embedding", $"n2", $"cid",
             cosine(dotExact($"embedding", $"ce"), $"n2", $"cn2").as("c_sim"))
@@ -105,26 +166,20 @@ object TrainingDataQueries {
         rescored.withColumn("rank", row_number().over(topk).cast("int"))
           .where($"rank" <= 10)
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |n2 AS (
-        |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS n2
-        |  FROM (SELECT vec_id, embedding,
-        |        unnest(generate_series(1, len(embedding))) AS i FROM e)
-        |  GROUP BY vec_id, embedding),
-        |cent AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < 8),
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 2)},
         |terms AS (
         |  SELECT e.vec_id, e.embedding, cid, ce,
         |    unnest(generate_series(1, len(e.embedding))) AS i
-        |  FROM e CROSS JOIN cent),
+        |  FROM e CROSS JOIN km_c2),
         |dots AS (
         |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
         |  FROM terms GROUP BY vec_id, embedding, cid, ce),
         |scored AS (
         |  SELECT d.vec_id, d.cid,
-        |    ROUND(CASE WHEN v.n2 > 0 AND c.n2 > 0
-        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.n2)) ELSE 0.0 END, 9) AS c_sim
+        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
+        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS c_sim
         |  FROM dots d JOIN n2 v ON d.vec_id = v.vec_id
-        |    JOIN n2 c ON d.cid = c.vec_id),
+        |    JOIN km_cn2 c ON d.cid = c.cid),
         |ranked AS (
         |  SELECT vec_id, cid,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
@@ -216,6 +271,25 @@ object TrainingDataQueries {
         |  ${QueryDef.tavgSql("CAST(embedding[i] AS DOUBLE)")} AS centroid_v,
         |  COUNT(*) AS n_vectors
         |FROM t GROUP BY 1, 2""".stripMargin)),
+
+    // ── Trained k-means codebook (the full Lloyd loop, not just q47's
+    //    update step): 2 assign+update rounds from a deterministic init,
+    //    emitted as (cid, dim, centroid_v, n_vectors) cells. The oracle
+    //    replays the identical training via unrolled CTEs — exact cosine
+    //    assignment + floor-fixed-point means make every round
+    //    bit-reproducible across engines.
+    QueryDef(
+      "q56_kmeans_codebook",
+      (s, dir) => {
+        import s.implicits._
+        val raw = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        KMeans.trainCodebook(raw, k = 8, iters = 2)
+          .select($"cid", $"n_vectors", posexplode($"ce").as(Seq("dim", "centroid_v")))
+          .select($"cid", $"dim", $"centroid_v", $"n_vectors")
+      },
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 2)}
+        |SELECT cid, dim, cv AS centroid_v, n_vectors
+        |FROM km_cells2""".stripMargin)),
 
     // ── Duplicate clustering: embedding near-dup pairs (label-blocked,
     //    exact cosine >= 0.4 — the CosinePrefilter rule injects the cheap

@@ -65,6 +65,40 @@ class TrainingDataSpec extends SparkSpec {
     assert((1L to 12L).forall(cc(_) == 1L))
   }
 
+  test("kmeans codebook: cells partition the corpus, means are exact") {
+    val dir = "/root/testdata/sf0.001"
+    val raw = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val n = raw.count()
+    val book = graft.ext.KMeans.trainCodebook(raw, k = 8, iters = 2)
+      .select($"cid", $"ce", $"n_vectors")
+      .as[(Long, Seq[Double], Long)].collect()
+    // every centroid id came from the deterministic init set
+    assert(book.forall(_._1 < 8))
+    // the final assignment cells partition all vectors
+    assert(book.map(_._3).sum == n)
+    // full dimensionality survived the explode/reassemble round trip
+    assert(book.forall(_._2.size == 64))
+    // training is exactly reproducible (floor fixed-point, no float drift)
+    val again = graft.ext.KMeans.trainCodebook(raw, k = 8, iters = 2)
+      .select($"cid", $"ce", $"n_vectors")
+      .as[(Long, Seq[Double], Long)].collect()
+    assert(book.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("kmeans codebook: identical vectors collapse to their own mean") {
+    val v = Array(1.0f, 0.0f, 0.5f)
+    val u = Array(0.0f, 1.0f, -0.5f)
+    val emb = Seq((0L, v), (1L, u), (2L, v), (3L, v), (4L, u))
+      .toDF("vec_id", "embedding")
+    val book = graft.ext.KMeans.trainCodebook(emb, k = 2, iters = 2)
+      .select($"cid", $"ce", $"n_vectors")
+      .as[(Long, Seq[Double], Long)].collect().sortBy(_._1)
+    // cid 0 gathers the v-copies, cid 1 the u-copies; means = the vectors
+    assert(book.map(t => t._1 -> t._3).toMap == Map(0L -> 3L, 1L -> 2L))
+    assert(book(0)._2.zip(v).forall { case (m, x) => math.abs(m - x) < 1e-9 })
+    assert(book(1)._2.zip(u).forall { case (m, x) => math.abs(m - x) < 1e-9 })
+  }
+
   test("IVF: a centroid's own nearest cell is itself") {
     // when queries ARE centroids, rank-1 assignment must be the identity
     val dir = "/root/testdata/sf0.001"
