@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ext.{Dedup, KMeans, TextAnalysis}
+import graft.ext.{Bpe, Dedup, KMeans, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -57,18 +57,18 @@ object TrainingDataQueries {
         |      unnest(generate_series(1, len(e.embedding))) AS i
         |    FROM km_assign$r a JOIN e ON a.vec_id = e.vec_id)
         |  GROUP BY 1, 2),
-        |km_c$r AS (
+        |km_c$r AS MATERIALIZED (
         |  SELECT cid, list(cv ORDER BY dim) AS ce FROM km_cells$r GROUP BY cid),
-        |km_cn$r AS (
+        |km_cn$r AS MATERIALIZED (
         |  SELECT cid, ${dotSql("ce", "ce")} AS cn2
         |  FROM (SELECT cid, ce, unnest(generate_series(1, len(ce))) AS i
         |    FROM km_c$r)
         |  GROUP BY cid, ce)""".stripMargin
     }
-    s"""e AS (
+    s"""e AS MATERIALIZED (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
       |  FROM embeddings),
-      |n2 AS (
+      |n2 AS MATERIALIZED (
       |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS n2
       |  FROM (SELECT vec_id, embedding,
       |      unnest(generate_series(1, len(embedding))) AS i FROM e)
@@ -83,6 +83,87 @@ object TrainingDataQueries {
     * Identical regex semantics in Java (Spark) and RE2 (DuckDB).
     */
   val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Number of BPE merge rounds trained by q57/q60 (small but enough to
+    * produce multi-character subwords on the fixture corpus).
+    */
+  val BpeMerges = 20
+
+  /** Oracle twin of [[graft.ext.Bpe.trainMerges]]: `n` unrolled merge
+    * rounds as CTEs (the chosen pair is data-dependent, so the oracle
+    * replays training). Round r: `bp{r}` adjacent-pair counts, `bt{r}` the
+    * (freq DESC, lhs, rhs) winner, `bw{r}` the re-encoded vocabulary.
+    */
+  private def bpeCtes(n: Int): String = {
+    val rounds = (1 to n).map { r =>
+      val p = r - 1
+      s"""bp$r AS (
+        |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+        |    CAST(SUM(freq) AS BIGINT) AS pair_freq
+        |  FROM (SELECT syms, freq,
+        |      unnest(generate_series(1, len(syms) - 1)) AS i
+        |    FROM (SELECT string_split(trim(enc), '  ') AS syms, freq
+        |      FROM bw$p))
+        |  GROUP BY 1, 2),
+        |bt$r AS MATERIALIZED (SELECT lhs, rhs, pair_freq FROM bp$r
+        |  ORDER BY pair_freq DESC, lhs ASC, rhs ASC LIMIT 1),
+        |bw$r AS MATERIALIZED (
+        |  SELECT token, replace(enc, ' ' || lhs || '  ' || rhs || ' ',
+        |    ' ' || lhs || rhs || ' ') AS enc, freq
+        |  FROM bw$p CROSS JOIN bt$r)""".stripMargin
+    }
+    // MATERIALIZED: each round references the previous one twice; DuckDB's
+    // default CTE inlining would duplicate the subtree per reference —
+    // exponential (2^rounds) scans of the base table
+    s"""bvocab AS MATERIALIZED (
+      |  SELECT tok AS token, COUNT(*) AS freq
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      |    FROM documents)
+      |  GROUP BY tok),
+      |bw0 AS (SELECT token, regexp_replace(token, '(.)', ' \\1 ', 'g') AS enc,
+      |  freq FROM bvocab),
+      |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** Byte bands the 32-bit simhash splits into for Hamming-banded
+    * candidate generation (q59): Hamming ≤ SimhashBands - 1 guarantees a
+    * shared band by pigeonhole.
+    */
+  val SimhashBands = 4
+
+  /** Oracle CTE chain computing the per-doc 32-bit simhash (`sig`), the
+    * exact twin of [[graft.ext.Dedup.simhash]] — shared by q46 and q59.
+    */
+  private def simhashSigCte: String = {
+    val bits = Dedup.SimhashBits
+    val votes = (0 until bits)
+      .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS v$j").mkString(",\n    ")
+    val value = (0 until bits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""t AS (
+    |  SELECT doc_id,
+    |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+    |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+    |  FROM documents),
+    |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+    |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    |v AS (SELECT doc_id,
+    |    $votes
+    |  FROM h GROUP BY 1),
+    |sig AS MATERIALIZED (SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM v)""".stripMargin
+  }
+
+  /** Letter-run word frequencies over the corpus — BPE's training input
+    * (word TYPES with counts; the only corpus-scale pass in training).
+    */
+  private def letterVocab(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0)))
+        .as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("freq"))
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -225,29 +306,58 @@ object TrainingDataQueries {
           .select($"doc_id", $"simhash", $"keeper_doc_id",
             ($"doc_id" =!= $"keeper_doc_id").as("dropped"))
       },
-      Some {
-        val bits = Dedup.SimhashBits
-        val votes = (0 until bits)
-          .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS v$j").mkString(",\n    ")
-        val value = (0 until bits)
-          .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
-          .mkString(" + ")
-        s"""WITH t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
-        |  FROM documents),
-        |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
-        |v AS (SELECT doc_id,
-        |    $votes
-        |  FROM h GROUP BY 1),
-        |sig AS (SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM v)
+      Some(s"""WITH $simhashSigCte
         |SELECT doc_id, simhash,
         |  MIN(doc_id) OVER (PARTITION BY simhash) AS keeper_doc_id,
         |  doc_id <> MIN(doc_id) OVER (PARTITION BY simhash) AS dropped
-        |FROM sig""".stripMargin
-      }),
+        |FROM sig""".stripMargin)),
+
+    // ── Banded Hamming-distance simhash near-dup (upgrades q46's
+    //    exact-signature-only matching): split the 32-bit signature into 4
+    //    byte bands; by pigeonhole any pair with Hamming ≤ 3 shares at
+    //    least one identical band, so candidates = equi-join on
+    //    (band_id, band_val) — a plain keyed shuffle, never all-pairs —
+    //    then verify popcount(xor) ≤ 3 on the carried signatures.
+    QueryDef(
+      "q59_simhash_hamming",
+      (s, dir) => {
+        import s.implicits._
+        // substrate consumed by all 4 band projections — materialize once
+        val sigs = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+          .localCheckpoint()
+        val bandCols = (0 until SimhashBands).map { bnd =>
+          struct(lit(bnd).as("band_id"),
+            shiftright($"simhash", bnd * 8).bitwiseAND(255).as("band_val"))
+        }
+        val bands = sigs
+          .select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("band"))
+          .select($"doc_id", $"simhash", $"band.band_id", $"band.band_val")
+        val a = bands.select($"doc_id".as("doc_a"), $"simhash".as("sig_a"),
+          $"band_id", $"band_val")
+        val b = bands.select($"doc_id".as("doc_b"), $"simhash".as("sig_b"),
+          $"band_id", $"band_val")
+        a.join(b, Seq("band_id", "band_val"))
+          .where($"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b", $"sig_a", $"sig_b").distinct()
+          .select($"doc_a", $"doc_b",
+            bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
+          .where($"hamming" <= 3)
+      },
+      Some(s"""WITH $simhashSigCte,
+        |bands AS (
+        |  SELECT doc_id, simhash, band_id,
+        |    (simhash >> (band_id * 8)) & 255 AS band_val
+        |  FROM sig CROSS JOIN
+        |    (SELECT unnest(generate_series(0, ${SimhashBands - 1})) AS band_id)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sig_a, b.simhash AS sig_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin)),
 
     // ── Per-label mean embedding: the codebook/centroid-training primitive
     //    (k-means update step). posexplode + groupBy(label, dim) is one
@@ -290,6 +400,54 @@ object TrainingDataQueries {
       Some(s"""WITH ${kmeansCtes(k = 8, iters = 2)}
         |SELECT cid, dim, cv AS centroid_v, n_vectors
         |FROM km_cells2""".stripMargin)),
+
+    // ── Real BPE merge training (not just the q44 pre-tokenizer): 20
+    //    rounds of most-frequent-adjacent-pair over the letter-run word
+    //    vocabulary, ties broken (freq DESC, lhs, rhs). Training runs over
+    //    word types — the corpus-scale work is one word-count shuffle; each
+    //    round is vocabulary-sized. Output = the trained merge table.
+    QueryDef(
+      "q57_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        val (merges, _) = Bpe.trainMerges(letterVocab(s, dir), BpeMerges)
+        merges.toDF()
+          .select($"step", $"lhs", $"rhs", $"freq".as("pair_freq"))
+      },
+      Some(s"""WITH ${bpeCtes(BpeMerges)}
+        |${(1 to BpeMerges)
+          .map(r => s"SELECT CAST($r AS INT) AS step, lhs, rhs, pair_freq FROM bt$r")
+          .mkString("\nUNION ALL ")}""".stripMargin)),
+
+    // ── BPE application: segment every corpus word with the trained
+    //    merges. The per-token subword count is a vocabulary-sized lookup
+    //    table joined onto the exploded corpus tokens (at 100 TB: vocab is
+    //    millions of rows — AQE broadcasts it; the corpus side is one
+    //    narrow explode + keyed agg, no pairwise work).
+    QueryDef(
+      "q60_bpe_apply",
+      (s, dir) => {
+        import s.implicits._
+        val (_, seg) = Bpe.trainMerges(letterVocab(s, dir), BpeMerges)
+        val nsub = seg.select($"token", size(Bpe.symbols($"enc")).as("n_sub"))
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0)))
+              .as("token"))
+          .join(nsub, "token")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_word_tokens"),
+            sum($"n_sub").as("n_subword_tokens"))
+      },
+      Some(s"""WITH ${bpeCtes(BpeMerges)},
+        |seg AS (SELECT token, len(string_split(trim(enc), '  ')) AS n_sub
+        |  FROM bw$BpeMerges),
+        |dt AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents)
+        |SELECT doc_id, COUNT(*) AS n_word_tokens,
+        |  CAST(SUM(n_sub) AS BIGINT) AS n_subword_tokens
+        |FROM dt JOIN seg USING (token) GROUP BY doc_id""".stripMargin)),
 
     // ── Duplicate clustering: embedding near-dup pairs (label-blocked,
     //    exact cosine >= 0.4 — the CosinePrefilter rule injects the cheap

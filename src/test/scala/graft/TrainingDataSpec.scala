@@ -45,6 +45,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(out.find(_.getLong(0) == 9L).get.getBoolean(2) == false)
   }
 
+  test("LSH band cap drops oversized buckets; other bands still pair") {
+    val bands = Seq(
+      // degenerate bucket of 5 (e.g. the all-empty-docs signature)
+      (1L, 0, "deg"), (2L, 0, "deg"), (3L, 0, "deg"), (4L, 0, "deg"), (5L, 0, "deg"),
+      // healthy buckets
+      (1L, 1, "ok"), (2L, 1, "ok"),
+      (4L, 2, "x"), (5L, 2, "x"))
+      .toDF("doc_id", "band_id", "band_key")
+    val capped = graft.ext.Dedup.candidatePairs(bands, "doc_id", maxBandBucket = 4)
+      .as[(Long, Long)].collect().toSet
+    // the degenerate bucket contributes nothing; pairs that also share a
+    // healthy band survive
+    assert(capped == Set((1L, 2L), (4L, 5L)))
+    // default cap is far above any test bucket: full candidate set
+    val all = graft.ext.Dedup.candidatePairs(bands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(all.size == 10) // C(5,2) from the big bucket covers the others
+  }
+
   test("connected components: chains, triangles, isolated pairs") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
@@ -63,6 +82,29 @@ class TrainingDataSpec extends SparkSpec {
     val cc = graft.ext.Dedup.connectedComponents(pairs, "a", "b")
       .as[(Long, Long)].collect().toMap
     assert((1L to 12L).forall(cc(_) == 1L))
+  }
+
+  test("BPE merges: left-to-right non-overlapping application (aaaa -> aa aa)") {
+    val words = Seq(("aaaa", 1L)).toDF("token", "freq")
+    val (merges, seg) = graft.ext.Bpe.trainMerges(words, 1)
+    assert(merges == Seq(graft.ext.Bpe.Merge(1, "a", "a", 3L)))
+    // true BPE merge order: positions 0-1 then 2-3, NOT the middle pair
+    assert(seg.select($"enc").as[String].head() == " aa  aa ")
+  }
+
+  test("BPE merges: classic Sennrich corpus picks (e,s) then (es,t)") {
+    // low×5 lower×2 newest×6 widest×3: round 1 is a 9-9 tie between
+    // (e,s) and (s,t); the lexicographic tiebreak picks (e,s)
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("token", "freq")
+    val (merges, seg) = graft.ext.Bpe.trainMerges(words, 2)
+    assert(merges.map(m => (m.step, m.lhs, m.rhs, m.freq)) ==
+      Seq((1, "e", "s", 9L), (2, "es", "t", 9L)))
+    val segs = seg.select($"token", trim($"enc")).as[(String, String)]
+      .collect().toMap
+    assert(segs("newest") == "n  e  w  est")
+    assert(segs("widest") == "w  i  d  est")
+    assert(segs("low") == "l  o  w")
   }
 
   test("kmeans codebook: cells partition the corpus, means are exact") {
