@@ -105,10 +105,26 @@ object Dedup {
     * falls back — Spark would try to collect the whole corpus's bands to
     * the driver. Size-based planning / AQE picks broadcast exactly when
     * it's actually safe.
+    *
+    * `maxBandBucket` is the skew guard PLANS.md names: a band bucket of
+    * size n contributes n² join rows, and real corpora have degenerate
+    * buckets (e.g. every empty/near-empty doc shares one signature), so
+    * one hot key can dwarf the rest of the stage combined. Buckets above
+    * the cap are EXCLUDED from candidate generation (documented recall
+    * trade: members of a degenerate bucket still pair through their other
+    * `numBands - 1` bands when genuinely similar). The size filter is one
+    * extra keyed agg over the band rows — partial-agg map-side, so the hot
+    * key never concentrates on one task.
     */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
+  def candidatePairs(bands: DataFrame, idCol: String,
+      maxBandBucket: Int = 100000): DataFrame = {
+    val keep = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= maxBandBucket)
+      .select(col("band_id"), col("band_key"))
+    val capped = bands.join(keep, Seq("band_id", "band_key"))
+    val a = capped.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
+    val b = capped.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
     a.join(b, Seq("band_id", "band_key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()

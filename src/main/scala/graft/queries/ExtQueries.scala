@@ -73,6 +73,39 @@ object ExtQueries {
         |  MAX(chunk_index) AS last_chunk_index
         |FROM chunks GROUP BY doc_id""".stripMargin)),
 
+    // ── Multimodal feature extraction through the partition-wise encoder
+    //    seam (Multimodal.extractFeatures — the mapPartitions batch shape a
+    //    real model encoder plugs into; the stub computes a 16-bin byte
+    //    histogram). Features are float32 count/n ratios: both engines do
+    //    one IEEE single division on exact integer counts, so the gate
+    //    compares bit-for-bit with no rounding tricks.
+    QueryDef(
+      "q58_byte_features",
+      (s, dir) => {
+        import s.implicits._
+        val withBin = Tables.documents(s, dir)
+          .select($"doc_id", $"text".cast("binary").as("payload"))
+        Multimodal.extractFeatures(withBin, "doc_id", "payload", dim = 16)
+          .select(col("doc_id"),
+            posexplode(col("features")).as(Seq("dim", "feature")))
+      },
+      Some("""WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |bytes AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(hx, i * 2 + 1, 2))::INT % 16 AS dim
+        |  FROM (SELECT doc_id, hx,
+        |      unnest(generate_series(0, n - 1)) AS i FROM b)),
+        |counts AS (SELECT doc_id, dim, COUNT(*) AS c FROM bytes GROUP BY 1, 2),
+        |scaffold AS (SELECT doc_id, n,
+        |  unnest(generate_series(0, 15)) AS dim FROM b)
+        |SELECT s.doc_id, CAST(s.dim AS INT) AS dim,
+        |  CAST(COALESCE(c.c, 0) AS FLOAT) / CAST(greatest(s.n, 1) AS FLOAT)
+        |    AS feature
+        |FROM scaffold s
+        |LEFT JOIN counts c ON s.doc_id = c.doc_id AND s.dim = c.dim""".stripMargin)),
+
     // ── F10 great-circle bearing between consecutive per-user positions
     //    (travel_and_movement_map.py:22-38) + lag window. Positions derived
     //    deterministically from event values; rounded to 6 decimals so

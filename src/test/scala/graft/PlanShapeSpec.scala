@@ -49,6 +49,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("candidatePairs plan carries the bucket-size cap (agg + filter)") {
+    // q36's visible plan starts at its checkpointed pairs, so assert the
+    // cap on the candidatePairs subplan directly
+    import spark.implicits._
+    val bands = Seq((1L, 0, "k")).toDF("doc_id", "band_id", "band_key")
+    val p = graft.ext.Dedup.candidatePairs(bands, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bucket_n"), p.take(800))
+    assert(p.contains("100000"), p.take(800))
+  }
+
   test("q41's naive exact-cosine threshold gets the rule-injected prefilter") {
     // (q49 uses the same predicate shape but returns eagerly-checkpointed
     // labels, so its visible plan is just the checkpoint scan)

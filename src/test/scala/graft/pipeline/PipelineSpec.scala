@@ -199,6 +199,13 @@ class PipelineSpec extends SparkSpec {
     assert(json.contains("\"TOTAL_SPENT\":1212.5"))
     assert(json.contains("\"TOTAL_STEPS\":1750"))
     assert(json.contains("ChIJ123") || json.contains("WALKING"))
+    // A13 contract: pin the exact top-level key set the reference's
+    // consumer reads (daily_travel_summary.py:32-87) so the blob shape
+    // cannot drift silently (top-level keys are the only UPPERCASE ones)
+    val keys = "\"([A-Z_]+)\":".r.findAllMatchIn(json).map(_.group(1)).toSet
+    assert(keys == Set("DATE", "TOTAL_SPENT", "TOTAL_STEPS",
+      "SPENDING_ITEMS", "SLEEP_DATA", "MANUAL_LOGS", "FLIGHTS",
+      "TIMELINE_SEGMENTS"))
   }
 
   test("silver re-run is a no-op; Reprocess=true replays idempotently") {
