@@ -69,11 +69,15 @@ object Similarity {
     * bit string like "1011..." usable as an equi-join bucket key.
     *
     * `maxDim` bounds the sign tables; vectors longer than it would need a
-    * larger table (explicit error beats silent truncation).
+    * larger table (explicit error beats silent truncation). `planeOffset`
+    * selects a disjoint plane range — multi-table LSH (the OR-of-tables
+    * recall amplification, q61) uses one offset per hash table.
     */
-  def lshSignature(vec: Column, nPlanes: Int, maxDim: Int = 256): Column = {
+  def lshSignature(vec: Column, nPlanes: Int, maxDim: Int = 256,
+      planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val signs = array((0 until maxDim).map(d => lit(planeSignJava(p, d))): _*)
+      val signs = array((0 until maxDim)
+        .map(d => lit(planeSignJava(planeOffset + p, d))): _*)
       val proj = aggregate(
         zip_with(vec, slice(signs, lit(1), size(vec)), (x, s) =>
           (x.cast("double") * s).cast(DEC)),
@@ -82,6 +86,17 @@ object Similarity {
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
+  }
+
+  /** Native-expression form of [[lshSignature]]
+    * ([[graft.functions.LshBits]]): same bits, plain JVM loops instead of
+    * interpreted per-element lambdas — the hot path for multi-table
+    * signatures (q61's 24 planes).
+    */
+  def lshSignatureFast(spark: org.apache.spark.sql.SparkSession, vec: Column,
+      nPlanes: Int, planeOffset: Int = 0): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    call_function("lsh_bits", vec, lit(planeOffset), lit(nPlanes))
   }
 
   /** Brute-force exact top-k cosine neighbors of `queries` within

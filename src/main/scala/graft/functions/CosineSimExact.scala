@@ -189,6 +189,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotFast].getName, "dot_fast"),
       (exprs: Seq[Expression]) => DotFast(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_bits"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LshBits].getName, "lsh_bits"),
+      (exprs: Seq[Expression]) => LshBits(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
     e.injectOptimizerRule(_ => CosinePrefilter)
   }
 }
@@ -219,6 +226,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash60",
       exprs => Hash60(exprs.head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bits",
+      exprs => LshBits(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
       "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(CosinePrefilter))
       spark.experimental.extraOptimizations =

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+/** Random-hyperplane LSH bit string as a native expression: bit p = sign
+  * of the decimal-exact projection of the vector onto ±1 hyperplane
+  * `planeOffset + p`. Semantics are IDENTICAL to the composed
+  * zip_with/aggregate form ([[graft.ext.Similarity.lshSignature]]) and its
+  * DuckDB oracle twin: per-element double product → DECIMAL(30,18)
+  * HALF_UP → exact sum → `>= 0`.
+  *
+  * Why native: the composed form evaluates an interpreted lambda and
+  * allocates a Decimal per (plane × element) — 24 planes × 64 dims is
+  * ~1.5k interpreted closures per row. This eval walks the array buffer
+  * in plain JVM loops with the sign table resolved once per executor.
+  * The sign table derives from the same driver-side md5 scheme
+  * ([[graft.ext.Similarity.planeSignJava]]), so the bits stay replayable
+  * in the oracle.
+  */
+case class LshBits(child: Expression, planeOffset: Int, nPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bits expects array<float|double>, got ${t.catalogString}")
+    }
+
+  private lazy val isDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true; case _ => false
+  }
+
+  @transient private lazy val signs: Array[Array[Double]] =
+    Array.tabulate(nPlanes, LshBits.MaxDim) { (p, d) =>
+      graft.ext.Similarity.planeSignJava(planeOffset + p, d)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), LshBits.MaxDim)
+    val sb = new java.lang.StringBuilder(nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      val row = signs(p)
+      var acc = JBigDecimal.ZERO
+      var d = 0
+      while (d < n) {
+        val x = if (isDouble) a.getDouble(d) else a.getFloat(d).toDouble
+        acc = acc.add(new JBigDecimal(x * row(d)).setScale(18, RoundingMode.HALF_UP))
+        d += 1
+      }
+      sb.append(if (acc.signum() >= 0) '1' else '0')
+      p += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "lsh_bits"
+}
+
+object LshBits {
+  /** Sign-table width; matches [[graft.ext.Similarity.lshSignature]]'s
+    * `maxDim` default. */
+  val MaxDim = 256
+}

@@ -100,29 +100,113 @@ object SimilarityQueries {
         import s.implicits._
         Tables.embeddings(s, dir)
           .select($"vec_id",
-            Similarity.lshSignature($"embedding", nPlanes = 12).as("signature"))
+            Similarity.lshSignatureFast(s, $"embedding", nPlanes = 12)
+              .as("signature"))
           .groupBy($"signature")
           .agg(count(lit(1)).as("n_vectors"), min($"vec_id").as("min_vec_id"))
       },
       Some {
-        val nPlanes = 12
-        val planeSums = (0 until nPlanes).map { p =>
-          s"""CASE WHEN SUM(CAST(CAST(e[i] AS DOUBLE) *
-             | (CASE WHEN ('0x' || substr(md5('plane$p:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
-             |  THEN 1.0 ELSE -1.0 END) AS DECIMAL(30,18))) >= 0 THEN '1' ELSE '0' END AS b$p""".stripMargin
-        }.mkString(",\n    ")
-        val sig = (0 until nPlanes).map(p => s"b$p").mkString(" || ")
+        val sig = (0 until 12).map(p => s"b$p").mkString(" || ")
         s"""WITH terms AS (
         |  SELECT vec_id, embedding AS e,
         |    unnest(generate_series(1, len(embedding))) AS i
         |  FROM embeddings),
         |bits AS (
         |  SELECT vec_id,
-        |    $planeSums
+        |    ${planeBitsSql(12)}
         |  FROM terms GROUP BY 1),
         |sigs AS (SELECT vec_id, $sig AS signature FROM bits)
         |SELECT signature, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
         |FROM sigs GROUP BY 1""".stripMargin
+      }),
+
+    // ── GLOBAL embedding near-dup — the scale path that removes q41's
+    //    label-blocking: L=3 hyperplane-LSH tables of 8 planes each;
+    //    candidates = any shared (table, bucket), a plain keyed equi-join
+    //    (the OR-of-tables construction recovers recall a single signature
+    //    loses); exact decimal rescore only on the candidate set,
+    //    pairs-first (embeddings joined back to ids, never carried through
+    //    the explode). No label column needed — this is how the pairwise
+    //    stage survives a label whose block explodes.
+    QueryDef(
+      "q61_lsh_near_dup",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.cosineSimExact
+        val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        val tables = (0 until LshTables).map { t =>
+          struct(lit(t).as("table_id"),
+            Similarity.lshSignatureFast(s, $"embedding", LshTablePlanes,
+              planeOffset = t * LshTablePlanes).as("bucket"))
+        }
+        val bands = e
+          .select($"vec_id", explode(array(tables: _*)).as("band"))
+          .select($"vec_id", $"band.table_id", $"band.bucket")
+        val cand = bands.select($"vec_id".as("vec_a"), $"table_id", $"bucket")
+          .join(bands.select($"vec_id".as("vec_b"), $"table_id", $"bucket"),
+            Seq("table_id", "bucket"))
+          .where($"vec_a" < $"vec_b")
+          .select($"vec_a", $"vec_b").distinct()
+        cand
+          .join(e.select($"vec_id".as("vec_a"), $"embedding".as("ea")), "vec_a")
+          .join(e.select($"vec_id".as("vec_b"), $"embedding".as("eb")), "vec_b")
+          .select($"vec_a", $"vec_b",
+            cosineSimExact($"ea", $"eb").as("cosine_sim"))
+          .where($"cosine_sim" >= 0.4)
+      },
+      Some {
+        val perTable = (0 until LshTables).map { t =>
+          val sig = (t * LshTablePlanes until (t + 1) * LshTablePlanes)
+            .map(p => s"b$p").mkString(" || ")
+          s"SELECT vec_id, $t AS table_id, $sig AS bucket FROM bits"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH terms AS (
+        |  SELECT vec_id, embedding AS e,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |bits AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    ${planeBitsSql(LshTables * LshTablePlanes)}
+        |  FROM terms GROUP BY 1),
+        |bands AS (
+        |  $perTable),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bands a JOIN bands b
+        |    ON a.table_id = b.table_id AND a.bucket = b.bucket
+        |      AND a.vec_id < b.vec_id),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |rterms AS (
+        |  SELECT vec_a, vec_b, a.embedding AS ea, b.embedding AS eb,
+        |    unnest(generate_series(1, len(a.embedding))) AS i
+        |  FROM cand JOIN e a ON vec_a = a.vec_id JOIN e b ON vec_b = b.vec_id),
+        |dots AS (
+        |  SELECT vec_a, vec_b,
+        |    ${dotSql("ea", "eb")} AS dot,
+        |    ${dotSql("ea", "ea")} AS na,
+        |    ${dotSql("eb", "eb")} AS nb
+        |  FROM rterms GROUP BY vec_a, vec_b, ea, eb),
+        |scored AS (
+        |  SELECT vec_a, vec_b,
+        |    ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot / (sqrt(na) * sqrt(nb))
+        |         ELSE 0.0 END, 9) AS cosine_sim
+        |  FROM dots)
+        |SELECT * FROM scored WHERE cosine_sim >= 0.4""".stripMargin
       })
   )
+
+  /** Hash tables × planes-per-table for the multi-table LSH near-dup. */
+  val LshTables = 3
+  val LshTablePlanes = 8
+
+  /** Oracle fragment: one `'1'/'0'` sign bit per hyperplane, matching
+    * [[graft.ext.Similarity.lshSignature]]'s decimal projection exactly.
+    */
+  private def planeBitsSql(nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      s"""CASE WHEN SUM(CAST(CAST(e[i] AS DOUBLE) *
+         | (CASE WHEN ('0x' || substr(md5('plane$p:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+         |  THEN 1.0 ELSE -1.0 END) AS DECIMAL(30,18))) >= 0 THEN '1' ELSE '0' END AS b$p""".stripMargin
+    }.mkString(",\n    ")
 }

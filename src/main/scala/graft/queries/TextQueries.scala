@@ -273,6 +273,77 @@ object TextQueries {
         |  FROM documents)
         |SELECT fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS member_ids
-        |FROM t GROUP BY fp""".stripMargin))
+        |FROM t GROUP BY fp""".stripMargin)),
+
+    // ── END-TO-END corpus curation: the composed preprocessing pass a
+    //    training pipeline actually runs — quality scoring + language ID +
+    //    exact-dedup keeper selection in ONE query. All signals come out of
+    //    a single narrow codegen'd projection (one scan of the corpus);
+    //    the only shuffle is the dedup hash partition on the content
+    //    fingerprint. Filters: keeper only, quality ≥ 0.5, identified
+    //    language. This is the shape that matters at 100 TB: adding a
+    //    signal costs zero extra passes.
+    QueryDef(
+      "q62_curation",
+      (s, dir) => {
+        import s.implicits._
+        val qc = TextAnalysis.qualityColumns($"text").toMap
+        val lc = TextAnalysis.langIdColumns($"text").toMap
+        val enriched = Tables.documents(s, dir).select($"doc_id",
+          qc("quality_score").as("quality_score"),
+          qc("n_tokens").as("n_tokens"),
+          lc("pred_lang").as("pred_lang"),
+          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+        val byFp = Window.partitionBy($"fp")
+        enriched
+          .withColumn("keeper", min($"doc_id").over(byFp))
+          .where($"doc_id" === $"keeper" &&
+            $"quality_score" >= 0.5 && $"pred_lang" =!= "und")
+          .select($"doc_id", $"pred_lang", $"quality_score", $"n_tokens")
+      },
+      Some {
+        val markerSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+          s"CASE WHEN n_tok > 0 THEN CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE) / n_tok ELSE 0.0 END AS score_$lang"
+        }.mkString(",\n    ")
+        s"""WITH t AS (
+        |  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS len,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, fp, toks, len, CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    len - CAST(length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+        |    CAST(len(list_filter(toks, t -> list_contains($stopwordListSql, t))) AS DOUBLE) AS n_stop
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, fp, toks, n_tok, n_tokens,
+        |    least(len / 500.0, 1.0) * 0.4
+        |      + least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.4
+        |      + greatest(1.0 - (CASE WHEN len > 0 THEN n_punct / len ELSE 0.0 END) * 10.0, 0.0) * 0.2
+        |      AS quality_score
+        |  FROM r),
+        |l AS (
+        |  SELECT doc_id,
+        |    $markerSql
+        |  FROM q),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0.0 THEN 'und'
+        |         WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+        |         WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+        |         WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+        |         ELSE 'es' END AS pred_lang
+        |  FROM l),
+        |sel AS (
+        |  SELECT q.doc_id, p.pred_lang, q.quality_score, q.n_tokens,
+        |    MIN(q.doc_id) OVER (PARTITION BY q.fp) AS keeper
+        |  FROM q JOIN p ON q.doc_id = p.doc_id)
+        |SELECT doc_id, pred_lang, quality_score, n_tokens
+        |FROM sel
+        |WHERE doc_id = keeper AND quality_score >= 0.5 AND pred_lang <> 'und'""".stripMargin
+      })
   )
 }

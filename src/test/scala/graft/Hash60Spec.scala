@@ -26,4 +26,26 @@ class Hash60Spec extends SparkSpec {
       assert(fast == TextAnalysis.hash60Java(s), s"java twin for '${s.take(30)}'")
     }
   }
+
+  test("native lsh_bits matches the composed lshSignature bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    // both the offset-0 table and a shifted table (q61's layout)
+    Seq((12, 0), (8, 8), (8, 16)).foreach { case (n, off) =>
+      val cmp = e.select(
+          graft.ext.Similarity.lshSignature($"embedding", n, planeOffset = off)
+            .as("composed"),
+          graft.ext.Similarity.lshSignatureFast(spark, $"embedding", n, off)
+            .as("native"))
+        .where($"composed" =!= $"native")
+      assert(cmp.count() == 0, s"planes=$n offset=$off diverged")
+    }
+    // zero vector: every projection is exactly 0 -> all-ones both ways
+    val z = Seq(Array.fill(8)(0.0f)).toDF("embedding")
+    val zb = z.select(
+      graft.ext.Similarity.lshSignature($"embedding", 4).as("c"),
+      graft.ext.Similarity.lshSignatureFast(spark, $"embedding", 4).as("f"))
+      .as[(String, String)].head()
+    assert(zb == (("1111", "1111")))
+  }
 }
