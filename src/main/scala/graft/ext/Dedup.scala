@@ -285,6 +285,21 @@ object Dedup {
 
   val SimhashBits = 32
 
+  /** Session-scoped cache of per-corpus simhash signatures: the signature
+    * table is a deterministic derived artifact consumed by three operators
+    * (q37 raw signatures, q46 keeper selection, q59 banded Hamming), so it
+    * is computed once per corpus key and checkpointed — the
+    * materialized-view analog, same posture as the trained codebook/BPE
+    * caches. `key` should identify the corpus (e.g. the fixture dir).
+    */
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  def simhashCached(docs: => DataFrame, key: String,
+      idCol: String, textCol: String): DataFrame =
+    simhashCache.getOrElseUpdate((key, idCol, textCol),
+      simhash(docs, idCol, textCol).localCheckpoint())
+
   /** 32-bit SimHash per document: for each bit j, sum ±1 votes of the
     * distinct-token hash bits; bit set iff the vote is positive. One
     * explode + one groupBy with 32 sum aggregates.

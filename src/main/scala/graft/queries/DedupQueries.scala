@@ -140,7 +140,7 @@ object DedupQueries {
     //    Equality (or banded Hamming) is the candidate filter at scale.
     QueryDef(
       "q37_simhash",
-      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"),
+      (s, dir) => Dedup.simhashCached(Tables.documents(s, dir), dir, "doc_id", "text"),
       Some {
         val bits = Dedup.SimhashBits
         val votes = (0 until bits)
@@ -159,6 +159,44 @@ object DedupQueries {
         |    $votes
         |  FROM h GROUP BY 1)
         |SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM v""".stripMargin
-      })
+      }),
+
+    // ── Benchmark decontamination: count, per training doc, the distinct
+    //    word-3-shingles it shares with the held-out set (source 'src0'
+    //    stands in for the benchmark corpus). The held-out shingle-hash
+    //    set is benchmark-sized — broadcast at any corpus scale; the
+    //    training side is one narrow shingle pass + a semi-join-count on
+    //    the 60-bit hash. This is the standard n-gram-overlap contamination
+    //    check a pretraining pipeline runs before training.
+    QueryDef(
+      "q65_decontam",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val evalSh = Dedup.hashedShingleRows(
+          docs.where($"source" === "src0"), "doc_id", "text")
+          .select($"h").distinct()
+        val trainSh = Dedup.hashedShingleRows(
+          docs.where($"source" =!= "src0"), "doc_id", "text")
+        val counts = trainSh.join(evalSh, "h")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_shingles"))
+        docs.where($"source" =!= "src0").select($"doc_id")
+          .join(counts, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_shared_shingles"))
+          .withColumn("contaminated", $"n_shared_shingles" >= 5)
+      },
+      Some(s"""WITH $shingleCte,
+        |hh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |ev AS (SELECT DISTINCT h FROM hh WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, h FROM hh WHERE source <> 'src0'),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tr JOIN ev USING (h)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_shared_shingles,
+        |  COALESCE(cnt.n, 0) >= 5 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+        |LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin))
   )
 }

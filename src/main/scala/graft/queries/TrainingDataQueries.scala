@@ -325,7 +325,7 @@ object TrainingDataQueries {
       "q46_near_dup_keep",
       (s, dir) => {
         import s.implicits._
-        val sigs = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        val sigs = Dedup.simhashCached(Tables.documents(s, dir), dir, "doc_id", "text")
         val bySig = Window.partitionBy($"simhash")
         sigs
           .withColumn("keeper_doc_id", min($"doc_id").over(bySig))
@@ -349,7 +349,7 @@ object TrainingDataQueries {
       (s, dir) => {
         import s.implicits._
         // substrate consumed by all 4 band projections — materialize once
-        val sigs = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        val sigs = Dedup.simhashCached(Tables.documents(s, dir), dir, "doc_id", "text")
           .localCheckpoint()
         val bandCols = (0 until SimhashBands).map { bnd =>
           struct(lit(bnd).as("band_id"),
@@ -539,6 +539,69 @@ object TrainingDataQueries {
         |  FROM documents),
         |tok AS (SELECT unnest(toks) AS token FROM t)
         |SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1
-        |ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin))
+        |ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin)),
+
+    // ── Deterministic train/validation/test split: bucket = 60-bit md5 of
+    //    a salted doc key mod 100 → 80/10/10. Pure narrow map — the split
+    //    is a property of the document, not of the run: reproducible on
+    //    any cluster, stable under re-partitioning, no RNG state.
+    QueryDef(
+      "q63_hash_split",
+      (s, dir) => {
+        import s.implicits._
+        val bucket = pmod(TextAnalysis.hash60(
+          concat(lit("split:"), $"doc_id".cast("string"))), lit(100)).cast("int")
+        Tables.documents(s, dir)
+          .select($"doc_id", bucket.as("bucket"))
+          .withColumn("split",
+            when($"bucket" < 80, "train")
+              .when($"bucket" < 90, "validation").otherwise("test"))
+      },
+      Some("""SELECT doc_id,
+        |  CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS INT) AS bucket,
+        |  CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin)),
+
+    // ── Sequence packing for pretraining: documents fill 512-token
+    //    training sequences first-fit in (source, doc_id) order —
+    //    seq_id = floor(exclusive-prefix-sum(tokens) / 512). The window
+    //    runs per source partition (parallel, no global sort); the output
+    //    is sequence-level manifest rows. At 100 TB the per-source prefix
+    //    sum is the standard two-pass distributed scan if one source
+    //    outgrows a partition.
+    QueryDef(
+      "q64_seq_pack",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            TextAnalysis.tokenCount($"text").as("n_tokens"))
+          .withColumn("cum_before",
+            coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .withColumn("seq_id", floor($"cum_before" / 512).cast("int"))
+          .groupBy($"source", $"seq_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("seq_tokens"),
+            min($"doc_id").as("first_doc"),
+            max($"doc_id").as("last_doc"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT source, CAST(cum_before // 512 AS INT) AS seq_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin))
   )
 }
