@@ -33,8 +33,13 @@ object Bench {
       graft.streaming.EventStream.runToBatch(spark, warm, "bench_warm").count()
     }
     // sorted name order: Map iteration order is arbitrary, and a stable
-    // sequence keeps per-query timings comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // sequence keeps per-query timings comparable across rounds.
+    // SPARK_GRAFT_ONLY=qa,qb limits the run (local iteration aid; the
+    // driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -153,9 +153,11 @@ object TextQueries {
         // lambdas would run interpreted, and a row-level DISTINCT would
         // shuffle the raw substrate. Guard: Spark's sequence() errors when
         // stop < start; sub-3-char docs drop here and re-enter as 'und'
-        // via the final left join. Materialized once for its consumers
-        // (lang counts, doc sizes, profile matches; totals derive from
-        // counts) — cluster analog: persist.
+        // via the final left join. Materialized once for its two remaining
+        // consumers (lang counts, profile matches) — measured: recomputing
+        // the explode per consumer costs ~2× the checkpoint at sf0.1.
+        // Per-doc sizes come from arithmetic and totals derive from counts,
+        // so neither rescans the substrate.
         val tg = docs
           .where(length($"norm") >= 3)
           .select($"doc_id", $"lang",
@@ -177,7 +179,9 @@ object TextQueries {
           .withColumn("rn", row_number().over(byLang))
           .where($"rn" <= 30)
           .select($"p_lang", $"trigram")
-        val sizes = tg.groupBy($"doc_id").agg(count(lit(1)).as("n_tg"))
+        // occurrence count per doc is pure arithmetic — no substrate scan
+        val sizes = docs.where(length($"norm") >= 3)
+          .select($"doc_id", (length($"norm") - 2).cast("long").as("n_tg"))
         val matches = tg.join(broadcast(profile), Seq("trigram"))
           .groupBy($"doc_id", $"p_lang").agg(count(lit(1)).as("m"))
         val byScore = Window.partitionBy($"doc_id")
