@@ -185,4 +185,53 @@ class PropertySpec extends SparkSpec {
       .select(cols.toMap.apply("quality_score").as("q")).as[Double].collect()
     assert(scores.forall(s => s >= 0.0 && s <= 1.0), scores.toSeq.toString)
   }
+
+  test("distributed BPE training matches an in-memory reference trainer") {
+    // plain-Scala BPE: count adjacent pairs weighted by word freq, merge
+    // the (freq DESC, lhs, rhs) winner left-to-right non-overlapping
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    def refTrain(words: Seq[(String, Long)], n: Int)
+        : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+      var ws = words.map { case (w, f) => (w, w.map(_.toString).toVector, f) }
+      val out = Seq.newBuilder[(String, String, Long)]
+      var step = 0
+      var done = false
+      while (step < n && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        for ((_, syms, f) <- ws; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) += f
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.head
+          out += ((l, r, c))
+          ws = ws.map { case (w, syms, f) => (w, applyMerge(syms, l, r), f) }
+          step += 1
+        }
+      }
+      (out.result(), ws.map { case (w, syms, _) => w -> syms }.toMap)
+    }
+    (1 to 3).foreach { _ =>
+      val words = (1 to 30)
+        .map(_ => (1 to (2 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+        .distinct.map(w => w -> (1L + rnd.nextInt(20)))
+      val (wantMerges, wantSegs) = refTrain(words, 8)
+      val (gotMerges, gotSegDf) =
+        graft.ext.Bpe.trainMerges(words.toDF("token", "freq"), 8)
+      assert(gotMerges.map(m => (m.lhs, m.rhs, m.freq)) == wantMerges)
+      val gotSegs = gotSegDf
+        .select($"token", graft.ext.Bpe.symbols($"enc"))
+        .as[(String, Seq[String])].collect().toMap
+      assert(gotSegs.view.mapValues(_.toVector).toMap == wantSegs)
+    }
+  }
 }
