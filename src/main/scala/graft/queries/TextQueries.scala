@@ -279,6 +279,45 @@ object TextQueries {
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS member_ids
         |FROM t GROUP BY fp""".stripMargin)),
 
+    // ── Within-document repetition (the Gopher-style boilerplate signal):
+    //    occupancy of the most frequent word bigram. One narrow bigram
+    //    explode + two keyed aggregations, both partial-agg'd map-side —
+    //    per-doc work is linear in tokens, no cross-document anything.
+    QueryDef(
+      "q66_repetition",
+      (s, dir) => {
+        import s.implicits._
+        val w = TextAnalysis.tokens($"text")
+        Tables.documents(s, dir)
+          .select($"doc_id", w.as("w"))
+          .where(size($"w") >= 2)
+          .select($"doc_id",
+            explode(transform(sequence(lit(1), size($"w") - 1), i =>
+              concat_ws(" ", element_at($"w", i), element_at($"w", i + 1))))
+              .as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(max($"c").as("top_bigram_count"), sum($"c").as("n_bigrams"))
+          .select($"doc_id", $"top_bigram_count", $"n_bigrams",
+            ($"top_bigram_count".cast("double") / $"n_bigrams".cast("double"))
+              .as("top_bigram_ratio"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+        |  FROM (SELECT doc_id, w,
+        |      unnest(generate_series(1, len(w) - 1)) AS i
+        |    FROM t WHERE len(w) >= 2)),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, MAX(c) AS top_bigram_count,
+        |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_ratio
+        |FROM c GROUP BY doc_id""".stripMargin)),
+
     // ── END-TO-END corpus curation: the composed preprocessing pass a
     //    training pipeline actually runs — quality scoring + language ID +
     //    exact-dedup keeper selection in ONE query. All signals come out of

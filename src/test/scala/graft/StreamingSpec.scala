@@ -97,4 +97,28 @@ class StreamingSpec extends SparkSpec {
         abs($"s.total_value" - $"b.total_value") > 1e-9)
     assert(joined.isEmpty)
   }
+
+  test("streaming curation signals match the batch q62 projection") {
+    // the q62 curation signals are a stateless narrow projection, so the
+    // same code runs unchanged as a streaming pipeline in Append mode —
+    // documents arriving as files get scored/filtered with zero state
+    // (the keeper-dedup stage is the streaming dropDuplicates op above)
+    import graft.ext.TextAnalysis
+    val ddir = Files.createTempDirectory("graft_docs_stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.mode("overwrite").parquet(ddir)
+    val schema = spark.read.parquet(ddir).schema
+    val qc = TextAnalysis.qualityColumns($"text").toMap
+    val lc = TextAnalysis.langIdColumns($"text").toMap
+    def project(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", qc("quality_score").as("quality_score"),
+        lc("pred_lang").as("pred_lang"))
+      .where($"quality_score" >= 0.5 && $"pred_lang" =!= "und")
+    val streamed = EventStream.runToBatch(spark,
+      project(spark.readStream.schema(schema).parquet(ddir)),
+      "curation_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = project(spark.read.parquet(ddir))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
