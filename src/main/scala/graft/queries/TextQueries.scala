@@ -318,6 +318,34 @@ object TextQueries {
         |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_ratio
         |FROM c GROUP BY doc_id""".stripMargin)),
 
+    // ── Per-source vocabulary richness: type/token counts and the
+    //    type-token ratio — the corpus-diversity stat a data-mixing step
+    //    reads per source. countDistinct is Spark's two-phase exact
+    //    distinct (partial dedup map-side, one shuffle on (source, token)).
+    QueryDef(
+      "q67_source_vocab",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"source", explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"source")
+          .agg(countDistinct($"token").as("n_types"),
+            count(lit(1)).as("n_tokens"))
+          .select($"source", $"n_types", $"n_tokens",
+            ($"n_types".cast("double") / $"n_tokens".cast("double"))
+              .as("type_token_ratio"))
+      },
+      Some("""WITH t AS (
+        |  SELECT source,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |           ELSE string_split_regex(lower(trim(text)), '\s+') END) AS token
+        |  FROM documents)
+        |SELECT source, COUNT(DISTINCT token) AS n_types,
+        |  COUNT(*) AS n_tokens,
+        |  CAST(COUNT(DISTINCT token) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS type_token_ratio
+        |FROM t GROUP BY source""".stripMargin)),
+
     // ── END-TO-END corpus curation: the composed preprocessing pass a
     //    training pipeline actually runs — quality scoring + language ID +
     //    exact-dedup keeper selection in ONE query. All signals come out of
