@@ -49,6 +49,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q63 hash split is a pure narrow map — zero exchanges") {
+    val p = planOf("q63_hash_split")
+    assert(!p.contains("Exchange"), p.take(800))
+  }
+
+  test("q62 curation is one scan + one shuffle (the fp hash partition)") {
+    val p = planOf("q62_curation")
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q64 packing never range-partitions (no global sort)") {
+    val p = planOf("q64_seq_pack")
+    assert(!p.contains("rangepartitioning"), p.take(1200))
+  }
+
   test("candidatePairs plan carries the bucket-size cap (agg + filter)") {
     // q36's visible plan starts at its checkpointed pairs, so assert the
     // cap on the candidatePairs subplan directly
