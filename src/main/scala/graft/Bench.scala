@@ -33,21 +33,35 @@ object Bench {
       graft.streaming.EventStream.runToBatch(spark, warm, "bench_warm").count()
     }
     // sorted name order: Map iteration order is arbitrary, and a stable
-    // sequence keeps per-query timings comparable across rounds.
+    // sequence keeps per-query timings comparable across rounds — EXCEPT
+    // the trainer queries (q56 k-means, q57 BPE), which run first so the
+    // one-time trained-artifact cost is charged to the query that trains
+    // (q56/q57), not to the first cache consumer in sort order (q45/q60).
+    // Totals are unaffected; per-query numbers then mean what they say.
     // SPARK_GRAFT_ONLY=qa,qb limits the run (local iteration aid; the
     // driver never sets it)
+    val trainersFirst = Seq("q56_kmeans_codebook", "q57_bpe_merges")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) =>
+        (if (trainersFirst.contains(name)) trainersFirst.indexOf(name) else trainersFirst.size, name)
+      }
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal per-query floats keep the full line inside the driver's
+    // tail-capture window; the final compact total-only line guarantees a
+    // parsable record even if the per-query line is truncated (BENCH_r03
+    // shipped with "parsed": null because the long line overflowed).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

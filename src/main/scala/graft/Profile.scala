@@ -41,6 +41,17 @@ object Profile {
         .where(col("jaccard") >= 0.5)
       time("jaccardFor")(jac.count())
       time("full q36 again")(SparkEntry.queries("q36_minhash_lsh")(spark, sfDir).count())
+    } else if (args.contains("kmeans")) {
+      // scale probe for the trained codebook beyond the gated k=8/iters=2:
+      // k=64, 3 Lloyd rounds — evidences the "centroid side is k rows by
+      // construction" claim with measured per-round times (PLANS.md)
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val cb = time("kmeans k=64 iters=3")(
+        graft.ext.KMeans.trainCodebook(emb, k = 64, iters = 3,
+          onRound = (r, sec) => println(f"PROFILE   round $r%d: $sec%.3f s")))
+      println(s"PROFILE   codebook rows: ${cb.count()}")
     } else {
       args.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>

@@ -118,9 +118,14 @@ object Dedup {
     */
   def candidatePairs(bands: DataFrame, idCol: String,
       maxBandBucket: Int = 100000): DataFrame = {
+    // bucket_n >= 2: singleton buckets are the vast majority of band keys
+    // in a real corpus and can never produce a pair — dropping them HERE
+    // (in the same partial-agg'd count that enforces the cap) shrinks the
+    // self-join input to just the colliding buckets, typically a small
+    // fraction of the corpus, which AQE can then broadcast
     val keep = bands.groupBy(col("band_id"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") <= maxBandBucket)
+      .where(col("bucket_n") <= maxBandBucket && col("bucket_n") >= 2)
       .select(col("band_id"), col("band_key"))
     val capped = bands.join(keep, Seq("band_id", "band_key"))
     val a = capped.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
@@ -293,12 +298,19 @@ object Dedup {
     * caches. `key` should identify the corpus (e.g. the fixture dir).
     */
   private val simhashCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String, String, String), DataFrame]
 
-  def simhashCached(docs: => DataFrame, key: String,
-      idCol: String, textCol: String): DataFrame =
-    simhashCache.getOrElseUpdate((key, idCol, textCol),
+  def simhashCached(docs: DataFrame, key: String,
+      idCol: String, textCol: String): DataFrame = {
+    // the cached value is a localCheckpoint-backed frame whose blocks live
+    // in one SparkContext's block manager — key on the context identity so
+    // a session restart in the same JVM re-trains instead of handing out
+    // stale handles
+    val app = docs.sparkSession.sparkContext.applicationId
+    simhashCache.getOrElseUpdate((app, key, idCol, textCol),
       simhash(docs, idCol, textCol).localCheckpoint())
+  }
 
   /** 32-bit SimHash per document: for each bit j, sum ±1 votes of the
     * distinct-token hash bits; bit set iff the vote is positive. One

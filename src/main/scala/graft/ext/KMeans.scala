@@ -35,7 +35,8 @@ object KMeans {
     * `n_vectors` is the size of each centroid's final assignment cell.
     * A centroid whose cell empties disappears (both engines agree).
     */
-  def trainCodebook(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  def trainCodebook(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     val s = emb.sparkSession
     graft.functions.GraftFunctions.register(s)
     import graft.functions.GraftFunctions.dotExact
@@ -50,7 +51,8 @@ object KMeans {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("n2").as("cn2"), lit(0L).as("n_vectors"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
+      val t0 = System.nanoTime()
       // centroids are k rows by construction — the one place a hard
       // broadcast hint is safe (bounded by a parameter, not the corpus)
       val scored = e.join(broadcast(cents.select(col("cid"), col("ce"), col("cn2"))))
@@ -71,6 +73,9 @@ object KMeans {
         .withColumn("cn2", dotExact(col("ce"), col("ce")))
         .select(col("cid"), col("ce"), col("cn2"), col("n_vectors"))
         .localCheckpoint()
+      // localCheckpoint is eager, so the round's full work is materialized
+      // here — the callback sees true per-round wall time (scale probe)
+      onRound(r, (System.nanoTime() - t0) / 1e9)
     }
     cents
   }

@@ -48,7 +48,11 @@ case class LshBits(child: Expression, planeOffset: Int, nPlanes: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), LshBits.MaxDim)
+    val n = a.numElements()
+    // explicit error beats silent truncation — matches the composed
+    // lshSignature's refusal to drop dimensions past the sign-table width
+    if (n > LshBits.MaxDim) throw new IllegalArgumentException(
+      s"lsh_bits: vector has $n dims, sign table covers ${LshBits.MaxDim}")
     val sb = new java.lang.StringBuilder(nPlanes)
     var p = 0
     while (p < nPlanes) {
@@ -57,7 +61,12 @@ case class LshBits(child: Expression, planeOffset: Int, nPlanes: Int)
       var d = 0
       while (d < n) {
         val x = if (isDouble) a.getDouble(d) else a.getFloat(d).toDouble
-        acc = acc.add(new JBigDecimal(x * row(d)).setScale(18, RoundingMode.HALF_UP))
+        // valueOf = Double.toString shortest-representation semantics, the
+        // SAME route Spark's double→decimal Cast takes in the composed
+        // form — `new JBigDecimal(double)` (exact binary expansion) can
+        // differ in the ~1e-17 digit and flip a knife-edge sign
+        acc = acc.add(JBigDecimal.valueOf(x * row(d))
+          .setScale(18, RoundingMode.HALF_UP))
         d += 1
       }
       sb.append(if (acc.signum() >= 0) '1' else '0')

@@ -81,10 +81,14 @@ final class Catalog(val spark: SparkSession, val root: String) {
     val bytes = Files.walk(Paths.get(p)).filter(Files.isRegularFile(_))
       .mapToLong(Files.size(_)).sum()
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    // eager localCheckpoint fully materializes BEFORE the overwrite and
-    // cuts lineage — unlike cache(), a lost block fails loudly instead of
-    // recomputing from the path being overwritten (production-scale analog:
-    // write to a staging path and atomically rename)
+    // eager localCheckpoint ONCE up front: it fully materializes the input
+    // before the path is overwritten AND means the (possibly expensive)
+    // source plan is evaluated a single time — the load-count probe and the
+    // staged repartition below both read the materialized blocks. Unlike
+    // cache(), a lost block fails loudly instead of recomputing from the
+    // path being overwritten (production-scale analog: write to a staging
+    // path and atomically rename).
+    val src = df.localCheckpoint()
     if (partitioned) {
       // repartition must follow the table's partitionBy(load_id) layout: a
       // round-robin repartition(nFiles) would give every write task rows of
@@ -93,17 +97,28 @@ final class Catalog(val spark: SparkSession, val root: String) {
       // directory, with `salt` splitting any single load that exceeds the
       // per-file byte budget.
       import org.apache.spark.sql.functions._
-      val nLoads = math.max(1L, df.select("load_id").distinct().count())
+      val nLoads = math.max(1L, src.select("load_id").distinct().count())
       val perLoadFiles =
         math.max(1, math.ceil(bytes.toDouble / nLoads / targetBytes).toInt)
-      val salt = pmod(
-        xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(perLoadFiles))
-      val staged = df
-        .repartition(nFiles, col("load_id"), salt).localCheckpoint()
+      // salt only over hashable column types: xxhash64 rejects map-typed
+      // input, so a map column anywhere in the schema would otherwise break
+      // compaction for the whole table
+      import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+      def hasMap(t: DataType): Boolean = t match {
+        case _: MapType      => true
+        case a: ArrayType    => hasMap(a.elementType)
+        case s: StructType   => s.fields.exists(f => hasMap(f.dataType))
+        case _               => false
+      }
+      val saltCols = src.schema.fields.toIndexedSeq
+        .filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+      val salt =
+        if (saltCols.isEmpty) lit(0L)
+        else pmod(xxhash64(saltCols: _*), lit(perLoadFiles))
+      val staged = src.repartition(nFiles, col("load_id"), salt)
       overwriteBatch(staged, schema, table)
     } else {
-      val staged = df.repartition(nFiles).localCheckpoint()
-      overwrite(staged, schema, table)
+      overwrite(src.repartition(nFiles), schema, table)
     }
     Files.walk(Paths.get(p)).filter(Files.isRegularFile(_))
       .filter(_.getFileName.toString.endsWith(".parquet")).count()

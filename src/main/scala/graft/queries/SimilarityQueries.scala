@@ -134,7 +134,12 @@ object SimilarityQueries {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         import graft.functions.GraftFunctions.cosineSimExact
+        // the embedding scan feeds three consumers (band build + both
+        // rescore joins) and the 24-plane band substrate feeds both sides
+        // of the candidate self-join — materialize each ONCE, matching the
+        // q36 (DedupQueries) / q59 (TrainingDataQueries) substrate posture
         val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+          .localCheckpoint()
         val tables = (0 until LshTables).map { t =>
           struct(lit(t).as("table_id"),
             Similarity.lshSignatureFast(s, $"embedding", LshTablePlanes,
@@ -143,6 +148,7 @@ object SimilarityQueries {
         val bands = e
           .select($"vec_id", explode(array(tables: _*)).as("band"))
           .select($"vec_id", $"band.table_id", $"band.bucket")
+          .localCheckpoint()
         val cand = bands.select($"vec_id".as("vec_a"), $"table_id", $"bucket")
           .join(bands.select($"vec_id".as("vec_b"), $"table_id", $"bucket"),
             Seq("table_id", "bucket"))

@@ -415,6 +415,51 @@ object TextQueries {
         |SELECT doc_id, pred_lang, quality_score, n_tokens
         |FROM sel
         |WHERE doc_id = keeper AND quality_score >= 0.5 AND pred_lang <> 'und'""".stripMargin
-      })
+      }),
+
+    // ── Sketch-based corpus profile — the 100 TB path q29's comment names,
+    //    now gated. Exact percentile/distinct buffer whole groups;
+    //    approx_percentile (Greenwald-Khanna) and approx_count_distinct
+    //    (HyperLogLog++) are mergeable fixed-size sketches that partial-agg
+    //    map-side, which is what high-cardinality profiling must use at
+    //    scale. Sketches aren't bit-replayable across engines, so the gate
+    //    uses exactness-window ASSERTIONS evaluated in-engine: the exact
+    //    per-source stats (n_docs / sum_len / n_distinct_len) hash-compare
+    //    against DuckDB, and the sketch columns are booleans that hold iff
+    //    the sketch landed inside its error window (HLL within
+    //    max(5%, ±2) of the exact distinct count; the GK median's rank
+    //    within [frac_lt ≤ 0.5 ≤ frac_le] — i.e. it IS a valid median
+    //    element). The oracle emits literal TRUE: a drifting sketch fails
+    //    the hash gate loudly.
+    QueryDef(
+      "q68_sketch_profile",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"source", length($"text").as("len"))
+        val sk = docs.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"len").cast("long").as("sum_len"),
+          countDistinct($"len").as("n_distinct_len"),
+          approx_count_distinct($"len", rsd = 0.01).as("_hll"),
+          percentile_approx($"len", lit(0.5), lit(10000)).as("_p50"))
+        val ranked = docs
+          .join(broadcast(sk.select($"source", $"_p50")), "source")
+          .groupBy($"source").agg(
+            (sum(when($"len" <= $"_p50", 1L).otherwise(0L)).cast("double") /
+              count(lit(1))).as("_frac_le"),
+            (sum(when($"len" < $"_p50", 1L).otherwise(0L)).cast("double") /
+              count(lit(1))).as("_frac_lt"))
+        sk.join(ranked, "source").select($"source", $"n_docs", $"sum_len",
+          $"n_distinct_len",
+          (abs($"_hll" - $"n_distinct_len").cast("double") <=
+            greatest($"n_distinct_len" * 0.05, lit(2.0))).as("hll_ok"),
+          ($"_frac_le" >= 0.5 && $"_frac_lt" <= 0.5).as("p50_ok"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        |  CAST(COUNT(DISTINCT length(text)) AS BIGINT) AS n_distinct_len,
+        |  TRUE AS hll_ok, TRUE AS p50_ok
+        |FROM documents GROUP BY source""".stripMargin))
   )
 }

@@ -108,9 +108,10 @@ object TrainingDataQueries {
         |bt$r AS MATERIALIZED (SELECT lhs, rhs, pair_freq FROM bp$r
         |  ORDER BY pair_freq DESC, lhs ASC, rhs ASC LIMIT 1),
         |bw$r AS MATERIALIZED (
-        |  SELECT token, replace(enc, ' ' || lhs || '  ' || rhs || ' ',
-        |    ' ' || lhs || rhs || ' ') AS enc, freq
-        |  FROM bw$p CROSS JOIN bt$r)""".stripMargin
+        |  SELECT token, CASE WHEN lhs IS NULL THEN enc
+        |    ELSE replace(enc, ' ' || lhs || '  ' || rhs || ' ',
+        |      ' ' || lhs || rhs || ' ') END AS enc, freq
+        |  FROM bw$p LEFT JOIN bt$r ON TRUE)""".stripMargin
     }
     // MATERIALIZED: each round references the previous one twice; DuckDB's
     // default CTE inlining would duplicate the subtree per reference —
@@ -174,18 +175,22 @@ object TrainingDataQueries {
     */
   private val bpeCache =
     scala.collection.concurrent.TrieMap
-      .empty[(String, Int), (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame)]
+      .empty[(String, String, Int), (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame)]
   private val codebookCache =
     scala.collection.concurrent.TrieMap
-      .empty[(String, Int, Int), org.apache.spark.sql.DataFrame]
+      .empty[(String, String, Int, Int), org.apache.spark.sql.DataFrame]
+
+  // cache keys include the SparkContext identity: the cached values hold
+  // localCheckpoint-backed frames bound to one context's block manager, so
+  // a session restart in the same JVM must re-train, not reuse stale handles
 
   private def trainedMerges(s: org.apache.spark.sql.SparkSession, dir: String) =
-    bpeCache.getOrElseUpdate((dir, BpeMerges),
+    bpeCache.getOrElseUpdate((s.sparkContext.applicationId, dir, BpeMerges),
       Bpe.trainMerges(letterVocab(s, dir), BpeMerges))
 
   private def trainedCodebook(s: org.apache.spark.sql.SparkSession, dir: String,
       k: Int, iters: Int) =
-    codebookCache.getOrElseUpdate((dir, k, iters), {
+    codebookCache.getOrElseUpdate((s.sparkContext.applicationId, dir, k, iters), {
       import s.implicits._
       KMeans.trainCodebook(
         Tables.embeddings(s, dir).select($"vec_id", $"embedding"), k, iters)

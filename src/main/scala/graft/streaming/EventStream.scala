@@ -144,6 +144,40 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** End-to-end INCREMENTAL corpus curation: the batch q62 pipeline
+    * (quality + language-ID + keeper dedup on the content fingerprint) as
+    * one streaming query. Signal extraction is the same stateless narrow
+    * projection as batch; the keeper stage is a watermarked streaming
+    * dedup — `dropDuplicatesWithinWatermark` keyed on the fingerprint, so
+    * state holds one entry per distinct fp seen inside the lateness window
+    * and the watermark expires older fingerprints (the bounded-state
+    * contract; an unbounded-history dedup would grow forever at 100 TB/day
+    * ingest). Dedup runs BEFORE the quality/language filters, mirroring
+    * q62's keeper-then-filter order. Batch keeps min(doc_id) per fp;
+    * streaming keeps the FIRST ARRIVAL per fp — identical whenever arrival
+    * order is id order (StreamingSpec pins parity that way).
+    *
+    * `docs` must carry an `ingest_ts` timestamp (stamped by the ingestion
+    * layer — the arrival-time analog of the batch ledger's load time).
+    */
+  def curationStream(docs: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    import graft.ext.TextAnalysis
+    val qc = TextAnalysis.qualityColumns(col("text")).toMap
+    val lc = TextAnalysis.langIdColumns(col("text")).toMap
+    docs
+      .select(col("doc_id"), col("ingest_ts"),
+        qc("quality_score").as("quality_score"),
+        qc("n_tokens").as("n_tokens"),
+        lc("pred_lang").as("pred_lang"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .where(col("quality_score") >= 0.5 && col("pred_lang") =!= "und")
+      .select(col("doc_id"), col("pred_lang"), col("quality_score"),
+        col("n_tokens"))
+  }
+
   /** Run a streaming query to completion over currently-available data
     * (memory sink), returning the result — used by tests to assert
     * streaming/batch parity.

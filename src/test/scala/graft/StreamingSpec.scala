@@ -121,4 +121,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming curation with watermarked keeper dedup matches batch q62") {
+    // the originals land as micro-batch 1; byte-identical duplicate docs
+    // (new ids, same text → same fingerprint) arrive an hour later as
+    // micro-batch 2. The watermarked fp-dedup must drop every late
+    // duplicate, leaving EXACTLY the batch q62 output (arrival order = id
+    // order here, so first-arrival keeper = min-doc_id keeper).
+    val ddir = Files.createTempDirectory("graft_cur_dedup").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+    base.withColumn("ingest_ts", t0)
+      .coalesce(1).write.mode("append").parquet(ddir)
+    val firstWave = Files.list(java.nio.file.Paths.get(ddir)).toArray.toSet
+    base.withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("ingest_ts", t0 + expr("INTERVAL 1 HOUR"))
+      .coalesce(1).write.mode("append").parquet(ddir)
+    // deterministic micro-batch order: the file source orders by modTime,
+    // so pin the duplicate wave's files strictly later
+    Files.list(java.nio.file.Paths.get(ddir)).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .foreach { p =>
+        val t = if (firstWave.contains(p)) 1000000000000L else 2000000000000L
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    val schema = spark.read.parquet(ddir).schema
+    val streamed = EventStream.runToBatch(spark,
+      EventStream.curationStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(ddir)),
+      "cur_dedup_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = SparkEntry.queries("q62_curation")(spark, "/root/testdata/sf0.001")
+    assert(streamed.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
