@@ -48,4 +48,18 @@ class Hash60Spec extends SparkSpec {
       .as[(String, String)].head()
     assert(zb == (("1111", "1111")))
   }
+
+  test("lsh_bits rejects vectors wider than the sign table (no silent truncation)") {
+    val wide = Seq(Array.fill(graft.functions.LshBits.MaxDim + 1)(1.0f))
+      .toDF("embedding")
+    val ex = intercept[Exception] {
+      wide.select(graft.ext.Similarity
+        .lshSignatureFast(spark, $"embedding", 4)).collect()
+    }
+    // the root cause surfaces wrapped in Spark's execution exception chain
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("sign table")),
+      ex.toString)
+  }
 }

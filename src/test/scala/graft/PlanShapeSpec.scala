@@ -76,6 +76,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("100000"), p.take(800))
   }
 
+  test("q68 sketches partial-aggregate map-side; join-back stays broadcast") {
+    val p = planOf("q68_sketch_profile")
+    // mergeable-sketch property: HLL/GK run as partial aggregates before
+    // the exchange (bytes per group over the wire, the 100 TB contract)
+    assert(p.contains("partial_approx_count_distinct"), p.take(1200))
+    assert(p.contains("partial_percentile_approx"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("q41's naive exact-cosine threshold gets the rule-injected prefilter") {
     // (q49 uses the same predicate shape but returns eagerly-checkpointed
     // labels, so its visible plan is just the checkpoint scan)
