@@ -197,6 +197,70 @@ object DedupQueries {
         |SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_shared_shingles,
         |  COALESCE(cnt.n, 0) >= 5 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
-        |LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin))
+        |LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin)),
+
+    // ── Passage-level duplication fraction — the repeated-passage filter
+    //    (C4 / RefinedWeb style) at sub-document granularity: documents
+    //    split into non-overlapping 8-word chunks (the line/paragraph
+    //    analog for a corpus without newlines), a chunk instance counts as
+    //    duplicated when its 60-bit hash occurs in MORE THAN ONE distinct
+    //    document, and each doc reports its duplicated-chunk fraction —
+    //    the signal a curation pass thresholds to drop boilerplate-heavy
+    //    docs whole-document dedup can't catch. Scale shape: one bounded
+    //    explode (tokens/8 rows), one keyed two-phase distinct-doc count
+    //    per hash, one keyed join back — never pairwise, never all-pairs.
+    QueryDef(
+      "q70_passage_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+        // stride-8 positions: 1, 9, 17, … — complete chunks only (the
+        // ragged tail carries no repeatable passage); sequence() errors on
+        // stop < start, so sub-8-token docs are guarded out and re-enter
+        // with zero chunks via the final left join
+        val ch = toks.where(size($"w") >= 8)
+          .select($"doc_id",
+            explode(sequence(lit(1), size($"w") - 7, lit(8))).as("i"), $"w")
+          .select($"doc_id",
+            TextAnalysis.hash60Fast(s,
+              concat_ws(" ", slice($"w", $"i", lit(8)))).as("h"))
+        val multi = ch.groupBy($"h")
+          .agg(countDistinct($"doc_id").as("nd"))
+        val per = ch.join(multi, "h")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        Tables.documents(s, dir).select($"doc_id")
+          .join(per, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_chunks", "n_dup_chunks"))
+          .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+            round(when($"n_chunks" > 0,
+              $"n_dup_chunks".cast("double") / $"n_chunks".cast("double"))
+              .otherwise(0.0), 9).as("dup_frac"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7, 8)) AS i
+        |        FROM t WHERE len(w) >= 8)),
+        |hd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |  FROM ch JOIN hd USING (h) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(per.n_chunks, 0) AS n_chunks,
+        |  COALESCE(per.n_dup_chunks, 0) AS n_dup_chunks,
+        |  ROUND(CASE WHEN COALESCE(per.n_chunks, 0) > 0
+        |    THEN COALESCE(per.n_dup_chunks, 0) * 1.0 / per.n_chunks
+        |    ELSE 0.0 END, 9) AS dup_frac
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin))
   )
 }

@@ -607,6 +607,63 @@ object TrainingDataQueries {
         |SELECT source, CAST(cum_before // 512 AS INT) AS seq_id,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2""".stripMargin))
+        |FROM c GROUP BY 1, 2""".stripMargin)),
+
+    // ── Temperature-weighted source mixing — the data-mixing sampler a
+    //    multilingual/multi-domain pretraining run uses: per-source token
+    //    budgets ∝ t_s^α (α = 0.5 here — upweights small sources the way
+    //    temperature sampling does), turned into a deterministic per-doc
+    //    keep decision via the salted 60-bit hash (the q63 split device,
+    //    so membership is run-independent and resumable). Double math is
+    //    order-pinned (sqrt is correctly-rounded IEEE; the sqrt-sum runs
+    //    in exact decimal; one multiply + one divide in fixed order, then
+    //    round-9) so both engines derive bit-identical rates. Scale shape:
+    //    one narrow token-count pass, a 20-row source agg, a 1-row total,
+    //    rates broadcast back onto the corpus — zero corpus-sized shuffles.
+    QueryDef(
+      "q69_source_mixing",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            TextAnalysis.tokenCount($"text").as("n_tokens"))
+        val src = d.groupBy($"source")
+          .agg(sum($"n_tokens".cast("long")).as("t_s"))
+        val tot = src.agg(
+          sum($"t_s").as("t_total"),
+          sum(sqrt($"t_s".cast("double")).cast("decimal(30,18)"))
+            .as("sqrt_tot"))
+        val rates = src.crossJoin(broadcast(tot))
+          .select($"source",
+            round(least(lit(1.0),
+              (floor($"t_total" * 0.3) *
+                (sqrt($"t_s".cast("double")) / $"sqrt_tot".cast("double"))) /
+                $"t_s".cast("double")), 9).as("sample_rate"))
+        d.join(broadcast(rates), "source")
+          .select($"doc_id", $"source", $"n_tokens", $"sample_rate",
+            (pmod(TextAnalysis.hash60Fast(s,
+              concat($"doc_id".cast("string"), lit(":mix"))), lit(1000000L)) <
+              floor($"sample_rate" * 1000000.0).cast("long")).as("keep"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) END AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS t_s
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(t_s) AS BIGINT) AS t_total,
+        |    SUM(CAST(sqrt(CAST(t_s AS DOUBLE)) AS DECIMAL(30,18))) AS sqrt_tot
+        |  FROM s),
+        |r AS (SELECT source,
+        |    round(least(1.0,
+        |      (floor(t_total * 0.3) *
+        |        (sqrt(CAST(t_s AS DOUBLE)) / CAST(sqrt_tot AS DOUBLE))) /
+        |        CAST(t_s AS DOUBLE)), 9) AS sample_rate
+        |  FROM s CROSS JOIN tot)
+        |SELECT d.doc_id, d.source, d.n_tokens, r.sample_rate,
+        |  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15))::BIGINT
+        |    % 1000000) < CAST(floor(r.sample_rate * 1000000.0) AS BIGINT) AS keep
+        |FROM d JOIN r USING (source)""".stripMargin))
   )
 }
