@@ -460,6 +460,105 @@ object TextQueries {
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
         |  CAST(COUNT(DISTINCT length(text)) AS BIGINT) AS n_distinct_len,
         |  TRUE AS hll_ok, TRUE AS p50_ok
-        |FROM documents GROUP BY source""".stripMargin))
+        |FROM documents GROUP BY source""".stripMargin)),
+
+    // ── Distributed closed-form linear probe — the linear-model quality
+    //    scorer curation pipelines train (fasttext-style linear classifiers
+    //    / regression probes): fit y = b0 + b1·x1 + b2·x2 by ordinary
+    //    least squares SOLVED IN CLOSED FORM from the moment matrix.
+    //    The 100 TB shape: ALL training reduces to one partial-agg'd scan
+    //    producing nine integer moments (features here are ints, so the
+    //    sums are exact bigints — no float order-dependence at any scale);
+    //    the 3×3 normal-equation solve is scalar Cramer arithmetic on the
+    //    broadcast 1-row moment frame, written as the IDENTICAL fixed-order
+    //    expression in both engines; scoring is a broadcast of 3 doubles
+    //    onto a map stage. Probe: predict token count from chars +
+    //    vocabulary size; the residual is the anomaly signal (docs whose
+    //    tokenization deviates from the corpus line).
+    QueryDef(
+      "q71_linear_probe",
+      (s, dir) => {
+        import s.implicits._
+        val f = Tables.documents(s, dir).select($"doc_id",
+          $"n_chars".cast("long").as("x1"),
+          size(array_distinct(TextAnalysis.tokens($"text"))).cast("long").as("x2"),
+          TextAnalysis.tokenCount($"text").cast("long").as("y"))
+        val m = f.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum($"x1").cast("double").as("s1"),
+          sum($"x2").cast("double").as("s2"),
+          sum($"y").cast("double").as("sy"),
+          sum($"x1" * $"x1").cast("double").as("s11"),
+          sum($"x1" * $"x2").cast("double").as("s12"),
+          sum($"x2" * $"x2").cast("double").as("s22"),
+          sum($"x1" * $"y").cast("double").as("s1y"),
+          sum($"x2" * $"y").cast("double").as("s2y"))
+        // Cramer on the symmetric normal matrix [[n,s1,s2],[s1,s11,s12],
+        // [s2,s12,s22]] — minors written once and reused so both engines
+        // evaluate the same operation tree on identical doubles
+        val sol = m.select(
+          (($"s11" * $"s22" - $"s12" * $"s12").as("m00")),
+          (($"s1" * $"s22" - $"s12" * $"s2").as("m01")),
+          (($"s1" * $"s12" - $"s11" * $"s2").as("m02")),
+          $"n", $"s1", $"s2", $"sy", $"s11", $"s12", $"s22", $"s1y", $"s2y")
+          .select(
+            ($"n" * $"m00" - $"s1" * $"m01" + $"s2" * $"m02").as("det"),
+            ($"sy" * $"m00" - $"s1y" * ($"s1" * $"s22" - $"s2" * $"s12") +
+              $"s2y" * ($"s1" * $"s12" - $"s2" * $"s11")).as("det0"),
+            ($"n" * ($"s1y" * $"s22" - $"s12" * $"s2y") -
+              $"sy" * ($"s1" * $"s22" - $"s12" * $"s2") +
+              $"s2" * ($"s1" * $"s2y" - $"s1y" * $"s2")).as("det1"),
+            ($"n" * ($"s11" * $"s2y" - $"s1y" * $"s12") -
+              $"s1" * ($"s1" * $"s2y" - $"s1y" * $"s2") +
+              $"sy" * ($"s1" * $"s12" - $"s11" * $"s2")).as("det2"))
+          .select(($"det0" / $"det").as("b0"), ($"det1" / $"det").as("b1"),
+            ($"det2" / $"det").as("b2"))
+        f.crossJoin(broadcast(sol))
+          .select($"doc_id", $"y".cast("int").as("n_tokens"),
+            round($"b0" + $"b1" * $"x1" + $"b2" * $"x2", 6).as("pred_tokens"),
+            round($"y" - ($"b0" + $"b1" * $"x1" + $"b2" * $"x2"), 6)
+              .as("residual"))
+      },
+      Some("""WITH f AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x1,
+        |    CAST(len(list_distinct(CASE WHEN length(trim(text)) = 0
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(lower(trim(text)), '\s+') END)) AS BIGINT) AS x2,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) END AS y
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(CAST(SUM(x1) AS BIGINT) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(x2) AS BIGINT) AS DOUBLE) AS s2,
+        |    CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+        |    CAST(CAST(SUM(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+        |    CAST(CAST(SUM(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+        |    CAST(CAST(SUM(x1 * y) AS BIGINT) AS DOUBLE) AS s1y,
+        |    CAST(CAST(SUM(x2 * y) AS BIGINT) AS DOUBLE) AS s2y
+        |  FROM f),
+        |mm AS (
+        |  SELECT *, (s11 * s22 - s12 * s12) AS m00,
+        |    (s1 * s22 - s12 * s2) AS m01,
+        |    (s1 * s12 - s11 * s2) AS m02
+        |  FROM m),
+        |d AS (
+        |  SELECT (n * m00 - s1 * m01 + s2 * m02) AS det,
+        |    (sy * m00 - s1y * (s1 * s22 - s2 * s12) +
+        |      s2y * (s1 * s12 - s2 * s11)) AS det0,
+        |    (n * (s1y * s22 - s12 * s2y) -
+        |      sy * (s1 * s22 - s12 * s2) +
+        |      s2 * (s1 * s2y - s1y * s2)) AS det1,
+        |    (n * (s11 * s2y - s1y * s12) -
+        |      s1 * (s1 * s2y - s1y * s2) +
+        |      sy * (s1 * s12 - s11 * s2)) AS det2
+        |  FROM mm),
+        |sol AS (SELECT det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+        |  FROM d)
+        |SELECT f.doc_id, CAST(f.y AS INT) AS n_tokens,
+        |  ROUND(b0 + b1 * f.x1 + b2 * f.x2, 6) AS pred_tokens,
+        |  ROUND(f.y - (b0 + b1 * f.x1 + b2 * f.x2), 6) AS residual
+        |FROM f CROSS JOIN sol""".stripMargin))
   )
 }
