@@ -85,6 +85,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  test("q69 mixing rates broadcast back onto the corpus — no corpus-keyed join shuffle") {
+    val p = planOf("q69_source_mixing")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("q71 probe coefficients broadcast; scoring is a map stage") {
+    val p = planOf("q71_linear_probe")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
   test("q41's naive exact-cosine threshold gets the rule-injected prefilter") {
     // (q49 uses the same predicate shape but returns eagerly-checkpointed
     // labels, so its visible plan is just the checkpoint scan)
