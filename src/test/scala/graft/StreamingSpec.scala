@@ -126,10 +126,15 @@ class StreamingSpec extends SparkSpec {
     // the originals land as micro-batch 1; byte-identical duplicate docs
     // (new ids, same text → same fingerprint) arrive an hour later as
     // micro-batch 2. The watermarked fp-dedup must drop every late
-    // duplicate, leaving EXACTLY the batch q62 output (arrival order = id
-    // order here, so first-arrival keeper = min-doc_id keeper).
+    // duplicate, leaving EXACTLY the batch q62 output. Determinism does
+    // NOT rest on row order: wave 1 is fp-unique (fixture property checked
+    // below), so "which row is kept per key" never arises within a batch —
+    // wave 1 keeps everything, wave 2 is all dropped by state.
     val ddir = Files.createTempDirectory("graft_cur_dedup").toString
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val nFp = base.select(
+      md5(regexp_replace(lower(trim($"text")), "\\s+", " "))).distinct().count()
+    assert(nFp == base.count(), "wave-1 corpus must be fingerprint-unique")
     val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
     base.withColumn("ingest_ts", t0)
       .coalesce(1).write.mode("append").parquet(ddir)
