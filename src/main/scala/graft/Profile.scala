@@ -52,6 +52,10 @@ object Profile {
         graft.ext.KMeans.trainCodebook(emb, k = 64, iters = 3,
           onRound = (r, sec) => println(f"PROFILE   round $r%d: $sec%.3f s")))
       println(s"PROFILE   codebook rows: ${cb.count()}")
+      val cbp = time("kmeans|| init k=64 iters=3")(
+        graft.ext.KMeans.trainCodebookParallel(emb, k = 64, iters = 3,
+          onRound = (r, sec) => println(f"PROFILE   round $r%d: $sec%.3f s")))
+      println(s"PROFILE   codebook|| rows: ${cbp.count()}")
     } else {
       args.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>

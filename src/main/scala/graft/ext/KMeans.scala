@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.QueryDef
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic Lloyd k-means over an embedding column — the codebook
@@ -51,6 +51,18 @@ object KMeans {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("n2").as("cn2"), lit(0L).as("n_vectors"))
       .localCheckpoint()
+    runLloyd(e, cents, iters, onRound)
+  }
+
+  /** The Lloyd loop shared by [[trainCodebook]] (lowest-id init) and
+    * [[trainCodebookParallel]] (k-means‖ init). `e` must carry
+    * (vec_id, embedding: array<double>, n2) and be materialized;
+    * `cents0` must carry (cid, ce, cn2, n_vectors) with k rows.
+    */
+  private def runLloyd(e: DataFrame, cents0: DataFrame, iters: Int,
+      onRound: (Int, Double) => Unit): DataFrame = {
+    import graft.functions.GraftFunctions.dotExact
+    var cents = cents0
     for (r <- 1 to iters) {
       val t0 = System.nanoTime()
       // centroids are k rows by construction — the one place a hard
@@ -78,5 +90,123 @@ object KMeans {
       onRound(r, (System.nanoTime() - t0) / 1e9)
     }
     cents
+  }
+
+  /** PRODUCTION init: deterministic k-means‖ (Bahmani et al., "Scalable
+    * K-Means++", VLDB'12) followed by the same Lloyd loop. Each init round
+    * scores every vector against the current candidate set (broadcast,
+    * bounded by ~2k·rounds) and samples new candidates with probability
+    * ∝ cost — the classic sequential k-means++ pass over the data done in
+    * O(initRounds) distributed scans instead of k. "Random" draws are the
+    * salted 60-bit hash of vec_id, so init is fully deterministic and
+    * re-runs pick identical seeds (the property every other trained
+    * artifact in this repo has). The final reduction — weighting each
+    * candidate by its attracted population and choosing k seeds by
+    * weighted farthest-first traversal — runs driver-side on the
+    * candidate set only (≤ 1 + 2k·initRounds rows: control-plane sized).
+    *
+    * Not in the DuckDB gate: the gate pins the oracle-able lowest-id init
+    * ([[trainCodebook]]); this is the initializer a production deployment
+    * swaps in (KMeansSpec pins determinism, k-row output, and
+    * no-worse-than-baseline quantization cost).
+    */
+  def trainCodebookParallel(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      initRounds: Int = 3,
+      onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions.{dotExact, dotFast}
+    val e = emb
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .withColumn("n2", dotExact(col("embedding"), col("embedding")))
+      .localCheckpoint()
+    // init scoring uses the FAST native dot: seeding quality needs no
+    // bit-exact decimals (nothing here is oracle-gated — the Lloyd rounds
+    // that produce the codebook still run the exact kernel), and the init
+    // cost passes score every vector against up to 1 + 2k·rounds
+    // candidates, which is where the decimal kernel's cost explodes
+    def fastCos(dot: Column, na: Column, nb: Column): Column =
+      when(na > 0.0 && nb > 0.0, dot / (sqrt(na) * sqrt(nb))).otherwise(0.0)
+    def drawHash(salt: String) = TextAnalysis.hash60Fast(s,
+      concat(col("vec_id").cast("string"), lit(salt)))
+    // first center: the deterministic pseudo-random draw (min salted hash)
+    var cand = e
+      .orderBy(drawHash(":kpp-seed").asc, col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("embedding"), col("n2"))
+      .localCheckpoint()
+    val l = 2.0 * k // oversampling factor per round (the paper's ~2k)
+    for (r <- 1 to initRounds) {
+      // cost(x) = 1 - best cosine against current candidates; candidates
+      // are init-bounded so the join side is always broadcastable
+      val cost = e.join(broadcast(cand.select(col("vec_id").as("ccid"),
+          col("embedding").as("ce"), col("n2").as("cn2"))))
+        .select(col("vec_id"),
+          fastCos(dotFast(col("embedding"), col("ce")),
+            col("n2"), col("cn2")).as("sim"))
+        .groupBy(col("vec_id")).agg((lit(1.0) - max(col("sim"))).as("d"))
+      val tot = cost.agg(sum(col("d"))).head().getDouble(0)
+      if (tot > 0) {
+        // sample with p = min(1, l·d/Σd) via the salted-hash uniform; a
+        // point already chosen has d = 0 → p = 0, so no duplicates arise
+        val picked = e.join(cost, "vec_id")
+          .where((pmod(drawHash(s":kpp-$r"), lit(1000000000L)).cast("double")
+            / 1e9) < least(lit(1.0), lit(l) * col("d") / lit(tot)))
+          .select(col("vec_id"), col("embedding"), col("n2"))
+        cand = cand.union(picked).localCheckpoint()
+      }
+    }
+    // weight candidates by attracted population (one bounded-key agg)
+    val attracted = e.join(broadcast(cand.select(col("vec_id").as("ccid"),
+        col("embedding").as("ce"), col("n2").as("cn2"))))
+      .select(col("vec_id"), col("ccid"),
+        fastCos(dotFast(col("embedding"), col("ce")),
+          col("n2"), col("cn2")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("ccid"), struct(col("sim"), -col("ccid"))).as("ccid"))
+      .groupBy(col("ccid")).agg(count(lit(1)).as("w"))
+    val candRows = cand
+      .join(attracted, cand("vec_id") === attracted("ccid"), "left")
+      .select(cand("vec_id"), cand("embedding"), cand("n2"),
+        coalesce(col("w"), lit(0L)).as("w"))
+      .collect() // control-plane sized: ≤ 1 + 2k·initRounds rows
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
+        r.getLong(3)))
+    // driver-side weighted farthest-first traversal picks the k seeds:
+    // deterministic (ties to smallest id), no local k-means randomness
+    def cos(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double =
+      if (na <= 0 || nb <= 0) 0.0
+      else {
+        var d = 0.0; var i = 0
+        while (i < math.min(a.length, b.length)) { d += a(i) * b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double, Long)]
+    if (candRows.nonEmpty) {
+      chosen += candRows.maxBy(c => (c._4, -c._1))
+      while (chosen.size < k && chosen.size < candRows.length) {
+        val next = candRows.filterNot(c => chosen.exists(_._1 == c._1))
+          .maxBy { c =>
+            val nearest = chosen.map(ch => cos(c._2, c._3, ch._2, ch._3)).max
+            (c._4.toDouble * (1.0 - nearest), -c._1.toDouble)
+          }
+        chosen += next
+      }
+    }
+    // degenerate corpora can yield < k candidates — complete from the
+    // lowest ids not already chosen (the baseline init), never fail
+    if (chosen.size < k) {
+      val have = chosen.map(_._1).toSet
+      e.orderBy(col("vec_id")).limit(k + chosen.size).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2), 0L))
+        .filterNot(c => have.contains(c._1)).take(k - chosen.size)
+        .foreach(chosen += _)
+    }
+    import s.implicits._
+    val cents0 = chosen.toSeq
+      .map(c => (c._1, c._2.toSeq, c._3, 0L))
+      .toDF("cid", "ce", "cn2", "n_vectors")
+      .localCheckpoint()
+    runLloyd(e, cents0, iters, onRound)
   }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ext.{KMeans, Similarity}
+import org.apache.spark.sql.functions._
+
+/** k-means‖ initializer: deterministic, k-row output, and a quantization
+  * cost no worse than the oracle-able lowest-id baseline init.
+  */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = Tables.embeddings(spark, dir)
+    .select($"vec_id", $"embedding")
+
+  /** Mean (1 - best cosine) of every vector against its nearest centroid —
+    * the quantization cost a better init should not worsen.
+    */
+  private def cost(cb: org.apache.spark.sql.DataFrame): Double = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.dotExact
+    val e = emb
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("n2", dotExact($"v", $"v"))
+    e.join(broadcast(cb.select($"cid", $"ce", $"cn2")))
+      .select($"vec_id",
+        Similarity.cosine(dotExact($"v", $"ce"), $"n2", $"cn2").as("sim"))
+      .groupBy($"vec_id").agg(max($"sim").as("best"))
+      .agg(avg(lit(1.0) - $"best")).head().getDouble(0)
+  }
+
+  test("k-means|| init is deterministic and yields exactly k centroids") {
+    val a = KMeans.trainCodebookParallel(emb, k = 8, iters = 1, initRounds = 2)
+    val b = KMeans.trainCodebookParallel(emb, k = 8, iters = 1, initRounds = 2)
+    assert(a.count() == 8, s"expected 8 centroids, got ${a.count()}")
+    val sa = a.select($"cid", $"ce").orderBy($"cid").collect().toSeq
+    val sb = b.select($"cid", $"ce").orderBy($"cid").collect().toSeq
+    assert(sa == sb, "re-run diverged — init draws must be hash-deterministic")
+  }
+
+  test("k-means|| init quantization cost is competitive with the baseline") {
+    // k-means++-family guarantees are IN EXPECTATION (O(log k)-competitive
+    // with optimal), not pointwise dominance over an arbitrary baseline —
+    // on this near-orthogonal fixture the two inits land within a hair of
+    // each other, so the pin is a 5% competitiveness band plus the
+    // structural properties (k rows, determinism) the production claim
+    // actually rests on
+    val base = KMeans.trainCodebook(emb, k = 8, iters = 1)
+    val par = KMeans.trainCodebookParallel(emb, k = 8, iters = 1, initRounds = 2)
+    val (cb, cp) = (cost(base), cost(par))
+    assert(cp <= cb * 1.05, s"parallel init cost $cp vs baseline $cb")
+  }
+}
