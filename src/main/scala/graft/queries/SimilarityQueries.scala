@@ -199,7 +199,59 @@ object SimilarityQueries {
         |         ELSE 0.0 END, 9) AS cosine_sim
         |  FROM dots)
         |SELECT * FROM scored WHERE cosine_sim >= 0.4""".stripMargin
-      })
+      }),
+
+    // ── Hybrid retrieval — the RAG-serving pattern: a LEXICAL gate
+    //    (keyword containment over the documents table) prunes the
+    //    candidate set, then the vector side reranks only the survivors by
+    //    exact cosine top-k. The embedding join is a keyed equi-join on
+    //    the shared id, the lexical filter is a narrow scan-side
+    //    predicate, and the rerank inherits q40's broadcast-queries /
+    //    streaming-candidates shape — so the expensive kernel runs on the
+    //    filtered subset only. At 100 TB the lexical gate is an index or
+    //    pushed-down predicate and the rerank path is unchanged.
+    QueryDef(
+      "q72_hybrid_search",
+      (s, dir) => {
+        import s.implicits._
+        val lex = Tables.documents(s, dir)
+          .where(array_contains(
+            graft.ext.TextAnalysis.tokens($"text"), "spark"))
+          .select($"doc_id")
+        val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        val cands = e.join(lex, e("vec_id") === lex("doc_id"))
+          .select($"vec_id".as("id"), $"embedding")
+        Similarity.bruteForceTopK(
+          e.where($"vec_id" < 5).select($"vec_id".as("id"), $"embedding"),
+          cands, k = 10)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |lex AS (SELECT doc_id FROM documents
+        |  WHERE list_contains(CASE WHEN length(trim(text)) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(lower(trim(text)), '\\s+') END, 'spark')),
+        |c AS (SELECT vec_id AS cid, embedding AS ce
+        |  FROM embeddings JOIN lex ON vec_id = doc_id),
+        |terms AS (
+        |  SELECT qid, cid, qe, ce, unnest(generate_series(1, len(qe))) AS i
+        |  FROM q CROSS JOIN c WHERE qid <> cid),
+        |dots AS (
+        |  SELECT qid, cid,
+        |    ${dotSql("qe", "ce")} AS dot,
+        |    ${dotSql("qe", "qe")} AS qn2,
+        |    ${dotSql("ce", "ce")} AS cn2
+        |  FROM terms GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid AS query_id, cid AS cand_id,
+        |    ROUND(CASE WHEN qn2 > 0 AND cn2 > 0 THEN dot / (sqrt(qn2) * sqrt(cn2))
+        |         ELSE 0.0 END, 9) AS cosine_sim
+        |  FROM dots)
+        |SELECT query_id, cand_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine_sim DESC, cand_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin)
+    )
   )
 
   /** Hash tables × planes-per-table for the multi-table LSH near-dup. */
