@@ -32,6 +32,20 @@ object Bench {
         .groupBy(window(col("ts"), "1 hour")).agg(sum(col("v")).as("s"))
       graft.streaming.EventStream.runToBatch(spark, warm, "bench_warm").count()
     }
+    // absorb generic whole-stage-codegen + shuffle-stage cold start (agg,
+    // window, join compile paths) so the FIRST timed queries don't — with
+    // trainers moved to the front of the sequence they would otherwise
+    // soak up startup cost that belongs to no query
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val t = spark.range(100).select(col("id"), (col("id") % 5).as("k"))
+      t.groupBy(col("k")).agg(sum(col("id")).as("s"))
+        .join(t, "k")
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("k")).orderBy(col("id"))))
+        .where(col("rn") <= 3).count()
+    }
     // sorted name order: Map iteration order is arbitrary, and a stable
     // sequence keeps per-query timings comparable across rounds — EXCEPT
     // the trainer queries (q56 k-means, q57 BPE), which run first so the

@@ -438,15 +438,21 @@ object TextQueries {
         val docs = Tables.documents(s, dir)
           .select($"source", length($"text").as("len"))
         // the 20-row sketch aggregate feeds the rank-check join AND the
-        // final assertion join — materialize once or the whole corpus
-        // sketch pass runs per consumer
+        // final assertion join, so the sketch pass evaluates twice — and
+        // that is the CHEAPER option: an eager localCheckpoint here
+        // measured 5x slower end-to-end (0.7s → 3s+ steady-state at
+        // sf0.1), because it splits one pipelined job into three and
+        // serializes the 2^18-register HLL buffers through the block
+        // manager, while each duplicate agg pass is a sub-second scan.
+        // (Contrast with q61/q36, where the duplicated subplan is the
+        // expensive substrate itself — materialize-vs-recompute is a
+        // measured call per query, not a blanket rule.)
         val sk = docs.groupBy($"source").agg(
           count(lit(1)).as("n_docs"),
           sum($"len").cast("long").as("sum_len"),
           countDistinct($"len").as("n_distinct_len"),
           approx_count_distinct($"len", rsd = 0.01).as("_hll"),
           percentile_approx($"len", lit(0.5), lit(10000)).as("_p50"))
-          .localCheckpoint()
         val ranked = docs
           .join(broadcast(sk.select($"source", $"_p50")), "source")
           .groupBy($"source").agg(

@@ -79,9 +79,8 @@ class PlanShapeSpec extends SparkSpec {
   test("q68 sketches partial-aggregate map-side; join-back stays broadcast") {
     val p = planOf("q68_sketch_profile")
     assert(!p.contains("SortMergeJoin"), p.take(1200))
-    // mergeable-sketch property asserted on the sketch subplan directly:
-    // q68 checkpoints the 20-row aggregate, so the full query's visible
-    // plan starts at the checkpoint scan
+    // mergeable-sketch property asserted on the sketch subplan directly
+    // (robust to whether the full query materializes the aggregate)
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
