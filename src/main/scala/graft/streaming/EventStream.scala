@@ -144,6 +144,18 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join — the standard streaming dimension
+    * join: each micro-batch equi-joins a STATIC (batch) dimension frame
+    * with no state at all (the dimension is re-planned per batch, so a
+    * dimension refresh between batches is picked up automatically). At
+    * scale the dimension side is broadcast; the stream side never
+    * shuffles for the join. Inner join keeps watermark semantics intact
+    * for any downstream windowed aggregation.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "inner")
+
   /** End-to-end INCREMENTAL corpus curation: the batch q62 pipeline
     * (quality + language-ID + keeper dedup on the content fingerprint) as
     * one streaming query. Signal extraction is the same stateless narrow

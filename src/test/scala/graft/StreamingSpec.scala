@@ -122,6 +122,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static dimension join matches the batch join + rollup") {
+    // classify each event via a static dimension on event_type, then run
+    // the watermarked hourly rollup per category — the join itself is
+    // stateless (dimension re-planned per micro-batch, broadcast side)
+    val dim = spark.read.parquet(dir).select($"event_type").distinct()
+      .withColumn("category",
+        when(length($"event_type") % 2 === 0, lit("even")).otherwise(lit("odd")))
+      .localCheckpoint()
+    // decimal sum: addition order differs between micro-batched and batch
+    // execution, so a double sum over the (large) per-category groups
+    // could diverge by ulps — the decimal cast makes the sum associative
+    def rollup(enriched: org.apache.spark.sql.DataFrame) = enriched
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"), $"category")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(28,10)")).as("total_value"))
+      .select($"window.start".as("hour_ts"), $"category", $"n_events",
+        $"total_value")
+    val streamed = EventStream.runToBatch(spark,
+      rollup(EventStream.enrichWithDim(
+        EventStream.readStream(spark, dir), dim, "event_type")),
+      "dimjoin_out")
+    val batch = rollup(spark.read.parquet(dir).join(dim, Seq("event_type")))
+    assert(streamed.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming curation with watermarked keeper dedup matches batch q62") {
     // the originals land as micro-batch 1; byte-identical duplicate docs
     // (new ids, same text → same fingerprint) arrive an hour later as
