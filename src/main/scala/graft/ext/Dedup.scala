@@ -288,6 +288,48 @@ object Dedup {
     members.union(roots)
   }
 
+  /** Passage-level duplication stats (q70 — the C4/RefinedWeb repeated-
+    * passage filter at sub-document granularity): documents split into
+    * non-overlapping `chunkWords`-word chunks; a chunk instance counts as
+    * duplicated when its 60-bit hash occurs in MORE THAN ONE distinct
+    * document. Returns one row per input doc:
+    * (idCol, n_chunks, n_dup_chunks, dup_frac).
+    *
+    * Scale shape: one bounded explode (tokens/chunkWords rows,
+    * checkpointed — it feeds the multi-doc count AND the join back), one
+    * keyed two-phase distinct-doc count per hash, one keyed join back —
+    * never pairwise.
+    */
+  def passageDupStats(docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+    // stride positions 1, 1+cw, … — complete chunks only (the ragged tail
+    // carries no repeatable passage); sequence() errors on stop < start,
+    // so short docs are guarded out and re-enter with zero chunks below
+    val ch = toks.where(size(col("w")) >= chunkWords)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("w")) - (chunkWords - 1),
+          lit(chunkWords))).as("i"), col("w"))
+      .select(col(idCol),
+        TextAnalysis.hash60Fast(s,
+          concat_ws(" ", slice(col("w"), col("i"), lit(chunkWords)))).as("h"))
+      .localCheckpoint()
+    val multi = ch.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+    val per = ch.join(multi, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_chunks", "n_dup_chunks"))
+      .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
+        round(when(col("n_chunks") > 0,
+          col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+          .otherwise(0.0), 9).as("dup_frac"))
+  }
+
   val SimhashBits = 32
 
   /** Session-scoped cache of per-corpus simhash signatures: the signature

@@ -211,38 +211,8 @@ object DedupQueries {
     //    per hash, one keyed join back — never pairwise, never all-pairs.
     QueryDef(
       "q70_passage_dedup",
-      (s, dir) => {
-        import s.implicits._
-        val toks = Tables.documents(s, dir)
-          .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
-        // stride-8 positions: 1, 9, 17, … — complete chunks only (the
-        // ragged tail carries no repeatable passage); sequence() errors on
-        // stop < start, so sub-8-token docs are guarded out and re-enter
-        // with zero chunks via the final left join
-        // the chunk-hash substrate (a regex split + one md5 per 8 tokens)
-        // feeds the multi-doc count AND the join back — materialize once,
-        // the q36/q59/q61 substrate posture
-        val ch = toks.where(size($"w") >= 8)
-          .select($"doc_id",
-            explode(sequence(lit(1), size($"w") - 7, lit(8))).as("i"), $"w")
-          .select($"doc_id",
-            TextAnalysis.hash60Fast(s,
-              concat_ws(" ", slice($"w", $"i", lit(8)))).as("h"))
-          .localCheckpoint()
-        val multi = ch.groupBy($"h")
-          .agg(countDistinct($"doc_id").as("nd"))
-        val per = ch.join(multi, "h")
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
-        Tables.documents(s, dir).select($"doc_id")
-          .join(per, Seq("doc_id"), "left")
-          .na.fill(0L, Seq("n_chunks", "n_dup_chunks"))
-          .select($"doc_id", $"n_chunks", $"n_dup_chunks",
-            round(when($"n_chunks" > 0,
-              $"n_dup_chunks".cast("double") / $"n_chunks".cast("double"))
-              .otherwise(0.0), 9).as("dup_frac"))
-      },
+      (s, dir) =>
+        Dedup.passageDupStats(Tables.documents(s, dir), "doc_id", "text"),
       Some("""WITH t AS (
         |  SELECT doc_id,
         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

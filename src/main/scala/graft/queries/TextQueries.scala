@@ -497,45 +497,9 @@ object TextQueries {
           $"n_chars".cast("long").as("x1"),
           size(array_distinct(TextAnalysis.tokens($"text"))).cast("long").as("x2"),
           TextAnalysis.tokenCount($"text").cast("long").as("y"))
-        // second-order moments sum as DECIMAL(38,0): per-row products are
-        // long-safe, but their corpus-wide sums pass 2^63 around 10^10 docs
-        // — decimal sums keep "exact at any scale" literally true (ANSI
-        // long-sum would throw there; non-ANSI would silently wrap)
-        val m = f.agg(
-          count(lit(1)).cast("double").as("n"),
-          sum($"x1").cast("double").as("s1"),
-          sum($"x2").cast("double").as("s2"),
-          sum($"y").cast("double").as("sy"),
-          sum(($"x1" * $"x1").cast("decimal(38,0)")).cast("double").as("s11"),
-          sum(($"x1" * $"x2").cast("decimal(38,0)")).cast("double").as("s12"),
-          sum(($"x2" * $"x2").cast("decimal(38,0)")).cast("double").as("s22"),
-          sum(($"x1" * $"y").cast("decimal(38,0)")).cast("double").as("s1y"),
-          sum(($"x2" * $"y").cast("decimal(38,0)")).cast("double").as("s2y"))
-        // Cramer on the symmetric normal matrix [[n,s1,s2],[s1,s11,s12],
-        // [s2,s12,s22]] — minors written once and reused so both engines
-        // evaluate the same operation tree on identical doubles
-        val sol = m.select(
-          (($"s11" * $"s22" - $"s12" * $"s12").as("m00")),
-          (($"s1" * $"s22" - $"s12" * $"s2").as("m01")),
-          (($"s1" * $"s12" - $"s11" * $"s2").as("m02")),
-          $"n", $"s1", $"s2", $"sy", $"s11", $"s12", $"s22", $"s1y", $"s2y")
-          .select(
-            ($"n" * $"m00" - $"s1" * $"m01" + $"s2" * $"m02").as("det"),
-            ($"sy" * $"m00" - $"s1y" * ($"s1" * $"s22" - $"s2" * $"s12") +
-              $"s2y" * ($"s1" * $"s12" - $"s2" * $"s11")).as("det0"),
-            ($"n" * ($"s1y" * $"s22" - $"s12" * $"s2y") -
-              $"sy" * ($"s1" * $"s22" - $"s12" * $"s2") +
-              $"s2" * ($"s1" * $"s2y" - $"s1y" * $"s2")).as("det1"),
-            ($"n" * ($"s11" * $"s2y" - $"s1y" * $"s12") -
-              $"s1" * ($"s1" * $"s2y" - $"s1y" * $"s2") +
-              $"sy" * ($"s1" * $"s12" - $"s11" * $"s2")).as("det2"))
-          .select(($"det0" / $"det").as("b0"), ($"det1" / $"det").as("b1"),
-            ($"det2" / $"det").as("b2"))
-        f.crossJoin(broadcast(sol))
+        graft.ext.LinearProbe.fitAndScore(f)
           .select($"doc_id", $"y".cast("int").as("n_tokens"),
-            round($"b0" + $"b1" * $"x1" + $"b2" * $"x2", 6).as("pred_tokens"),
-            round($"y" - ($"b0" + $"b1" * $"x1" + $"b2" * $"x2"), 6)
-              .as("residual"))
+            $"pred".as("pred_tokens"), $"residual")
       },
       Some("""WITH f AS (
         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x1,

@@ -186,6 +186,57 @@ class PropertySpec extends SparkSpec {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0), scores.toSeq.toString)
   }
 
+  test("passage dedup finds exactly the injected shared chunk") {
+    // docs A and B share one 8-word passage; every other chunk is unique
+    val shared = (1 to 8).map(i => s"shared$i").mkString(" ")
+    def uniq(tag: String, n: Int) =
+      (1 to n * 8).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 2)} $shared"),       // 3 chunks, 1 duplicated
+      (2L, s"$shared ${uniq("b", 3)}"),       // 4 chunks, 1 duplicated
+      (3L, uniq("c", 2)),                     // 2 chunks, none duplicated
+      (4L, "too short")                       // < 8 tokens → zero chunks
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDupStats(docs, "doc_id", "text")
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks", $"dup_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, math.rint(1.0 / 3.0 * 1e9) / 1e9),
+      (2L, 4L, 1L, 0.25),
+      (3L, 2L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)), got.toString)
+  }
+
+  test("linear probe recovers an exactly-linear relationship (zero residuals)") {
+    // y = 7 + 3*x1 - 2*x2 exactly, over integer features: the closed-form
+    // solve must reproduce it and every residual must round to 0
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 200).map { _ =>
+        val x1 = 1L + rnd.nextInt(500); val x2 = 1L + rnd.nextInt(50)
+        (x1, x2, 7L + 3L * x1 - 2L * x2)
+      }
+      val f = rows.toDF("x1", "x2", "y")
+      val scored = graft.ext.LinearProbe.fitAndScore(f)
+      val resid = scored.select($"residual").as[Double].collect()
+      assert(resid.forall(_ == 0.0), resid.filter(_ != 0.0).take(5).toSeq.toString)
+    }
+  }
+
+  test("q69 mixing keeps roughly the token budget (deterministic on fixture)") {
+    // expected kept tokens = Σ_s rate_s · t_s ≈ B = floor(0.3 · total)
+    // (modulo the min(1,·) caps and hash discretization); the salted-hash
+    // draw is deterministic, so this asserts the MATH, not luck
+    val out = SparkEntry.queries("q69_source_mixing")(spark, "/root/testdata/sf0.001")
+    val row = out.agg(
+      sum($"n_tokens".cast("long")).as("total"),
+      sum(when($"keep", $"n_tokens".cast("long")).otherwise(0L)).as("kept"))
+      .head()
+    val (total, kept) = (row.getLong(0), row.getLong(1))
+    val budget = math.floor(total * 0.3)
+    assert(kept > budget * 0.8 && kept < budget * 1.2,
+      s"kept $kept vs budget $budget (total $total)")
+  }
+
   test("distributed BPE training matches an in-memory reference trainer") {
     // plain-Scala BPE: count adjacent pairs weighted by word freq, merge
     // the (freq DESC, lhs, rhs) winner left-to-right non-overlapping
