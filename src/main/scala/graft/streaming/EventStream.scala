@@ -144,6 +144,31 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval self-join — the "followed-by within N
+    * minutes" pattern (funnel/causality analysis): pair each event with
+    * the same user's subsequent events inside the interval. Both sides
+    * carry a watermark and the join condition bounds event time on BOTH
+    * ends, which is exactly what lets Structured Streaming expire join
+    * state: a row can only match partners inside
+    * [l_ts, l_ts + withinMinutes], so state is (lateness + interval)
+    * bounded per user — without the upper bound the state store would
+    * grow forever. Works identically on a batch frame (withWatermark is a
+    * no-op there), which is what the parity test exploits.
+    */
+  def followedBy(events: DataFrame, withinMinutes: Int = 5): DataFrame = {
+    val l = events.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = events.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"),
+        col("r_ts"))
+  }
+
   /** Stream-static enrichment join — the standard streaming dimension
     * join: each micro-batch equi-joins a STATIC (batch) dimension frame
     * with no state at all (the dimension is re-planned per batch, so a

@@ -149,6 +149,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval self-join matches the batch interval join") {
+    val streamed = EventStream.runToBatch(spark,
+      EventStream.followedBy(EventStream.readStream(spark, dir)),
+      "followedby_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = EventStream.followedBy(spark.read.parquet(dir))
+    assert(streamed.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming curation with watermarked keeper dedup matches batch q62") {
     // the originals land as micro-batch 1; byte-identical duplicate docs
     // (new ids, same text → same fingerprint) arrive an hour later as
