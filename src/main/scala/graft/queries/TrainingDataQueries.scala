@@ -671,6 +671,62 @@ object TrainingDataQueries {
         |SELECT d.doc_id, d.source, d.n_tokens, r.sample_rate,
         |  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15))::BIGINT
         |    % 1000000) < CAST(floor(r.sample_rate * 1000000.0) AS BIGINT) AS keep
-        |FROM d JOIN r USING (source)""".stripMargin))
+        |FROM d JOIN r USING (source)""".stripMargin)),
+
+    // ── Per-document keyword extraction: top-5 terms by tf-idf. The idf
+    //    here is the LINEAR variant (N/df, not ln(N/df)) on purpose: ln is
+    //    not IEEE-correctly-rounded and differs by ulps across libm
+    //    implementations, while one integer-derived division and one
+    //    multiplication are bit-deterministic in every engine — the
+    //    ordering this produces is the engine-portable choice, and the
+    //    extraction semantics (rare-across-corpus, frequent-in-doc) are
+    //    unchanged. Scale shape: one token explode → (doc, term) counts
+    //    (one keyed shuffle), term document-frequencies re-aggregated from
+    //    those counts (never a second corpus pass), a keyed join back,
+    //    and a per-doc top-k window on the (small) per-doc term lists.
+    QueryDef(
+      "q73_keywords",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val n = docs.select(count(lit(1)).as("n_docs"))
+        val tf = docs
+          .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint() // feeds df re-agg AND the scoring join
+        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val byDoc = Window.partitionBy($"doc_id")
+          .orderBy($"tfidf".desc, $"term".asc)
+        tf.join(df, "term").crossJoin(broadcast(n))
+          .select($"doc_id", $"term", $"tf", $"df",
+            round($"tf" * ($"n_docs".cast("double") / $"df".cast("double")), 6)
+              .as("tfidf"))
+          .withColumn("rank", row_number().over(byDoc))
+          .where($"rank" <= 5)
+          .select($"doc_id", $"term", $"tf", $"df", $"tfidf",
+            $"rank".cast("int").as("rank"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, unnest(toks) AS term FROM t),
+        |tfc AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tf GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+        |    ROUND(tfc.tf * (CAST(n.n_docs AS DOUBLE) / CAST(dfc.df AS DOUBLE)), 6)
+        |      AS tfidf
+        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin))
   )
 }

@@ -38,6 +38,15 @@ class KMeansSpec extends SparkSpec {
     assert(sa == sb, "re-run diverged — init draws must be hash-deterministic")
   }
 
+  test("k-means|| completes to k centroids even when sampling under-draws") {
+    // 12 vectors, k=8, one init round: the candidate pool can undershoot
+    // k, and the lowest-id completion path must fill the gap instead of
+    // returning a short codebook
+    val tiny = emb.where($"vec_id" < 12)
+    val cb = KMeans.trainCodebookParallel(tiny, k = 8, iters = 1, initRounds = 1)
+    assert(cb.count() == 8, s"expected 8 centroids, got ${cb.count()}")
+  }
+
   test("k-means|| init quantization cost is competitive with the baseline") {
     // k-means++-family guarantees are IN EXPECTATION (O(log k)-competitive
     // with optimal), not pointwise dominance over an arbitrary baseline —
