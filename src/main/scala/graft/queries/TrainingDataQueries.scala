@@ -690,10 +690,13 @@ object TrainingDataQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir)
         val n = docs.select(count(lit(1)).as("n_docs"))
+        // tf feeds the df re-agg AND the scoring join; both consumers sit
+        // over the same groupBy exchange, and A/B-ing a localCheckpoint
+        // here measured as a wash (~1.0s either way at sf0.1) — so no
+        // materialization barrier, keeping the plan one pipelined job
         val tf = docs
           .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
           .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-          .localCheckpoint() // feeds df re-agg AND the scoring join
         val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
         val byDoc = Window.partitionBy($"doc_id")
           .orderBy($"tfidf".desc, $"term".asc)
