@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ext.{Bpe, Dedup, KMeans, TextAnalysis}
+import graft.ext.{Bpe, Dedup, KMeans, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -730,6 +730,91 @@ object TrainingDataQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, term ASC) AS rank
         |  FROM scored)
-        |WHERE rank <= 5""".stripMargin))
+        |WHERE rank <= 5""".stripMargin)),
+
+    // ── SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    //    deduplication that uses the TRAINED k-means codebook as its
+    //    blocking structure — every embedding is assigned to its nearest
+    //    centroid cell (q45's coarse quantizer, identical assignment rule),
+    //    the pairwise exact-cosine kernel runs ONLY within a cell, and a
+    //    vector is dropped when a smaller-id cell-mate scores >= the
+    //    threshold (the q46 min-id keeper convention). Scale shape: the
+    //    cells bound every pairwise step exactly like LSH buckets do in
+    //    q36/q61 — at 100 TB k grows with the corpus (k ~ sqrt(N) cells
+    //    keeps cell populations flat), assignment stays a broadcast-join
+    //    map stage, and no step ever sees corpus × corpus. The assignment
+    //    substrate feeds both sides of the cell self-join plus the output
+    //    projection, so it is materialized once (the q36/q59/q61 posture);
+    //    the CosinePrefilter rule injects the fast-double margin test under
+    //    the exact kernel, so decimal work runs only near the boundary.
+    QueryDef(
+      "q74_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.{cosineSimExact, dotExact}
+        val cents = broadcast(trainedCodebook(s, dir, k = 8, iters = 2)
+          .select($"cid", $"ce", $"cn2"))
+        // float embeddings dot double centroids exactly (float→double is
+        // exact), so the raw column serves assignment AND the pair kernel
+        val scored = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding")
+          .withColumn("n2", dotExact($"embedding", $"embedding"))
+          .join(cents)
+          .select($"vec_id", $"embedding", $"cid",
+            Similarity.cosine(dotExact($"embedding", $"ce"), $"n2", $"cn2")
+              .as("c_sim"))
+        val assign = scored.groupBy($"vec_id")
+          .agg(max_by($"cid", struct($"c_sim", -$"cid")).as("cid"),
+            first($"embedding").as("embedding"))
+          .localCheckpoint()
+        val drops = assign.select($"cid", $"vec_id".as("vec_a"), $"embedding".as("ea"))
+          .join(assign.select($"cid", $"vec_id".as("vec_b"), $"embedding".as("eb")),
+            Seq("cid"))
+          .where($"vec_a" < $"vec_b")
+          .where(cosineSimExact($"ea", $"eb") >= 0.4)
+          .select($"vec_b".as("vec_id")).distinct()
+        assign
+          .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+          .select($"vec_id", $"cid", coalesce($"dropped", lit(false)).as("dropped"))
+      },
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 2)},
+        |sd_terms AS (
+        |  SELECT e.vec_id, e.embedding, c.cid, c.ce,
+        |    unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM e CROSS JOIN km_c2 c),
+        |sd_dots AS (
+        |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
+        |  FROM sd_terms GROUP BY vec_id, embedding, cid, ce),
+        |sd_scored AS (
+        |  SELECT d.vec_id, d.cid,
+        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
+        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS c_sim
+        |  FROM sd_dots d JOIN n2 v ON d.vec_id = v.vec_id
+        |    JOIN km_cn2 c ON d.cid = c.cid),
+        |sd_assign AS MATERIALIZED (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
+        |    FROM sd_scored) WHERE rn = 1),
+        |sd_pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sd_assign a JOIN sd_assign b
+        |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |sd_pterms AS (
+        |  SELECT vec_a, vec_b, pa.embedding AS ea, pb.embedding AS eb,
+        |    unnest(generate_series(1, len(pa.embedding))) AS i
+        |  FROM sd_pairs JOIN e pa ON vec_a = pa.vec_id
+        |    JOIN e pb ON vec_b = pb.vec_id),
+        |sd_pdots AS (
+        |  SELECT vec_a, vec_b, ${dotSql("ea", "eb")} AS dot
+        |  FROM sd_pterms GROUP BY vec_a, vec_b, ea, eb),
+        |sd_drop AS (
+        |  SELECT DISTINCT vec_b FROM sd_pdots p
+        |    JOIN n2 a ON p.vec_a = a.vec_id JOIN n2 b ON p.vec_b = b.vec_id
+        |  WHERE ROUND(CASE WHEN a.n2 > 0 AND b.n2 > 0
+        |    THEN p.dot / (sqrt(a.n2) * sqrt(b.n2)) ELSE 0.0 END, 9) >= 0.4)
+        |SELECT s.vec_id, s.cid, (d.vec_b IS NOT NULL) AS dropped
+        |FROM sd_assign s LEFT JOIN sd_drop d ON s.vec_id = d.vec_b""".stripMargin))
   )
 }
