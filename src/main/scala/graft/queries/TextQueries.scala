@@ -541,6 +541,81 @@ object TextQueries {
         |SELECT f.doc_id, CAST(f.y AS INT) AS n_tokens,
         |  ROUND(b0 + b1 * f.x1 + b2 * f.x2, 6) AS pred_tokens,
         |  ROUND(f.y - (b0 + b1 * f.x1 + b2 * f.x2), 6) AS residual
-        |FROM f CROSS JOIN sol""".stripMargin))
+        |FROM f CROSS JOIN sol""".stripMargin)),
+
+    // ── DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    //    score every raw-pool document by how target-like its hashed
+    //    n-gram feature distribution is. Features are 60-bit-hashed letter
+    //    tokens folded into 1024 buckets; the target pool is source 'src0'
+    //    (the q65 held-out convention). Instead of the paper's log-
+    //    likelihood ratio Σ log(p_t(f)/p_r(f)) — logs are not correctly
+    //    rounded and engine-dependent — each feature carries the INTEGER
+    //    cross-difference w_f = tcount_f·R − rcount_f·T (same sign as the
+    //    ratio test p_t(f) > p_r(f); exact DECIMAL(38,0) at any corpus
+    //    scale), and a doc's score is the exact decimal sum of its token
+    //    weights, converted once to double. Scale shape: the feature table
+    //    is 1024 rows BY CONSTRUCTION (broadcast at any corpus size), the
+    //    totals are a 1-row agg over it, and the corpus sees exactly two
+    //    narrow explode passes (count features, score docs) plus one keyed
+    //    per-doc agg — no corpus-sized join keys beyond doc_id.
+    QueryDef(
+      "q75_dsir_score",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val toks = docs
+          .select($"doc_id", $"source",
+            explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0)))
+              .as("token"))
+          .withColumn("f", pmod(TextAnalysis.hash60Fast(s, $"token"), lit(1024L)))
+          .select($"doc_id", $"source", $"f")
+        val feat = toks.groupBy($"f").agg(
+          sum(when($"source" === "src0", 1L).otherwise(0L)).as("tcount"),
+          sum(when($"source" =!= "src0", 1L).otherwise(0L)).as("rcount"))
+        val tot = feat.agg(
+          sum($"tcount").as("t_total"), sum($"rcount").as("r_total"))
+        val w = feat.crossJoin(broadcast(tot))
+          .select($"f",
+            ($"tcount".cast("decimal(19,0)") * $"r_total".cast("decimal(19,0)") -
+              $"rcount".cast("decimal(19,0)") * $"t_total".cast("decimal(19,0)"))
+              .as("w"))
+        val per = toks.where($"source" =!= "src0")
+          .join(broadcast(w), "f")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum($"w").as("score"))
+        docs.where($"source" =!= "src0").select($"doc_id")
+          .join(per, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+            coalesce($"score".cast("double"), lit(0.0)).as("dsir_score"))
+          .withColumn("target_like", $"dsir_score" > 0.0)
+      },
+      Some("""WITH dt AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 AS f
+        |  FROM dt),
+        |feat AS (
+        |  SELECT f,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tcount,
+        |    CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS rcount
+        |  FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tcount) AS BIGINT) AS t_total,
+        |    CAST(SUM(rcount) AS BIGINT) AS r_total FROM feat),
+        |w AS (SELECT f,
+        |    CAST(tcount AS DECIMAL(19,0)) * CAST(r_total AS DECIMAL(19,0)) -
+        |      CAST(rcount AS DECIMAL(19,0)) * CAST(t_total AS DECIMAL(19,0)) AS w
+        |  FROM feat CROSS JOIN tot),
+        |per AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(w) AS score
+        |  FROM tf JOIN w USING (f) WHERE source <> 'src0' GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens,
+        |  CAST(COALESCE(per.score, 0) AS DOUBLE) AS dsir_score,
+        |  CAST(COALESCE(per.score, 0) AS DOUBLE) > 0.0 AS target_like
+        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+        |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin))
   )
 }
