@@ -330,6 +330,70 @@ object Dedup {
           .otherwise(0.0), 9).as("dup_frac"))
   }
 
+  /** Cross-document duplicated-SPAN coverage — the exact-substring-dedup
+    * signal (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499) at word granularity: every
+    * OVERLAPPING `spanWords`-word window (stride 1, unlike
+    * [[passageDupStats]]' disjoint chunks) is hashed; a window instance is
+    * duplicated when its hash occurs in more than one distinct document;
+    * each doc's duplicated windows become token intervals [i, i+spanWords)
+    * whose UNION (classic sort + running-max-end interval merge, computed
+    * with per-doc windows — no global sort) yields the covered-token count.
+    * Returns (idCol, n_tokens, n_dup_spans, n_dup_tokens, dup_coverage)
+    * where n_dup_spans counts MERGED maximal runs.
+    *
+    * Scale shape: one bounded explode (≈ tokens rows, checkpointed — it
+    * feeds the multi-doc count AND the join back), one keyed two-phase
+    * distinct-doc count per hash, one keyed join back, and per-doc window
+    * functions whose partitions are document-sized. Adjacent runs merge
+    * (prev_end == start): coverage counts tokens, and two abutting
+    * duplicated windows cover a contiguous token run.
+    */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+    val sh = toks.where(size(col("w")) >= spanWords)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("w")) - (spanWords - 1), lit(1)))
+          .as("i"),
+        col("w"))
+      .select(col(idCol), col("i"),
+        TextAnalysis.hash60Fast(s,
+          concat_ws(" ", slice(col("w"), col("i"), lit(spanWords)))).as("h"))
+      .localCheckpoint()
+    val multi = sh.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") > 1)
+    val sp = sh.join(multi, "h")
+      .select(col(idCol), col("i").as("start"),
+        (col("i") + spanWords).as("end"))
+    // interval union: a span opens a new merged run iff no earlier span
+    // (by start order) reaches it — running max of end over preceding rows
+    val order = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    val prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    val run = order.rowsBetween(Window.unboundedPreceding, 0)
+    val merged = sp
+      .withColumn("new_grp",
+        when(coalesce(max(col("end")).over(prev), lit(-1)) >= col("start"), 0L)
+          .otherwise(1L))
+      .withColumn("grp", sum(col("new_grp")).over(run))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+    val per = merged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s")).as("n_dup_tokens"))
+    docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .join(per, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dup_spans", "n_dup_tokens"))
+      .select(col(idCol), col("n_tokens"), col("n_dup_spans"),
+        col("n_dup_tokens"),
+        round(when(col("n_tokens") > 0,
+          col("n_dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(0.0), 9).as("dup_coverage"))
+  }
+
   val SimhashBits = 32
 
   /** Session-scoped cache of per-corpus simhash signatures: the signature

@@ -235,6 +235,63 @@ object DedupQueries {
         |    THEN COALESCE(per.n_dup_chunks, 0) * 1.0 / per.n_chunks
         |    ELSE 0.0 END, 9) AS dup_frac
         |FROM (SELECT doc_id FROM documents) d
-        |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin))
+        |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin)),
+
+    // ── Duplicated-SPAN coverage — q70's passage signal at full stride-1
+    //    resolution (the exact-substring-dedup measurement): every
+    //    overlapping 8-word window is hashed, windows seen in >1 distinct
+    //    doc mark their token interval duplicated, and the per-doc UNION of
+    //    those intervals (sort + running-max-end merge — a per-doc window,
+    //    no global sort) yields the exact duplicated-token count and the
+    //    count of maximal duplicated runs. This is the operator behind
+    //    "drop docs where >X% of tokens are duplicated substrings". See
+    //    [[graft.ext.Dedup.dupSpanCoverage]] for the scale notes.
+    QueryDef(
+      "q76_span_coverage",
+      (s, dir) =>
+        Dedup.dupSpanCoverage(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, i,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        |        FROM t WHERE len(w) >= 8)),
+        |hd AS (SELECT h FROM (
+        |    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+        |  WHERE nd > 1),
+        |sp AS (SELECT doc_id, i AS s_start, i + 8 AS s_end
+        |  FROM sh JOIN hd USING (h)),
+        |g AS (
+        |  SELECT doc_id, s_start, s_end,
+        |    CASE WHEN COALESCE(MAX(s_end) OVER (PARTITION BY doc_id
+        |        ORDER BY s_start
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |        >= s_start
+        |      THEN 0 ELSE 1 END AS new_grp
+        |  FROM sp),
+        |gg AS (
+        |  SELECT doc_id, s_start, s_end,
+        |    SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s_start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM g),
+        |m AS (SELECT doc_id, grp, MIN(s_start) AS s, MAX(s_end) AS e
+        |  FROM gg GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+        |    CAST(SUM(e - s) AS BIGINT) AS n_dup_tokens FROM m GROUP BY 1),
+        |n AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) END
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT n.doc_id, n.n_tokens,
+        |  COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+        |  COALESCE(per.n_dup_tokens, 0) AS n_dup_tokens,
+        |  ROUND(CASE WHEN n.n_tokens > 0
+        |    THEN COALESCE(per.n_dup_tokens, 0) * 1.0 / n.n_tokens
+        |    ELSE 0.0 END, 9) AS dup_coverage
+        |FROM n LEFT JOIN per ON n.doc_id = per.doc_id""".stripMargin))
   )
 }
