@@ -250,8 +250,94 @@ object SimilarityQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cosine_sim DESC, cand_id ASC) AS rank
         |  FROM scored)
-        |WHERE rank <= 10""".stripMargin)
-    )
+        |WHERE rank <= 10""".stripMargin)),
+
+    // ── Reciprocal-rank fusion (Cormack et al., SIGIR'09) over the q72
+    //    hybrid candidates: the lexical list ranks the gated docs by
+    //    keyword term-frequency, the vector list ranks them by exact
+    //    cosine per query, and the fused score is the classic
+    //    1/(k+r_lex) + 1/(k+r_vec) with k = 60. Both addends are single
+    //    correctly-rounded IEEE divisions of integer ranks, so the double
+    //    is bit-identical across engines with no rounding step. Scale
+    //    shape: every ranking window runs over the GATED candidate set
+    //    (bounded by the keyword's document frequency, not the corpus —
+    //    the lexical rank's global window included); the per-query vector
+    //    ranking inherits q40's broadcast-queries / streaming-candidates
+    //    plan. At 100 TB the gate is a pushed-down predicate or inverted
+    //    index and the fusion join stays candidate-sized.
+    QueryDef(
+      "q77_rrf_fusion",
+      (s, dir) => {
+        import s.implicits._
+        val lex = Tables.documents(s, dir)
+          .select($"doc_id",
+            size(filter(graft.ext.TextAnalysis.tokens($"text"),
+              t => t === "spark")).as("tf"))
+          .where($"tf" > 0)
+        val lexRank = lex
+          .withColumn("lex_rank",
+            row_number().over(Window.orderBy($"tf".desc, $"doc_id".asc))
+              .cast("int"))
+        val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        val cands = e.join(lexRank, e("vec_id") === lexRank("doc_id"))
+          .select($"vec_id".as("id"), $"embedding")
+        val vecRank = Similarity.bruteForceTopK(
+          e.where($"vec_id" < 5).select($"vec_id".as("id"), $"embedding"),
+          cands, k = Int.MaxValue)
+          .select($"query_id", $"cand_id", $"rank".cast("int").as("vec_rank"))
+        val byQuery = Window.partitionBy($"query_id")
+          .orderBy($"rrf_score".desc, $"cand_id".asc)
+        vecRank
+          .join(lexRank.select($"doc_id", $"lex_rank"),
+            $"cand_id" === $"doc_id")
+          .select($"query_id", $"cand_id", $"lex_rank", $"vec_rank",
+            (lit(1.0) / ($"lex_rank" + 60) + lit(1.0) / ($"vec_rank" + 60))
+              .as("rrf_score"))
+          .withColumn("fused_rank", row_number().over(byQuery).cast("int"))
+          .where($"fused_rank" <= 10)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |lex AS (
+        |  SELECT doc_id, len(list_filter(CASE WHEN length(trim(text)) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(lower(trim(text)), '\\s+') END,
+        |    x -> x = 'spark')) AS tf
+        |  FROM documents),
+        |lexr AS (SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id ASC) AS INT) AS lex_rank
+        |  FROM lex WHERE tf > 0),
+        |c AS (SELECT vec_id AS cid, embedding AS ce
+        |  FROM embeddings JOIN lexr ON vec_id = doc_id),
+        |terms AS (
+        |  SELECT qid, cid, qe, ce, unnest(generate_series(1, len(qe))) AS i
+        |  FROM q CROSS JOIN c WHERE qid <> cid),
+        |dots AS (
+        |  SELECT qid, cid,
+        |    ${dotSql("qe", "ce")} AS dot,
+        |    ${dotSql("qe", "qe")} AS qn2,
+        |    ${dotSql("ce", "ce")} AS cn2
+        |  FROM terms GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid AS query_id, cid AS cand_id,
+        |    ROUND(CASE WHEN qn2 > 0 AND cn2 > 0 THEN dot / (sqrt(qn2) * sqrt(cn2))
+        |         ELSE 0.0 END, 9) AS cosine_sim
+        |  FROM dots),
+        |vr AS (
+        |  SELECT query_id, cand_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine_sim DESC, cand_id ASC) AS INT) AS vec_rank
+        |  FROM scored),
+        |f AS (
+        |  SELECT query_id, cand_id, lex_rank, vec_rank,
+        |    CAST(1 AS DOUBLE) / (lex_rank + 60) +
+        |      CAST(1 AS DOUBLE) / (vec_rank + 60) AS rrf_score
+        |  FROM vr JOIN lexr ON cand_id = doc_id)
+        |SELECT query_id, cand_id, lex_rank, vec_rank, rrf_score,
+        |  CAST(fr AS INT) AS fused_rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, cand_id ASC) AS fr
+        |  FROM f)
+        |WHERE fr <= 10""".stripMargin))
   )
 
   /** Hash tables × planes-per-table for the multi-table LSH near-dup. */
