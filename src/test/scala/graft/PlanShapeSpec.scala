@@ -123,4 +123,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
     assert(p.contains("HashAggregate"), p.take(800))
   }
+
+  test("q74 semdedup: cell-blocked pairs, rule-injected prefilter, no cartesian") {
+    // the assignment substrate is checkpointed, so the visible plan is the
+    // cell self-join + exact-kernel filter on top of the checkpoint scan
+    val p = planOf("q74_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("dot_fast"), s"missing prefilter: ${p.take(600)}")
+    assert(p.contains("cosine_sim_exact"), "missing exact kernel")
+  }
+
+  test("q75 dsir: the bounded feature table broadcasts onto the token stream") {
+    val p = planOf("q75_dsir_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q76 span coverage: per-doc interval merge, no global range sort") {
+    val p = planOf("q76_span_coverage")
+    assert(!p.contains("rangepartitioning"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q77 rrf fusion: queries broadcast into the rerank, no cartesian") {
+    val p = planOf("q77_rrf_fusion")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }

@@ -207,6 +207,33 @@ class PropertySpec extends SparkSpec {
       (4L, 0L, 0L, 0.0)), got.toString)
   }
 
+  test("span coverage merges overlapping and adjacent duplicated windows") {
+    val run = (1 to 8).map(i => s"s$i").mkString(" ") // an 8-token shared run
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 2)} $run ${uniq("z", 2)}"), // dup window [3,11) of 12
+      (2L, s"$run ${uniq("b", 4)}"),                 // dup window [1,9) of 12
+      (3L, s"$run $run"),              // adjacent [1,9)+[9,17) → one 16-run
+      (4L, s"d1 $run"),                // with doc 5: [1,9)∪[2,10) → one 9-run
+      (5L, s"d1 $run"),
+      (6L, uniq("c", 10)),             // all windows unique
+      (7L, "short")                    // < 8 tokens → no windows
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverage(docs, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"n_dup_spans", $"n_dup_tokens",
+        $"dup_coverage")
+      .as[(Long, Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val twoThirds = math.rint(8.0 / 12.0 * 1e9) / 1e9
+    assert(got == Seq(
+      (1L, 12, 1L, 8L, twoThirds),
+      (2L, 12, 1L, 8L, twoThirds),
+      (3L, 16, 1L, 16L, 1.0),
+      (4L, 9, 1L, 9L, 1.0),
+      (5L, 9, 1L, 9L, 1.0),
+      (6L, 10, 0L, 0L, 0.0),
+      (7L, 1, 0L, 0L, 0.0)), got.toString)
+  }
+
   test("linear probe recovers an exactly-linear relationship (zero residuals)") {
     // y = 7 + 3*x1 - 2*x2 exactly, over integer features: the closed-form
     // solve must reproduce it and every residual must round to 0
