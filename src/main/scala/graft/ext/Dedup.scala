@@ -342,12 +342,16 @@ object Dedup {
     * Returns (idCol, n_tokens, n_dup_spans, n_dup_tokens, dup_coverage)
     * where n_dup_spans counts MERGED maximal runs.
     *
-    * Scale shape: one bounded explode (≈ tokens rows, checkpointed — it
-    * feeds the multi-doc count AND the join back), one keyed two-phase
-    * distinct-doc count per hash, one keyed join back, and per-doc window
-    * functions whose partitions are document-sized. Adjacent runs merge
-    * (prev_end == start): coverage counts tokens, and two abutting
-    * duplicated windows cover a contiguous token run.
+    * Scale shape: one bounded explode (≈ tokens rows) feeding the
+    * multi-doc count AND the join back, one keyed two-phase distinct-doc
+    * count per hash, one keyed join back, and per-doc window functions
+    * whose partitions are document-sized. The window substrate is NOT
+    * checkpointed: recomputing the narrow hash pass for its two consumers
+    * measured 6× cheaper than materializing it (0.46s vs 2.76s at sf0.1 —
+    * the q68 lesson; contrast q70's stride-8 substrate, where the
+    * checkpoint wins). Adjacent runs merge (prev_end == start): coverage
+    * counts tokens, and two abutting duplicated windows cover a
+    * contiguous token run.
     */
   def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
       spanWords: Int = 8): DataFrame = {
@@ -362,7 +366,6 @@ object Dedup {
       .select(col(idCol), col("i"),
         TextAnalysis.hash60Fast(s,
           concat_ws(" ", slice(col("w"), col("i"), lit(spanWords)))).as("h"))
-      .localCheckpoint()
     val multi = sh.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") > 1)

@@ -46,10 +46,23 @@ case class CosineSimExact(left: Expression, right: Expression)
   }
 
   private def exactSumOfRoundedProducts(
-      a: ArrayData, b: ArrayData, useLeftTwice: Boolean): JBigDecimal = {
+      a: ArrayData, b: ArrayData, useLeftTwice: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
-    var acc = JBigDecimal.ZERO
+    // fast path: the same scale-18 HALF_UP terms in 128-bit registers
+    // (see Fixed18); any out-of-domain product falls back to the
+    // reference BigDecimal loop for the whole row
+    val acc128 = new Array[Long](2)
     var i = 0
+    var fast = true
+    while (fast && i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = if (useLeftTwice) x else b.getFloat(i).toDouble
+      fast = Fixed18.addProduct(acc128, x * y)
+      if (fast) i += 1
+    }
+    if (fast) return Fixed18.toDouble(acc128)
+    var acc = JBigDecimal.ZERO
+    i = 0
     while (i < n) {
       val x = a.getFloat(i).toDouble
       val y = if (useLeftTwice) x else b.getFloat(i).toDouble
@@ -57,15 +70,15 @@ case class CosineSimExact(left: Expression, right: Expression)
       acc = acc.add(p)
       i += 1
     }
-    acc
+    acc.doubleValue()
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val dot = exactSumOfRoundedProducts(a, b, useLeftTwice = false).doubleValue()
-    val n2a = exactSumOfRoundedProducts(a, a, useLeftTwice = true).doubleValue()
-    val n2b = exactSumOfRoundedProducts(b, b, useLeftTwice = true).doubleValue()
+    val dot = exactSumOfRoundedProducts(a, b, useLeftTwice = false)
+    val n2a = exactSumOfRoundedProducts(a, a, useLeftTwice = true)
+    val n2b = exactSumOfRoundedProducts(b, b, useLeftTwice = true)
     val c =
       if (n2a > 0.0 && n2b > 0.0) dot / (math.sqrt(n2a) * math.sqrt(n2b))
       else 0.0
@@ -119,8 +132,19 @@ case class DotExact(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
-    var acc = JBigDecimal.ZERO
+    // 128-bit fast path with whole-row BigDecimal fallback (see Fixed18)
+    val acc128 = new Array[Long](2)
     var i = 0
+    var fast = true
+    while (fast && i < n) {
+      val x = if (leftIsDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (rightIsDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      fast = Fixed18.addProduct(acc128, x * y)
+      if (fast) i += 1
+    }
+    if (fast) return Fixed18.toDouble(acc128)
+    var acc = JBigDecimal.ZERO
+    i = 0
     while (i < n) {
       val x = if (leftIsDouble) a.getDouble(i) else a.getFloat(i).toDouble
       val y = if (rightIsDouble) b.getDouble(i) else b.getFloat(i).toDouble

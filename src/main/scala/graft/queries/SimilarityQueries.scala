@@ -274,6 +274,9 @@ object SimilarityQueries {
             size(filter(graft.ext.TextAnalysis.tokens($"text"),
               t => t === "spark")).as("tf"))
           .where($"tf" > 0)
+        // the ranked lexical list feeds the candidate gate AND the fusion
+        // join; recomputing the narrow tf scan for both consumers measured
+        // cheaper than a checkpoint's job barrier (the q68/q76 lesson)
         val lexRank = lex
           .withColumn("lex_rank",
             row_number().over(Window.orderBy($"tf".desc, $"doc_id".asc))
