@@ -57,19 +57,46 @@ case class LshBits(child: Expression, planeOffset: Int, nPlanes: Int)
     var p = 0
     while (p < nPlanes) {
       val row = signs(p)
-      var acc = JBigDecimal.ZERO
+      // fast sign decision: plain double sum with a sound error margin.
+      // |decimalSum − doubleSum| ≤ n²·maxAbs·1.2e-16 (naive-summation
+      // bound + the ≤1e-16-relative shortest-repr/scale-18 per-term
+      // deltas); with n ≤ 256 that is < 7.9e-12·maxAbs + 1.3e-16, so a
+      // margin of 1e-9·max(1, maxAbs) decides the sign with >100×
+      // headroom. Only a knife-edge projection (p ≈ 1e-9 of the vector
+      // scale — vanishingly rare) pays the decimal loop below.
+      var fsum = 0.0
+      var maxAbs = 0.0
       var d = 0
       while (d < n) {
         val x = if (isDouble) a.getDouble(d) else a.getFloat(d).toDouble
-        // valueOf = Double.toString shortest-representation semantics, the
-        // SAME route Spark's double→decimal Cast takes in the composed
-        // form — `new JBigDecimal(double)` (exact binary expansion) can
-        // differ in the ~1e-17 digit and flip a knife-edge sign
-        acc = acc.add(JBigDecimal.valueOf(x * row(d))
-          .setScale(18, RoundingMode.HALF_UP))
+        val t = x * row(d)
+        fsum += t
+        val at = math.abs(t)
+        if (at > maxAbs) maxAbs = at
         d += 1
       }
-      sb.append(if (acc.signum() >= 0) '1' else '0')
+      val margin = 1e-9 * math.max(1.0, maxAbs)
+      // non-finite sums (NaN/Inf input garbage) take the decimal loop so
+      // its NumberFormatException behavior is preserved exactly
+      if (math.abs(fsum) > margin && !java.lang.Double.isInfinite(fsum) &&
+        !java.lang.Double.isNaN(fsum)) {
+        sb.append(if (fsum >= 0) '1' else '0')
+      } else {
+        var acc = JBigDecimal.ZERO
+        d = 0
+        while (d < n) {
+          val x = if (isDouble) a.getDouble(d) else a.getFloat(d).toDouble
+          // valueOf = Double.toString shortest-representation semantics,
+          // the SAME route Spark's double→decimal Cast takes in the
+          // composed form — `new JBigDecimal(double)` (exact binary
+          // expansion) can differ in the ~1e-17 digit and flip a
+          // knife-edge sign
+          acc = acc.add(JBigDecimal.valueOf(x * row(d))
+            .setScale(18, RoundingMode.HALF_UP))
+          d += 1
+        }
+        sb.append(if (acc.signum() >= 0) '1' else '0')
+      }
       p += 1
     }
     UTF8String.fromString(sb.toString)
