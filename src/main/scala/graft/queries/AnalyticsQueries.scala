@@ -175,6 +175,33 @@ object AnalyticsQueries {
         |  ${dsumSql("CAST(n_chars AS DOUBLE)")} AS total_chars
         |FROM documents GROUP BY CUBE (source, lang)""".stripMargin)),
 
+    // ── Explicit GROUPING SETS — the general form rollup (q25) and cube
+    //    (q52) are sugar over: an arbitrary set list ((source, lang),
+    //    (lang), ()) in one pass. Spark expands the sets with a single
+    //    Expand node feeding one hash aggregation — one corpus scan and
+    //    one shuffle regardless of how many sets, which is exactly the
+    //    multi-granularity profile a curation dashboard wants at 100 TB.
+    QueryDef(
+      "q80_grouping_sets",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupingSets(
+            Seq(Seq($"source", $"lang"), Seq($"lang"), Seq()),
+            $"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars".cast("long")).as("total_chars"))
+          .select(coalesce($"source", lit("<all>")).as("source"),
+            coalesce($"lang", lit("<all>")).as("lang"),
+            $"n_docs", $"total_chars")
+      },
+      Some("""SELECT COALESCE(source, '<all>') AS source,
+        |  COALESCE(lang, '<all>') AS lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source, lang), (lang), ())""".stripMargin)),
+
     // ── RANGE-frame moving window: per-user rolling 1-hour event-value sum
     //    keyed on integer epoch seconds. RANGE (not ROWS) so peer rows at
     //    the same timestamp are included regardless of physical order —

@@ -292,6 +292,51 @@ object DedupQueries {
         |  ROUND(CASE WHEN n.n_tokens > 0
         |    THEN COALESCE(per.n_dup_tokens, 0) * 1.0 / n.n_tokens
         |    ELSE 0.0 END, 9) AS dup_coverage
-        |FROM n LEFT JOIN per ON n.doc_id = per.doc_id""".stripMargin))
+        |FROM n LEFT JOIN per ON n.doc_id = per.doc_id""".stripMargin)),
+
+    // ── Shingle novelty — first-seen attribution in doc_id (ingestion)
+    //    order: a doc's novelty is the fraction of its distinct 3-shingles
+    //    whose global first occurrence (minimum doc_id) is the doc itself.
+    //    The inverse signal of q76's duplication coverage: low novelty =
+    //    the doc restates earlier corpus content (the memorization /
+    //    incremental-value signal a curation pass uses to prefer novel
+    //    documents). Scale shape: the shared hashed-shingle substrate, one
+    //    keyed min-agg per hash (partial-agg'd map-side), one keyed join
+    //    back, one per-doc agg — never pairwise, no windows.
+    QueryDef(
+      "q79_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Dedup.hashedShingleRows(Tables.documents(s, dir), "doc_id", "text")
+        val firstSeen = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+        val per = sh.join(firstSeen, "h")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+        Tables.documents(s, dir).select($"doc_id")
+          .join(per, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_shingles", "n_novel"))
+          .withColumn("novelty_frac", round(when($"n_shingles" > 0,
+            $"n_novel".cast("double") / $"n_shingles".cast("double"))
+            .otherwise(0.0), 9))
+      },
+      Some(s"""WITH $shingleCte,
+        |hh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |fs AS (SELECT h, MIN(doc_id) AS first_doc FROM hh GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |    CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM hh JOIN fs USING (h) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_shingles, 0) AS n_shingles,
+        |  COALESCE(per.n_novel, 0) AS n_novel,
+        |  ROUND(CASE WHEN COALESCE(per.n_shingles, 0) > 0
+        |    THEN COALESCE(per.n_novel, 0) * 1.0 / per.n_shingles
+        |    ELSE 0.0 END, 9) AS novelty_frac
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin))
   )
 }

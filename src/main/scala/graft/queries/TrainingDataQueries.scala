@@ -815,6 +815,36 @@ object TrainingDataQueries {
         |  WHERE ROUND(CASE WHEN a.n2 > 0 AND b.n2 > 0
         |    THEN p.dot / (sqrt(a.n2) * sqrt(b.n2)) ELSE 0.0 END, 9) >= 0.4)
         |SELECT s.vec_id, s.cid, (d.vec_b IS NOT NULL) AS dropped
-        |FROM sd_assign s LEFT JOIN sd_drop d ON s.vec_id = d.vec_b""".stripMargin))
+        |FROM sd_assign s LEFT JOIN sd_drop d ON s.vec_id = d.vec_b""".stripMargin)),
+
+    // ── Per-source document cap — the "no source dominates the mixture"
+    //    curation rule: keep at most N docs per source, chosen by salted
+    //    60-bit hash order (a deterministic uniform sample — stable under
+    //    re-partitioning and re-runs, unlike first-N-by-id which biases
+    //    toward old documents). One window per source partition; the
+    //    rank<=N predicate makes Spark push a WindowGroupLimit, so each
+    //    partition retains only its top-N heap map-side — at 100 TB the
+    //    shuffle carries N rows per source, not the corpus.
+    QueryDef(
+      "q78_source_cap",
+      (s, dir) => {
+        import s.implicits._
+        val byHash = Window.partitionBy($"source")
+          .orderBy($"cap_hash".asc, $"doc_id".asc)
+        Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            TextAnalysis.hash60Fast(s,
+              concat($"doc_id".cast("string"), lit(":cap"))).as("cap_hash"))
+          .withColumn("cap_rank", row_number().over(byHash).cast("int"))
+          .where($"cap_rank" <= 15)
+          .select($"source", $"doc_id", $"cap_rank")
+      },
+      Some("""SELECT source, doc_id, CAST(rn AS INT) AS cap_rank FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 15))::BIGINT ASC,
+        |        doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15""".stripMargin))
   )
 }

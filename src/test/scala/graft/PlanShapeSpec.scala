@@ -151,4 +151,22 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("q78 source cap gets WindowGroupLimit pushdown (top-N heap map-side)") {
+    val p = planOf("q78_source_cap")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
+  test("q79 novelty: keyed aggs with map-side partials, no window, no cartesian") {
+    val p = planOf("q79_novelty")
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p.take(1200))
+  }
+
+  test("q80 grouping sets expand into ONE aggregation pass (single Expand)") {
+    val p = planOf("q80_grouping_sets")
+    assert("Expand".r.findAllIn(p).size == 1, p.take(1200))
+    assert(p.contains("HashAggregate"), p.take(1200))
+  }
 }
