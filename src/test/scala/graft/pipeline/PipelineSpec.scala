@@ -310,6 +310,20 @@ class PipelineSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("batch-scoped reads prune load_id partitions at the scan") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("load_id", "v")
+    catalog.appendBatched(df, "silver", "pp_probe")
+    val scan = catalog.read("silver", "pp_probe").where($"load_id" === 2L)
+    val plan = scan.queryExecution.executedPlan.toString
+    // the batch predicate must prune PARTITION DIRECTORIES (S8's
+    // batch-scoped read at 100 TB reads one load, not the table)
+    assert(plan.contains("PartitionFilters: [isnotnull(load_id"),
+      plan.take(1200))
+    assert(scan.count() == 1)
+  }
+
   test("re-upload: latest load wins in gold (W1/W2 dedup)") {
     import spark.implicits._
     // re-upload transactions with corrected amounts + updated manual log
