@@ -340,7 +340,55 @@ object SimilarityQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY rrf_score DESC, cand_id ASC) AS fr
         |  FROM f)
-        |WHERE fr <= 10""".stripMargin))
+        |WHERE fr <= 10""".stripMargin)),
+
+    // ── Per-vector int8 affine quantization — the embedding STORAGE
+    //    operator (4× smaller vectors for ANN serving): q_i = round((x_i −
+    //    min) / scale) with scale = (max − min)/255, written as
+    //    floor(z + 0.5) because floor is bit-deterministic in every engine
+    //    while round-on-double is library-defined. All arithmetic is
+    //    correctly-rounded IEEE doubles of exact float inputs, so both
+    //    engines emit identical codes. min/max/scale are materialized as
+    //    columns BEFORE the per-element lambda (an expression referenced
+    //    inside transform() re-evaluates per element). Scale shape: a pure
+    //    narrow map — zero exchanges, trivially 100 TB-parallel.
+    QueryDef(
+      "q81_int8_quant",
+      (s, dir) => {
+        import s.implicits._
+        Tables.embeddings(s, dir)
+          .select($"vec_id",
+            transform($"embedding", x => x.cast("double")).as("emb"))
+          .select($"vec_id", $"emb",
+            array_min($"emb").as("v_min"), array_max($"emb").as("v_max"))
+          .withColumn("scale", ($"v_max" - $"v_min") / 255.0)
+          .withColumn("qv", transform($"emb", x =>
+            when($"scale" > 0.0, floor((x - $"v_min") / $"scale" + 0.5))
+              .otherwise(0.0).cast("int")))
+          .select($"vec_id", $"v_min", $"v_max",
+            size($"qv").as("n_dims"),
+            element_at($"qv", 1).as("first_q"),
+            aggregate($"qv", lit(0L), (a, x) => a + x).as("sum_q"))
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT vec_id, emb, list_min(emb) AS v_min, list_max(emb) AS v_max
+        |  FROM e),
+        |sc AS (SELECT *,
+        |    (v_max - v_min) / CAST(255 AS DOUBLE) AS scale FROM st),
+        |q AS (
+        |  SELECT vec_id, v_min, v_max,
+        |    list_transform(emb, x -> CAST(CASE WHEN scale > 0
+        |      THEN floor((x - v_min) / scale + CAST(0.5 AS DOUBLE))
+        |      ELSE 0.0 END AS INT)) AS qv
+        |  FROM sc)
+        |SELECT vec_id, v_min, v_max, CAST(len(qv) AS INT) AS n_dims,
+        |  qv[1] AS first_q,
+        |  CAST(list_sum(qv) AS BIGINT) AS sum_q
+        |FROM q""".stripMargin))
   )
 
   /** Hash tables × planes-per-table for the multi-table LSH near-dup. */

@@ -169,4 +169,9 @@ class PlanShapeSpec extends SparkSpec {
     assert("Expand".r.findAllIn(p).size == 1, p.take(1200))
     assert(p.contains("HashAggregate"), p.take(1200))
   }
+
+  test("q81 int8 quantization is a pure narrow map — zero exchanges") {
+    val p = planOf("q81_int8_quant")
+    assert(!p.contains("Exchange"), p.take(1200))
+  }
 }
