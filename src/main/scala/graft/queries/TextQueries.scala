@@ -562,33 +562,9 @@ object TextQueries {
       "q75_dsir_score",
       (s, dir) => {
         import s.implicits._
-        val docs = Tables.documents(s, dir)
-        val toks = docs
-          .select($"doc_id", $"source",
-            explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0)))
-              .as("token"))
-          .withColumn("f", pmod(TextAnalysis.hash60Fast(s, $"token"), lit(1024L)))
-          .select($"doc_id", $"source", $"f")
-        val feat = toks.groupBy($"f").agg(
-          sum(when($"source" === "src0", 1L).otherwise(0L)).as("tcount"),
-          sum(when($"source" =!= "src0", 1L).otherwise(0L)).as("rcount"))
-        val tot = feat.agg(
-          sum($"tcount").as("t_total"), sum($"rcount").as("r_total"))
-        val w = feat.crossJoin(broadcast(tot))
-          .select($"f",
-            ($"tcount".cast("decimal(19,0)") * $"r_total".cast("decimal(19,0)") -
-              $"rcount".cast("decimal(19,0)") * $"t_total".cast("decimal(19,0)"))
-              .as("w"))
-        val per = toks.where($"source" =!= "src0")
-          .join(broadcast(w), "f")
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_tokens"), sum($"w").as("score"))
-        docs.where($"source" =!= "src0").select($"doc_id")
-          .join(per, Seq("doc_id"), "left")
-          .select($"doc_id",
-            coalesce($"n_tokens", lit(0L)).as("n_tokens"),
-            coalesce($"score".cast("double"), lit(0.0)).as("dsir_score"))
-          .withColumn("target_like", $"dsir_score" > 0.0)
+        graft.ext.Selection.dsirScores(
+          Tables.documents(s, dir), "doc_id", "text",
+          isTarget = $"source" === "src0")
       },
       Some("""WITH dt AS (
         |  SELECT doc_id, source,

@@ -249,6 +249,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dsir scores separate target-like from raw-only documents") {
+    import graft.ext.Selection
+    // target pool speaks 'alpha beta'; the raw pool has one doc written in
+    // the target dialect and one in pure raw dialect — the integer
+    // cross-difference weight must rank the dialect doc strictly positive
+    // and the raw-only doc strictly negative
+    val docs = Seq(
+      (1L, true, "alpha beta alpha beta alpha"),
+      (2L, true, "beta alpha beta"),
+      (3L, false, "alpha beta alpha"), // target dialect
+      (4L, false, "gamma delta gamma delta gamma delta"), // raw-only
+      (5L, false, "") // tokenless → score 0
+    ).toDF("doc_id", "is_tgt", "text")
+    val got = Selection.dsirScores(docs, "doc_id", "text", $"is_tgt")
+      .select($"doc_id", $"dsir_score", $"target_like")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(3L, 4L, 5L), got.toString)
+    assert(got(0)._2 > 0.0 && got(0)._3, got.toString)
+    assert(got(1)._2 < 0.0 && !got(1)._3, got.toString)
+    assert(got(2)._2 == 0.0 && !got(2)._3, got.toString)
+  }
+
   test("q69 mixing keeps roughly the token budget (deterministic on fixture)") {
     // expected kept tokens = Σ_s rate_s · t_s ≈ B = floor(0.3 · total)
     // (modulo the min(1,·) caps and hash discretization); the salted-hash
