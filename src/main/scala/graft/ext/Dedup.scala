@@ -141,7 +141,17 @@ object Dedup {
     * Work is O(|pairs| × shingles-per-doc) — NEVER a shingle-frequency
     * self-join, so a globally common shingle cannot blow up the plan.
     */
-  def jaccardFor(pairs: DataFrame, hashedShingles: DataFrame, idCol: String): DataFrame = {
+  def jaccardFor(pairs: DataFrame, hashedShingles: DataFrame, idCol: String): DataFrame =
+    overlapFor(pairs, hashedShingles, idCol)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+
+  /** Shingle-overlap counts for given (doc_a, doc_b) pairs:
+    * `(doc_a, doc_b, n_inter, n_a, n_b)` — the shared substrate under
+    * Jaccard (symmetric) and containment (asymmetric) verification.
+    */
+  def overlapFor(pairs: DataFrame, hashedShingles: DataFrame, idCol: String): DataFrame = {
     val sizes = hashedShingles.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val sa = hashedShingles.select(col(idCol).as("doc_a"), col("h"))
     val sb = hashedShingles.select(col(idCol).as("doc_b"), col("h"))
@@ -160,9 +170,7 @@ object Dedup {
       .na.fill(0L, Seq("n_inter"))
       .join(sizes.select(col(idCol).as("doc_a"), col("n_shingles").as("n_a")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("n_shingles").as("n_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"))
   }
 
   /** Connected components over an undirected pair list: every node gets

@@ -388,7 +388,86 @@ object SimilarityQueries {
         |SELECT vec_id, v_min, v_max, CAST(len(qv) AS INT) AS n_dims,
         |  qv[1] AS first_q,
         |  CAST(list_sum(qv) AS BIGINT) AS sum_q
-        |FROM q""".stripMargin))
+        |FROM q""".stripMargin)),
+
+    // ── BM25 ranked retrieval (Robertson/Sparck Jones) — the lexical
+    //    scoring function production search stacks run, completing the
+    //    retrieval family (tf-idf q73, hybrid q72, RRF q77). Standard
+    //    k1 = 1.2, b = 0.75 saturation/length-normalization; the idf is the
+    //    LINEAR variant (N/df — one integer-derived division) for the same
+    //    reason as q73: ln() is libm-dependent, the ranking semantics
+    //    (rare terms weigh more) are unchanged. Each per-term score is a
+    //    fixed tree of correctly-rounded IEEE double ops (identical in both
+    //    engines), then floor-truncated at 1e-9 ([[graft.QueryDef.tavg]]'s
+    //    trick) so the per-doc SUM runs in exact integer space — ranking
+    //    ties are impossible to get wrong cross-engine. Scale shape: one
+    //    token explode filtered to the query terms (narrow), a (doc, term)
+    //    keyed agg, df re-aggregated from it (never a second corpus pass),
+    //    a 1-row corpus-stats frame broadcast, and a TakeOrderedAndProject
+    //    top-20 — no corpus-sized shuffle beyond the tf agg.
+    QueryDef(
+      "q83_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq("dup", "vector", "hash")
+        val docs = Tables.documents(s, dir)
+        val dl = docs.select($"doc_id",
+          graft.ext.TextAnalysis.tokenCount($"text").cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("dl_sum"))
+        val tf = docs
+          .select($"doc_id", explode(graft.ext.TextAnalysis.tokens($"text")).as("term"))
+          .where($"term".isin(terms: _*))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(broadcast(df), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select($"doc_id",
+            floor((($"n_docs".cast("double") / $"df".cast("double")) *
+              (($"tf".cast("double") * lit(2.2)) /
+                ($"tf".cast("double") + lit(1.2) * (lit(0.25) +
+                  lit(0.75) * ($"dl".cast("double") /
+                    ($"dl_sum".cast("double") / $"n_docs".cast("double")))))))
+              * lit(1e9)).cast("long").as("s9"))
+        val perDoc = scored.groupBy($"doc_id")
+          .agg(sum($"s9").as("s9"), count(lit(1)).as("n_terms"))
+        // top-k FIRST (TakeOrderedAndProject — the scale-safe reduction);
+        // the rank window then runs over 20 rows, not the corpus
+        perDoc.orderBy($"s9".desc, $"doc_id".asc).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"s9".desc, $"doc_id".asc)).cast("int"))
+          .select($"doc_id", ($"s9".cast("double") / lit(1e9)).as("bm25"),
+            $"n_terms".cast("int").as("n_terms"), $"rank")
+      },
+      Some("""WITH tk AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(lower(trim(text)), '\s+') END) AS term
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) END AS dl
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS dl_sum FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+        |  WHERE term IN ('dup', 'vector', 'hash') GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(((CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) *
+        |      ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+        |       (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+        |        CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) /
+        |          (CAST(dl_sum AS DOUBLE) / CAST(n_docs AS DOUBLE))))))) * 1e9)
+        |      AS BIGINT) AS s9
+        |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |pd AS (SELECT doc_id, CAST(SUM(s9) AS BIGINT) AS s9,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms FROM sc GROUP BY 1)
+        |SELECT doc_id, CAST(s9 AS DOUBLE) / 1e9 AS bm25,
+        |  CAST(n_terms AS INT) AS n_terms,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY s9 DESC, doc_id ASC) AS INT) AS rank
+        |FROM pd ORDER BY s9 DESC, doc_id ASC LIMIT 20""".stripMargin))
   )
 
   /** Hash tables × planes-per-table for the multi-table LSH near-dup. */

@@ -592,6 +592,68 @@ object TextQueries {
         |  CAST(COALESCE(per.score, 0) AS DOUBLE) AS dsir_score,
         |  CAST(COALESCE(per.score, 0) AS DOUBLE) > 0.0 AS target_like
         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
-        |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin))
+        |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin)),
+
+    // ── PII detection + redaction — the scrubbing pass every web-scale
+    //    training corpus runs before release (emails, URLs, phone numbers
+    //    found by regex, counted, and replaced with typed placeholders).
+    //    The fixture corpus contains no natural PII, so the query first
+    //    INJECTS deterministic synthetic contact strings keyed on doc_id
+    //    (both engines perform the identical injection — the redaction
+    //    machinery is then genuinely exercised with nonzero, per-doc-varying
+    //    counts). Patterns restrict to syntax with identical semantics in
+    //    Java regex (Spark, codegen'd) and RE2 (DuckDB): character classes,
+    //    bounded + unbounded repetition — no backreferences or lookaround.
+    //    Scale shape: a pure narrow map stage (three pattern scans + three
+    //    replaces per row), no shuffle at all — the scrub runs at scan
+    //    throughput on any corpus size.
+    QueryDef(
+      "q82_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val url   = "https?://[a-z0-9./_-]+"
+        val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+        val injected = Tables.documents(s, dir)
+          .select($"doc_id", concat($"text",
+            when($"doc_id" % 2 === 0, concat(lit(" contact user"),
+              $"doc_id".cast("string"), lit("@example.com"))).otherwise(lit("")),
+            when($"doc_id" % 3 === 0, concat(lit(" see https://docs.example.org/d/"),
+              $"doc_id".cast("string"))).otherwise(lit("")),
+            when($"doc_id" % 5 === 0, concat(lit(" call +1-555-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+            .as("text"))
+        injected.select($"doc_id",
+          size(regexp_extract_all($"text", lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all($"text", lit(url), lit(0))).as("n_urls"),
+          size(regexp_extract_all($"text", lit(phone), lit(0))).as("n_phones"),
+          length(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace($"text", email, "<EMAIL>"),
+                url, "<URL>"),
+              phone, "<PHONE>")).as("redacted_len"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' see https://docs.example.org/d/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[a-z0-9./_-]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[a-z0-9./_-]+', '<URL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS INT) AS redacted_len
+        |FROM t""".stripMargin))
   )
 }
