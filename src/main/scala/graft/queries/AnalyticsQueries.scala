@@ -251,6 +251,52 @@ object AnalyticsQueries {
         |  COALESCE(${dsumSql("CASE WHEN l_returnflag = 'A' THEN l_quantity END")}, 0.0) AS qty_a,
         |  COALESCE(${dsumSql("CASE WHEN l_returnflag = 'N' THEN l_quantity END")}, 0.0) AS qty_n,
         |  COALESCE(${dsumSql("CASE WHEN l_returnflag = 'R' THEN l_quantity END")}, 0.0) AS qty_r
-        |FROM lineitem GROUP BY l_linestatus""".stripMargin))
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
+
+    // ── Weekly cohort retention — the product-analytics staple: users are
+    //    grouped by the week they first appear (their cohort), and each
+    //    (cohort, week-offset) cell counts the distinct users still active
+    //    that many weeks later; retention = cell / cohort size. Both
+    //    engines truncate to Monday weeks (`date_trunc('week', ts)`), and
+    //    the offset is exact integer day arithmetic (always a multiple of
+    //    7 between week starts). Scale shape: one (user, week) distinct
+    //    over the event stream (the only corpus-sized shuffle), a per-user
+    //    min, and bounded (cohort × offset) aggregates; the distinct-user
+    //    counts are Spark's standard two-phase exact distinct.
+    QueryDef(
+      "q87_retention",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+          .distinct()
+        val firstWk = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+        val cohortN = firstWk.groupBy($"cohort_wk")
+          .agg(count(lit(1)).as("cohort_n"))
+        ev.join(firstWk, "user_id")
+          .select($"cohort_wk",
+            (datediff($"wk", $"cohort_wk") / 7).cast("int").as("week_offset"),
+            $"user_id")
+          .groupBy($"cohort_wk", $"week_offset")
+          .agg(countDistinct($"user_id").as("n_users"))
+          .join(broadcast(cohortN), "cohort_wk")
+          .select($"cohort_wk", $"week_offset", $"n_users", $"cohort_n",
+            round($"n_users".cast("double") / $"cohort_n".cast("double"), 9)
+              .as("retention"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |fw AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1),
+        |cs AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_n
+        |  FROM fw GROUP BY 1),
+        |act AS (
+        |  SELECT f.cohort_wk, CAST((e.wk - f.cohort_wk) // 7 AS INT) AS week_offset,
+        |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |  FROM ev e JOIN fw f USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_wk, a.week_offset, a.n_users, cs.cohort_n,
+        |  ROUND(CAST(a.n_users AS DOUBLE) / CAST(cs.cohort_n AS DOUBLE), 9)
+        |    AS retention
+        |FROM act a JOIN cs USING (cohort_wk)""".stripMargin))
   )
 }

@@ -337,6 +337,73 @@ object DedupQueries {
         |    THEN COALESCE(per.n_novel, 0) * 1.0 / per.n_shingles
         |    ELSE 0.0 END, 9) AS novelty_frac
         |FROM (SELECT doc_id FROM documents) d
-        |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin))
+        |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin)),
+
+    // ── Asymmetric CONTAINMENT dedup: Jaccard misses the case where a
+    //    short document is wholly contained in a long one (|A∩B|/|A∪B| is
+    //    small when |B| ≫ |A| even at full containment) — the
+    //    quote/excerpt/boilerplate-wrapper near-dup class. Broder's
+    //    containment C(A,B) = |A∩B|/|A| is the right test, computed here
+    //    both directions over the SAME MinHash/LSH candidate pairs and
+    //    hashed-shingle substrate as q36 (one new division per pair, no new
+    //    corpus pass — [[graft.ext.Dedup.overlapFor]] is the shared
+    //    verifier under both signals). Same 100 TB shape as q36: banded
+    //    candidates bound every pairwise step; recall caveat: LSH bands
+    //    key on symmetric Jaccard, so very-low-Jaccard containments need
+    //    asymmetric banding (prefix shingles of A only) — documented trade.
+    QueryDef(
+      "q84_containment",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Dedup.hashedShingleRows(Tables.documents(s, dir), "doc_id", "text")
+          .localCheckpoint()
+        val sigs = Dedup.minhashSignaturesAgg(sh, "doc_id")
+        val bands = Dedup.bandRows(sigs, "doc_id").localCheckpoint()
+        val cands = Dedup.candidatePairs(bands, "doc_id").localCheckpoint()
+        Dedup.overlapFor(cands, sh, "doc_id")
+          .select($"doc_a", $"doc_b", $"n_a", $"n_b",
+            round($"n_inter".cast("double") / $"n_a".cast("double"), 9).as("c_ab"),
+            round($"n_inter".cast("double") / $"n_b".cast("double"), 9).as("c_ba"))
+          .where(greatest($"c_ab", $"c_ba") >= 0.7)
+      },
+      Some {
+        val r = Dedup.BandRows
+        val perms = (0 until Dedup.NumHashes).map { i =>
+          s"(${Dedup.permA(i)}, ${Dedup.permB(i)}, $i)"
+        }.mkString(", ")
+        s"""WITH $shingleCte,
+        |hsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |perm(a, b, i) AS (VALUES $perms),
+        |mh AS (
+        |  SELECT doc_id, i, MIN((a * (h % ${Dedup.MinhashP}) + b) % ${Dedup.MinhashP}) AS mh
+        |  FROM hsh CROSS JOIN perm GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, CAST(i // $r AS INT) AS band_id,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        |  FROM cand c JOIN hsh a ON a.doc_id = c.doc_a
+        |    JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_a, n_b, c_ab, c_ba FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+        |    ROUND(CAST(COALESCE(ni, 0) AS DOUBLE) / CAST(x.n AS DOUBLE), 9) AS c_ab,
+        |    ROUND(CAST(COALESCE(ni, 0) AS DOUBLE) / CAST(y.n AS DOUBLE), 9) AS c_ba
+        |  FROM cand c
+        |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        |  JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id)
+        |WHERE greatest(c_ab, c_ba) >= 0.7""".stripMargin
+      })
   )
 }

@@ -654,6 +654,69 @@ object TextQueries {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[a-z0-9./_-]+', '<URL>', 'g'),
         |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS INT) AS redacted_len
-        |FROM t""".stripMargin))
+        |FROM t""".stripMargin)),
+
+    // ── Phrase detection (Mikolov et al. 2013, word2vec §4): score each
+    //    adjacent-token bigram by lift, score = (c_ab − δ)·N / (c_a·c_b)
+    //    with discount δ = 5 — the standard pre-tokenization pass that
+    //    promotes collocations ("new york") to single vocabulary units.
+    //    The score is three correctly-rounded IEEE ops (mult, mult, divide)
+    //    over exact integer counts in a pinned order, so both engines emit
+    //    identical doubles (the q73 linear-idf argument). Scale shape: one
+    //    narrow zip-shifted explode (bigrams materialize per row, never a
+    //    positional self-join), two keyed count aggs — the bigram table is
+    //    vocab²-bounded, the unigram table vocab-bounded (broadcast), and
+    //    the final top-20 is a TakeOrderedAndProject.
+    QueryDef(
+      "q86_phrases",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select(TextAnalysis.tokens($"text").as("w"))
+        val n1 = greatest(size($"w") - 1, lit(0))
+        val bi = toks
+          .select(explode(zip_with(
+            slice($"w", lit(1), n1), slice($"w", lit(2), n1),
+            (x, y) => struct(x.as("wa"), y.as("wb")))).as("p"))
+          .select($"p.wa", $"p.wb")
+          .groupBy($"wa", $"wb").agg(count(lit(1)).as("c_ab"))
+        val uni = toks.select(explode($"w").as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("c"))
+        val tot = uni.agg(sum($"c").as("n_tokens"))
+        val scored = bi.where($"c_ab" >= 10)
+          .join(broadcast(uni.select($"tok".as("wa"), $"c".as("c_a"))), "wa")
+          .join(broadcast(uni.select($"tok".as("wb"), $"c".as("c_b"))), "wb")
+          .crossJoin(broadcast(tot))
+          .select($"wa", $"wb", $"c_ab", $"c_a", $"c_b",
+            ((($"c_ab" - 5).cast("double") * $"n_tokens".cast("double")) /
+              ($"c_a".cast("double") * $"c_b".cast("double"))).as("lift"))
+        scored.orderBy($"lift".desc, $"wa".asc, $"wb".asc).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"lift".desc, $"wa".asc, $"wb".asc)).cast("int"))
+      },
+      Some("""WITH t AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT w[i] AS wa, w[i + 1] AS wb, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t)
+        |  GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+        |scored AS (
+        |  SELECT wa, wb, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |    (CAST(c_ab - 5 AS DOUBLE) * CAST(n_tokens AS DOUBLE)) /
+        |      (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+        |  FROM bi JOIN uni ua ON bi.wa = ua.tok
+        |    JOIN uni ub ON bi.wb = ub.tok
+        |    CROSS JOIN tot
+        |  WHERE c_ab >= 10)
+        |SELECT wa, wb, c_ab, c_a, c_b, lift, CAST(rn AS INT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, wa ASC, wb ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 20""".stripMargin))
   )
 }

@@ -27,54 +27,63 @@ object TrainingDataQueries {
     * `km_assign{r}` (nearest-centroid by rounded cosine, ties to smallest
     * cid), `km_cells{r}` ((cid, dim) floor-fixed-point means), `km_c{r}` /
     * `km_cn{r}` (assembled centroid lists + norms).
+    *
+    * `p` prefixes every CTE name (so two chains can coexist in one oracle —
+    * the product-quantization subspaces of q85); `slice = Some((lo, hi))`
+    * trains over the 1-based inclusive dim slice of the embedding instead
+    * of the full vector (the Spark twin is `slice(col, lo, hi - lo + 1)`).
     */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, p: String = "",
+      slice: Option[(Int, Int)] = None): String = {
+    val src = slice
+      .map { case (lo, hi) => s"list_slice(embedding, $lo, $hi)" }
+      .getOrElse("embedding")
     val rounds = (1 to iters).map { r =>
-      val p = r - 1
-      s"""km_terms$r AS (
+      val q = r - 1
+      s"""${p}km_terms$r AS (
         |  SELECT e.vec_id, e.embedding, c.cid, c.ce,
         |    unnest(generate_series(1, len(e.embedding))) AS i
-        |  FROM e CROSS JOIN km_c$p c),
-        |km_dots$r AS (
+        |  FROM ${p}e e CROSS JOIN ${p}km_c$q c),
+        |${p}km_dots$r AS (
         |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
-        |  FROM km_terms$r GROUP BY vec_id, embedding, cid, ce),
-        |km_scored$r AS (
+        |  FROM ${p}km_terms$r GROUP BY vec_id, embedding, cid, ce),
+        |${p}km_scored$r AS (
         |  SELECT d.vec_id, d.cid,
         |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
         |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS c_sim
-        |  FROM km_dots$r d JOIN n2 v ON d.vec_id = v.vec_id
-        |    JOIN km_cn$p c ON d.cid = c.cid),
-        |km_assign$r AS (
+        |  FROM ${p}km_dots$r d JOIN ${p}n2 v ON d.vec_id = v.vec_id
+        |    JOIN ${p}km_cn$q c ON d.cid = c.cid),
+        |${p}km_assign$r AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT vec_id, cid, ROW_NUMBER() OVER (
         |      PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
-        |    FROM km_scored$r) WHERE rn = 1),
-        |km_cells$r AS (
+        |    FROM ${p}km_scored$r) WHERE rn = 1),
+        |${p}km_cells$r AS (
         |  SELECT cid, CAST(i - 1 AS INT) AS dim,
         |    ${QueryDef.tavgSql("embedding[i]")} AS cv,
         |    COUNT(*) AS n_vectors
         |  FROM (SELECT a.cid, e.embedding,
         |      unnest(generate_series(1, len(e.embedding))) AS i
-        |    FROM km_assign$r a JOIN e ON a.vec_id = e.vec_id)
+        |    FROM ${p}km_assign$r a JOIN ${p}e e ON a.vec_id = e.vec_id)
         |  GROUP BY 1, 2),
-        |km_c$r AS MATERIALIZED (
-        |  SELECT cid, list(cv ORDER BY dim) AS ce FROM km_cells$r GROUP BY cid),
-        |km_cn$r AS MATERIALIZED (
+        |${p}km_c$r AS MATERIALIZED (
+        |  SELECT cid, list(cv ORDER BY dim) AS ce FROM ${p}km_cells$r GROUP BY cid),
+        |${p}km_cn$r AS MATERIALIZED (
         |  SELECT cid, ${dotSql("ce", "ce")} AS cn2
         |  FROM (SELECT cid, ce, unnest(generate_series(1, len(ce))) AS i
-        |    FROM km_c$r)
+        |    FROM ${p}km_c$r)
         |  GROUP BY cid, ce)""".stripMargin
     }
-    s"""e AS MATERIALIZED (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+    s"""${p}e AS MATERIALIZED (
+      |  SELECT vec_id, list_transform($src, x -> CAST(x AS DOUBLE)) AS embedding
       |  FROM embeddings),
-      |n2 AS MATERIALIZED (
+      |${p}n2 AS MATERIALIZED (
       |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS n2
       |  FROM (SELECT vec_id, embedding,
-      |      unnest(generate_series(1, len(embedding))) AS i FROM e)
+      |      unnest(generate_series(1, len(embedding))) AS i FROM ${p}e)
       |  GROUP BY vec_id, embedding),
-      |km_c0 AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < $k),
-      |km_cn0 AS (SELECT vec_id AS cid, n2 AS cn2 FROM n2 WHERE vec_id < $k),
+      |${p}km_c0 AS (SELECT vec_id AS cid, embedding AS ce FROM ${p}e WHERE vec_id < $k),
+      |${p}km_cn0 AS (SELECT vec_id AS cid, n2 AS cn2 FROM ${p}n2 WHERE vec_id < $k),
       |${rounds.mkString(",\n")}""".stripMargin
   }
 
@@ -845,6 +854,151 @@ object TrainingDataQueries {
         |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 15))::BIGINT ASC,
         |        doc_id ASC) AS rn
         |  FROM documents)
-        |WHERE rn <= 15""".stripMargin))
+        |WHERE rn <= 15""".stripMargin)),
+
+    // ── Product quantization ANN (Jégou et al. 2011, "Product Quantization
+    //    for Nearest Neighbor Search") — the memory-compressed ANN serving
+    //    path: the 64-dim space splits into M = 2 independent 32-dim
+    //    subspaces, each with its OWN trained codebook (k = 4, 1 Lloyd
+    //    round, the same deterministic [[graft.ext.KMeans.trainCodebook]]
+    //    as q56), every vector is encoded as M sub-codes (here 2×2 bits —
+    //    the compression that lets 100 TB of vectors sit in RAM), and a
+    //    query scores candidates by Asymmetric Distance Computation: ONE
+    //    dot-product table of (query × k) entries per subspace, then every
+    //    candidate's score is two LUT lookups + an add — never a full
+    //    vector kernel per (query, candidate) pair. Scale shape: training
+    //    and encoding are the q56/q74 broadcast-join map stages on half-
+    //    width vectors; the LUTs are (queries × k) rows BY CONSTRUCTION
+    //    (broadcast at any corpus size); scoring is a map-side double add
+    //    over the codes table — the corpus never shuffles at all.
+    QueryDef(
+      "q85_pq_ann",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.dotExact
+        val emb = Tables.embeddings(s, dir)
+          .select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"))
+        def sub(lo: Int) = emb.select($"vec_id", slice($"emb", lo, 32).as("embedding"))
+        // per-subspace codebooks — k rows each, broadcast-safe by construction
+        val cb1 = KMeans.trainCodebook(sub(1), k = 4, iters = 1)
+        val cb2 = KMeans.trainCodebook(sub(33), k = 4, iters = 1)
+        // encode: nearest trained centroid per subspace (the q74 assignment
+        // rule: rounded exact cosine, ties to smallest cid, max_by partial agg)
+        def assign(sube: org.apache.spark.sql.DataFrame,
+            cb: org.apache.spark.sql.DataFrame, codeName: String) =
+          sube.withColumn("n2", dotExact($"embedding", $"embedding"))
+            .join(broadcast(cb.select($"cid", $"ce", $"cn2")))
+            .select($"vec_id", $"cid",
+              Similarity.cosine(dotExact($"embedding", $"ce"), $"n2", $"cn2")
+                .as("c_sim"))
+            .groupBy($"vec_id")
+            .agg(max_by($"cid", struct($"c_sim", -$"cid")).as(codeName))
+        val codes = assign(sub(1), cb1, "c1").join(assign(sub(33), cb2, "c2"), "vec_id")
+        // ADC lookup tables: exact dot of each query subvector against each
+        // subspace centroid — (n_queries × k) rows, broadcast
+        def lut(lo: Int, cb: org.apache.spark.sql.DataFrame,
+            codeName: String, dName: String, cnName: String) =
+          sub(lo).where($"vec_id" < 5)
+            .join(cb.select($"cid".as(codeName), $"ce", $"cn2".as(cnName)))
+            .select($"vec_id".as("query_id"), col(codeName),
+              dotExact($"embedding", $"ce").as(dName), col(cnName))
+        val l1 = lut(1, cb1, "c1", "d1", "cn1")
+        val l2 = lut(33, cb2, "c2", "d2", "cn2b")
+        val qn = emb.where($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), dotExact($"emb", $"emb").as("qn2"))
+        val byQ = Window.partitionBy($"query_id")
+          .orderBy($"pq_sim".desc, $"vec_id".asc)
+        codes
+          .join(broadcast(l1), "c1")
+          .join(broadcast(l2), Seq("c2", "query_id"))
+          .join(broadcast(qn), "query_id")
+          .where($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id",
+            round(when($"qn2" > 0.0 && ($"cn1" + $"cn2b") > 0.0,
+              ($"d1" + $"d2") / (sqrt($"qn2") * sqrt($"cn1" + $"cn2b")))
+              .otherwise(0.0), 9).as("pq_sim"))
+          .withColumn("rank", row_number().over(byQ).cast("int"))
+          .where($"rank" <= 10)
+      },
+      Some(s"""WITH ${kmeansCtes(k = 4, iters = 1, p = "s1_", slice = Some((1, 32)))},
+        |${kmeansCtes(k = 4, iters = 1, p = "s2_", slice = Some((33, 64)))},
+        |s1_at AS (
+        |  SELECT e.vec_id, e.embedding, c.cid, c.ce,
+        |    unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM s1_e e CROSS JOIN s1_km_c1 c),
+        |s1_ad AS (
+        |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
+        |  FROM s1_at GROUP BY vec_id, embedding, cid, ce),
+        |s1_as AS (
+        |  SELECT d.vec_id, d.cid,
+        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
+        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS c_sim
+        |  FROM s1_ad d JOIN s1_n2 v ON d.vec_id = v.vec_id
+        |    JOIN s1_km_cn1 c ON d.cid = c.cid),
+        |s1_code AS (
+        |  SELECT vec_id, cid AS c1 FROM (
+        |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
+        |    FROM s1_as) WHERE rn = 1),
+        |s2_at AS (
+        |  SELECT e.vec_id, e.embedding, c.cid, c.ce,
+        |    unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM s2_e e CROSS JOIN s2_km_c1 c),
+        |s2_ad AS (
+        |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
+        |  FROM s2_at GROUP BY vec_id, embedding, cid, ce),
+        |s2_as AS (
+        |  SELECT d.vec_id, d.cid,
+        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
+        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS c_sim
+        |  FROM s2_ad d JOIN s2_n2 v ON d.vec_id = v.vec_id
+        |    JOIN s2_km_cn1 c ON d.cid = c.cid),
+        |s2_code AS (
+        |  SELECT vec_id, cid AS c2 FROM (
+        |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
+        |    FROM s2_as) WHERE rn = 1),
+        |codes AS (SELECT a.vec_id, a.c1, b.c2
+        |  FROM s1_code a JOIN s2_code b ON a.vec_id = b.vec_id),
+        |qn AS (
+        |  SELECT vec_id AS query_id, ${dotSql("embedding", "embedding")} AS qn2
+        |  FROM (SELECT vec_id, embedding,
+        |      unnest(generate_series(1, len(embedding))) AS i
+        |    FROM embeddings WHERE vec_id < 5)
+        |  GROUP BY vec_id, embedding),
+        |s1_lt AS (
+        |  SELECT q.vec_id AS query_id, c.cid AS c1, q.embedding AS qe, c.ce,
+        |    unnest(generate_series(1, len(q.embedding))) AS i
+        |  FROM (SELECT vec_id, embedding FROM s1_e WHERE vec_id < 5) q
+        |  CROSS JOIN s1_km_c1 c),
+        |s1_lut AS (
+        |  SELECT query_id, c1, ${dotSql("qe", "ce")} AS d1
+        |  FROM s1_lt GROUP BY query_id, c1, qe, ce),
+        |s2_lt AS (
+        |  SELECT q.vec_id AS query_id, c.cid AS c2, q.embedding AS qe, c.ce,
+        |    unnest(generate_series(1, len(q.embedding))) AS i
+        |  FROM (SELECT vec_id, embedding FROM s2_e WHERE vec_id < 5) q
+        |  CROSS JOIN s2_km_c1 c),
+        |s2_lut AS (
+        |  SELECT query_id, c2, ${dotSql("qe", "ce")} AS d2
+        |  FROM s2_lt GROUP BY query_id, c2, qe, ce),
+        |adc AS (
+        |  SELECT l1.query_id, cd.vec_id,
+        |    ROUND(CASE WHEN qn.qn2 > 0 AND (n1.cn2 + nx.cn2) > 0
+        |      THEN (l1.d1 + l2.d2) / (sqrt(qn.qn2) * sqrt(n1.cn2 + nx.cn2))
+        |      ELSE 0.0 END, 9) AS pq_sim
+        |  FROM codes cd
+        |  JOIN s1_lut l1 ON cd.c1 = l1.c1
+        |  JOIN s2_lut l2 ON cd.c2 = l2.c2 AND l2.query_id = l1.query_id
+        |  JOIN s1_km_cn1 n1 ON cd.c1 = n1.cid
+        |  JOIN s2_km_cn1 nx ON cd.c2 = nx.cid
+        |  JOIN qn ON qn.query_id = l1.query_id
+        |  WHERE cd.vec_id <> l1.query_id)
+        |SELECT query_id, vec_id, pq_sim, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY pq_sim DESC, vec_id ASC) AS rank
+        |  FROM adc)
+        |WHERE rank <= 10""".stripMargin))
   )
 }
