@@ -133,4 +133,24 @@ object TextAnalysis {
     */
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromTokens(tokens(text), n)
+
+  /** PII patterns (q82): restricted to the syntax subset with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB) — character classes
+    * and bounded/unbounded repetition; no backreferences, no lookaround.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlPattern   = "https?://[a-z0-9./_-]+"
+  val PhonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Replace every email/URL/phone match with a typed placeholder (the
+    * corpus-scrubbing map stage; order pinned email → URL → phone, though
+    * the three patterns cannot overlap: only Email contains '@', only Url
+    * starts 'http', only Phone starts '+').
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      PhonePattern, "<PHONE>")
 }

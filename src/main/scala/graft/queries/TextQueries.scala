@@ -611,9 +611,9 @@ object TextQueries {
       "q82_pii_redact",
       (s, dir) => {
         import s.implicits._
-        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-        val url   = "https?://[a-z0-9./_-]+"
-        val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+        val email = TextAnalysis.EmailPattern
+        val url   = TextAnalysis.UrlPattern
+        val phone = TextAnalysis.PhonePattern
         val injected = Tables.documents(s, dir)
           .select($"doc_id", concat($"text",
             when($"doc_id" % 2 === 0, concat(lit(" contact user"),
@@ -627,12 +627,7 @@ object TextQueries {
           size(regexp_extract_all($"text", lit(email), lit(0))).as("n_emails"),
           size(regexp_extract_all($"text", lit(url), lit(0))).as("n_urls"),
           size(regexp_extract_all($"text", lit(phone), lit(0))).as("n_phones"),
-          length(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace($"text", email, "<EMAIL>"),
-                url, "<URL>"),
-              phone, "<PHONE>")).as("redacted_len"))
+          length(TextAnalysis.redactPii($"text")).as("redacted_len"))
       },
       Some("""WITH t AS (
         |  SELECT doc_id, text ||

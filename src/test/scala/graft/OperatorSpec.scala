@@ -180,4 +180,47 @@ class OperatorSpec extends SparkSpec {
     assert(vecs(0) == vecs(1))
     assert(vecs(0).length == 8 && vecs(0).forall(c => c == '0' || c == '1'))
   }
+
+  test("pii redaction replaces emails, urls, phones with typed placeholders") {
+    val redacted = Seq(
+      "mail me at jane.doe+x@sub.example.co.uk today",
+      "docs at https://a.example.org/path_1/x-y thanks",
+      "call +44-123-4567 now",
+      "no pii here at all").toDF("text")
+      .select(TextAnalysis.redactPii($"text").as("r")).as[String].collect()
+    assert(redacted(0) == "mail me at <EMAIL> today", redacted(0))
+    assert(redacted(1) == "docs at <URL> thanks", redacted(1))
+    assert(redacted(2) == "call <PHONE> now", redacted(2))
+    assert(redacted(3) == "no pii here at all")
+  }
+
+  test("overlapFor: full containment of the shorter doc in the longer") {
+    // doc 1 = 6 tokens -> 4 shingles, all present in doc 2 (a superset)
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
+    val sh = Dedup.hashedShingleRows(docs, "doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val row = Dedup.overlapFor(pairs, sh, "doc_id")
+      .select($"n_inter", $"n_a", $"n_b").head()
+    assert(row.getLong(0) == 4 && row.getLong(1) == 4 && row.getLong(2) == 6,
+      row.toString)
+    // containment of A in B is total while Jaccard is only 4/6
+    val j = Dedup.jaccardFor(pairs, sh, "doc_id")
+      .select($"jaccard").as[Double].head()
+    assert(math.abs(j - 4.0 / 6.0) < 1e-12)
+  }
+
+  test("pq adc: identical subspace codes give identical pq_sim (q85 shape)") {
+    val out = graft.SparkEntry.queries("q85_pq_ann")(
+      spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.length == 50, s"expected 5 queries x 10: ${rows.length}")
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to 10))
+      rs.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    }
+  }
 }

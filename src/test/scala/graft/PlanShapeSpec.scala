@@ -174,4 +174,41 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q81_int8_quant")
     assert(!p.contains("Exchange"), p.take(1200))
   }
+
+  test("q82 pii redaction is a pure narrow map — zero exchanges") {
+    val p = planOf("q82_pii_redact")
+    assert(!p.contains("Exchange"), p.take(1200))
+  }
+
+  test("q83 bm25 top-k is TakeOrderedAndProject; corpus stats broadcast") {
+    val p = planOf("q83_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q84 containment rides the capped LSH candidate machinery, no cartesian") {
+    val p = planOf("q84_containment")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q85 pq: codes join broadcast LUTs, no cartesian, no pairwise kernel") {
+    val p = planOf("q85_pq_ann")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q86 phrases: top-k via TakeOrderedAndProject, unigram joins broadcast") {
+    val p = planOf("q86_phrases")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q87 retention: cohort sizes broadcast back, no cartesian") {
+    val p = planOf("q87_retention")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
