@@ -404,6 +404,102 @@ object DedupQueries {
         |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
         |  JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id)
         |WHERE greatest(c_ab, c_ba) >= 0.7""".stripMargin
+      }),
+
+    // ── INCREMENTAL near-dup: dedup a new batch (delta = doc_id % 10 = 9,
+    //    the stand-in for "today's crawl") against the EXISTING corpus plus
+    //    earlier delta docs — without ever re-pairing old × old. This is
+    //    the shape a production pipeline actually runs daily: the corpus
+    //    side is a pre-built band index (at 100 TB: a bucketed table,
+    //    appended per batch), the delta side is small, and candidate cost
+    //    is ∝ |delta|, not |corpus|². The old-vs-old pair space is never
+    //    touched. Same skew cap as q36 (bucket count over ALL band rows,
+    //    partial-agg'd); verification is the shared pairs-first
+    //    [[graft.ext.Dedup.overlapFor]]. Output: every delta doc with its
+    //    dup verdict and best corpus match (ties to the smallest doc id).
+    QueryDef(
+      "q88_delta_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Dedup.hashedShingleRows(Tables.documents(s, dir), "doc_id", "text")
+          .localCheckpoint()
+        val sigs = Dedup.minhashSignaturesAgg(sh, "doc_id")
+        val bands = Dedup.bandRows(sigs, "doc_id").localCheckpoint()
+        val keep = bands.groupBy($"band_id", $"band_key")
+          .agg(count(lit(1)).as("bucket_n"))
+          .where($"bucket_n" <= 100000 && $"bucket_n" >= 2)
+          .select($"band_id", $"band_key")
+        val capped = bands.join(keep, Seq("band_id", "band_key"))
+        val a = capped.where($"doc_id" % 10 === 9)
+          .select($"doc_id".as("doc_a"), $"band_id", $"band_key")
+        val b = capped.select($"doc_id".as("doc_b"), $"band_id", $"band_key")
+        val cands = a.join(b, Seq("band_id", "band_key"))
+          .where($"doc_b" =!= $"doc_a" &&
+            (($"doc_b" % 10 =!= 9) || ($"doc_b" < $"doc_a")))
+          .select($"doc_a", $"doc_b").distinct().localCheckpoint()
+        val jac = Dedup.overlapFor(cands, sh, "doc_id")
+          .select($"doc_a", $"doc_b",
+            ($"n_inter".cast("double") /
+              ($"n_a" + $"n_b" - $"n_inter").cast("double")).as("j"))
+          .where($"j" >= 0.5)
+        val best = jac.groupBy($"doc_a")
+          .agg(max_by(struct($"j", $"doc_b"), struct($"j", -$"doc_b")).as("bm"))
+          .select($"doc_a", $"bm.doc_b".as("best_match"), $"bm.j".as("best_jaccard"))
+        Tables.documents(s, dir).select($"doc_id").where($"doc_id" % 10 === 9)
+          .join(best, $"doc_id" === $"doc_a", "left")
+          .select($"doc_id", $"best_match".isNotNull.as("is_dup"),
+            $"best_match", $"best_jaccard")
+      },
+      Some {
+        val r = Dedup.BandRows
+        val perms = (0 until Dedup.NumHashes).map { i =>
+          s"(${Dedup.permA(i)}, ${Dedup.permB(i)}, $i)"
+        }.mkString(", ")
+        s"""WITH $shingleCte,
+        |hsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |perm(a, b, i) AS (VALUES $perms),
+        |mh AS (
+        |  SELECT doc_id, i, MIN((a * (h % ${Dedup.MinhashP}) + b) % ${Dedup.MinhashP}) AS mh
+        |  FROM hsh CROSS JOIN perm GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, CAST(i // $r AS INT) AS band_id,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+        |  FROM mh GROUP BY 1, 2),
+        |keep AS (
+        |  SELECT band_id, band_key FROM bands GROUP BY 1, 2
+        |  HAVING COUNT(*) BETWEEN 2 AND 100000),
+        |capped AS (SELECT b.* FROM bands b JOIN keep USING (band_id, band_key)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |  WHERE a.doc_id % 10 = 9 AND b.doc_id <> a.doc_id
+        |    AND (b.doc_id % 10 <> 9 OR b.doc_id < a.doc_id)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        |  FROM cand c JOIN hsh a ON a.doc_id = c.doc_a
+        |    JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) AS j
+        |  FROM cand c
+        |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        |  JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
+        |  WHERE COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) >= 0.5),
+        |best AS (
+        |  SELECT doc_a, doc_b, j FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a
+        |      ORDER BY j DESC, doc_b ASC) AS rn
+        |    FROM jac) WHERE rn = 1)
+        |SELECT d.doc_id, (b.doc_a IS NOT NULL) AS is_dup,
+        |  b.doc_b AS best_match, b.j AS best_jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+        |LEFT JOIN best b ON d.doc_id = b.doc_a""".stripMargin
       })
   )
 }

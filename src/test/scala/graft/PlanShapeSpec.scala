@@ -211,4 +211,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("q88 delta dedup: delta-side band join, no cartesian, no old-x-old pairs") {
+    val p = planOf("q88_delta_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the delta restriction reaches the band self-join input: the a-side
+    // filter (doc_id % 10 = 9) must appear in the visible plan
+    assert(p.contains("% 10"), p.take(1200))
+  }
 }
