@@ -92,6 +92,63 @@ object KMeans {
     cents
   }
 
+  /** Product-quantization trainer: `m` independent `subDim`-wide subspace
+    * codebooks trained in ONE distributed pass per Lloyd round. The
+    * subspace id joins every key — (vec, sub) assignment, (sub, cid, dim)
+    * cell means — so all `m` trainings share each corpus scan and shuffle
+    * instead of running `m` sequential Lloyd loops. At 100 TB with m = 8
+    * subspaces that is 1 corpus read per round, not 8; on the local bench
+    * it collapses 2× the fixed per-job overhead into one job chain.
+    * Bit-identical to `m` separate [[trainCodebook]] runs over
+    * `slice(embedding, i*subDim+1, subDim)` (the per-subspace math never
+    * crosses the `sub` key — pinned by KMeansSpec).
+    * Returns `(sub, cid, ce, cn2, n_vectors)`.
+    */
+  def trainProductCodebooks(emb: DataFrame, m: Int, subDim: Int,
+      k: Int = 4, iters: Int = 1): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions.dotExact
+    val subs = array((0 until m).map(i =>
+      struct(lit(i).as("sub"),
+        slice(col("emb"), i * subDim + 1, subDim).as("se"))): _*)
+    val e = emb
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .select(col("vec_id"), explode(subs).as("p"))
+      .select(col("vec_id"), col("p.sub"), col("p.se").as("embedding"))
+      .withColumn("n2", dotExact(col("embedding"), col("embedding")))
+      .localCheckpoint()
+    var cents = e.where(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("n2").as("cn2"), lit(0L).as("n_vectors"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // m·k rows by construction — the bounded-by-parameter broadcast
+      val scored = e.join(
+          broadcast(cents.select(col("sub"), col("cid"), col("ce"), col("cn2"))),
+          Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("cid"),
+          Similarity.cosine(dotExact(col("embedding"), col("ce")),
+            col("n2"), col("cn2")).as("c_sim"))
+      val assign = scored.groupBy(col("vec_id"), col("sub"))
+        .agg(max_by(col("cid"), struct(col("c_sim"), -col("cid"))).as("cid"))
+      val cells = e.join(assign, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("sub"), col("cid"), col("dim"))
+        .agg(graft.QueryDef.tavg(col("v")).as("cv"), count(lit(1)).as("n_vectors"))
+      cents = cells.groupBy(col("sub"), col("cid"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+            _.getField("cv")).as("ce"),
+          max(col("n_vectors")).as("n_vectors"))
+        .withColumn("cn2", dotExact(col("ce"), col("ce")))
+        .select(col("sub"), col("cid"), col("ce"), col("cn2"), col("n_vectors"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** PRODUCTION init: deterministic k-means‖ (Bahmani et al., "Scalable
     * K-Means++", VLDB'12) followed by the same Lloyd loop. Each init round
     * scores every vector against the current candidate set (broadcast,

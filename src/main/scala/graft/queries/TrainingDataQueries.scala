@@ -877,35 +877,43 @@ object TrainingDataQueries {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         import graft.functions.GraftFunctions.dotExact
-        val emb = Tables.embeddings(s, dir)
+        val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        // joint PQ training: both subspace codebooks from ONE Lloyd pass
+        // per round (the m-subspaces-one-scan shape; bit-identical to two
+        // independent trainCodebook runs — KMeansSpec pins it)
+        val cbs = KMeans.trainProductCodebooks(emb, m = 2, subDim = 32,
+          k = 4, iters = 1)
+        // joint encode: one (vec, sub) assignment shuffle for all
+        // subspaces (the q74 rule: rounded exact cosine, ties to smallest
+        // cid, max_by partial agg), pivoted to one codes row per vector
+        val embd = emb
           .select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"))
-        def sub(lo: Int) = emb.select($"vec_id", slice($"emb", lo, 32).as("embedding"))
-        // per-subspace codebooks — k rows each, broadcast-safe by construction
-        val cb1 = KMeans.trainCodebook(sub(1), k = 4, iters = 1)
-        val cb2 = KMeans.trainCodebook(sub(33), k = 4, iters = 1)
-        // encode: nearest trained centroid per subspace (the q74 assignment
-        // rule: rounded exact cosine, ties to smallest cid, max_by partial agg)
-        def assign(sube: org.apache.spark.sql.DataFrame,
-            cb: org.apache.spark.sql.DataFrame, codeName: String) =
-          sube.withColumn("n2", dotExact($"embedding", $"embedding"))
-            .join(broadcast(cb.select($"cid", $"ce", $"cn2")))
-            .select($"vec_id", $"cid",
-              Similarity.cosine(dotExact($"embedding", $"ce"), $"n2", $"cn2")
-                .as("c_sim"))
-            .groupBy($"vec_id")
-            .agg(max_by($"cid", struct($"c_sim", -$"cid")).as(codeName))
-        val codes = assign(sub(1), cb1, "c1").join(assign(sub(33), cb2, "c2"), "vec_id")
+        val subs = array((0 until 2).map(i =>
+          struct(lit(i).as("sub"), slice($"emb", i * 32 + 1, 32).as("se"))): _*)
+        val esub = embd.select($"vec_id", explode(subs).as("p"))
+          .select($"vec_id", $"p.sub".as("sub"), $"p.se".as("embedding"))
+          .withColumn("n2", dotExact($"embedding", $"embedding"))
+        val assign = esub
+          .join(broadcast(cbs.select($"sub", $"cid", $"ce", $"cn2")), Seq("sub"))
+          .select($"vec_id", $"sub", $"cid",
+            Similarity.cosine(dotExact($"embedding", $"ce"), $"n2", $"cn2")
+              .as("c_sim"))
+          .groupBy($"vec_id", $"sub")
+          .agg(max_by($"cid", struct($"c_sim", -$"cid")).as("cid"))
+        val codes = assign.groupBy($"vec_id")
+          .agg(max(when($"sub" === 0, $"cid")).as("c1"),
+            max(when($"sub" === 1, $"cid")).as("c2"))
         // ADC lookup tables: exact dot of each query subvector against each
         // subspace centroid — (n_queries × k) rows, broadcast
-        def lut(lo: Int, cb: org.apache.spark.sql.DataFrame,
-            codeName: String, dName: String, cnName: String) =
-          sub(lo).where($"vec_id" < 5)
-            .join(cb.select($"cid".as(codeName), $"ce", $"cn2".as(cnName)))
+        def lut(subId: Int, codeName: String, dName: String, cnName: String) =
+          esub.where($"vec_id" < 5 && $"sub" === subId)
+            .join(broadcast(cbs.where($"sub" === subId)
+              .select($"cid".as(codeName), $"ce", $"cn2".as(cnName))))
             .select($"vec_id".as("query_id"), col(codeName),
               dotExact($"embedding", $"ce").as(dName), col(cnName))
-        val l1 = lut(1, cb1, "c1", "d1", "cn1")
-        val l2 = lut(33, cb2, "c2", "d2", "cn2b")
-        val qn = emb.where($"vec_id" < 5)
+        val l1 = lut(0, "c1", "d1", "cn1")
+        val l2 = lut(1, "c2", "d2", "cn2b")
+        val qn = embd.where($"vec_id" < 5)
           .select($"vec_id".as("query_id"), dotExact($"emb", $"emb").as("qn2"))
         val byQ = Window.partitionBy($"query_id")
           .orderBy($"pq_sim".desc, $"vec_id".asc)

@@ -59,4 +59,21 @@ class KMeansSpec extends SparkSpec {
     val (cb, cp) = (cost(base), cost(par))
     assert(cp <= cb * 1.05, s"parallel init cost $cp vs baseline $cb")
   }
+
+  test("joint product-codebook training is bit-identical to per-subspace runs") {
+    val joint = KMeans.trainProductCodebooks(emb, m = 2, subDim = 32,
+      k = 4, iters = 1)
+    def sliced(lo: Int) = emb.select($"vec_id",
+      slice(transform($"embedding", _.cast("double")), lo, 32).as("embedding"))
+    val sep0 = KMeans.trainCodebook(sliced(1), k = 4, iters = 1)
+    val sep1 = KMeans.trainCodebook(sliced(33), k = 4, iters = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"cid", $"ce", $"cn2", $"n_vectors").orderBy($"cid")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(rows(joint.where($"sub" === 0)) == rows(sep0),
+      "subspace 0 diverged from independent training")
+    assert(rows(joint.where($"sub" === 1)) == rows(sep1),
+      "subspace 1 diverged from independent training")
+  }
 }
