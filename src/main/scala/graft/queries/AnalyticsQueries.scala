@@ -297,6 +297,82 @@ object AnalyticsQueries {
         |SELECT a.cohort_wk, a.week_offset, a.n_users, cs.cohort_n,
         |  ROUND(CAST(a.n_users AS DOUBLE) / CAST(cs.cohort_n AS DOUBLE), 9)
         |    AS retention
-        |FROM act a JOIN cs USING (cohort_wk)""".stripMargin))
+        |FROM act a JOIN cs USING (cohort_wk)""".stripMargin)),
+
+    // ── SQL front-door parity: ONE ANSI SQL string executed verbatim by
+    //    BOTH engines — Spark runs it through `Tables.registerAll` +
+    //    `spark.sql(...)` (the temp-view catalog every fixture table is
+    //    registered into), DuckDB runs the identical text as the oracle.
+    //    Pins that the engine's SQL surface is genuinely usable, not just
+    //    the DataFrame API: a 4-table star join + filtered revenue rollup
+    //    in the dialect-neutral subset (explicit JOIN ... ON, CAST, the
+    //    decimal-sum-cast-double exact aggregate). Catalyst plans it like
+    //    any DataFrame query: dimension broadcasts, partial aggs, pruned
+    //    scans.
+    QueryDef(
+      "q89_sql_report",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(AnalyticsQueries.SqlReportText)
+      },
+      Some(AnalyticsQueries.SqlReportText)),
+
+    // ── Winsorized robust statistics per event type: exact p05/p95
+    //    thresholds (rounded at 1e-6, the q29 cross-engine percentile
+    //    posture), clip counts, and the floor-fixed-point means of the raw
+    //    and clipped values ([[graft.QueryDef.tavg]] — order-independent
+    //    integer sums). The outlier-resistant aggregate a metrics pipeline
+    //    publishes when a handful of bad rows would poison plain means.
+    //    Scale shape: exact `percentile` buffers per group (groups are few
+    //    and bounded here); the 100 TB path swaps in approx_percentile
+    //    (mergeable t-digest, q68's sketch posture) with no other change;
+    //    thresholds broadcast back onto one partial-agg'd scan.
+    QueryDef(
+      "q90_winsorize",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).select($"event_type", $"value")
+        val th = ev.groupBy($"event_type").agg(
+          expr("round(percentile(value, 0.05), 6)").as("t_lo"),
+          expr("round(percentile(value, 0.95), 6)").as("t_hi"))
+        ev.join(broadcast(th), "event_type")
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when($"value" < $"t_lo", 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when($"value" > $"t_hi", 1L).otherwise(0L)).as("n_clip_hi"),
+            min($"t_lo").as("t_lo"),
+            min($"t_hi").as("t_hi"),
+            QueryDef.tavg($"value").as("mean_raw"),
+            QueryDef.tavg(least(greatest($"value", $"t_lo"), $"t_hi"))
+              .as("mean_winsor"))
+      },
+      Some(s"""WITH th AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS t_lo,
+        |    round(quantile_cont(value, 0.95), 6) AS t_hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN value < t_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN value > t_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  MIN(t_lo) AS t_lo, MIN(t_hi) AS t_hi,
+        |  ${QueryDef.tavgSql("value")} AS mean_raw,
+        |  ${QueryDef.tavgSql("least(greatest(value, t_lo), t_hi)")} AS mean_winsor
+        |FROM events e JOIN th USING (event_type)
+        |GROUP BY e.event_type""".stripMargin))
   )
+
+  /** The dialect-neutral SQL text q89 feeds IDENTICALLY to Spark SQL and
+    * DuckDB (ANSI joins, CAST, exact decimal-sum revenue).
+    */
+  val SqlReportText: String =
+    """SELECT n_name AS nation,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY n_name""".stripMargin
 }

@@ -219,4 +219,17 @@ class PlanShapeSpec extends SparkSpec {
     // filter (doc_id % 10 = 9) must appear in the visible plan
     assert(p.contains("% 10"), p.take(1200))
   }
+
+  test("q89 sql front door plans like the DataFrame API: broadcast dims, pruned scans") {
+    val p = planOf("q89_sql_report")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+  }
+
+  test("q90 winsorize: thresholds broadcast back, partial-agg'd scan") {
+    val p = planOf("q90_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
 }
