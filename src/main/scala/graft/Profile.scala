@@ -56,6 +56,18 @@ object Profile {
         graft.ext.KMeans.trainCodebookParallel(emb, k = 64, iters = 3,
           onRound = (r, sec) => println(f"PROFILE   round $r%d: $sec%.3f s")))
       println(s"PROFILE   codebook|| rows: ${cbp.count()}")
+    } else if (args.contains("pq")) {
+      // scale probe for joint product-quantization training beyond the
+      // gated m=2/k=4: m=8 8-dim subspaces, k=16, 2 Lloyd rounds — the
+      // PQ geometry a real ANN deployment uses (64 bits/vector). Evidences
+      // the "one corpus read per round for ALL m codebooks" claim.
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val cb = time("pq m=8 k=16 iters=2")(
+        graft.ext.KMeans.trainProductCodebooks(emb, m = 8, subDim = 8,
+          k = 16, iters = 2))
+      println(s"PROFILE   pq codebook rows: ${cb.count()} (m*k = 128)")
     } else {
       args.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>

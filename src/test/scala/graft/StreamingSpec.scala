@@ -122,6 +122,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming pii scrub matches the batch q82 redaction") {
+    // redaction is a stateless narrow map, so the same redactPii column
+    // expression runs unchanged over a document stream in Append mode —
+    // the scrub happens as files land, zero state, zero reprocessing
+    import graft.ext.TextAnalysis
+    val ddir = Files.createTempDirectory("graft_pii_stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id",
+        concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+          lit("@example.com or https://x.example.net/"), $"doc_id".cast("string"))
+          .as("text"))
+      .write.mode("overwrite").parquet(ddir)
+    val schema = spark.read.parquet(ddir).schema
+    def scrub(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", TextAnalysis.redactPii($"text").as("clean"))
+    val streamed = EventStream.runToBatch(spark,
+      scrub(spark.readStream.schema(schema).parquet(ddir)),
+      "pii_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = scrub(spark.read.parquet(ddir))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // and the scrub actually fired: no raw emails/urls survive
+    assert(batch.where($"clean".contains("@example.com") ||
+      $"clean".contains("https://")).isEmpty)
+    assert(batch.where(!$"clean".contains("<EMAIL>")).isEmpty)
+  }
+
   test("stream-static dimension join matches the batch join + rollup") {
     // classify each event via a static dimension on event_type, then run
     // the watermarked hourly rollup per category — the join itself is
