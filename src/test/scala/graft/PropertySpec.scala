@@ -84,6 +84,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment dominates jaccard on every pair (|A∩B|/|A| >= |A∩B|/|A∪B|)") {
+    val words = Seq("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 20L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(10))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.hashedShingleRows(docs, "doc_id", "text")
+    val all = sh.select($"doc_id".as("doc_a"))
+      .crossJoin(sh.select($"doc_id".as("doc_b")))
+      .where($"doc_a" < $"doc_b").distinct()
+    val rows = Dedup.overlapFor(all, sh, "doc_id")
+      .select($"n_inter", $"n_a", $"n_b").collect()
+    rows.foreach { r =>
+      val (ni, na, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val jac = ni.toDouble / (na + nb - ni)
+      val cAB = ni.toDouble / na
+      val cBA = ni.toDouble / nb
+      assert(cAB + 1e-12 >= jac && cBA + 1e-12 >= jac,
+        s"containment below jaccard: ni=$ni na=$na nb=$nb")
+      assert(ni <= math.min(na, nb), "intersection exceeds a set size")
+    }
+  }
+
   test("connected components match a union-find reference on random graphs") {
     (1 to 3).foreach { _ =>
       val n = 30
