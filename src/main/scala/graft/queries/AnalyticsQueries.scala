@@ -359,8 +359,82 @@ object AnalyticsQueries {
         |  ${QueryDef.tavgSql("value")} AS mean_raw,
         |  ${QueryDef.tavgSql("least(greatest(value, t_lo), t_hi)")} AS mean_winsor
         |FROM events e JOIN th USING (event_type)
-        |GROUP BY e.event_type""".stripMargin))
+        |GROUP BY e.event_type""".stripMargin)),
+
+    funnelDef
   )
+
+  /** q92 appended via [[funnelDef]] to keep the ordered-stage logic and
+    * its oracle adjacent. */
+
+  // ── Ordered funnel analysis (view → click → purchase): each stage's
+  //    timestamp is the user's FIRST qualifying event STRICTLY AFTER the
+  //    previous stage (the product-analytics conversion funnel, not mere
+  //    event-presence counting). Three keyed min-aggs chained by time
+  //    predicates; conversion rates are single pinned divisions; stage
+  //    latencies average exact epoch-microsecond integers through the
+  //    davg-style double tree. Scale shape: per-stage frames are keyed on
+  //    user_id (one shuffle each over the filtered event slice), the
+  //    final rollup is a 1-row agg — no windows, no self-joins over the
+  //    full stream.
+  private def funnelDef: QueryDef = QueryDef(
+    "q92_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+      val t1 = ev.where($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val t2 = ev.where($"event_type" === "click")
+        .join(t1, "user_id").where($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"), min($"t1").as("t1k"))
+      val t3 = ev.where($"event_type" === "purchase")
+        .join(t2.select($"user_id", $"t2"), "user_id").where($"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"), min($"t2").as("t2k"))
+      ev.select($"user_id").distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2.select($"user_id", $"t2", $"t1k"), Seq("user_id"), "left")
+        .join(t3.select($"user_id", $"t3", $"t2k"), Seq("user_id"), "left")
+        .agg(
+          count(lit(1)).as("n_users"),
+          count($"t1").as("n_view"),
+          count($"t2").as("n_click"),
+          count($"t3").as("n_purchase"),
+          round(count($"t2").cast("double") / count($"t1").cast("double"), 9)
+            .as("view_to_click"),
+          round(count($"t3").cast("double") / count($"t2").cast("double"), 9)
+            .as("click_to_purchase"),
+          round((sum(unix_micros($"t2") - unix_micros($"t1k")).cast("double")
+            / lit(1e6)) / count($"t2"), 6).as("avg_secs_to_click"),
+          round((sum(unix_micros($"t3") - unix_micros($"t2k")).cast("double")
+            / lit(1e6)) / count($"t3"), 6).as("avg_secs_to_purchase"))
+    },
+    Some("""WITH t1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2, MIN(t1.t1) AS t1k
+      |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3, MIN(t2.t2) AS t2k
+      |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(COUNT(t1.t1) AS BIGINT) AS n_view,
+      |  CAST(COUNT(t2.t2) AS BIGINT) AS n_click,
+      |  CAST(COUNT(t3.t3) AS BIGINT) AS n_purchase,
+      |  ROUND(CAST(COUNT(t2.t2) AS DOUBLE) / CAST(COUNT(t1.t1) AS DOUBLE), 9)
+      |    AS view_to_click,
+      |  ROUND(CAST(COUNT(t3.t3) AS DOUBLE) / CAST(COUNT(t2.t2) AS DOUBLE), 9)
+      |    AS click_to_purchase,
+      |  ROUND((CAST(SUM(epoch_us(t2.t2) - epoch_us(t2.t1k)) AS DOUBLE) / 1e6)
+      |    / COUNT(t2.t2), 6) AS avg_secs_to_click,
+      |  ROUND((CAST(SUM(epoch_us(t3.t3) - epoch_us(t3.t2k)) AS DOUBLE) / 1e6)
+      |    / COUNT(t3.t3), 6) AS avg_secs_to_purchase
+      |FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+      |LEFT JOIN t2 ON u.user_id = t2.user_id
+      |LEFT JOIN t3 ON u.user_id = t3.user_id""".stripMargin))
 
   /** The dialect-neutral SQL text q89 feeds IDENTICALLY to Spark SQL and
     * DuckDB (ANSI joins, CAST, exact decimal-sum revenue).

@@ -712,6 +712,77 @@ object TextQueries {
         |SELECT wa, wb, c_ab, c_a, c_b, lift, CAST(rn AS INT) AS rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, wa ASC, wb ASC) AS rn
         |  FROM scored)
-        |WHERE rn <= 20""".stripMargin))
+        |WHERE rn <= 20""".stripMargin)),
+
+    // ── LM-frequency quality scoring — the log-free analog of CCNet's
+    //    (Wenzek et al. 2019) perplexity filter: train a character-trigram
+    //    unigram LM over the corpus (P(t) = count/total) and score each
+    //    document by the MEAN corpus probability of its trigram instances.
+    //    Atypical character soup scores low, corpus-typical text scores
+    //    high — the same ordering a perplexity filter produces, but every
+    //    number here is one pinned-order division of exact integer counts
+    //    (no logs, which are libm-dependent). The low_quality flag
+    //    thresholds at 0.7× the corpus mean score (mean via the
+    //    floor-fixed-point tavg, so the threshold is bit-identical in both
+    //    engines). Scale shape: the trigram LM table is charset³-bounded
+    //    (broadcast at any corpus size — the same boundedness argument as
+    //    q75's hashed features), the substrate is checkpointed once for
+    //    its two consumers, and scoring is one keyed join + per-doc agg.
+    QueryDef(
+      "q91_lm_score",
+      (s, dir) => {
+        import s.implicits._
+        val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
+        val docs = Tables.documents(s, dir).select($"doc_id", norm.as("norm"))
+        val tg = docs.where(length($"norm") >= 3)
+          .select($"doc_id",
+            explode(sequence(lit(1), length($"norm") - 2)).as("i"), $"norm")
+          .select($"doc_id", $"norm".substr($"i", lit(3)).as("trigram"))
+          .localCheckpoint()
+        val counts = tg.groupBy($"trigram").agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum($"cnt").as("t_total"))
+        val per = tg.join(broadcast(counts), "trigram")
+          .groupBy($"doc_id")
+          .agg(sum($"cnt").as("cnt_sum"), count(lit(1)).as("n_tg"))
+        val scored = per.crossJoin(broadcast(tot))
+          .select($"doc_id", $"n_tg",
+            ($"cnt_sum".cast("double") /
+              ($"n_tg".cast("double") * $"t_total".cast("double")))
+              .as("lm_score"))
+        val thr = scored.agg((QueryDef.tavg($"lm_score") * lit(0.7)).as("thr"))
+        docs.select($"doc_id")
+          .join(scored, Seq("doc_id"), "left")
+          .crossJoin(broadcast(thr))
+          .select($"doc_id",
+            coalesce($"n_tg", lit(0L)).as("n_tg"),
+            coalesce($"lm_score", lit(0.0)).as("lm_score"),
+            (coalesce($"lm_score", lit(0.0)) < $"thr").as("low_quality"))
+      },
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, substr(norm, i, 3) AS trigram
+        |  FROM (SELECT doc_id, norm,
+        |      unnest(generate_series(1, length(norm) - 2)) AS i
+        |    FROM d WHERE length(norm) >= 3)),
+        |cnts AS (SELECT trigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tg GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM cnts),
+        |per AS (
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS cnt_sum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tg
+        |  FROM tg JOIN cnts USING (trigram) GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, n_tg,
+        |    CAST(cnt_sum AS DOUBLE) /
+        |      (CAST(n_tg AS DOUBLE) * CAST(t_total AS DOUBLE)) AS lm_score
+        |  FROM per CROSS JOIN tot),
+        |thr AS (SELECT ${QueryDef.tavgSql("lm_score")} * CAST(0.7 AS DOUBLE) AS thr
+        |  FROM scored)
+        |SELECT d.doc_id, COALESCE(s.n_tg, 0) AS n_tg,
+        |  COALESCE(s.lm_score, 0.0) AS lm_score,
+        |  COALESCE(s.lm_score, 0.0) < thr AS low_quality
+        |FROM d LEFT JOIN scored s ON d.doc_id = s.doc_id CROSS JOIN thr""".stripMargin))
   )
 }

@@ -232,4 +232,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
+
+  test("q91 lm score: bounded trigram LM broadcasts onto the substrate") {
+    val p = planOf("q91_lm_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q92 funnel: keyed stage aggs, no windows over the event stream") {
+    val p = planOf("q92_funnel")
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
