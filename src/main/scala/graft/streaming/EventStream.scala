@@ -215,6 +215,41 @@ object EventStream {
         col("n_tokens"))
   }
 
+  /** Exactly-once ledgered streaming ingestion — the continuous analog of
+    * the batch load ledger (`Ingestion.alreadyLoaded`, the reference's
+    * idempotent delete+insert): Structured Streaming replays a failed
+    * micro-batch under the SAME batchId, so the foreachBatch sink is
+    * exactly-once iff it skips batch ids already committed to the ledger.
+    * Each committed batch appends its rows partitioned by
+    * `load_id = batchId` plus one ledger row; a replayed (or re-run)
+    * batch id is a no-op, and downstream batch-scoped reads prune to the
+    * new partition directory. At 100 TB this is the standard streaming
+    * warehouse sink: partition-append + transactional-enough ledger, no
+    * external coordinator.
+    */
+  def ledgeredIngest(streamed: DataFrame, catalog: graft.pipeline.Catalog,
+      schema: String, table: String): Unit = {
+    val ledger = s"${table}__ledger"
+    val q = streamed.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val done: Set[Long] =
+          if (catalog.exists(schema, ledger))
+            catalog.read(schema, ledger).select("batch_id")
+              .collect().map(_.getLong(0)).toSet
+          else Set.empty
+        if (!done.contains(batchId)) {
+          catalog.appendBatched(
+            df.withColumn("load_id", lit(batchId)), schema, table)
+          val s = df.sparkSession
+          import s.implicits._
+          catalog.append(Seq(batchId).toDF("batch_id"), schema, ledger)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming query to completion over currently-available data
     * (memory sink), returning the result — used by tests to assert
     * streaming/batch parity.

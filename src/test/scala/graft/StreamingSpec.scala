@@ -149,6 +149,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.where(!$"clean".contains("<EMAIL>")).isEmpty)
   }
 
+  test("ledgered streaming ingest is exactly-once under batch-id replay") {
+    val ddir = Files.createTempDirectory("graft_ingest_stream").toString
+    val wroot = Files.createTempDirectory("graft_ingest_wh").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.mode("overwrite").parquet(ddir)
+    val n = spark.read.parquet(ddir).count()
+    val schema = spark.read.parquet(ddir).schema
+    val catalog = new graft.pipeline.Catalog(spark, wroot)
+    def runOnce(): Unit = EventStream.ledgeredIngest(
+      spark.readStream.schema(schema).parquet(ddir),
+      catalog, "bronze", "docs_stream")
+    runOnce()
+    assert(catalog.read("bronze", "docs_stream").count() == n)
+    // a second run uses a fresh checkpoint, so its micro-batches REPLAY
+    // the same batch ids over the same files — the ledger must make the
+    // whole second pass a no-op (the exactly-once contract)
+    runOnce()
+    assert(catalog.read("bronze", "docs_stream").count() == n,
+      "replayed batch ids were ingested twice")
+    // and the ledger recorded exactly the committed batch ids once
+    val ids = catalog.read("bronze", "docs_stream__ledger")
+      .select("batch_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == ids.distinct, s"duplicate ledger rows: $ids")
+  }
+
   test("stream-static dimension join matches the batch join + rollup") {
     // classify each event via a static dimension on event_type, then run
     // the watermarked hourly rollup per category — the join itself is
