@@ -467,7 +467,58 @@ object SimilarityQueries {
         |SELECT doc_id, CAST(s9 AS DOUBLE) / 1e9 AS bm25,
         |  CAST(n_terms AS INT) AS n_terms,
         |  CAST(ROW_NUMBER() OVER (ORDER BY s9 DESC, doc_id ASC) AS INT) AS rank
-        |FROM pd ORDER BY s9 DESC, doc_id ASC LIMIT 20""".stripMargin))
+        |FROM pd ORDER BY s9 DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // ── Per-dimension embedding drift monitoring — the MLOps check a
+    //    vector pipeline runs between ingestion epochs: per-dim means of
+    //    the "old" vs "new" snapshot (vec_id parity is the deterministic
+    //    epoch stand-in), their delta, and a drift flag. A shifted
+    //    embedding model, a broken normalizer, or a corrupted batch shows
+    //    up as per-dim mean displacement before any downstream ANN quality
+    //    metric moves. Means use the floor-1e9 fixed-point construction
+    //    (conditional tavg inlined per snapshot) so both engines agree
+    //    bit-for-bit. Scale shape: ONE posexplode pass + one dim-keyed agg
+    //    (64 groups, partial-agg'd map-side) — monitoring cost is a single
+    //    corpus scan regardless of corpus size.
+    QueryDef(
+      "q93_embed_drift",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id", posexplode($"embedding").as(Seq("dim", "v")))
+          .select($"dim".cast("int").as("dim"),
+            ($"vec_id" % 2 === 0).as("is_old"), $"v".cast("double").as("v"))
+        def cmean(cond: org.apache.spark.sql.Column) =
+          (sum(when(cond, floor($"v" * lit(1e9)).cast("long"))).cast("double")
+            / lit(1e9)) / sum(when(cond, 1L).otherwise(0L))
+        e.groupBy($"dim")
+          .agg(
+            sum(when($"is_old", 1L).otherwise(0L)).as("n_old"),
+            sum(when(!$"is_old", 1L).otherwise(0L)).as("n_new"),
+            cmean($"is_old").as("mean_old"),
+            cmean(!$"is_old").as("mean_new"))
+          .withColumn("delta", $"mean_new" - $"mean_old")
+          .withColumn("drifted", abs($"delta") > lit(0.02))
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS v,
+        |    vec_id % 2 = 0 AS is_old
+        |  FROM (SELECT vec_id, embedding,
+        |      unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+        |agg AS (
+        |  SELECT dim,
+        |    CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |    CAST(SUM(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    (CAST(SUM(CASE WHEN is_old THEN CAST(floor(v * 1e9) AS BIGINT) END) AS DOUBLE)
+        |      / 1e9) / SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS mean_old,
+        |    (CAST(SUM(CASE WHEN NOT is_old THEN CAST(floor(v * 1e9) AS BIGINT) END) AS DOUBLE)
+        |      / 1e9) / SUM(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS mean_new
+        |  FROM e GROUP BY 1)
+        |SELECT dim, n_old, n_new, mean_old, mean_new,
+        |  mean_new - mean_old AS delta,
+        |  abs(mean_new - mean_old) > CAST(0.02 AS DOUBLE) AS drifted
+        |FROM agg""".stripMargin))
   )
 
   /** Hash tables × planes-per-table for the multi-table LSH near-dup. */

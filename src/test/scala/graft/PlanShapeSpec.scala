@@ -244,4 +244,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("q93 drift: one corpus scan, one dim-keyed exchange, no joins") {
+    val p = planOf("q93_embed_drift")
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
 }
