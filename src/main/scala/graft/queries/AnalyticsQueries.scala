@@ -361,7 +361,8 @@ object AnalyticsQueries {
         |FROM events e JOIN th USING (event_type)
         |GROUP BY e.event_type""".stripMargin)),
 
-    funnelDef
+    funnelDef,
+    rangeJoinDef
   )
 
   /** q92 appended via [[funnelDef]] to keep the ordered-stage logic and
@@ -435,6 +436,47 @@ object AnalyticsQueries {
       |FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
       |LEFT JOIN t2 ON u.user_id = t2.user_id
       |LEFT JOIN t3 ON u.user_id = t3.user_id""".stripMargin))
+
+  // ── RANGE (interval) join, the scale-safe way: find every purchase
+  //    event inside the ±2-minute incident window around any error event.
+  //    Naive `p.ts BETWEEN w.ts - 2m AND w.ts + 2m` plans as a
+  //    BroadcastNestedLoopJoin (O(n·m) compares — fine for the oracle at
+  //    fixture scale, fatal at 100 TB). The engine instead decomposes the
+  //    range predicate into an EQUI-join on a time bin plus a residual
+  //    filter: bin width = window width (4 min), so each window spans at
+  //    most 2 bins (exploded) while each probe event has exactly 1 bin —
+  //    a pair can only meet in the probe's bin, so no dedup is needed.
+  //    The join becomes a plain keyed shuffle on the bin (AQE-broadcastable
+  //    when one side is small), and the residual |p.ts − w.ts| ≤ 2 min
+  //    runs on exact epoch-microsecond integers. Completes the temporal-
+  //    join family: as-of (q27), stream-stream interval (followedBy),
+  //    range (this).
+  private def rangeJoinDef: QueryDef = QueryDef(
+    "q94_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val binUs = 240000000L // 4 min, = the full window width
+      val halfUs = 120000000L
+      val ev = Tables.events(s, dir).select($"event_id", $"event_type",
+        unix_micros($"ts").as("us"))
+      val probes = ev.where($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"us".as("p_us"),
+          floor($"us" / binUs).cast("long").as("bin"))
+      val windows = ev.where($"event_type" === "error")
+        .select($"event_id".as("w_id"), $"us".as("w_us"),
+          explode(sequence(
+            floor(($"us" - halfUs) / binUs).cast("long"),
+            floor(($"us" + halfUs) / binUs).cast("long"))).as("bin"))
+      probes.join(windows, "bin")
+        .where(abs($"p_us" - $"w_us") <= halfUs)
+        .select($"p_id", $"w_id", ($"p_us" - $"w_us").as("gap_us"))
+    },
+    Some("""SELECT p.event_id AS p_id, w.event_id AS w_id,
+      |  epoch_us(p.ts) - epoch_us(w.ts) AS gap_us
+      |FROM events p JOIN events w
+      |  ON p.event_type = 'purchase' AND w.event_type = 'error'
+      |  AND p.ts BETWEEN w.ts - INTERVAL 2 MINUTE
+      |             AND w.ts + INTERVAL 2 MINUTE""".stripMargin))
 
   /** The dialect-neutral SQL text q89 feeds IDENTICALLY to Spark SQL and
     * DuckDB (ANSI joins, CAST, exact decimal-sum revenue).

@@ -250,4 +250,11 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, p.take(1200))
     assert(!p.contains("Join"), p.take(1200))
   }
+
+  test("q94 range join is an EQUI join on the time bin, never a nested loop") {
+    val p = planOf("q94_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1200))
+  }
 }
