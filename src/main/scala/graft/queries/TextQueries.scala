@@ -783,6 +783,63 @@ object TextQueries {
         |SELECT d.doc_id, COALESCE(s.n_tg, 0) AS n_tg,
         |  COALESCE(s.lm_score, 0.0) AS lm_score,
         |  COALESCE(s.lm_score, 0.0) < thr AS low_quality
-        |FROM d LEFT JOIN scored s ON d.doc_id = s.doc_id CROSS JOIN thr""".stripMargin))
+        |FROM d LEFT JOIN scored s ON d.doc_id = s.doc_id CROSS JOIN thr""".stripMargin)),
+
+    // ── Group-wise z-score normalization — the feature-engineering pass
+    //    that makes quality signals comparable ACROSS sources (a length
+    //    that is typical for src3 may be an outlier for src7). Mean and
+    //    sample variance come from exact integer moment sums (n, Σx, Σx²
+    //    in longs — the q71 moment posture: no float order-dependence at
+    //    any scale), then a fixed tree of correctly-rounded IEEE ops:
+    //    var = (n·Σx² − (Σx)²)/(n·(n−1)), std = sqrt, z = (x − mean)/std.
+    //    Scale shape: one narrow token-count pass, a source-count-bounded
+    //    moment agg, stats broadcast back onto a map stage — the same
+    //    zero-corpus-shuffle shape as q69's mixing rates.
+    QueryDef(
+      "q95_zscore",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            TextAnalysis.tokenCount($"text").cast("long").as("x"))
+        val st = d.groupBy($"source")
+          .agg(count(lit(1)).as("n"), sum($"x").as("s1"),
+            sum($"x" * $"x").as("s2"))
+        val stats = st.select($"source", $"n",
+          ($"s1".cast("double") / $"n".cast("double")).as("mean"),
+          when($"n" > 1,
+            sqrt((($"n" * $"s2" - $"s1" * $"s1").cast("double")) /
+              (($"n" * ($"n" - 1)).cast("double"))))
+            .otherwise(0.0).as("std"))
+        d.join(broadcast(stats), "source")
+          .select($"doc_id", $"source", $"x".as("n_tokens"),
+            round($"mean", 9).as("src_mean"),
+            round($"std", 9).as("src_std"),
+            round(when($"std" > 0.0,
+              ($"x".cast("double") - $"mean") / $"std").otherwise(0.0), 9)
+              .as("z"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) END AS x
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
+        |  FROM d GROUP BY 1),
+        |stats AS (
+        |  SELECT source, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CASE WHEN n > 1
+        |      THEN sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) /
+        |                CAST(n * (n - 1) AS DOUBLE))
+        |      ELSE 0.0 END AS std
+        |  FROM st)
+        |SELECT d.doc_id, d.source, d.x AS n_tokens,
+        |  ROUND(mean, 9) AS src_mean, ROUND(std, 9) AS src_std,
+        |  ROUND(CASE WHEN std > 0 THEN (CAST(d.x AS DOUBLE) - mean) / std
+        |    ELSE 0.0 END, 9) AS z
+        |FROM d JOIN stats USING (source)""".stripMargin))
   )
 }

@@ -257,4 +257,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1200))
   }
+
+  test("q95 zscore: source stats broadcast back onto a map stage") {
+    val p = planOf("q95_zscore")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
 }
