@@ -362,7 +362,8 @@ object AnalyticsQueries {
         |GROUP BY e.event_type""".stripMargin)),
 
     funnelDef,
-    rangeJoinDef
+    rangeJoinDef,
+    madDef
   )
 
   /** q92 appended via [[funnelDef]] to keep the ordered-stage logic and
@@ -477,6 +478,51 @@ object AnalyticsQueries {
       |  ON p.event_type = 'purchase' AND w.event_type = 'error'
       |  AND p.ts BETWEEN w.ts - INTERVAL 2 MINUTE
       |             AND w.ts + INTERVAL 2 MINUTE""".stripMargin))
+
+  // ── MAD-based robust outlier detection: per event type, the median
+  //    absolute deviation from the median (the robust dispersion measure
+  //    a 50%-breakdown outlier detector uses where stddev is poisoned by
+  //    the very outliers it should find). Two grouped exact-percentile
+  //    passes (median, then median of |x − median|), both rounded at 1e-6
+  //    (the q29 cross-engine percentile posture); the outlier rule is the
+  //    standard |x − med| > 3 × 1.4826 × MAD with the constant as one
+  //    pinned double product. Scale shape: two bounded-group percentile
+  //    aggs + thresholds broadcast onto one counting scan; the 100 TB
+  //    swap is approx_percentile in both passes (q68's sketch posture).
+  private def madDef: QueryDef = QueryDef(
+    "q96_mad",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(expr("round(percentile(value, 0.5), 6)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy($"event_type")
+        .agg(min($"med").as("med"),
+          expr("round(percentile(abs(value - med), 0.5), 6)").as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          min($"med").as("med"),
+          min($"mad").as("mad"),
+          sum(when(abs($"value" - $"med") >
+            lit(3.0) * (lit(1.4826) * $"mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    },
+    Some("""WITH med AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events GROUP BY 1),
+      |mad AS (
+      |  SELECT e.event_type, MIN(m.med) AS med,
+      |    round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+      |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+      |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(d.med) AS med, MIN(d.mad) AS mad,
+      |  CAST(SUM(CASE WHEN abs(e.value - d.med) >
+      |    CAST(3.0 AS DOUBLE) * (CAST(1.4826 AS DOUBLE) * d.mad)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN mad d USING (event_type)
+      |GROUP BY e.event_type""".stripMargin))
 
   /** The dialect-neutral SQL text q89 feeds IDENTICALLY to Spark SQL and
     * DuckDB (ANSI joins, CAST, exact decimal-sum revenue).

@@ -263,4 +263,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
+
+  test("q96 mad: both percentile passes join broadcast, no shuffle joins") {
+    val p = planOf("q96_mad")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
 }
