@@ -1007,6 +1007,98 @@ object TrainingDataQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY pq_sim DESC, vec_id ASC) AS rank
         |  FROM adc)
-        |WHERE rank <= 10""".stripMargin))
+        |WHERE rank <= 10""".stripMargin)),
+
+    // ── Nearest-centroid classification probe — the embedding-quality
+    //    evaluation that complements q71's linear probe: train one mean
+    //    centroid per label (q47's primitive + assembled vectors), assign
+    //    every embedding to its nearest centroid by exact cosine, and
+    //    report per-label accuracy. Falling accuracy between embedding
+    //    model versions = degraded class separation, caught without any
+    //    downstream training run. Scale shape: centroids are #labels rows
+    //    BY CONSTRUCTION (broadcast); assignment is the q45/q74 map-stage
+    //    + max_by partial agg; the accuracy rollup is #labels-bounded.
+    QueryDef(
+      "q97_centroid_probe",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.dotExact
+        val emb = Tables.embeddings(s, dir)
+        val cells = emb
+          .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+          .groupBy($"label", $"dim")
+          .agg(QueryDef.tavg($"v".cast("double")).as("cv"))
+        val cents = cells.groupBy($"label")
+          .agg(transform(array_sort(collect_list(struct($"dim", $"cv"))),
+            _.getField("cv")).as("ce"))
+          .withColumn("cn2", dotExact($"ce", $"ce"))
+          .select($"label".as("clabel"), $"ce", $"cn2")
+        val e = emb
+          .select($"vec_id", $"label",
+            transform($"embedding", x => x.cast("double")).as("emb"))
+          .withColumn("n2", dotExact($"emb", $"emb"))
+        val pred = e.join(broadcast(cents))
+          .select($"vec_id", $"label", $"clabel",
+            Similarity.cosine(dotExact($"emb", $"ce"), $"n2", $"cn2").as("sim"))
+          .groupBy($"vec_id")
+          .agg(min($"label").as("label"),
+            max_by($"clabel", struct($"sim", -$"clabel")).as("pred"))
+        pred.groupBy($"label")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"pred" === $"label", 1L).otherwise(0L)).as("n_correct"))
+          .select($"label", $"n", $"n_correct",
+            round($"n_correct".cast("double") / $"n".cast("double"), 9)
+              .as("accuracy"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT label, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS dim,
+        |    ${QueryDef.tavgSql("CAST(embedding[i] AS DOUBLE)")} AS cv
+        |  FROM t GROUP BY 1, 2),
+        |cents AS MATERIALIZED (
+        |  SELECT label AS clabel, list(cv ORDER BY dim) AS ce
+        |  FROM cells GROUP BY 1),
+        |cn AS (
+        |  SELECT clabel, ${dotSql("ce", "ce")} AS cn2
+        |  FROM (SELECT clabel, ce, unnest(generate_series(1, len(ce))) AS i
+        |    FROM cents)
+        |  GROUP BY clabel, ce),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |n2 AS (
+        |  SELECT vec_id, ${dotSql("emb", "emb")} AS n2
+        |  FROM (SELECT vec_id, emb,
+        |      unnest(generate_series(1, len(emb))) AS i FROM e)
+        |  GROUP BY vec_id, emb),
+        |dots AS (
+        |  SELECT vec_id, clabel, ${dotSql("emb", "ce")} AS dot
+        |  FROM (SELECT e.vec_id, e.emb, c.clabel, c.ce,
+        |      unnest(generate_series(1, len(e.emb))) AS i
+        |    FROM e CROSS JOIN cents c)
+        |  GROUP BY vec_id, emb, clabel, ce),
+        |scored AS (
+        |  SELECT d.vec_id, d.clabel,
+        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
+        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS sim
+        |  FROM dots d JOIN n2 v ON d.vec_id = v.vec_id
+        |    JOIN cn c ON d.clabel = c.clabel),
+        |pred AS (
+        |  SELECT s.vec_id, e.label, s.clabel AS pred FROM (
+        |    SELECT vec_id, clabel, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, clabel ASC) AS rn
+        |    FROM scored) s
+        |  JOIN e ON s.vec_id = e.vec_id WHERE s.rn = 1)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS accuracy
+        |FROM pred GROUP BY 1""".stripMargin))
   )
 }

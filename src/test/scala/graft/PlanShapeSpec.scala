@@ -269,4 +269,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
+
+  test("q97 centroid probe: label centroids broadcast, no cartesian") {
+    val p = planOf("q97_centroid_probe")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
