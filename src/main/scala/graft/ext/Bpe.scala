@@ -48,9 +48,78 @@ object Bpe {
     * whitespace-free. Returns the merge table and the final per-token
     * segmentation `(token, enc, freq)`. Deterministic: per round the
     * (freq DESC, lhs ASC, rhs ASC) top pair wins.
+    *
+    * Two identical-output execution paths (PropertySpec pins equality):
+    *
+    *  - vocabularies ≤ `maxDriverTypes` collect to the driver and train
+    *    in memory — ONE distributed corpus word-count pass, then a merge
+    *    loop over the bounded vocabulary. This is how production BPE
+    *    trainers work (the vocab is a derived control-plane artifact like
+    *    the k-means‖ candidate set, NOT corpus data: even 100 TB of text
+    *    yields vocab rows bounded by distinct word types); it removes 2
+    *    driver-paced cluster jobs per merge round.
+    *  - larger vocabularies run the distributed loop: per round one
+    *    pair-count aggregation over the (vocab-bounded) word table and a
+    *    1-row top-pair collect (scalar control flow), with per-round
+    *    checkpoints to cut lineage.
     */
-  def trainMerges(words: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
-    var w = words
+  def trainMerges(words: DataFrame, nMerges: Int,
+      maxDriverTypes: Long = 4000000L): (Seq[Merge], DataFrame) = {
+    val vocab = words.select(col("token"), col("freq"))
+      .localCheckpoint() // materialize the corpus word-count agg exactly once
+    if (vocab.count() <= maxDriverTypes) {
+      val spark = words.sparkSession
+      import spark.implicits._
+      val rows = vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val (merges, segs) = trainLocal(rows, nMerges)
+      (merges, segs.toDF("token", "enc", "freq").localCheckpoint())
+    } else trainDistributed(vocab, nMerges)
+  }
+
+  /** In-memory merge loop (bit-identical to the distributed rounds: same
+    * pair counts, same (freq DESC, lhs, rhs) winner, same left-to-right
+    * non-overlapping merge application).
+    */
+  private def trainLocal(words: Seq[(String, Long)], nMerges: Int)
+      : (Seq[Merge], Seq[(String, String, Long)]) = {
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    var ws = words.map { case (w, f) => (w, w.map(_.toString).toVector, f) }
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((_, syms, f) <- ws; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) exhausted = true
+      else {
+        // pair freqs are positive, so -c never overflows
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        merges += Merge(step, l, r, c)
+        ws = ws.map { case (w, syms, f) => (w, applyMerge(syms, l, r), f) }
+        step += 1
+      }
+    }
+    val segs = ws.map { case (w, syms, f) =>
+      (w, syms.mkString(" ", "  ", " "), f)
+    }
+    (merges.result(), segs)
+  }
+
+  /** The distributed merge loop (vocab too large to collect). */
+  private def trainDistributed(vocab: DataFrame, nMerges: Int)
+      : (Seq[Merge], DataFrame) = {
+    var w = vocab
       .select(col("token"), encode(col("token")).as("enc"), col("freq"))
       .localCheckpoint() // iterative loop: cut lineage each round
     val merges = Seq.newBuilder[Merge]

@@ -348,13 +348,21 @@ class PropertySpec extends SparkSpec {
         .map(_ => (1 to (2 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
         .distinct.map(w => w -> (1L + rnd.nextInt(20)))
       val (wantMerges, wantSegs) = refTrain(words, 8)
+      // BOTH execution paths must match the reference: the driver-side
+      // fast path (default) and the distributed rounds (forced via
+      // maxDriverTypes = 0)
+      def segsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select($"token", graft.ext.Bpe.symbols($"enc"))
+        .as[(String, Seq[String])].collect().toMap
+        .view.mapValues(_.toVector).toMap
       val (gotMerges, gotSegDf) =
         graft.ext.Bpe.trainMerges(words.toDF("token", "freq"), 8)
       assert(gotMerges.map(m => (m.lhs, m.rhs, m.freq)) == wantMerges)
-      val gotSegs = gotSegDf
-        .select($"token", graft.ext.Bpe.symbols($"enc"))
-        .as[(String, Seq[String])].collect().toMap
-      assert(gotSegs.view.mapValues(_.toVector).toMap == wantSegs)
+      assert(segsOf(gotSegDf) == wantSegs)
+      val (gotMergesD, gotSegDfD) = graft.ext.Bpe.trainMerges(
+        words.toDF("token", "freq"), 8, maxDriverTypes = 0L)
+      assert(gotMergesD.map(m => (m.lhs, m.rhs, m.freq)) == wantMerges)
+      assert(segsOf(gotSegDfD) == wantSegs)
     }
   }
 }
