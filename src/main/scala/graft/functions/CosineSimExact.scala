@@ -252,6 +252,11 @@ object GraftFunctions {
       exprs => Hash60(exprs.head),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters",
+      exprs => HeavyHitters(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bits",
       exprs => LshBits(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),

@@ -363,7 +363,8 @@ object AnalyticsQueries {
 
     funnelDef,
     rangeJoinDef,
-    madDef
+    madDef,
+    markovDef
   )
 
   /** q92 appended via [[funnelDef]] to keep the ordered-stage logic and
@@ -523,6 +524,68 @@ object AnalyticsQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM events e JOIN mad d USING (event_type)
       |GROUP BY e.event_type""".stripMargin))
+
+  // ── First-order Markov transition matrix over event types WITHIN the
+  //    q26 gap sessions (a new session resets the chain — cross-session
+  //    transitions are noise, not behavior). Both windows partition by
+  //    user_id, so the whole chain costs ONE shuffle: the session-number
+  //    running sum and the within-session lag reuse the same exchange
+  //    (the second window's (user_id, session_no) clustering is satisfied
+  //    by hashpartitioning(user_id); Spark only re-sorts). Transition
+  //    counts are a 5×5-bounded agg; row-normalizing probabilities join
+  //    the 5-row totals back broadcast. The division is one pinned IEEE
+  //    op rounded at 1e-9 — the user-journey modeling primitive.
+  private def markovDef: QueryDef = QueryDef(
+    "q102_markov",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("new_session",
+          when(lag($"ts", 1).over(byUser).isNull ||
+            unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(byUser)) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_no",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      val inSess = Window.partitionBy($"user_id", $"session_no")
+        .orderBy($"ts", $"event_id")
+      val trans = sess
+        .withColumn("prev_type", lag($"event_type", 1).over(inSess))
+        .where($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val totals = trans.groupBy($"prev_type")
+        .agg(sum($"n_trans").as("n_from"))
+      trans.join(broadcast(totals), "prev_type")
+        .select($"prev_type", $"next_type", $"n_trans",
+          round($"n_trans".cast("double") / $"n_from".cast("double"), 9)
+            .as("p_trans"))
+    },
+    Some("""WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM flagged),
+      |trans AS (
+      |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+      |  FROM (SELECT event_type, LAG(event_type) OVER (
+      |      PARTITION BY user_id, session_no ORDER BY ts, event_id) AS prev_type
+      |    FROM sess)
+      |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+      |  FROM trans GROUP BY 1)
+      |SELECT t.prev_type, t.next_type, t.n_trans,
+      |  ROUND(CAST(t.n_trans AS DOUBLE) / CAST(o.n_from AS DOUBLE), 9) AS p_trans
+      |FROM trans t JOIN tot o USING (prev_type)""".stripMargin))
 
   /** The dialect-neutral SQL text q89 feeds IDENTICALLY to Spark SQL and
     * DuckDB (ANSI joins, CAST, exact decimal-sum revenue).

@@ -488,6 +488,51 @@ object TrainingDataQueries {
         |  CAST(SUM(n_sub) AS BIGINT) AS n_subword_tokens
         |FROM dt JOIN seg USING (token) GROUP BY doc_id""".stripMargin)),
 
+    // ── Tokenizer fertility per source: subword tokens per word and
+    //    letters per subword token under the TRAINED BPE vocabulary — the
+    //    standard tokenizer-quality metric (a fertility spike on one source
+    //    means the vocabulary under-serves it, e.g. code or another
+    //    language, and its effective token budget silently inflates).
+    //    Same substrate as q60 (vocabulary-sized segmentation lookup
+    //    joined onto the exploded corpus, AQE-broadcastable), aggregated
+    //    to a 20-row source profile; the two ratios are single pinned IEEE
+    //    divisions of exact integer sums. Training stays charged to q57
+    //    (the session cache rule).
+    QueryDef(
+      "q100_fertility",
+      (s, dir) => {
+        import s.implicits._
+        val (_, seg) = trainedMerges(s, dir)
+        val nsub = seg.select($"token", size(Bpe.symbols($"enc")).as("n_sub"))
+        Tables.documents(s, dir)
+          .select($"source",
+            explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0)))
+              .as("token"))
+          .join(nsub, "token")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_words"),
+            sum($"n_sub").as("n_subwords"),
+            sum(length($"token").cast("long")).as("n_letters"),
+            round(sum($"n_sub").cast("double") /
+              count(lit(1)).cast("double"), 9).as("fertility"),
+            round(sum(length($"token").cast("long")).cast("double") /
+              sum($"n_sub").cast("double"), 9).as("chars_per_token"))
+      },
+      Some(s"""WITH ${bpeCtes(BpeMerges)},
+        |seg AS (SELECT token, len(string_split(trim(enc), '  ')) AS n_sub
+        |  FROM bw$BpeMerges),
+        |dt AS (SELECT source,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_words,
+        |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+        |  CAST(SUM(length(token)) AS BIGINT) AS n_letters,
+        |  ROUND(CAST(SUM(n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+        |    AS fertility,
+        |  ROUND(CAST(SUM(length(token)) AS DOUBLE) / CAST(SUM(n_sub) AS DOUBLE), 9)
+        |    AS chars_per_token
+        |FROM dt JOIN seg USING (token) GROUP BY source""".stripMargin)),
+
     // ── Duplicate clustering: embedding near-dup pairs (label-blocked,
     //    exact cosine >= 0.4 — the CosinePrefilter rule injects the cheap
     //    double prefilter automatically) fed into min-label-propagation
