@@ -871,6 +871,95 @@ object TrainingDataQueries {
         |SELECT s.vec_id, s.cid, (d.vec_b IS NOT NULL) AS dropped
         |FROM sd_assign s LEFT JOIN sd_drop d ON s.vec_id = d.vec_b""".stripMargin)),
 
+    // ── Hard-negative mining for contrastive training: for each anchor,
+    //    the top-3 most-similar vectors with a DIFFERENT label — the
+    //    near-miss negatives that carry the gradient signal (easy randoms
+    //    are information-free). Same trained-codebook blocking as q74:
+    //    candidates come only from the anchor's cell (at 100 TB, multi-
+    //    probe neighboring cells raise recall, same shape), the anchor set
+    //    is a bounded slice, and the per-anchor top-3 is one keyed window
+    //    over cell-mates — never anchors × corpus. The assignment
+    //    substrate is materialized once and shared by both join sides.
+    QueryDef(
+      "q103_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.{cosineSimExact, dotExact}
+        val cents = broadcast(trainedCodebook(s, dir, k = 8, iters = 2)
+          .select($"cid", $"ce", $"cn2"))
+        val scored = Tables.embeddings(s, dir)
+          .select($"vec_id", $"label", $"embedding")
+          .withColumn("n2", dotExact($"embedding", $"embedding"))
+          .join(cents)
+          .select($"vec_id", $"label", $"embedding", $"cid",
+            Similarity.cosine(dotExact($"embedding", $"ce"), $"n2", $"cn2")
+              .as("c_sim"))
+        val assign = scored.groupBy($"vec_id")
+          .agg(max_by($"cid", struct($"c_sim", -$"cid")).as("cid"),
+            first($"label").as("label"),
+            first($"embedding").as("embedding"))
+          .localCheckpoint()
+        val anchors = assign.where($"vec_id" < 50)
+          .select($"cid", $"vec_id".as("anchor_id"),
+            $"label".as("a_label"), $"embedding".as("ea"))
+        val cands = assign.select($"cid", $"vec_id".as("neg_id"),
+          $"label".as("n_label"), $"embedding".as("eb"))
+        val byAnchor = Window.partitionBy($"anchor_id")
+          .orderBy($"cosine_sim".desc, $"neg_id".asc)
+        anchors.join(cands, Seq("cid"))
+          .where($"a_label" =!= $"n_label")
+          .select($"anchor_id", $"neg_id",
+            cosineSimExact($"ea", $"eb").as("cosine_sim"))
+          .withColumn("rank", row_number().over(byAnchor).cast("int"))
+          .where($"rank" <= 3)
+      },
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 2)},
+        |hn_terms AS (
+        |  SELECT e.vec_id, e.embedding, c.cid, c.ce,
+        |    unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM e CROSS JOIN km_c2 c),
+        |hn_dots AS (
+        |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
+        |  FROM hn_terms GROUP BY vec_id, embedding, cid, ce),
+        |hn_scored AS (
+        |  SELECT d.vec_id, d.cid,
+        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
+        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS c_sim
+        |  FROM hn_dots d JOIN n2 v ON d.vec_id = v.vec_id
+        |    JOIN km_cn2 c ON d.cid = c.cid),
+        |hn_assign AS MATERIALIZED (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
+        |    FROM hn_scored) WHERE rn = 1),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |hn_pairs AS (
+        |  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id
+        |  FROM hn_assign a JOIN hn_assign b ON a.cid = b.cid
+        |    JOIN lab la ON a.vec_id = la.vec_id
+        |    JOIN lab lb ON b.vec_id = lb.vec_id
+        |  WHERE a.vec_id < 50 AND la.label <> lb.label),
+        |hn_pterms AS (
+        |  SELECT anchor_id, neg_id, pa.embedding AS ea, pb.embedding AS eb,
+        |    unnest(generate_series(1, len(pa.embedding))) AS i
+        |  FROM hn_pairs JOIN e pa ON anchor_id = pa.vec_id
+        |    JOIN e pb ON neg_id = pb.vec_id),
+        |hn_pdots AS (
+        |  SELECT anchor_id, neg_id, ${dotSql("ea", "eb")} AS dot
+        |  FROM hn_pterms GROUP BY anchor_id, neg_id, ea, eb),
+        |hn_cos AS (
+        |  SELECT anchor_id, neg_id,
+        |    ROUND(CASE WHEN a.n2 > 0 AND b.n2 > 0
+        |      THEN p.dot / (sqrt(a.n2) * sqrt(b.n2)) ELSE 0.0 END, 9) AS cosine_sim
+        |  FROM hn_pdots p JOIN n2 a ON p.anchor_id = a.vec_id
+        |    JOIN n2 b ON p.neg_id = b.vec_id)
+        |SELECT anchor_id, neg_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |    ORDER BY cosine_sim DESC, neg_id ASC) AS rn
+        |  FROM hn_cos)
+        |WHERE rn <= 3""".stripMargin)),
+
     // ── Per-source document cap — the "no source dominates the mixture"
     //    curation rule: keep at most N docs per source, chosen by salted
     //    60-bit hash order (a deterministic uniform sample — stable under

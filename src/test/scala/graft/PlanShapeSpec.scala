@@ -12,6 +12,18 @@ class PlanShapeSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q103 hard negatives: cell-keyed join, no cartesian product") {
+    val p = planOf("q103_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q104 bucketed join + agg plan with zero Exchange") {
+    val p = planOf("q104_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert("SelectedBucketsCount".r.findAllIn(p).size == 2, p.take(1200))
+  }
+
   test("q02 pushes predicates and prunes columns at the parquet scan") {
     val p = planOf("q02_filter_project")
     assert(p.contains("PushedFilters: ["), p.take(800))
