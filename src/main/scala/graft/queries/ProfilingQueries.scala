@@ -146,6 +146,142 @@ object ProfilingQueries {
         |    AS bin_hi,
         |  h.n_docs,
         |  ROUND(CAST(h.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE), 9) AS frac
-        |FROM hist h JOIN tot t USING (source)""".stripMargin))
+        |FROM hist h JOIN tot t USING (source)""".stripMargin)),
+
+    // ── Equi-depth length deciles per source: NTILE(10) over (n_chars,
+    //    doc_id) — the adaptive-bin complement of q101's fixed-width
+    //    histogram (equi-width merges across shards; equi-depth adapts to
+    //    the distribution). One keyed window per source partition, then a
+    //    bounded 200-row agg. At 100 TB with a fat stratum, the swap is
+    //    approx_percentile edges (q68's sketch posture) instead of the
+    //    per-stratum sort; this exact-rank form is the spec either is
+    //    checked against.
+    QueryDef(
+      "q105_length_deciles",
+      (s, dir) => {
+        import s.implicits._
+        val byLen = Window.partitionBy($"source")
+          .orderBy($"n_chars".asc, $"doc_id".asc)
+        Tables.documents(s, dir)
+          .select($"source", $"doc_id", $"n_chars")
+          .withColumn("decile", ntile(10).over(byLen))
+          .groupBy($"source", $"decile")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"n_chars").as("min_chars"),
+            max($"n_chars").as("max_chars"))
+      },
+      Some("""WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    NTILE(10) OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC)
+        |      AS decile
+        |  FROM documents)
+        |SELECT source, CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM d GROUP BY 1, 2""".stripMargin)),
+
+    // ── Simpson concentration / diversity per source: the probability two
+    //    random tokens coincide, Σ nᵢ(nᵢ−1) / (N(N−1)) — a log-free
+    //    diversity measure (complementing q67's type-token ratio) whose
+    //    numerator and denominator are EXACT integer sums, so the only
+    //    float op is one final division each (pinned, rounded 1e-9).
+    //    Shape: the word-count shuffle (map-side partials) re-aggregated
+    //    per source — frequencies never leave integer space; also emits
+    //    the top-token share (max nᵢ / N, the boilerplate-domination
+    //    signal) from the same pass.
+    QueryDef(
+      "q106_simpson",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.documents(s, dir)
+          .select($"source", explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"source", $"token").agg(count(lit(1)).as("n"))
+        counts.groupBy($"source")
+          .agg(sum($"n").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum($"n" * ($"n" - 1L)).as("coincide"),
+            max($"n").as("top_n"))
+          .select($"source", $"n_tokens", $"n_types",
+            round(lit(1.0) - $"coincide".cast("double") /
+              ($"n_tokens" * ($"n_tokens" - 1L)).cast("double"), 9)
+              .as("simpson_diversity"),
+            round($"top_n".cast("double") / $"n_tokens".cast("double"), 9)
+              .as("top_token_share"))
+      },
+      Some("""WITH t AS (
+        |  SELECT source,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |           ELSE string_split_regex(lower(trim(text)), '\s+') END) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_types,
+        |    CAST(SUM(n * (n - 1)) AS BIGINT) AS coincide,
+        |    CAST(MAX(n) AS BIGINT) AS top_n
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  ROUND(CAST(1.0 AS DOUBLE) - CAST(coincide AS DOUBLE) /
+        |    CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 9) AS simpson_diversity,
+        |  ROUND(CAST(top_n AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+        |    AS top_token_share
+        |FROM s""".stripMargin)),
+
+    // ── Chi-square vocabulary drift per source: how far each source's
+    //    word distribution sits from the corpus expectation, over the
+    //    top-200 corpus words as the (bounded, broadcastable) feature set
+    //    — the log-free statistical cousin of q75's DSIR weights and the
+    //    standard "which shard changed?" data-quality monitor. Zero cells
+    //    count (a source MISSING a stopword is strong evidence), via the
+    //    20×200 source-feature grid left-joined onto observed counts — the
+    //    grid is bounded by construction, never corpus-shaped. All counts
+    //    stay exact integers; expected = ci·t_s/g is one correctly-rounded
+    //    division, and the per-source sum of (o−e)²/e runs in floor-1e9
+    //    fixed point (the tavg posture: decimal casts of doubles can tie
+    //    HALF_UP vs HALF_EVEN across engines, floor cannot).
+    QueryDef(
+      "q107_chi2_drift",
+      (s, dir) => {
+        import s.implicits._
+        val oc = Tables.documents(s, dir)
+          .select($"source", explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"source", $"token").agg(count(lit(1)).as("n"))
+        val feats = oc.groupBy($"token").agg(sum($"n").as("ci"))
+          .orderBy($"ci".desc, $"token".asc).limit(200)
+        val ofc = oc.join(broadcast(feats), "token")
+          .select($"source", $"token", $"n")
+        val ts = ofc.groupBy($"source").agg(sum($"n").as("t_s"))
+        val g = feats.agg(sum($"ci").as("g"))
+        val e = ($"ci" * $"t_s").cast("double") / $"g".cast("double")
+        val o = coalesce($"n", lit(0L)).cast("double")
+        val term = (o - e) * (o - e) / e
+        ts.crossJoin(broadcast(feats))
+          .join(ofc, Seq("source", "token"), "left")
+          .crossJoin(broadcast(g))
+          .groupBy($"source")
+          .agg(min($"t_s").as("n_feat_tokens"),
+            (sum(floor(term * lit(1e9)).cast("long")).cast("double") / lit(1e9))
+              .as("chi2"))
+      },
+      Some("""WITH t AS (
+        |  SELECT source,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |           ELSE string_split_regex(lower(trim(text)), '\s+') END) AS token
+        |  FROM documents),
+        |oc AS (SELECT source, token, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |feats AS (SELECT token, CAST(SUM(n) AS BIGINT) AS ci FROM oc
+        |  GROUP BY 1 ORDER BY ci DESC, token ASC LIMIT 200),
+        |ofc AS (SELECT o.source, o.token, o.n FROM oc o JOIN feats USING (token)),
+        |ts AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t_s FROM ofc GROUP BY 1),
+        |g AS (SELECT CAST(SUM(ci) AS BIGINT) AS g FROM feats),
+        |terms AS (
+        |  SELECT ts.source, ts.t_s,
+        |    CAST(COALESCE(ofc.n, 0) AS DOUBLE) AS o,
+        |    CAST(feats.ci * ts.t_s AS DOUBLE) / CAST(g.g AS DOUBLE) AS e
+        |  FROM ts CROSS JOIN feats
+        |  LEFT JOIN ofc ON ofc.source = ts.source AND ofc.token = feats.token
+        |  CROSS JOIN g)
+        |SELECT source, MIN(t_s) AS n_feat_tokens,
+        |  CAST(SUM(CAST(floor(((o - e) * (o - e) / e) * 1e9) AS BIGINT)) AS DOUBLE)
+        |    / 1e9 AS chi2
+        |FROM terms GROUP BY source""".stripMargin))
   )
 }
