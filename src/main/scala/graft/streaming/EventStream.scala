@@ -144,6 +144,24 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming frequent-items profile: the native Misra-Gries summary
+    * ([[graft.functions.HeavyHitters]]) as a Complete-mode streaming
+    * aggregate — per micro-batch the partial summaries merge into the
+    * state-store buffer, so state is `capacity` entries TOTAL regardless
+    * of stream length or key cardinality (the always-on profiling
+    * side-channel q98 runs in batch). The MG guarantee (est ≤ true,
+    * true − est ≤ N/(capacity+1), presence above the bound) holds across
+    * micro-batch merge order; when `capacity` exceeds the live key domain
+    * no eviction ever fires and the summary IS the exact count map —
+    * both regimes pinned by StreamingSpec.
+    */
+  def heavyHitterStream(events: DataFrame, capacity: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events.agg(
+      call_function("heavy_hitters", col("event_type"), lit(capacity)).as("sk"),
+      count(lit(1)).as("n_total"))
+  }
+
   /** Stream-stream interval self-join — the "followed-by within N
     * minutes" pattern (funnel/causality analysis): pair each event with
     * the same user's subsequent events inside the interval. Both sides

@@ -21,6 +21,34 @@ class StreamingSpec extends SparkSpec {
     d
   }
 
+  test("streaming heavy-hitters: exact above the key domain, MG-bounded below") {
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = batch.values.sum
+
+    // capacity > #event types: no eviction can fire -> summary is exact
+    val wide = EventStream.runToBatch(spark,
+      EventStream.heavyHitterStream(EventStream.readStream(spark, dir), 8),
+      "hh_wide").head()
+    assert(wide.getMap[String, Long](0).toMap == batch)
+    assert(wide.getLong(1) == n)
+
+    // capacity < #event types: eviction runs; the MG bound must still hold
+    val tight = EventStream.runToBatch(spark,
+      EventStream.heavyHitterStream(EventStream.readStream(spark, dir), 3),
+      "hh_tight").head()
+    val sk = tight.getMap[String, Long](0).toMap
+    val maxErr = n / 4
+    assert(sk.size <= 3)
+    batch.foreach { case (k, t) =>
+      val est = sk.getOrElse(k, 0L)
+      assert(est <= t, s"$k overcounted: $est > $t")
+      assert(t - est <= maxErr, s"$k undercounted: $t - $est > $maxErr")
+      if (t > maxErr) assert(sk.contains(k), s"$k missing above bound")
+    }
+  }
+
   test("streaming hourly window agg matches batch plan") {
     val streamed = EventStream.runToBatch(spark,
       EventStream.hourlyCounts(EventStream.readStream(spark, dir)),
