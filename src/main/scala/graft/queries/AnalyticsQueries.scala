@@ -365,8 +365,79 @@ object AnalyticsQueries {
     rangeJoinDef,
     madDef,
     markovDef,
-    bucketedJoinDef
+    bucketedJoinDef,
+    rateSpikeDef
   )
+
+  // ── Operational anomaly detection on event rates: gap-filled hourly
+  //    counts per event type, z-scored against that type's own
+  //    distribution, |z| > 3 flagged. The gap-fill matters — an hour with
+  //    ZERO errors is a data point, and skipping it biases the mean up —
+  //    so the series is densified against an hour spine (q09's scaffold
+  //    pattern: bounded by construction at types × hours, never event-
+  //    shaped). Stats use q95's exact-integer-moment tree (n, Σc, Σc²
+  //    in BIGINT, then one pinned IEEE mean/std/z), broadcast back onto
+  //    the spine. The 100 TB shape: the hourly pre-agg is the only
+  //    corpus-scale pass; everything after operates on the bounded series.
+  private def rateSpikeDef: QueryDef = QueryDef(
+    "q108_rate_spikes",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_type", date_trunc("hour", $"ts").as("hour_ts"))
+      val counts = ev.groupBy($"event_type", $"hour_ts")
+        .agg(count(lit(1)).as("c"))
+      val bounds = ev.agg(min($"hour_ts").as("lo"), max($"hour_ts").as("hi"))
+      val spine = ev.select($"event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"event_type",
+          explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("hour_ts"))
+      val full = spine.join(counts, Seq("event_type", "hour_ts"), "left")
+        .select($"event_type", $"hour_ts", coalesce($"c", lit(0L)).as("c"))
+      val st = full.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"c").as("s1"), sum($"c" * $"c").as("s2"))
+      val stats = st.select($"event_type",
+        ($"s1".cast("double") / $"n".cast("double")).as("mean"),
+        when($"n" > 1,
+          sqrt((($"n" * $"s2" - $"s1" * $"s1").cast("double")) /
+            (($"n" * ($"n" - 1)).cast("double"))))
+          .otherwise(0.0).as("std"))
+      val z = round(when($"std" > 0.0,
+        ($"c".cast("double") - $"mean") / $"std").otherwise(0.0), 9)
+      full.join(broadcast(stats), "event_type")
+        .select($"event_type", $"hour_ts", $"c".as("n_events"),
+          z.as("z"), (abs(z) > 3.0).as("spike"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_ts FROM events),
+      |counts AS (SELECT event_type, hour_ts, COUNT(*) AS c
+      |  FROM ev GROUP BY 1, 2),
+      |b AS (SELECT min(hour_ts) AS lo, max(hour_ts) AS hi FROM ev),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+      |    AS hour_ts
+      |  FROM (SELECT DISTINCT event_type FROM ev) CROSS JOIN b),
+      |f AS (SELECT s.event_type, s.hour_ts,
+      |    CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+      |  FROM spine s LEFT JOIN counts c
+      |    ON s.event_type = c.event_type AND s.hour_ts = c.hour_ts),
+      |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM f GROUP BY 1),
+      |stats AS (
+      |  SELECT event_type,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CASE WHEN n > 1
+      |      THEN sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) /
+      |                CAST(n * (n - 1) AS DOUBLE))
+      |      ELSE 0.0 END AS std
+      |  FROM st)
+      |SELECT f.event_type, f.hour_ts, f.c AS n_events,
+      |  ROUND(CASE WHEN std > 0 THEN (CAST(f.c AS DOUBLE) - mean) / std
+      |    ELSE 0.0 END, 9) AS z,
+      |  ABS(ROUND(CASE WHEN std > 0 THEN (CAST(f.c AS DOUBLE) - mean) / std
+      |    ELSE 0.0 END, 9)) > CAST(3.0 AS DOUBLE) AS spike
+      |FROM f JOIN stats USING (event_type)""".stripMargin))
 
   /** Once-per-session bucketed copies of lineitem/orders on the order key
     * (8 buckets, managed tables in the session warehouse). Bucket layout

@@ -1233,6 +1233,103 @@ object TrainingDataQueries {
         |    AS n_correct,
         |  ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 9) AS accuracy
-        |FROM pred GROUP BY 1""".stripMargin))
+        |FROM pred GROUP BY 1""".stripMargin)),
+
+    // ── ANN recall evaluation: recall@10 of the q45 IVF index against the
+    //    exact brute-force top-10 for the same probe slice — the eval
+    //    harness every approximate index needs before it replaces the
+    //    exact path (recall is a measured property, not a hope; q85's PQ
+    //    variant would be scored the same way). Both arms are existing
+    //    engine plans (q45's trained-codebook probe; q40's broadcast
+    //    brute-force restricted to the 5-anchor slice), composed by an
+    //    equi-join on (query, candidate) — the eval costs one bounded join
+    //    over 2×50 rows on top of the arms it measures.
+    QueryDef(
+      "q109_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        val ivf = defs.find(_.name == "q45_ivf_ann").get.fn(s, dir)
+          .select($"query_id", $"cand_id")
+        val e = Tables.embeddings(s, dir).select($"vec_id".as("id"), $"embedding")
+        val exact = Similarity.bruteForceTopK(
+          e.where($"id" >= 100 && $"id" < 105), e, k = 10)
+          .select($"query_id", $"cand_id")
+        val base = exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+        val inter = exact.join(ivf, Seq("query_id", "cand_id"))
+          .groupBy($"query_id").agg(count(lit(1)).as("n_overlap"))
+        base.join(inter, Seq("query_id"), "left")
+          .select($"query_id",
+            coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+            round(coalesce($"n_overlap", lit(0L)).cast("double") /
+              $"n_exact".cast("double"), 9).as("recall_at_10"))
+      },
+      Some(s"""WITH ${kmeansCtes(k = 8, iters = 2)},
+        |iv_terms AS (
+        |  SELECT e.vec_id, e.embedding, cid, ce,
+        |    unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM e CROSS JOIN km_c2),
+        |iv_dots AS (
+        |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
+        |  FROM iv_terms GROUP BY vec_id, embedding, cid, ce),
+        |iv_scored AS (
+        |  SELECT d.vec_id, d.cid,
+        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
+        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS c_sim
+        |  FROM iv_dots d JOIN n2 v ON d.vec_id = v.vec_id
+        |    JOIN km_cn2 c ON d.cid = c.cid),
+        |iv_ranked AS (
+        |  SELECT vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
+        |  FROM iv_scored),
+        |iv_assign AS (SELECT vec_id AS cand_id, cid FROM iv_ranked WHERE rn = 1),
+        |iv_probes AS (SELECT vec_id AS query_id, cid FROM iv_ranked
+        |  WHERE vec_id >= 100 AND vec_id < 105 AND rn <= 2),
+        |iv_cand AS (
+        |  SELECT query_id, cand_id FROM iv_probes JOIN iv_assign USING (cid)
+        |  WHERE cand_id <> query_id),
+        |iv_rterms AS (
+        |  SELECT query_id, cand_id, q.embedding AS qe, c.embedding AS ce,
+        |    unnest(generate_series(1, len(q.embedding))) AS i
+        |  FROM iv_cand JOIN e q ON q.vec_id = query_id JOIN e c ON c.vec_id = cand_id),
+        |iv_rdots AS (
+        |  SELECT query_id, cand_id, ${dotSql("qe", "ce")} AS dot
+        |  FROM iv_rterms GROUP BY query_id, cand_id, qe, ce),
+        |iv_rescored AS (
+        |  SELECT query_id, cand_id,
+        |    ROUND(CASE WHEN q.n2 > 0 AND c.n2 > 0
+        |      THEN r.dot / (sqrt(q.n2) * sqrt(c.n2)) ELSE 0.0 END, 9) AS cs
+        |  FROM iv_rdots r JOIN n2 q ON r.query_id = q.vec_id
+        |    JOIN n2 c ON r.cand_id = c.vec_id),
+        |iv10 AS (SELECT query_id, cand_id FROM (
+        |  SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, cand_id ASC) AS rank
+        |  FROM iv_rescored) WHERE rank <= 10),
+        |bf_terms AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    q.embedding AS qe, c.embedding AS ce,
+        |    unnest(generate_series(1, len(q.embedding))) AS i
+        |  FROM e q CROSS JOIN e c
+        |  WHERE q.vec_id >= 100 AND q.vec_id < 105 AND q.vec_id <> c.vec_id),
+        |bf_dots AS (
+        |  SELECT query_id, cand_id, ${dotSql("qe", "ce")} AS dot
+        |  FROM bf_terms GROUP BY query_id, cand_id, qe, ce),
+        |bf_cos AS (
+        |  SELECT query_id, cand_id,
+        |    ROUND(CASE WHEN q.n2 > 0 AND c.n2 > 0
+        |      THEN d.dot / (sqrt(q.n2) * sqrt(c.n2)) ELSE 0.0 END, 9) AS cs
+        |  FROM bf_dots d JOIN n2 q ON d.query_id = q.vec_id
+        |    JOIN n2 c ON d.cand_id = c.vec_id),
+        |bf10 AS (SELECT query_id, cand_id FROM (
+        |  SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, cand_id ASC) AS rank
+        |  FROM bf_cos) WHERE rank <= 10),
+        |base AS (SELECT query_id, COUNT(*) AS n_exact FROM bf10 GROUP BY 1),
+        |inter AS (SELECT query_id, COUNT(*) AS n_overlap
+        |  FROM bf10 JOIN iv10 USING (query_id, cand_id) GROUP BY 1)
+        |SELECT b.query_id,
+        |  CAST(COALESCE(i.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  ROUND(CAST(COALESCE(i.n_overlap, 0) AS DOUBLE)
+        |    / CAST(b.n_exact AS DOUBLE), 9) AS recall_at_10
+        |FROM base b LEFT JOIN inter i USING (query_id)""".stripMargin))
   )
 }
