@@ -22,6 +22,48 @@ object DedupQueries {
       |  FROM (SELECT doc_id, source, w,
       |        unnest(generate_series(1, len(w) - 2)) AS i FROM t))""".stripMargin
 
+  /** Oracle twin of the full MinHash+LSH+verify chain (q36's pipeline):
+    * CTEs through `dupj` = verified near-dup pairs (jaccard ≥ 0.5).
+    * Shared by q36 (pairs themselves) and q110 (provenance rollup).
+    */
+  private def minhashDupCtes: String = {
+    val r = Dedup.BandRows
+    val perms = (0 until Dedup.NumHashes).map { i =>
+      s"(${Dedup.permA(i)}, ${Dedup.permB(i)}, $i)"
+    }.mkString(", ")
+    s"""$shingleCte,
+    |hsh AS (
+    |  SELECT DISTINCT doc_id,
+    |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+    |  FROM sh),
+    |perm(a, b, i) AS (VALUES $perms),
+    |mh AS (
+    |  SELECT doc_id, i, MIN((a * (h % ${Dedup.MinhashP}) + b) % ${Dedup.MinhashP}) AS mh
+    |  FROM hsh CROSS JOIN perm GROUP BY 1, 2),
+    |bands AS (
+    |  SELECT doc_id, CAST(i // $r AS INT) AS band_id,
+    |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+    |  FROM mh GROUP BY 1, 2),
+    |cand AS (
+    |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    |  FROM bands a JOIN bands b
+    |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+    |    AND a.doc_id < b.doc_id),
+    |sz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
+    |inter AS (
+    |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+    |  FROM cand c JOIN hsh a ON a.doc_id = c.doc_a
+    |    JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
+    |  GROUP BY 1, 2),
+    |dupj AS (
+    |  SELECT c.doc_a, c.doc_b,
+    |    COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) AS jaccard
+    |  FROM cand c
+    |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    |  JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
+    |  WHERE COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) >= 0.5)""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ── Exact n-gram Jaccard near-dup, blocked by `source` (pairwise is
@@ -94,42 +136,8 @@ object DedupQueries {
           Dedup.minhashSubstrateCached(Tables.documents(s, dir), dir, "doc_id", "text")
         Dedup.jaccardFor(cands, sh, "doc_id").where($"jaccard" >= 0.5)
       },
-      Some {
-        val r = Dedup.BandRows
-        val perms = (0 until Dedup.NumHashes).map { i =>
-          s"(${Dedup.permA(i)}, ${Dedup.permB(i)}, $i)"
-        }.mkString(", ")
-        s"""WITH $shingleCte,
-        |hsh AS (
-        |  SELECT DISTINCT doc_id,
-        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
-        |  FROM sh),
-        |perm(a, b, i) AS (VALUES $perms),
-        |mh AS (
-        |  SELECT doc_id, i, MIN((a * (h % ${Dedup.MinhashP}) + b) % ${Dedup.MinhashP}) AS mh
-        |  FROM hsh CROSS JOIN perm GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, CAST(i // $r AS INT) AS band_id,
-        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
-        |  FROM mh GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-        |    AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
-        |inter AS (
-        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
-        |  FROM cand c JOIN hsh a ON a.doc_id = c.doc_a
-        |    JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
-        |  GROUP BY 1, 2)
-        |SELECT c.doc_a, c.doc_b,
-        |  COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) AS jaccard
-        |FROM cand c
-        |LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-        |JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
-        |WHERE COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) >= 0.5""".stripMargin
-      }),
+      Some(s"""WITH $minhashDupCtes
+        |SELECT doc_a, doc_b, jaccard FROM dupj""".stripMargin)),
 
     // ── SimHash signatures: 32-bit sign-vote hash over distinct tokens.
     //    Equality (or banded Hamming) is the candidate filter at scale.
@@ -494,6 +502,43 @@ object DedupQueries {
         |  b.doc_b AS best_match, b.j AS best_jaccard
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
         |LEFT JOIN best b ON d.doc_id = b.doc_a""".stripMargin
-      })
+      }),
+
+    // ── Duplicate provenance: which sources copy from which. The verified
+    //    q36 near-dup pairs rolled up to an (unordered) source×source
+    //    matrix — the report that turns pair-level dedup output into a
+    //    crawl-policy decision (a hot off-diagonal cell = one source
+    //    mirroring another). Costs two keyed joins of the pair list onto
+    //    the 2-column doc→source map plus a ≤ sources² agg on top of the
+    //    SHARED session substrate (q36/q84/q88 pay the build once);
+    //    least/greatest canonicalizes the cell so A→B and B→A land
+    //    together. At 100 TB the doc→source join is the standard keyed
+    //    shuffle of pairs — pairs are already LSH-bounded, never n².
+    QueryDef(
+      "q110_dup_provenance",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, _, cands) = Dedup.minhashSubstrateCached(
+          Tables.documents(s, dir), dir, "doc_id", "text")
+        val dup = Dedup.jaccardFor(cands, sh, "doc_id")
+          .where($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b")
+        val src = Tables.documents(s, dir).select($"doc_id", $"source")
+        dup
+          .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+          .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+          .select(least($"sa", $"sb").as("source_x"),
+            greatest($"sa", $"sb").as("source_y"))
+          .groupBy($"source_x", $"source_y")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH $minhashDupCtes,
+        |srcs AS (SELECT doc_id, source FROM documents)
+        |SELECT LEAST(a.source, b.source) AS source_x,
+        |  GREATEST(a.source, b.source) AS source_y,
+        |  COUNT(*) AS n_pairs
+        |FROM dupj JOIN srcs a ON dupj.doc_a = a.doc_id
+        |  JOIN srcs b ON dupj.doc_b = b.doc_id
+        |GROUP BY 1, 2""".stripMargin))
   )
 }
