@@ -55,13 +55,13 @@ object DedupQueries {
     |  FROM cand c JOIN hsh a ON a.doc_id = c.doc_a
     |    JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
     |  GROUP BY 1, 2),
-    |dupj AS (
+    |jacall AS (
     |  SELECT c.doc_a, c.doc_b,
     |    COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) AS jaccard
     |  FROM cand c
     |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-    |  JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
-    |  WHERE COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) >= 0.5)""".stripMargin
+    |  JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id),
+    |dupj AS (SELECT doc_a, doc_b, jaccard FROM jacall WHERE jaccard >= 0.5)""".stripMargin
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -539,6 +539,39 @@ object DedupQueries {
         |  COUNT(*) AS n_pairs
         |FROM dupj JOIN srcs a ON dupj.doc_a = a.doc_id
         |  JOIN srcs b ON dupj.doc_b = b.doc_id
-        |GROUP BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // ── Similarity histogram over the LSH candidate pairs — the threshold
+    //    diagnostic a dedup operator reads BEFORE picking 0.5: where the
+    //    candidate mass sits, how sharp the near-dup mode is, what a ±0.1
+    //    threshold move would sweep in. Bins come from pure INTEGER
+    //    arithmetic ((10·|∩|) div |∪| — floor(jaccard·10) on a double
+    //    could flip at knife-edge rationals like 3/5 between engines, an
+    //    integer div cannot), capped into bin 9 so [0.9, 1.0] is one
+    //    cell. Rides the same shared substrate as q36/q110; the histogram
+    //    itself is a ≤10-row agg over already-bounded candidates.
+    QueryDef(
+      "q111_jaccard_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, _, cands) = Dedup.minhashSubstrateCached(
+          Tables.documents(s, dir), dir, "doc_id", "text")
+        Dedup.overlapFor(cands, sh, "doc_id")
+          .select(least(expr("(10 * n_inter) div (n_a + n_b - n_inter)"),
+            lit(9L)).cast("int").as("bin"))
+          .groupBy($"bin").agg(count(lit(1)).as("n_pairs"))
+          .select($"bin",
+            ($"bin".cast("double") / lit(10.0)).as("bin_lo"), $"n_pairs")
+      },
+      Some(s"""WITH $minhashDupCtes,
+        |bins AS (
+        |  SELECT CAST(LEAST((10 * COALESCE(ni, 0)) //
+        |      (x.n + y.n - COALESCE(ni, 0)), 9) AS INT) AS bin
+        |  FROM cand c
+        |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        |  JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id)
+        |SELECT bin, CAST(bin AS DOUBLE) / CAST(10 AS DOUBLE) AS bin_lo,
+        |  COUNT(*) AS n_pairs
+        |FROM bins GROUP BY 1""".stripMargin))
   )
 }
