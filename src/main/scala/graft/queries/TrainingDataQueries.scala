@@ -1330,6 +1330,67 @@ object TrainingDataQueries {
         |  CAST(COALESCE(i.n_overlap, 0) AS BIGINT) AS n_overlap,
         |  ROUND(CAST(COALESCE(i.n_overlap, 0) AS DOUBLE)
         |    / CAST(b.n_exact AS DOUBLE), 9) AS recall_at_10
-        |FROM base b LEFT JOIN inter i USING (query_id)""".stripMargin))
+        |FROM base b LEFT JOIN inter i USING (query_id)""".stripMargin)),
+
+    // ── Label-centroid similarity matrix — the "corpus map": pairwise
+    //    exact cosine between the per-label mean embeddings (q47's
+    //    centroid primitive, floor-fixed-point means so both engines
+    //    assemble bit-identical vectors). A hot off-diagonal cell = two
+    //    classes whose embedding mass overlaps (label noise, or a split
+    //    leaking between them). Everything after the one posexplode agg
+    //    is bounded by #labels: 10 assembled centroids, 45 pairs — the
+    //    kernel work is label²-shaped no matter the corpus size.
+    QueryDef(
+      "q112_centroid_sim",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.dotExact
+        val cells = Tables.embeddings(s, dir)
+          .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+          .groupBy($"label", $"dim")
+          .agg(QueryDef.tavg(col("v").cast("double")).as("cv"))
+        val cents = cells.groupBy($"label")
+          .agg(transform(array_sort(collect_list(struct($"dim", $"cv"))),
+            _.getField("cv")).as("ce"))
+          .withColumn("cn2", dotExact($"ce", $"ce"))
+        val a = cents.select($"label".as("label_a"), $"ce".as("ea"), $"cn2".as("na"))
+        val b = cents.select($"label".as("label_b"), $"ce".as("eb"), $"cn2".as("nb"))
+        a.crossJoin(b).where($"label_a" < $"label_b")
+          .select($"label_a", $"label_b",
+            Similarity.cosine(dotExact($"ea", $"eb"), $"na", $"nb")
+              .as("centroid_sim"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT label, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS dim,
+        |    ${QueryDef.tavgSql("CAST(embedding[i] AS DOUBLE)")} AS cv
+        |  FROM t GROUP BY 1, 2),
+        |c AS MATERIALIZED (
+        |  SELECT label, list(cv ORDER BY dim) AS ce FROM cells GROUP BY label),
+        |cn AS (
+        |  SELECT label, ${dotSql("ce", "ce")} AS cn2
+        |  FROM (SELECT label, ce, unnest(generate_series(1, len(ce))) AS i FROM c)
+        |  GROUP BY label, ce),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    a.ce AS ea, b.ce AS eb
+        |  FROM c a JOIN c b ON a.label < b.label),
+        |pterms AS (
+        |  SELECT label_a, label_b, ea, eb,
+        |    unnest(generate_series(1, len(ea))) AS i
+        |  FROM p),
+        |pdots AS (
+        |  SELECT label_a, label_b, ${dotSql("ea", "eb")} AS dot
+        |  FROM pterms GROUP BY label_a, label_b, ea, eb)
+        |SELECT d.label_a, d.label_b,
+        |  ROUND(CASE WHEN x.cn2 > 0 AND y.cn2 > 0
+        |    THEN d.dot / (sqrt(x.cn2) * sqrt(y.cn2)) ELSE 0.0 END, 9)
+        |    AS centroid_sim
+        |FROM pdots d JOIN cn x ON d.label_a = x.label
+        |  JOIN cn y ON d.label_b = y.label""".stripMargin))
   )
 }
