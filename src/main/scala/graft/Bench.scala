@@ -46,19 +46,23 @@ object Bench {
           row_number().over(Window.partitionBy(col("k")).orderBy(col("id"))))
         .where(col("rn") <= 3).count()
     }
-    // sorted name order: Map iteration order is arbitrary, and a stable
-    // sequence keeps per-query timings comparable across rounds — EXCEPT
-    // the trainer queries (q56 k-means, q57 BPE), which run first so the
-    // one-time trained-artifact cost is charged to the query that trains
-    // (q56/q57), not to the first cache consumer in sort order (q45/q60).
-    // Totals are unaffected; per-query numbers then mean what they say.
-    // SPARK_GRAFT_ONLY=qa,qb limits the run (local iteration aid; the
-    // driver never sets it)
+    // NUMERIC query order: Map iteration order is arbitrary, and a stable
+    // sequence keeps per-query timings comparable across rounds (plain
+    // name sort would run q100-q112 between q10 and q11, silently moving
+    // shared-substrate attribution to whichever consumer sorts first) —
+    // EXCEPT the trainer queries (q56 k-means, q57 BPE), which run first
+    // so the one-time trained-artifact cost is charged to the query that
+    // trains (q56/q57), not to the first cache consumer in order (q45/
+    // q60). Totals are unaffected; per-query numbers then mean what they
+    // say. SPARK_GRAFT_ONLY=qa,qb limits the run (local iteration aid;
+    // the driver never sets it)
     val trainersFirst = Seq("q56_kmeans_codebook", "q57_bpe_merges")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    def qnum(name: String): Int = name.drop(1).takeWhile(_.isDigit).toInt
     val results = SparkEntry.queries.toSeq
       .sortBy { case (name, _) =>
-        (if (trainersFirst.contains(name)) trainersFirst.indexOf(name) else trainersFirst.size, name)
+        (if (trainersFirst.contains(name)) trainersFirst.indexOf(name)
+         else trainersFirst.size, qnum(name), name)
       }
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
