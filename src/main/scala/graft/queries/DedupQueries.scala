@@ -572,6 +572,57 @@ object DedupQueries {
         |  JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id)
         |SELECT bin, CAST(bin AS DOUBLE) / CAST(10 AS DOUBLE) AS bin_lo,
         |  COUNT(*) AS n_pairs
-        |FROM bins GROUP BY 1""".stripMargin))
+        |FROM bins GROUP BY 1""".stripMargin)),
+
+    // ── Train/test leakage audit: verified near-dup pairs that CROSS the
+    //    q63 hash-split boundary — the eval-integrity check a training
+    //    pipeline must run AFTER splitting, because document-level splits
+    //    don't see near-duplicates (a test doc whose twin sits in train
+    //    inflates eval scores; Lee et al. 2022 measured the effect). The
+    //    split is recomputed from the same salted hash as q63 (a property
+    //    of the document — no join against a split table needed), pairs
+    //    come from the SHARED LSH substrate, and the matrix is ≤ 3×3.
+    //    An off-diagonal (train, test)/(train, validation) cell > 0 is
+    //    the actionable signal: route the whole dup CLUSTER to one split.
+    QueryDef(
+      "q114_split_leakage",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, _, cands) = Dedup.minhashSubstrateCached(
+          Tables.documents(s, dir), dir, "doc_id", "text")
+        val dup = Dedup.jaccardFor(cands, sh, "doc_id")
+          .where($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b")
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val bucket = pmod(TextAnalysis.hash60(
+            concat(lit("split:"), c.cast("string"))), lit(100)).cast("int")
+          when(bucket < 80, "train")
+            .when(bucket < 90, "validation").otherwise("test")
+        }
+        dup
+          .select(splitOf($"doc_a").as("sa"), splitOf($"doc_b").as("sb"))
+          .select(least($"sa", $"sb").as("split_x"),
+            greatest($"sa", $"sb").as("split_y"))
+          .groupBy($"split_x", $"split_y")
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("leaks", $"split_x" =!= $"split_y")
+      },
+      Some {
+        def splitSql(c: String) =
+          s"""CASE WHEN ('0x' || substr(md5('split:' || CAST($c AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+             |     WHEN ('0x' || substr(md5('split:' || CAST($c AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'validation'
+             |     ELSE 'test' END""".stripMargin
+        s"""WITH $minhashDupCtes,
+        |sp AS (
+        |  SELECT ${splitSql("doc_a")} AS sa,
+        |    ${splitSql("doc_b")} AS sb
+        |  FROM dupj),
+        |g AS (
+        |  SELECT LEAST(sa, sb) AS split_x, GREATEST(sa, sb) AS split_y,
+        |    COUNT(*) AS n_pairs
+        |  FROM sp GROUP BY 1, 2)
+        |SELECT split_x, split_y, n_pairs, split_x <> split_y AS leaks
+        |FROM g""".stripMargin
+      })
   )
 }

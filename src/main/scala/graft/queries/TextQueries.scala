@@ -840,6 +840,90 @@ object TextQueries {
         |  ROUND(mean, 9) AS src_mean, ROUND(std, 9) AS src_std,
         |  ROUND(CASE WHEN std > 0 THEN (CAST(d.x AS DOUBLE) - mean) / std
         |    ELSE 0.0 END, 9) AS z
-        |FROM d JOIN stats USING (source)""".stripMargin))
+        |FROM d JOIN stats USING (source)""".stripMargin)),
+
+    // ── Composite curation score by rank normalization: the q31 heuristic
+    //    quality score and the q66 repetition signal live on incomparable
+    //    scales, so each is PERCENT_RANK-normalized within its source
+    //    before blending (rank normalization is the standard way to
+    //    ensemble heterogeneous quality signals without tuning per-signal
+    //    scales — and ranks transfer across engines exactly where raw
+    //    score arithmetic might not). Ordering keys carry doc_id so no
+    //    ties exist — percent_rank is then pure integer arithmetic over
+    //    bit-identical (already gate-verified) doubles. Both windows share
+    //    one source exchange; keep = blend ≥ 0.5 drops the worse half of
+    //    every source independently (no global sort anywhere).
+    QueryDef(
+      "q113_quality_blend",
+      (s, dir) => {
+        import s.implicits._
+        val qcol = TextAnalysis.qualityColumns($"text")
+          .toMap.apply("quality_score")
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"source", qcol.as("q"))
+        val w = TextAnalysis.tokens($"text")
+        val rep = Tables.documents(s, dir)
+          .select($"doc_id", w.as("w"))
+          .where(size($"w") >= 2)
+          .select($"doc_id",
+            explode(transform(sequence(lit(1), size($"w") - 1), i =>
+              concat_ws(" ", element_at($"w", i), element_at($"w", i + 1))))
+              .as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg((max($"c").cast("double") / sum($"c").cast("double")).as("rep"))
+        val j = base.join(rep, Seq("doc_id"), "left")
+          .na.fill(0.0, Seq("rep"))
+        val wq = Window.partitionBy($"source").orderBy($"q".asc, $"doc_id".asc)
+        val wr = Window.partitionBy($"source").orderBy($"rep".desc, $"doc_id".asc)
+        j.select($"doc_id", $"source",
+            round($"q", 9).as("quality_score"),
+            round($"rep", 9).as("repetition"),
+            percent_rank().over(wq).as("pr_q"),
+            percent_rank().over(wr).as("pr_r"))
+          .select($"doc_id", $"source", $"quality_score", $"repetition",
+            round(($"pr_q" + $"pr_r") * 0.5, 9).as("blend"))
+          .withColumn("keep", $"blend" >= 0.5)
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, source, text, CAST(length(text) AS DOUBLE) AS len,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, len,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    len - CAST(length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+        |    CAST(len(list_filter(toks, t -> list_contains($stopwordListSql, t))) AS DOUBLE) AS n_stop
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    least(len / 500.0, 1.0) * 0.4
+        |      + least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 5.0, 1.0) * 0.4
+        |      + greatest(1.0 - (CASE WHEN len > 0 THEN n_punct / len ELSE 0.0 END) * 10.0, 0.0) * 0.2
+        |      AS q
+        |  FROM r),
+        |bg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+        |  FROM (SELECT doc_id, toks AS w,
+        |      unnest(generate_series(1, len(toks) - 1)) AS i
+        |    FROM t WHERE len(toks) >= 2)),
+        |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |rep AS (SELECT doc_id,
+        |    CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep
+        |  FROM bc GROUP BY doc_id),
+        |j AS (
+        |  SELECT q.doc_id, q.source, q.q, COALESCE(rep.rep, 0.0) AS rep
+        |  FROM q LEFT JOIN rep USING (doc_id)),
+        |pr AS (
+        |  SELECT doc_id, source,
+        |    ROUND(q, 9) AS quality_score, ROUND(rep, 9) AS repetition,
+        |    PERCENT_RANK() OVER (PARTITION BY source ORDER BY q ASC, doc_id ASC) AS pr_q,
+        |    PERCENT_RANK() OVER (PARTITION BY source ORDER BY rep DESC, doc_id ASC) AS pr_r
+        |  FROM j)
+        |SELECT doc_id, source, quality_score, repetition,
+        |  ROUND((pr_q + pr_r) * 0.5, 9) AS blend,
+        |  ROUND((pr_q + pr_r) * 0.5, 9) >= CAST(0.5 AS DOUBLE) AS keep
+        |FROM pr""".stripMargin))
   )
 }
