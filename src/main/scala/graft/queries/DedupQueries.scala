@@ -623,6 +623,63 @@ object DedupQueries {
         |  FROM sp GROUP BY 1, 2)
         |SELECT split_x, split_y, n_pairs, split_x <> split_y AS leaks
         |FROM g""".stripMargin
+      }),
+
+    // ── Leakage REPAIR (the q114 fix): route every near-dup CLUSTER to a
+    //    single split — each document inherits the split of its cluster
+    //    head (min-id member, from the same label-propagation CC as q49),
+    //    so no near-duplicate pair can straddle train/test afterwards.
+    //    Non-duplicated docs keep their own q63 split (coalesce to self).
+    //    Scale shape: CC rounds are keyed joins over the LSH-bounded edge
+    //    list (O(cluster diameter), fail-loud cap); the rerouting itself
+    //    is ONE left join of the corpus id list against the (small)
+    //    cluster map — splits stay hash-derived properties, no split
+    //    table materializes.
+    QueryDef(
+      "q115_split_repair",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, _, cands) = Dedup.minhashSubstrateCached(
+          Tables.documents(s, dir), dir, "doc_id", "text")
+        val dup = Dedup.jaccardFor(cands, sh, "doc_id")
+          .where($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b")
+        val cc = Dedup.connectedComponents(dup, "doc_a", "doc_b")
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val bucket = pmod(TextAnalysis.hash60(
+            concat(lit("split:"), c.cast("string"))), lit(100)).cast("int")
+          when(bucket < 80, "train")
+            .when(bucket < 90, "validation").otherwise("test")
+        }
+        Tables.documents(s, dir).select($"doc_id")
+          .join(cc.select($"id".as("doc_id"), $"cluster_id"), Seq("doc_id"), "left")
+          .select($"doc_id",
+            splitOf($"doc_id").as("old_split"),
+            splitOf(coalesce($"cluster_id", $"doc_id")).as("new_split"))
+          .withColumn("moved", $"old_split" =!= $"new_split")
+      },
+      Some {
+        def splitSql(c: String) =
+          s"""CASE WHEN ('0x' || substr(md5('split:' || CAST($c AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+             |     WHEN ('0x' || substr(md5('split:' || CAST($c AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'validation'
+             |     ELSE 'test' END""".stripMargin
+        s"""WITH RECURSIVE $minhashDupCtes,
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM dupj
+        |  UNION SELECT doc_b, doc_a FROM dupj),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+        |cc AS (
+        |  SELECT id, LEAST(id, MIN(dst)) AS cluster_id
+        |  FROM (SELECT src AS id, dst FROM reach) GROUP BY id),
+        |rt AS (
+        |  SELECT d.doc_id,
+        |    ${splitSql("d.doc_id")} AS old_split,
+        |    ${splitSql("COALESCE(cc.cluster_id, d.doc_id)")} AS new_split
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+        |SELECT doc_id, old_split, new_split, old_split <> new_split AS moved
+        |FROM rt""".stripMargin
       })
   )
 }
