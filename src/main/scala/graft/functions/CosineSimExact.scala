@@ -256,6 +256,22 @@ object GraftFunctions {
       exprs => HeavyHitters(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "scala_udf")
+    // Spark's own runtime-filter machinery (InjectRuntimeFilter) wraps the
+    // key in XxHash64 on both the build and probe sides; exposing the same
+    // pair lets queries state the bloom-prefiltered join pattern explicitly
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs.head)))
+        .toAggregateExpression(),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1)))),
+      "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bits",
       exprs => LshBits(exprs(0),

@@ -366,8 +366,46 @@ object AnalyticsQueries {
     madDef,
     markovDef,
     bucketedJoinDef,
-    rateSpikeDef
+    rateSpikeDef,
+    bloomSemiJoinDef
   )
+
+  // ── Bloom-prefiltered semi-join — the runtime-filter pattern stated
+  //    explicitly: build a bloom filter over the (selective) build-side
+  //    keys with Spark's own BloomFilterAggregate, prefilter the fact scan
+  //    with might_contain BEFORE any shuffle, then run the exact semi-join
+  //    over the survivors (the bloom's false positives are removed there,
+  //    so the result is bit-identical to the plain semi-join the oracle
+  //    runs). At 100 TB this is the difference between shuffling every
+  //    fact row and shuffling only probable matches — Spark's
+  //    InjectRuntimeFilter does this automatically when statistics allow;
+  //    materializing the one-row filter into a literal (a control-plane
+  //    collect of ONE aggregated row, like the broadcast variables it
+  //    mirrors) makes the pattern deterministic and plan-assertable.
+  private def bloomSemiJoinDef: QueryDef = QueryDef(
+    "q116_bloom_semijoin",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val keys = Tables.orders(s, dir)
+        .where($"o_orderstatus" === "F" && $"o_totalprice" > 200000.0)
+        .select($"o_orderkey")
+      val bf = keys
+        .agg(call_function("bloom_agg", $"o_orderkey").as("bf"))
+        .head().getAs[Array[Byte]](0)
+      Tables.lineitem(s, dir)
+        .where(call_function("might_contain", lit(bf), $"l_orderkey"))
+        .join(keys, $"l_orderkey" === $"o_orderkey", "left_semi")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          dsum($"l_extendedprice").as("total_price"))
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n_items,
+      |  ${dsumSql("l_extendedprice")} AS total_price
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |  WHERE o_orderstatus = 'F' AND o_totalprice > 200000)
+      |GROUP BY l_returnflag""".stripMargin))
 
   // ── Operational anomaly detection on event rates: gap-filled hourly
   //    counts per event type, z-scored against that type's own

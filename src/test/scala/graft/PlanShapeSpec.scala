@@ -17,6 +17,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("q116 bloom prefilter sits on the fact scan before the semi join") {
+    val p = planOf("q116_bloom_semijoin")
+    assert(p.contains("might_contain"), p.take(1200))
+    assert(p.contains("LeftSemi"), p.take(1200))
+  }
+
   test("q104 bucketed join + agg plan with zero Exchange") {
     val p = planOf("q104_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))
