@@ -399,6 +399,76 @@ object TrainingDataQueries {
         |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin)),
 
+    // ── MULTI-PROBE banded simhash (the recall knob on q59): the probe
+    //    side also queries every one-bit variant of each band value
+    //    (8 flips per 8-bit band), so by pigeonhole any pair with Hamming
+    //    ≤ 2·bands − 1 = 7 shares a probed key in some band (≤ 7 errors
+    //    over 4 bands put ≤ 1 in the best band, which a 1-bit flip
+    //    reaches). This is the standard recall/cost dial for banded
+    //    similarity search: candidate volume grows 9× per band, recall
+    //    radius grows from 3 to 7, the plan shape does NOT change — still
+    //    a keyed equi-join, never all-pairs. At 100 TB you pick the probe
+    //    set per query budget; the verify step (popcount over carried
+    //    signatures) is identical.
+    QueryDef(
+      "q117_multiprobe",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = Dedup.simhashCached(Tables.documents(s, dir), dir, "doc_id", "text")
+          .localCheckpoint()
+        val bandCols = (0 until SimhashBands).map { bnd =>
+          struct(lit(bnd).as("band_id"),
+            shiftright($"simhash", bnd * 8).bitwiseAND(255).as("band_val"))
+        }
+        val bands = sigs
+          .select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("band"))
+          .select($"doc_id", $"simhash", $"band.band_id", $"band.band_val")
+        val probes = bands
+          .select($"doc_id".as("doc_a"), $"simhash".as("sig_a"), $"band_id",
+            explode(expr("concat(array(band_val), transform(sequence(0, 7)," +
+              " j -> band_val ^ shiftleft(cast(1 as bigint), j)))"))
+              .as("band_val"))
+        val exact = bands.select($"doc_id".as("doc_b"), $"simhash".as("sig_b"),
+          $"band_id", $"band_val")
+        probes.join(exact, Seq("band_id", "band_val"))
+          .where($"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b", $"sig_a", $"sig_b").distinct()
+          .select($"doc_a",
+            bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
+          .where($"hamming" <= 7)
+          // pair volume at radius 7 is large by design — report the recall
+          // profile (pairs + touched docs per Hamming distance), which is
+          // what the radius/cost decision actually reads
+          .groupBy($"hamming")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"doc_a").as("n_docs_a"))
+      },
+      Some(s"""WITH $simhashSigCte,
+        |bands AS (
+        |  SELECT doc_id, simhash, band_id,
+        |    (simhash >> (band_id * 8)) & 255 AS band_val
+        |  FROM sig CROSS JOIN
+        |    (SELECT unnest(generate_series(0, ${SimhashBands - 1})) AS band_id)),
+        |probes AS (
+        |  SELECT doc_id, simhash, band_id, band_val FROM bands
+        |  UNION ALL
+        |  SELECT doc_id, simhash, band_id,
+        |    xor(band_val, (1::BIGINT << j)) AS band_val
+        |  FROM bands CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 7)) AS j)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sig_a, b.simhash AS sig_b
+        |  FROM probes a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id),
+        |hd AS (
+        |  SELECT doc_a, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        |  FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 7)
+        |SELECT hamming, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT doc_a) AS n_docs_a
+        |FROM hd GROUP BY 1""".stripMargin)),
+
     // ── Per-label mean embedding: the codebook/centroid-training primitive
     //    (k-means update step). posexplode + groupBy(label, dim) is one
     //    shuffle of (label, dim) cells; exact decimal sums keep the means
