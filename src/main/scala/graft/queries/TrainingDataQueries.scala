@@ -432,10 +432,14 @@ object TrainingDataQueries {
           $"band_id", $"band_val")
         probes.join(exact, Seq("band_id", "band_val"))
           .where($"doc_a" < $"doc_b")
-          .select($"doc_a", $"doc_b", $"sig_a", $"sig_b").distinct()
-          .select($"doc_a",
+          // popcount BEFORE the distinct: the radius filter is a narrow
+          // map-side predicate, so the dedup exchange only carries pairs
+          // that survive it
+          .select($"doc_a", $"doc_b",
             bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
           .where($"hamming" <= 7)
+          .distinct()
+          .select($"doc_a", $"hamming")
           // pair volume at radius 7 is large by design — report the recall
           // profile (pairs + touched docs per Hamming distance), which is
           // what the radius/cost decision actually reads
