@@ -473,6 +473,66 @@ object TrainingDataQueries {
         |  COUNT(DISTINCT doc_a) AS n_docs_a
         |FROM hd GROUP BY 1""".stripMargin)),
 
+    // ── Epoch planning — q69's other half: q69 DOWN-samples sources whose
+    //    temperature-weighted budget is below their available tokens; this
+    //    computes the repeat schedule for sources whose budget EXCEEDS
+    //    supply (the data-constrained regime: budget_s tokens of source s
+    //    are consumed as floor(budget/t_s) full epochs plus a partial
+    //    final epoch). Same sqrt-temperature weights, total budget = 1.2×
+    //    corpus tokens so both regimes appear. Integer epoch arithmetic
+    //    ((b + t − 1) div t on exact BIGINTs) — run-independent; the whole
+    //    plan after the one token-count pass is a 20-row table.
+    QueryDef(
+      "q118_epoch_plan",
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables.documents(s, dir)
+          .select($"source", TextAnalysis.tokenCount($"text").as("n_tokens"))
+          .groupBy($"source")
+          .agg(sum($"n_tokens".cast("long")).as("t_s"))
+        val tot = src.agg(
+          sum($"t_s").as("t_total"),
+          sum(sqrt($"t_s".cast("double")).cast("decimal(30,18)"))
+            .as("sqrt_tot"))
+        src.crossJoin(broadcast(tot))
+          .select($"source", $"t_s",
+            floor(expr("(t_total * 12) div 10").cast("double") *
+              (sqrt($"t_s".cast("double")) / $"sqrt_tot".cast("double")))
+              .cast("long").as("budget_tokens"))
+          .select($"source", $"t_s", $"budget_tokens",
+            when($"t_s" > 0L,
+              expr("(budget_tokens + t_s - 1) div t_s")).otherwise(0L)
+              .as("n_epochs"),
+            when($"t_s" > 0L,
+              round((($"budget_tokens" % $"t_s").cast("double") /
+                $"t_s".cast("double")), 9)).otherwise(0.0)
+              .as("final_epoch_rate"),
+            ($"budget_tokens" > $"t_s").as("upsampled"))
+      },
+      Some("""WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) END AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS t_s
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(t_s) AS BIGINT) AS t_total,
+        |    SUM(CAST(sqrt(CAST(t_s AS DOUBLE)) AS DECIMAL(30,18))) AS sqrt_tot
+        |  FROM s),
+        |b AS (SELECT source, t_s,
+        |    CAST(floor(CAST((t_total * 12) // 10 AS DOUBLE) *
+        |      (sqrt(CAST(t_s AS DOUBLE)) / CAST(sqrt_tot AS DOUBLE))) AS BIGINT)
+        |      AS budget_tokens
+        |  FROM s CROSS JOIN tot)
+        |SELECT source, t_s, budget_tokens,
+        |  CASE WHEN t_s > 0 THEN (budget_tokens + t_s - 1) // t_s
+        |       ELSE 0 END AS n_epochs,
+        |  CASE WHEN t_s > 0 THEN
+        |    ROUND(CAST(budget_tokens % t_s AS DOUBLE) / CAST(t_s AS DOUBLE), 9)
+        |    ELSE 0.0 END AS final_epoch_rate,
+        |  budget_tokens > t_s AS upsampled
+        |FROM b""".stripMargin)),
+
     // ── Per-label mean embedding: the codebook/centroid-training primitive
     //    (k-means update step). posexplode + groupBy(label, dim) is one
     //    shuffle of (label, dim) cells; exact decimal sums keep the means

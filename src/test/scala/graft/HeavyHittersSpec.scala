@@ -52,6 +52,26 @@ class HeavyHittersSpec extends SparkSpec {
     assert(agg.deserialize(agg.serialize(buf)) == buf)
   }
 
+  test("native aggregates are reachable from the SQL front door") {
+    GraftFunctions.register(spark)
+    stream.toDF("token").createOrReplaceTempView("hh_words")
+    val row = spark.sql(
+      "SELECT heavy_hitters(token, 8) AS sk, count(1) AS n FROM hh_words").head()
+    val sk = row.getMap[String, Long](0).toMap
+    assert(sk.nonEmpty && sk.size <= 8)
+    assert(row.getLong(1) == n)
+    // bloom pair: build in SQL, probe in SQL, no false negatives
+    val bf = spark.sql(
+      "SELECT bloom_agg(token) AS bf FROM hh_words").head().getAs[Array[Byte]](0)
+    spark.sql("SELECT token FROM hh_words").createOrReplaceTempView("hh_probe")
+    val missed = spark.table("hh_probe")
+      .where(!org.apache.spark.sql.functions.call_function("might_contain",
+        org.apache.spark.sql.functions.lit(bf),
+        org.apache.spark.sql.functions.col("token")))
+      .count()
+    assert(missed == 0, s"bloom false negatives: $missed")
+  }
+
   test("non-string child is an analysis error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -365,4 +365,30 @@ class PropertySpec extends SparkSpec {
       assert(segsOf(gotSegDfD) == wantSegs)
     }
   }
+
+  test("q117 multi-probe pigeonhole: Hamming <= 7 always shares a probed band key") {
+    // probe keys of band b = exact value plus all 1-bit flips; a pair is a
+    // candidate iff some band has the b-side value within Hamming 1 of the
+    // a-side value. 7 errors over 4 byte-bands leave <= 1 in some band.
+    def bandVals(sig: Long): Seq[Long] =
+      (0 until 4).map(b => (sig >> (b * 8)) & 255L)
+    def candidate(a: Long, b: Long): Boolean =
+      bandVals(a).zip(bandVals(b)).exists { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) <= 1
+      }
+    (1 to 2000).foreach { _ =>
+      val a = rnd.nextLong() & 0xFFFFFFFFL
+      // flip exactly k <= 7 distinct bits
+      val k = 1 + rnd.nextInt(7)
+      val bits = rnd.shuffle((0 until 32).toList).take(k)
+      val b = bits.foldLeft(a)((s, i) => s ^ (1L << i))
+      assert(java.lang.Long.bitCount(a ^ b) == k)
+      assert(candidate(a, b), s"missed pair at hamming $k: $a vs $b")
+    }
+    // and the converse sanity: distance 8 spread as 2 per band is NOT caught
+    val a = 0L
+    val b = (0 until 4).foldLeft(0L)((s, band) =>
+      s | (3L << (band * 8))) // two bits per band
+    assert(java.lang.Long.bitCount(a ^ b) == 8 && !candidate(a, b))
+  }
 }
