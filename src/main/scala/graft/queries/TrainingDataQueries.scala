@@ -205,6 +205,86 @@ object TrainingDataQueries {
         Tables.embeddings(s, dir).select($"vec_id", $"embedding"), k, iters)
     })
 
+  /** Oracle twin of the full q85 PQ-ADC chain: training (both
+    * subspaces), joint codes, LUTs, and the `adc` scored CTE —
+    * shared by q85 (top-k output) and q119 (recall eval).
+    */
+  private def pqAdcCtes: String =
+    s"""${kmeansCtes(k = 4, iters = 1, p = "s1_", slice = Some((1, 32)))},
+        |${kmeansCtes(k = 4, iters = 1, p = "s2_", slice = Some((33, 64)))},
+        |s1_at AS (
+        |  SELECT e.vec_id, e.embedding, c.cid, c.ce,
+        |    unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM s1_e e CROSS JOIN s1_km_c1 c),
+        |s1_ad AS (
+        |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
+        |  FROM s1_at GROUP BY vec_id, embedding, cid, ce),
+        |s1_as AS (
+        |  SELECT d.vec_id, d.cid,
+        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
+        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS c_sim
+        |  FROM s1_ad d JOIN s1_n2 v ON d.vec_id = v.vec_id
+        |    JOIN s1_km_cn1 c ON d.cid = c.cid),
+        |s1_code AS (
+        |  SELECT vec_id, cid AS c1 FROM (
+        |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
+        |    FROM s1_as) WHERE rn = 1),
+        |s2_at AS (
+        |  SELECT e.vec_id, e.embedding, c.cid, c.ce,
+        |    unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM s2_e e CROSS JOIN s2_km_c1 c),
+        |s2_ad AS (
+        |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
+        |  FROM s2_at GROUP BY vec_id, embedding, cid, ce),
+        |s2_as AS (
+        |  SELECT d.vec_id, d.cid,
+        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
+        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS c_sim
+        |  FROM s2_ad d JOIN s2_n2 v ON d.vec_id = v.vec_id
+        |    JOIN s2_km_cn1 c ON d.cid = c.cid),
+        |s2_code AS (
+        |  SELECT vec_id, cid AS c2 FROM (
+        |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
+        |    FROM s2_as) WHERE rn = 1),
+        |codes AS (SELECT a.vec_id, a.c1, b.c2
+        |  FROM s1_code a JOIN s2_code b ON a.vec_id = b.vec_id),
+        |qn AS (
+        |  SELECT vec_id AS query_id, ${dotSql("embedding", "embedding")} AS qn2
+        |  FROM (SELECT vec_id, embedding,
+        |      unnest(generate_series(1, len(embedding))) AS i
+        |    FROM embeddings WHERE vec_id < 5)
+        |  GROUP BY vec_id, embedding),
+        |s1_lt AS (
+        |  SELECT q.vec_id AS query_id, c.cid AS c1, q.embedding AS qe, c.ce,
+        |    unnest(generate_series(1, len(q.embedding))) AS i
+        |  FROM (SELECT vec_id, embedding FROM s1_e WHERE vec_id < 5) q
+        |  CROSS JOIN s1_km_c1 c),
+        |s1_lut AS (
+        |  SELECT query_id, c1, ${dotSql("qe", "ce")} AS d1
+        |  FROM s1_lt GROUP BY query_id, c1, qe, ce),
+        |s2_lt AS (
+        |  SELECT q.vec_id AS query_id, c.cid AS c2, q.embedding AS qe, c.ce,
+        |    unnest(generate_series(1, len(q.embedding))) AS i
+        |  FROM (SELECT vec_id, embedding FROM s2_e WHERE vec_id < 5) q
+        |  CROSS JOIN s2_km_c1 c),
+        |s2_lut AS (
+        |  SELECT query_id, c2, ${dotSql("qe", "ce")} AS d2
+        |  FROM s2_lt GROUP BY query_id, c2, qe, ce),
+        |adc AS (
+        |  SELECT l1.query_id, cd.vec_id,
+        |    ROUND(CASE WHEN qn.qn2 > 0 AND (n1.cn2 + nx.cn2) > 0
+        |      THEN (l1.d1 + l2.d2) / (sqrt(qn.qn2) * sqrt(n1.cn2 + nx.cn2))
+        |      ELSE 0.0 END, 9) AS pq_sim
+        |  FROM codes cd
+        |  JOIN s1_lut l1 ON cd.c1 = l1.c1
+        |  JOIN s2_lut l2 ON cd.c2 = l2.c2 AND l2.query_id = l1.query_id
+        |  JOIN s1_km_cn1 n1 ON cd.c1 = n1.cid
+        |  JOIN s2_km_cn1 nx ON cd.c2 = nx.cid
+        |  JOIN qn ON qn.query_id = l1.query_id
+        |  WHERE cd.vec_id <> l1.query_id)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // ── Sub-word (BPE-ish) token statistics next to whitespace tokens.
@@ -1197,80 +1277,7 @@ object TrainingDataQueries {
           .withColumn("rank", row_number().over(byQ).cast("int"))
           .where($"rank" <= 10)
       },
-      Some(s"""WITH ${kmeansCtes(k = 4, iters = 1, p = "s1_", slice = Some((1, 32)))},
-        |${kmeansCtes(k = 4, iters = 1, p = "s2_", slice = Some((33, 64)))},
-        |s1_at AS (
-        |  SELECT e.vec_id, e.embedding, c.cid, c.ce,
-        |    unnest(generate_series(1, len(e.embedding))) AS i
-        |  FROM s1_e e CROSS JOIN s1_km_c1 c),
-        |s1_ad AS (
-        |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
-        |  FROM s1_at GROUP BY vec_id, embedding, cid, ce),
-        |s1_as AS (
-        |  SELECT d.vec_id, d.cid,
-        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
-        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS c_sim
-        |  FROM s1_ad d JOIN s1_n2 v ON d.vec_id = v.vec_id
-        |    JOIN s1_km_cn1 c ON d.cid = c.cid),
-        |s1_code AS (
-        |  SELECT vec_id, cid AS c1 FROM (
-        |    SELECT vec_id, cid, ROW_NUMBER() OVER (
-        |      PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
-        |    FROM s1_as) WHERE rn = 1),
-        |s2_at AS (
-        |  SELECT e.vec_id, e.embedding, c.cid, c.ce,
-        |    unnest(generate_series(1, len(e.embedding))) AS i
-        |  FROM s2_e e CROSS JOIN s2_km_c1 c),
-        |s2_ad AS (
-        |  SELECT vec_id, cid, ${dotSql("embedding", "ce")} AS dot
-        |  FROM s2_at GROUP BY vec_id, embedding, cid, ce),
-        |s2_as AS (
-        |  SELECT d.vec_id, d.cid,
-        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
-        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS c_sim
-        |  FROM s2_ad d JOIN s2_n2 v ON d.vec_id = v.vec_id
-        |    JOIN s2_km_cn1 c ON d.cid = c.cid),
-        |s2_code AS (
-        |  SELECT vec_id, cid AS c2 FROM (
-        |    SELECT vec_id, cid, ROW_NUMBER() OVER (
-        |      PARTITION BY vec_id ORDER BY c_sim DESC, cid ASC) AS rn
-        |    FROM s2_as) WHERE rn = 1),
-        |codes AS (SELECT a.vec_id, a.c1, b.c2
-        |  FROM s1_code a JOIN s2_code b ON a.vec_id = b.vec_id),
-        |qn AS (
-        |  SELECT vec_id AS query_id, ${dotSql("embedding", "embedding")} AS qn2
-        |  FROM (SELECT vec_id, embedding,
-        |      unnest(generate_series(1, len(embedding))) AS i
-        |    FROM embeddings WHERE vec_id < 5)
-        |  GROUP BY vec_id, embedding),
-        |s1_lt AS (
-        |  SELECT q.vec_id AS query_id, c.cid AS c1, q.embedding AS qe, c.ce,
-        |    unnest(generate_series(1, len(q.embedding))) AS i
-        |  FROM (SELECT vec_id, embedding FROM s1_e WHERE vec_id < 5) q
-        |  CROSS JOIN s1_km_c1 c),
-        |s1_lut AS (
-        |  SELECT query_id, c1, ${dotSql("qe", "ce")} AS d1
-        |  FROM s1_lt GROUP BY query_id, c1, qe, ce),
-        |s2_lt AS (
-        |  SELECT q.vec_id AS query_id, c.cid AS c2, q.embedding AS qe, c.ce,
-        |    unnest(generate_series(1, len(q.embedding))) AS i
-        |  FROM (SELECT vec_id, embedding FROM s2_e WHERE vec_id < 5) q
-        |  CROSS JOIN s2_km_c1 c),
-        |s2_lut AS (
-        |  SELECT query_id, c2, ${dotSql("qe", "ce")} AS d2
-        |  FROM s2_lt GROUP BY query_id, c2, qe, ce),
-        |adc AS (
-        |  SELECT l1.query_id, cd.vec_id,
-        |    ROUND(CASE WHEN qn.qn2 > 0 AND (n1.cn2 + nx.cn2) > 0
-        |      THEN (l1.d1 + l2.d2) / (sqrt(qn.qn2) * sqrt(n1.cn2 + nx.cn2))
-        |      ELSE 0.0 END, 9) AS pq_sim
-        |  FROM codes cd
-        |  JOIN s1_lut l1 ON cd.c1 = l1.c1
-        |  JOIN s2_lut l2 ON cd.c2 = l2.c2 AND l2.query_id = l1.query_id
-        |  JOIN s1_km_cn1 n1 ON cd.c1 = n1.cid
-        |  JOIN s2_km_cn1 nx ON cd.c2 = nx.cid
-        |  JOIN qn ON qn.query_id = l1.query_id
-        |  WHERE cd.vec_id <> l1.query_id)
+      Some(s"""WITH $pqAdcCtes
         |SELECT query_id, vec_id, pq_sim, CAST(rank AS INT) AS rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY pq_sim DESC, vec_id ASC) AS rank
@@ -1525,6 +1532,74 @@ object TrainingDataQueries {
         |    THEN d.dot / (sqrt(x.cn2) * sqrt(y.cn2)) ELSE 0.0 END, 9)
         |    AS centroid_sim
         |FROM pdots d JOIN cn x ON d.label_a = x.label
-        |  JOIN cn y ON d.label_b = y.label""".stripMargin))
+        |  JOIN cn y ON d.label_b = y.label""".stripMargin)),
+
+    // ── PQ recall evaluation — q109's harness applied to the q85 PQ-ADC
+    //    index: recall@10 of the 2×2-bit product quantizer against exact
+    //    brute-force ground truth on the same query slice. PQ at this
+    //    compression (16 cells for 8k vectors) is a LOSSY index; this
+    //    query measures exactly how lossy, which is the number that
+    //    decides m/k before anyone swaps the exact path out. Same bounded
+    //    composition as q109: two existing arms + one (query, cand)
+    //    equi-join.
+    QueryDef(
+      "q119_pq_recall",
+      (s, dir) => {
+        import s.implicits._
+        val pq = defs.find(_.name == "q85_pq_ann").get.fn(s, dir)
+          .select($"query_id", $"vec_id".as("cand_id"))
+        val e = Tables.embeddings(s, dir).select($"vec_id".as("id"), $"embedding")
+        val exact = Similarity.bruteForceTopK(
+          e.where($"id" < 5), e, k = 10)
+          .select($"query_id", $"cand_id")
+        val base = exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+        val inter = exact.join(pq, Seq("query_id", "cand_id"))
+          .groupBy($"query_id").agg(count(lit(1)).as("n_overlap"))
+        base.join(inter, Seq("query_id"), "left")
+          .select($"query_id",
+            coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+            round(coalesce($"n_overlap", lit(0L)).cast("double") /
+              $"n_exact".cast("double"), 9).as("recall_at_10"))
+      },
+      Some(s"""WITH $pqAdcCtes,
+        |pq10 AS (SELECT query_id, vec_id AS cand_id FROM (
+        |  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY pq_sim DESC, vec_id ASC) AS rank
+        |  FROM adc) WHERE rank <= 10),
+        |fe AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+        |  FROM embeddings),
+        |fn2 AS MATERIALIZED (
+        |  SELECT vec_id, ${dotSql("embedding", "embedding")} AS n2
+        |  FROM (SELECT vec_id, embedding,
+        |      unnest(generate_series(1, len(embedding))) AS i FROM fe)
+        |  GROUP BY vec_id, embedding),
+        |bf_terms AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    q.embedding AS qe, c.embedding AS ce,
+        |    unnest(generate_series(1, len(q.embedding))) AS i
+        |  FROM fe q CROSS JOIN fe c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |bf_dots AS (
+        |  SELECT query_id, cand_id, ${dotSql("qe", "ce")} AS dot
+        |  FROM bf_terms GROUP BY query_id, cand_id, qe, ce),
+        |bf_cos AS (
+        |  SELECT query_id, cand_id,
+        |    ROUND(CASE WHEN q.n2 > 0 AND c.n2 > 0
+        |      THEN d.dot / (sqrt(q.n2) * sqrt(c.n2)) ELSE 0.0 END, 9) AS cs
+        |  FROM bf_dots d JOIN fn2 q ON d.query_id = q.vec_id
+        |    JOIN fn2 c ON d.cand_id = c.vec_id),
+        |bf10 AS (SELECT query_id, cand_id FROM (
+        |  SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, cand_id ASC) AS rank
+        |  FROM bf_cos) WHERE rank <= 10),
+        |base AS (SELECT query_id, COUNT(*) AS n_exact FROM bf10 GROUP BY 1),
+        |inter AS (SELECT query_id, COUNT(*) AS n_overlap
+        |  FROM bf10 JOIN pq10 USING (query_id, cand_id) GROUP BY 1)
+        |SELECT b.query_id,
+        |  CAST(COALESCE(i.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  ROUND(CAST(COALESCE(i.n_overlap, 0) AS DOUBLE)
+        |    / CAST(b.n_exact AS DOUBLE), 9) AS recall_at_10
+        |FROM base b LEFT JOIN inter i USING (query_id)""".stripMargin))
   )
 }
