@@ -367,8 +367,80 @@ object AnalyticsQueries {
     markovDef,
     bucketedJoinDef,
     rateSpikeDef,
-    bloomSemiJoinDef
+    bloomSemiJoinDef,
+    sessionPathsDef
   )
+
+  // ── Session path analysis — the journey rollup on top of q26/q102's
+  //    sessionization: each session is summarized by its first three
+  //    event types in time order (the "entry path"), then paths are
+  //    counted and share-ranked. The pivot trick (max(when(rn = k)))
+  //    turns the per-session path into a plain agg over the SAME
+  //    user-keyed exchange the sessionizer already made; the path space
+  //    is ≤ event_types³ + shorter prefixes, so everything after the
+  //    per-session agg is bounded. concat_ws skips NULLs identically in
+  //    both engines, so 1- and 2-event sessions fold in naturally.
+  private def sessionPathsDef: QueryDef = QueryDef(
+    "q120_session_paths",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("new_session",
+          when(lag($"ts", 1).over(byUser).isNull ||
+            unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(byUser)) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_no",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      val inSess = Window.partitionBy($"user_id", $"session_no")
+        .orderBy($"ts", $"event_id")
+      val paths = sess
+        .withColumn("rn", row_number().over(inSess))
+        .where($"rn" <= 3)
+        .groupBy($"user_id", $"session_no")
+        .agg(concat_ws(">",
+          max(when($"rn" === 1, $"event_type")),
+          max(when($"rn" === 2, $"event_type")),
+          max(when($"rn" === 3, $"event_type"))).as("path"))
+      val counts = paths.groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      val total = counts.agg(sum($"n_sessions").as("n_total"))
+      counts.crossJoin(broadcast(total))
+        .select($"path", $"n_sessions",
+          round($"n_sessions".cast("double") / $"n_total".cast("double"), 9)
+            .as("session_share"))
+    },
+    Some("""WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM flagged),
+      |rn AS (
+      |  SELECT user_id, session_no, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM sess),
+      |paths AS (
+      |  SELECT user_id, session_no,
+      |    concat_ws('>',
+      |      MAX(CASE WHEN rn = 1 THEN event_type END),
+      |      MAX(CASE WHEN rn = 2 THEN event_type END),
+      |      MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+      |  FROM rn WHERE rn <= 3 GROUP BY 1, 2),
+      |c AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS n_total FROM c)
+      |SELECT path, n_sessions,
+      |  ROUND(CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
+      |    AS session_share
+      |FROM c CROSS JOIN t""".stripMargin))
 
   // ── Bloom-prefiltered semi-join — the runtime-filter pattern stated
   //    explicitly: build a bloom filter over the (selective) build-side
