@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection queries (MinHash+LSH, exact n-gram Jaccard,
@@ -624,6 +625,62 @@ object DedupQueries {
         |SELECT split_x, split_y, n_pairs, split_x <> split_y AS leaks
         |FROM g""".stripMargin
       }),
+
+    // ── Novelty saturation curve — the corpus-scaling diagnostic: how
+    //    many NEW distinct shingles each ingestion decile contributes, and
+    //    what fraction of its shingle rows are first appearances. A curve
+    //    that flattens early means more crawl adds repetition, not
+    //    content (the data-constrained-scaling question asked of the
+    //    corpus itself). Deciles come from doc_id range arithmetic
+    //    (10·id div (max+1) — a broadcast scalar, NOT a global sort);
+    //    first-seen attribution is q79's one min-agg; the cumulative sum
+    //    runs over the 10-row result (bounded window, documented serial
+    //    point like W3).
+    QueryDef(
+      "q123_novelty_curve",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Dedup.hashedShingleRows(Tables.documents(s, dir), "doc_id", "text")
+          .localCheckpoint()
+        val mx = Tables.documents(s, dir)
+          .agg((max($"doc_id") + 1L).as("n_ids"))
+        val rows = sh.crossJoin(broadcast(mx))
+          .select(expr("(doc_id * 10) div n_ids").cast("int").as("decile"), $"h")
+        val occ = rows.groupBy($"decile").agg(count(lit(1)).as("n_rows"))
+        val fresh = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+          .crossJoin(broadcast(mx))
+          .select(expr("(first_doc * 10) div n_ids").cast("int").as("decile"))
+          .groupBy($"decile").agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        occ.join(fresh, Seq("decile"))
+          .select($"decile", $"n_rows", $"n_new",
+            round($"n_new".cast("double") / $"n_rows".cast("double"), 9)
+              .as("novelty_rate"))
+          .withColumn("cum_distinct", sum($"n_new").over(w))
+      },
+      Some(s"""WITH $shingleCte,
+        |hh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |mx AS (SELECT MAX(doc_id) + 1 AS n_ids FROM documents),
+        |occ AS (
+        |  SELECT CAST((doc_id * 10) // n_ids AS INT) AS decile,
+        |    COUNT(*) AS n_rows
+        |  FROM hh CROSS JOIN mx GROUP BY 1),
+        |fresh AS (
+        |  SELECT CAST((first_doc * 10) // n_ids AS INT) AS decile,
+        |    COUNT(*) AS n_new
+        |  FROM (SELECT h, MIN(doc_id) AS first_doc FROM hh GROUP BY 1)
+        |  CROSS JOIN mx GROUP BY 1)
+        |SELECT o.decile, o.n_rows, f.n_new,
+        |  ROUND(CAST(f.n_new AS DOUBLE) / CAST(o.n_rows AS DOUBLE), 9)
+        |    AS novelty_rate,
+        |  CAST(SUM(f.n_new) OVER (ORDER BY o.decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_distinct
+        |FROM occ o JOIN fresh f USING (decile)""".stripMargin)),
 
     // ── Leakage REPAIR (the q114 fix): route every near-dup CLUSTER to a
     //    single split — each document inherits the split of its cluster

@@ -857,6 +857,72 @@ object TextQueries {
         |    ELSE 0.0 END, 9) AS z
         |FROM d JOIN stats USING (source)""".stripMargin)),
 
+    // ── Dataset card: the ONE-ROW corpus profile a dataset release ships
+    //    with — volume (docs/tokens/sources/langs), integrity (exact-dup
+    //    rate off the q33 fingerprint), and quality (corpus-mean q31
+    //    score, floor-fixed-point). Everything folds into one narrow
+    //    projection + one global agg (two-phase exact distincts for the
+    //    fingerprint/source/lang counts) — at 100 TB the distincts are
+    //    the only corpus-keyed shuffles and each carries pre-deduped
+    //    partials. The at-scale swap for the distinct counts is q68's
+    //    approx_count_distinct, same posture as every profiling op here.
+    QueryDef(
+      "q121_dataset_card",
+      (s, dir) => {
+        import s.implicits._
+        val q = TextAnalysis.qualityColumns($"text").toMap.apply("quality_score")
+        val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"source", $"lang",
+            TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+            q.as("quality"),
+            TextAnalysis.hash60(norm).as("fp"))
+        d.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"source").as("n_sources"),
+          countDistinct($"lang").as("n_langs"),
+          sum($"n_tokens").as("n_tokens"),
+          countDistinct($"fp").as("n_distinct_fp"))
+          .crossJoin(broadcast(d.agg(QueryDef.tavg($"quality").as("mean_quality"))))
+          .select($"n_docs", $"n_sources", $"n_langs", $"n_tokens",
+            $"n_distinct_fp",
+            round(lit(1.0) - $"n_distinct_fp".cast("double") /
+              $"n_docs".cast("double"), 9).as("exact_dup_rate"),
+            round(($"n_tokens".cast("double") / $"n_docs".cast("double")), 9)
+              .as("mean_tokens_per_doc"),
+            round($"mean_quality", 9).as("mean_quality"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, source, lang, text,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp,
+        |    least(len / 500.0, 1.0) * 0.4
+        |      + least((CASE WHEN len(toks) > 0
+        |          THEN CAST(len(list_filter(toks, x -> list_contains($stopwordListSql, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |          ELSE 0.0 END) * 5.0, 1.0) * 0.4
+        |      + greatest(1.0 - (CASE WHEN len > 0
+        |          THEN (len - CAST(length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)) / len
+        |          ELSE 0.0 END) * 10.0, 0.0) * 0.2 AS quality
+        |  FROM t)
+        |SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT fp) AS n_distinct_fp,
+        |  ROUND(CAST(1.0 AS DOUBLE) - CAST(COUNT(DISTINCT fp) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS exact_dup_rate,
+        |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+        |    AS mean_tokens_per_doc,
+        |  ROUND(${QueryDef.tavgSql("quality")}, 9) AS mean_quality
+        |FROM r""".stripMargin)),
+
     // ── Composite curation score by rank normalization: the q31 heuristic
     //    quality score and the q66 repetition signal live on incomparable
     //    scales, so each is PERCENT_RANK-normalized within its source

@@ -1600,6 +1600,48 @@ object TrainingDataQueries {
         |  CAST(COALESCE(i.n_overlap, 0) AS BIGINT) AS n_overlap,
         |  ROUND(CAST(COALESCE(i.n_overlap, 0) AS DOUBLE)
         |    / CAST(b.n_exact AS DOUBLE), 9) AS recall_at_10
-        |FROM base b LEFT JOIN inter i USING (query_id)""".stripMargin))
+        |FROM base b LEFT JOIN inter i USING (query_id)""".stripMargin)),
+
+    // ── Embedding norm profile per label — the vector-data-quality
+    //    monitor: an unnormalized batch (or a degenerate near-zero class)
+    //    shows up immediately in the L2-norm distribution, before any
+    //    cosine math silently absorbs it. One exact-kernel map stage
+    //    (norms from dot_exact, so both engines see identical doubles),
+    //    then a label-bounded exact-percentile agg (q29's 1e-6 rounding
+    //    posture; approx_percentile is the documented at-scale swap).
+    QueryDef(
+      "q122_norm_profile",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.dotExact
+        val norms = Tables.embeddings(s, dir)
+          .select($"label",
+            sqrt(dotExact($"embedding", $"embedding")).as("norm"))
+        norms.groupBy($"label")
+          .agg(count(lit(1)).as("n"),
+            round(min($"norm"), 6).as("min_norm"),
+            expr("round(percentile(norm, 0.5), 6)").as("median_norm"),
+            expr("round(percentile(norm, 0.95), 6)").as("p95_norm"),
+            round(max($"norm"), 6).as("max_norm"),
+            round(QueryDef.tavg($"norm"), 6).as("mean_norm"))
+      },
+      Some(s"""WITH fe AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+        |  FROM embeddings),
+        |n2 AS (
+        |  SELECT vec_id, label, ${dotSql("embedding", "embedding")} AS n2
+        |  FROM (SELECT vec_id, label, embedding,
+        |      unnest(generate_series(1, len(embedding))) AS i FROM fe)
+        |  GROUP BY vec_id, label, embedding),
+        |norms AS (SELECT label, sqrt(n2) AS norm FROM n2)
+        |SELECT label, COUNT(*) AS n,
+        |  ROUND(MIN(norm), 6) AS min_norm,
+        |  ROUND(quantile_cont(norm, 0.5), 6) AS median_norm,
+        |  ROUND(quantile_cont(norm, 0.95), 6) AS p95_norm,
+        |  ROUND(MAX(norm), 6) AS max_norm,
+        |  ROUND(${QueryDef.tavgSql("norm")}, 6) AS mean_norm
+        |FROM norms GROUP BY label""".stripMargin))
   )
 }
