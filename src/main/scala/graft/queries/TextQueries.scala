@@ -923,6 +923,113 @@ object TextQueries {
         |  ROUND(${QueryDef.tavgSql("quality")}, 9) AS mean_quality
         |FROM r""".stripMargin)),
 
+    // ── Split-balance audit: per (source, split) token/quality means —
+    //    the check that the q63 hash split is UNBIASED per stratum (a
+    //    split whose test slice skews long or low-quality invalidates
+    //    eval comparisons even with zero leakage; this is q114's
+    //    statistical sibling). Split and quality are both per-row
+    //    properties, so the whole audit is one narrow projection + one
+    //    (source, split)-keyed agg with exact integer/fixed-point means —
+    //    60 output rows at any corpus size.
+    QueryDef(
+      "q124_split_balance",
+      (s, dir) => {
+        import s.implicits._
+        val q = TextAnalysis.qualityColumns($"text").toMap.apply("quality_score")
+        val bucket = pmod(TextAnalysis.hash60(
+          concat(lit("split:"), $"doc_id".cast("string"))), lit(100)).cast("int")
+        Tables.documents(s, dir)
+          .select($"source",
+            when(bucket < 80, "train")
+              .when(bucket < 90, "validation").otherwise("test").as("split"),
+            TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+            q.as("quality"))
+          .groupBy($"source", $"split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("n_tokens"),
+            round(sum($"n_tokens").cast("double") /
+              count(lit(1)).cast("double"), 9).as("mean_tokens"),
+            round(QueryDef.tavg($"quality"), 9).as("mean_quality"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, source, text, CAST(length(text) AS DOUBLE) AS len,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks,
+        |    CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'validation'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, split, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    least(len / 500.0, 1.0) * 0.4
+        |      + least((CASE WHEN len(toks) > 0
+        |          THEN CAST(len(list_filter(toks, x -> list_contains($stopwordListSql, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |          ELSE 0.0 END) * 5.0, 1.0) * 0.4
+        |      + greatest(1.0 - (CASE WHEN len > 0
+        |          THEN (len - CAST(length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)) / len
+        |          ELSE 0.0 END) * 10.0, 0.0) * 0.2 AS quality
+        |  FROM t)
+        |SELECT source, split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+        |    AS mean_tokens,
+        |  ROUND(${QueryDef.tavgSql("quality")}, 9) AS mean_quality
+        |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    // ── Inverted-index build: top-5 posting entries per qualifying term
+    //    (df ≥ 5 prunes hapax noise), scored by the q73 linear-idf tf-idf.
+    //    This is the SERVING-INDEX export — q73/q83 score ad hoc, this
+    //    materializes the artifact a retrieval service loads. Shape: the
+    //    (doc, term) count is the one corpus shuffle (q73's rule: df
+    //    re-aggregates those counts, never a second pass); the per-term
+    //    top-5 is a WindowGroupLimit heap map-side, so the shuffle carries
+    //    ≤5 rows per term. Integer-derived scoring (1e-9-floored) keeps
+    //    the ranking bit-stable across engines.
+    QueryDef(
+      "q125_inverted_index",
+      (s, dir) => {
+        import s.implicits._
+        val tf = Tables.documents(s, dir)
+          .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
+          .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+          .where($"df" >= 5L)
+        val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        val byTerm = Window.partitionBy($"term")
+          .orderBy($"score_fp".desc, $"doc_id".asc)
+        tf.join(df, "term")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score_fp",
+            floor(($"tf".cast("double") *
+              ($"n_docs".cast("double") / $"df".cast("double"))) * lit(1e9))
+              .cast("long"))
+          .withColumn("rank", row_number().over(byTerm).cast("int"))
+          .where($"rank" <= 5)
+          .select($"term", $"doc_id", $"tf", $"df", $"rank",
+            round($"score_fp".cast("double") / lit(1e9), 9).as("tfidf"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |           ELSE string_split_regex(lower(trim(text)), '\s+') END) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) >= 5),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.term, tf.doc_id, tf.tf, df.df,
+        |    CAST(floor((CAST(tf.tf AS DOUBLE) *
+        |      (CAST(nd.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))) * 1e9) AS BIGINT)
+        |      AS score_fp
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd)
+        |SELECT term, doc_id, tf, df, CAST(rn AS INT) AS rank,
+        |  ROUND(CAST(score_fp AS DOUBLE) / 1e9, 9) AS tfidf
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+        |    ORDER BY score_fp DESC, doc_id ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5""".stripMargin)),
+
     // ── Composite curation score by rank normalization: the q31 heuristic
     //    quality score and the q66 repetition signal live on incomparable
     //    scales, so each is PERCENT_RANK-normalized within its source
