@@ -368,8 +368,50 @@ object AnalyticsQueries {
     bucketedJoinDef,
     rateSpikeDef,
     bloomSemiJoinDef,
-    sessionPathsDef
+    sessionPathsDef,
+    recencyValueDef
   )
+
+  // ── Recency-weighted user value: LINEAR decay (weight = max(0,
+  //    1 − age_days/30) against the corpus max timestamp) — the log-free
+  //    alternative to exponential decay (exp is libm-territory and its
+  //    cross-engine bits are not pinned; a linear ramp is two exact
+  //    integer-derived IEEE ops). Age comes from exact epoch-microsecond
+  //    integers; the reference instant is the corpus max(ts) (broadcast
+  //    1-row), so the score is a pure function of the data, not of run
+  //    time. One keyed agg on user_id; decimal-sum keeps the weighted
+  //    total order-independent.
+  private def recencyValueDef: QueryDef = QueryDef(
+    "q127_recency_value",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"value", unix_micros($"ts").as("us"))
+      val mx = ev.agg(max($"us").as("max_us"))
+      val ageDays = ($"max_us" - $"us").cast("double") / lit(86400e6)
+      val weight = greatest(lit(0.0), lit(1.0) - ageDays / lit(30.0))
+      // computed-double sum: floor-1e6 fixed point (the tavg posture) —
+      // decimal casts of arbitrary products can tie HALF_UP vs HALF_EVEN
+      ev.crossJoin(broadcast(mx))
+        .select($"user_id", ($"value" * weight).as("wv"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(floor($"wv" * lit(1e6)).cast("long")).cast("double") / lit(1e6))
+            .as("recency_value"))
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT user_id, value, epoch_us(ts) AS us FROM events),
+      |mx AS (SELECT MAX(us) AS max_us FROM ev),
+      |wv AS (
+      |  SELECT user_id,
+      |    value * greatest(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+      |      - (CAST(max_us - us AS DOUBLE) / 86400e6) / CAST(30.0 AS DOUBLE))
+      |      AS wv
+      |  FROM ev CROSS JOIN mx)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(floor(wv * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+      |    AS recency_value
+      |FROM wv GROUP BY user_id""".stripMargin))
 
   // ── Session path analysis — the journey rollup on top of q26/q102's
   //    sessionization: each session is summarized by its first three

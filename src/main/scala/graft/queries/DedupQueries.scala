@@ -682,6 +682,36 @@ object DedupQueries {
         |    AS cum_distinct
         |FROM occ o JOIN fresh f USING (decile)""".stripMargin)),
 
+    // ── Dup-graph degree profile: how many near-dup partners each
+    //    duplicated doc has, rolled into a degree histogram — the
+    //    threshold sanity check read NEXT TO q111's similarity histogram
+    //    (a fat high-degree tail means the threshold is merging
+    //    boilerplate families into giant clusters and q49/q115's CC
+    //    rounds will pay for it). Degrees come from one keyed count over
+    //    the verified pair list (each pair contributes both endpoints);
+    //    the histogram is ≤ max-degree rows. Rides the shared substrate.
+    QueryDef(
+      "q126_dup_degree",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, _, cands) = Dedup.minhashSubstrateCached(
+          Tables.documents(s, dir), dir, "doc_id", "text")
+        val dup = Dedup.jaccardFor(cands, sh, "doc_id")
+          .where($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b")
+        val deg = dup.select($"doc_a".as("doc_id"))
+          .union(dup.select($"doc_b".as("doc_id")))
+          .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+        deg.groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+      },
+      Some(s"""WITH $minhashDupCtes,
+        |deg AS (
+        |  SELECT doc_id, COUNT(*) AS degree FROM (
+        |    SELECT doc_a AS doc_id FROM dupj
+        |    UNION ALL SELECT doc_b FROM dupj)
+        |  GROUP BY 1)
+        |SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1""".stripMargin)),
+
     // ── Leakage REPAIR (the q114 fix): route every near-dup CLUSTER to a
     //    single split — each document inherits the split of its cluster
     //    head (min-id member, from the same label-propagation CC as q49),
