@@ -144,6 +144,30 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Online anomaly scoring with an offline-trained model — the
+    * batch-train / stream-score split every production monitor runs:
+    * `stats` is the (event_type, mean, std) table the BATCH q108 pipeline
+    * trains (broadcast per micro-batch, refreshed by re-reading the
+    * table), and the stream scores each completed hourly window against
+    * it. Watermark bounds the windowed-count state; the stream-static
+    * join never holds stream state for the dimension side. Late hours
+    * re-emit corrected counts within the watermark (Update semantics);
+    * the z arithmetic is q95's pinned tree, so streamed scores equal the
+    * batch recomputation bit for bit (StreamingSpec pins it).
+    */
+  def rateScoreStream(events: DataFrame, stats: DataFrame): DataFrame = {
+    val counts = events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("hour_ts"), col("event_type"), col("c"))
+    val z = round(when(col("std") > 0.0,
+      (col("c").cast("double") - col("mean")) / col("std")).otherwise(0.0), 9)
+    counts.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("hour_ts"), col("c").as("n_events"),
+        z.as("z"), (abs(z) > 3.0).as("spike"))
+  }
+
   /** Streaming frequent-items profile: the native Misra-Gries summary
     * ([[graft.functions.HeavyHitters]]) as a Complete-mode streaming
     * aggregate — per micro-batch the partial summaries merge into the

@@ -49,6 +49,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming rate scoring against batch-trained stats matches batch z") {
+    // offline: train the q108 stats (exact integer moments over the
+    // gap-filled series) from the same data the stream will see
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_type", date_trunc("hour", $"ts").as("hour_ts"))
+    val counts = ev.groupBy($"event_type", $"hour_ts").agg(count(lit(1)).as("c"))
+    val bounds = ev.agg(min($"hour_ts").as("lo"), max($"hour_ts").as("hi"))
+    val spine = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("hour_ts"))
+    val full = spine.join(counts, Seq("event_type", "hour_ts"), "left")
+      .select($"event_type", $"hour_ts", coalesce($"c", lit(0L)).as("c"))
+    val st = full.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s1"), sum($"c" * $"c").as("s2"))
+    val stats = st.select($"event_type",
+      ($"s1".cast("double") / $"n".cast("double")).as("mean"),
+      when($"n" > 1,
+        sqrt((($"n" * $"s2" - $"s1" * $"s1").cast("double")) /
+          (($"n" * ($"n" - 1)).cast("double"))))
+        .otherwise(0.0).as("std")).localCheckpoint()
+
+    // online: score the stream of the same events against those stats
+    val streamed = EventStream.runToBatch(spark,
+      EventStream.rateScoreStream(EventStream.readStream(spark, dir), stats),
+      "rate_scores", org.apache.spark.sql.streaming.OutputMode.Update())
+
+    // batch recomputation restricted to observed hours must match exactly
+    val zb = round(when($"std" > 0.0,
+      ($"c".cast("double") - $"mean") / $"std").otherwise(0.0), 9)
+    val batch = counts.join(stats, Seq("event_type"))
+      .select($"event_type", $"hour_ts", $"c".as("n_events"),
+        zb.as("z"), (abs(zb) > 3.0).as("spike"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming hourly window agg matches batch plan") {
     val streamed = EventStream.runToBatch(spark,
       EventStream.hourlyCounts(EventStream.readStream(spark, dir)),
