@@ -369,8 +369,82 @@ object AnalyticsQueries {
     rateSpikeDef,
     bloomSemiJoinDef,
     sessionPathsDef,
-    recencyValueDef
+    recencyValueDef,
+    fkAuditDef,
+    propsProfileDef
   )
+
+  // ── Referential-integrity audit across the warehouse FK spine
+  //    (lineitem→orders→customer): orphan counts per hop plus totals, as
+  //    one row. Each hop is a LEFT ANTI join on the key (the q12 ledger-
+  //    diff shape): no payload moves, partial-agg counts, and at 100 TB
+  //    each anti join is a keyed shuffle AQE can turn into broadcast when
+  //    the parent side's keys fit. The audit every ingestion DAG runs
+  //    before promoting a batch.
+  private def fkAuditDef: QueryDef = QueryDef(
+    "q128_fk_audit",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select($"l_orderkey")
+      val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      val cust = Tables.customer(s, dir).select($"c_custkey")
+      val liOrphans = li.join(ord, $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("li_orphans"))
+      val ordOrphans = ord.join(cust, $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("ord_orphans"))
+      li.agg(count(lit(1)).as("n_lineitems"))
+        .crossJoin(broadcast(ord.agg(count(lit(1)).as("n_orders"))))
+        .crossJoin(broadcast(liOrphans))
+        .crossJoin(broadcast(ordOrphans))
+        .select($"n_lineitems", $"n_orders", $"li_orphans", $"ord_orphans",
+          ($"li_orphans" === 0L && $"ord_orphans" === 0L).as("fk_clean"))
+    },
+    Some("""SELECT
+      |  (SELECT COUNT(*) FROM lineitem) AS n_lineitems,
+      |  (SELECT COUNT(*) FROM orders) AS n_orders,
+      |  (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+      |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+      |    AS li_orphans,
+      |  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+      |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+      |    AS ord_orphans,
+      |  (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+      |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
+      |  AND
+      |  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+      |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
+      |    AS fk_clean""".stripMargin))
+
+  // ── Semi-structured profiling of the props JSON column: extract the
+  //    numeric `$.k` field (q10's path-access primitive) and profile it
+  //    per event type — null/parse-failure counts included, because the
+  //    first thing wrong with semi-structured data is silently missing
+  //    keys. One narrow get_json_object projection + one bounded agg.
+  private def propsProfileDef: QueryDef = QueryDef(
+    "q129_props_profile",
+    (s, dir) => {
+      import s.implicits._
+      val k = get_json_object($"props", "$.k").cast("long")
+      Tables.events(s, dir)
+        .select($"event_type", k.as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"k".isNull, 1L).otherwise(0L)).as("n_missing"),
+          min($"k").as("min_k"), max($"k").as("max_k"),
+          sum($"k").as("sum_k"),
+          round(sum($"k").cast("double") / count($"k").cast("double"), 9)
+            .as("mean_k"))
+    },
+    Some("""WITH t AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      |  MIN(k) AS min_k, MAX(k) AS max_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  ROUND(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE), 9) AS mean_k
+      |FROM t GROUP BY event_type""".stripMargin))
 
   // ── Recency-weighted user value: LINEAR decay (weight = max(0,
   //    1 − age_days/30) against the corpus max timestamp) — the log-free
