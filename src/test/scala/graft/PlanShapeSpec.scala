@@ -12,6 +12,17 @@ class PlanShapeSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q98 heavy hitters runs as a bounded-buffer ObjectHashAggregate") {
+    val p = planOf("q98_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(p.contains("heavy_hitters"), p.take(1200))
+  }
+
+  test("q125 inverted index gets the per-term WindowGroupLimit heap") {
+    val p = planOf("q125_inverted_index")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
   test("q103 hard negatives: cell-keyed join, no cartesian product") {
     val p = planOf("q103_hard_negatives")
     assert(!p.contains("CartesianProduct"), p.take(1200))
