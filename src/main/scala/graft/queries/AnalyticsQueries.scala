@@ -371,8 +371,57 @@ object AnalyticsQueries {
     sessionPathsDef,
     recencyValueDef,
     fkAuditDef,
-    propsProfileDef
+    propsProfileDef,
+    partitionPruneDef
   )
+
+  /** Once-per-session source-partitioned copy of documents (the q104
+    * posture for partition layout instead of bucket layout): written
+    * under the warehouse, read back through the partition-discovering
+    * reader so source predicates become PartitionFilters — directory
+    * pruning, zero data files of other sources touched.
+    */
+  private val partitionedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def partitionedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    partitionedCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val path = s"$wh/graft_partitioned/docs$tag"
+      Tables.documents(s, dir)
+        .write.mode("overwrite").partitionBy("source").parquet(path)
+      path
+    })
+
+  // ── Partition-pruning read path: documents laid out as source=…
+  //    partition directories (the ingestion catalog's layout contract),
+  //    then a per-source profile over TWO sources — the scan lists and
+  //    reads ONLY those two directories (PartitionFilters in the plan,
+  //    PlanShapeSpec pins it). At 100 TB partition pruning is the
+  //    difference between touching 2/20 of the corpus and all of it —
+  //    this query makes the claim checkable instead of implied. Results
+  //    are bit-identical to filtering the unpartitioned table, which is
+  //    what the oracle does.
+  private def partitionPruneDef: QueryDef = QueryDef(
+    "q130_partition_pruning",
+    (s, dir) => {
+      import s.implicits._
+      val path = partitionedDocs(s, dir)
+      s.read.parquet(path)
+        .where($"source".isin("src3", "src7"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("n_chars"),
+          countDistinct($"lang").as("n_langs"))
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  COUNT(DISTINCT lang) AS n_langs
+      |FROM documents
+      |WHERE source IN ('src3', 'src7')
+      |GROUP BY source""".stripMargin))
 
   // ── Referential-integrity audit across the warehouse FK spine
   //    (lineitem→orders→customer): orphan counts per hop plus totals, as

@@ -34,6 +34,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.take(1200))
   }
 
+  test("q130 source predicate becomes a PartitionFilter (directory pruning)") {
+    val p = planOf("q130_partition_pruning")
+    assert(p.contains("PartitionFilters: [") &&
+      !p.contains("PartitionFilters: []"), p.take(1200))
+  }
+
   test("q104 bucketed join + agg plan with zero Exchange") {
     val p = planOf("q104_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(1200))
