@@ -366,6 +366,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q94 bin decomposition equals the naive range predicate, random times") {
+    // the scale-safe range join (equi-join on a window-width bin + exact
+    // residual) must produce EXACTLY the naive BETWEEN pairs — including
+    // boundary timestamps — for any event layout
+    val binUs = 240000000L
+    val halfUs = 120000000L
+    (1 to 3).foreach { _ =>
+      val probes = (1 to 120).map(i => (i.toLong, rnd.nextLong() % 3000000000L))
+      val windows = (1 to 40).map(i => (1000L + i, rnd.nextLong() % 3000000000L))
+      val naive = for {
+        (pid, pus) <- probes
+        (wid, wus) <- windows
+        if math.abs(pus - wus) <= halfUs
+      } yield (pid, wid)
+      val binned = for {
+        (pid, pus) <- probes
+        (wid, wus) <- windows
+        pBin = Math.floorDiv(pus, binUs)
+        if pBin >= Math.floorDiv(wus - halfUs, binUs) &&
+          pBin <= Math.floorDiv(wus + halfUs, binUs) // window's bin span
+        if math.abs(pus - wus) <= halfUs // exact residual
+      } yield (pid, wid)
+      assert(binned.sorted == naive.sorted)
+      // every window spans at most 2 bins (pairs unique by construction)
+      windows.foreach { case (_, wus) =>
+        assert(Math.floorDiv(wus + halfUs, binUs) -
+          Math.floorDiv(wus - halfUs, binUs) <= 1)
+      }
+    }
+  }
+
   test("q117 multi-probe pigeonhole: Hamming <= 7 always shares a probed band key") {
     // probe keys of band b = exact value plus all 1-bit flips; a pair is a
     // candidate iff some band has the b-side value within Hamming 1 of the
