@@ -372,8 +372,67 @@ object AnalyticsQueries {
     recencyValueDef,
     fkAuditDef,
     propsProfileDef,
-    partitionPruneDef
+    partitionPruneDef,
+    scd2LookupDef
   )
+
+  // ── SCD2 temporal dimension lookup: a VERSIONED user-tier dimension
+  //    (weekly cumulative-spend tiers with [valid_from, valid_to)
+  //    intervals, valid_to = lead(valid_from), open-ended last version)
+  //    joined to the fact stream on key + interval containment — the
+  //    slowly-changing-dimension pattern every warehouse join eventually
+  //    needs. The dimension derives deterministically from the facts
+  //    (weekly decimal sums → running total → tier thresholds), so both
+  //    engines build bit-identical versions. Scale shape: the interval
+  //    join is keyed on user_id and each user carries a handful of
+  //    versions, so it plans as a plain keyed join + residual filter —
+  //    per-key version fan-out, never a time cross product (q94's bin
+  //    trick exists for the unkeyed case).
+  private def scd2LookupDef: QueryDef = QueryDef(
+    "q131_scd2_lookup",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"user_id", $"ts", $"value")
+      val weekly = ev.groupBy($"user_id", date_trunc("week", $"ts").as("wk"))
+        .agg(sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("wv"))
+      val wU = Window.partitionBy($"user_id").orderBy($"wk")
+      val vers = weekly
+        .withColumn("cum", sum($"wv").over(wU).cast("double"))
+        .withColumn("tier",
+          when($"cum" < 1500.0, "bronze")
+            .when($"cum" < 3000.0, "silver").otherwise("gold"))
+        .select($"user_id".as("d_user"), $"wk".as("valid_from"),
+          lead($"wk", 1).over(wU).as("valid_to"), $"tier")
+      ev.join(vers,
+          $"user_id" === $"d_user" && $"ts" >= $"valid_from" &&
+            ($"valid_to".isNull || $"ts" < $"valid_to"))
+        .groupBy($"tier")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          dsum($"value").as("total_value"))
+    },
+    Some(s"""WITH ev AS (SELECT user_id, ts, value FROM events),
+      |weekly AS (
+      |  SELECT user_id, date_trunc('week', ts) AS wk,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS wv
+      |  FROM ev GROUP BY 1, 2),
+      |vers AS (
+      |  SELECT user_id AS d_user, wk AS valid_from,
+      |    LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS valid_to,
+      |    CASE WHEN CAST(SUM(wv) OVER (PARTITION BY user_id ORDER BY wk
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) < 1500.0
+      |      THEN 'bronze'
+      |      WHEN CAST(SUM(wv) OVER (PARTITION BY user_id ORDER BY wk
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) < 3000.0
+      |      THEN 'silver' ELSE 'gold' END AS tier
+      |  FROM weekly)
+      |SELECT tier, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  ${dsumSql("value")} AS total_value
+      |FROM ev JOIN vers ON user_id = d_user AND ts >= valid_from
+      |  AND (valid_to IS NULL OR ts < valid_to)
+      |GROUP BY tier""".stripMargin))
 
   /** Once-per-session source-partitioned copy of documents (the q104
     * posture for partition layout instead of bucket layout): written
