@@ -373,8 +373,64 @@ object AnalyticsQueries {
     fkAuditDef,
     propsProfileDef,
     partitionPruneDef,
-    scd2LookupDef
+    scd2LookupDef,
+    attributionDef
   )
+
+  // ── First/last-touch attribution: every purchase credits the user's
+  //    FIRST and LAST non-purchase touch inside the preceding 24 h, and
+  //    the (first, last) matrix is the report (≤ types² rows). The
+  //    touch-pair join is keyed on user_id with an exact epoch-micros
+  //    window predicate — per-user fan-out, never a time cross product
+  //    (the unkeyed version would use q94's bins); first/last resolve by
+  //    ROW_NUMBER over (touch time, event id), so ties are impossible by
+  //    construction in both engines.
+  private def attributionDef: QueryDef = QueryDef(
+    "q133_attribution",
+    (s, dir) => {
+      import s.implicits._
+      val dayUs = 86400000000L
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      val purchases = ev.where($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"), $"us".as("p_us"))
+      val touches = ev.where($"event_type" =!= "purchase")
+        .select($"user_id", $"event_id".as("t_id"),
+          $"event_type".as("touch_type"), $"us".as("t_us"))
+      val pairs = purchases.join(touches, Seq("user_id"))
+        .where($"t_us" < $"p_us" && $"t_us" >= $"p_us" - dayUs)
+      val asc = Window.partitionBy($"p_id").orderBy($"t_us".asc, $"t_id".asc)
+      val desc = Window.partitionBy($"p_id").orderBy($"t_us".desc, $"t_id".desc)
+      val attributed = pairs
+        .withColumn("rn_first", row_number().over(asc))
+        .withColumn("rn_last", row_number().over(desc))
+        .groupBy($"p_id")
+        .agg(max(when($"rn_first" === 1, $"touch_type")).as("first_touch"),
+          max(when($"rn_last" === 1, $"touch_type")).as("last_touch"))
+      attributed.groupBy($"first_touch", $"last_touch")
+        .agg(count(lit(1)).as("n_purchases"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |p AS (SELECT user_id, event_id AS p_id, us AS p_us
+      |  FROM ev WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_id AS t_id, event_type AS touch_type, us AS t_us
+      |  FROM ev WHERE event_type <> 'purchase'),
+      |pairs AS (
+      |  SELECT p.p_id, t.touch_type, t.t_us, t.t_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.p_id
+      |      ORDER BY t.t_us ASC, t.t_id ASC) AS rn_first,
+      |    ROW_NUMBER() OVER (PARTITION BY p.p_id
+      |      ORDER BY t.t_us DESC, t.t_id DESC) AS rn_last
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.t_us < p.p_us AND t.t_us >= p.p_us - 86400000000),
+      |att AS (
+      |  SELECT p_id,
+      |    MAX(CASE WHEN rn_first = 1 THEN touch_type END) AS first_touch,
+      |    MAX(CASE WHEN rn_last = 1 THEN touch_type END) AS last_touch
+      |  FROM pairs GROUP BY 1)
+      |SELECT first_touch, last_touch, COUNT(*) AS n_purchases
+      |FROM att GROUP BY 1, 2""".stripMargin))
 
   // ── SCD2 temporal dimension lookup: a VERSIONED user-tier dimension
   //    (weekly cumulative-spend tiers with [valid_from, valid_to)

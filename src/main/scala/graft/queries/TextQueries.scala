@@ -976,6 +976,54 @@ object TextQueries {
         |  ROUND(${QueryDef.tavgSql("quality")}, 9) AS mean_quality
         |FROM r GROUP BY 1, 2""".stripMargin)),
 
+    // ── Effective dataset size: per-source raw vs post-dedup token
+    //    counts — the number a mixing/budget step actually consumes (q69/
+    //    q118 budget against RAW tokens unless told otherwise; a source
+    //    that is 30% duplicates contributes 30% fewer effective tokens).
+    //    Keeper = global min-id per content fingerprint (q34's rule), so
+    //    cross-source duplicates debit the copying source, not the
+    //    original. One narrow projection + one fingerprint-keyed window +
+    //    one 20-row agg; retention ratios are single pinned divisions.
+    QueryDef(
+      "q132_effective_tokens",
+      (s, dir) => {
+        import s.implicits._
+        val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+            TextAnalysis.hash60(norm).as("fp"))
+        val byFp = Window.partitionBy($"fp")
+        d.withColumn("keeper", min($"doc_id").over(byFp) === $"doc_id")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("n_tokens_raw"),
+            sum(when($"keeper", 1L).otherwise(0L)).as("n_docs_kept"),
+            sum(when($"keeper", $"n_tokens").otherwise(0L)).as("n_tokens_kept"))
+          .select($"source", $"n_docs", $"n_tokens_raw",
+            $"n_docs_kept", $"n_tokens_kept",
+            round($"n_tokens_kept".cast("double") /
+              $"n_tokens_raw".cast("double"), 9).as("token_retention"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) END AS n_tokens,
+        |    ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    MIN(doc_id) OVER (PARTITION BY fp) = doc_id AS keeper
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_raw,
+        |  CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        |  CAST(SUM(CASE WHEN keeper THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS n_tokens_kept,
+        |  ROUND(CAST(SUM(CASE WHEN keeper THEN n_tokens ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(n_tokens) AS DOUBLE), 9) AS token_retention
+        |FROM k GROUP BY source""".stripMargin)),
+
     // ── Inverted-index build: top-5 posting entries per qualifying term
     //    (df ≥ 5 prunes hapax noise), scored by the q73 linear-idf tf-idf.
     //    This is the SERVING-INDEX export — q73/q83 score ad hoc, this
