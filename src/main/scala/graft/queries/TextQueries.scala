@@ -1024,6 +1024,76 @@ object TextQueries {
         |    / CAST(SUM(n_tokens) AS DOUBLE), 9) AS token_retention
         |FROM k GROUP BY source""".stripMargin)),
 
+    // ── Signal correlation — are two curation signals measuring the same
+    //    thing? Pearson r between token count and the q31 quality score,
+    //    per source, from EXACT moments: x stays integer, y is the score
+    //    in floor-1e9 fixed point, and all six sums (n, Σx, Σy, Σxy, Σx²,
+    //    Σy²) accumulate exactly (decimal for the wide squares) in one
+    //    partial-agg'd pass (q71's moment trick). Each moment then takes
+    //    ONE correctly-rounded double conversion and r is a fixed IEEE
+    //    tree — bit-stable with zero float accumulation anywhere. A
+    //    source where r ≈ 1 means quality is just length in disguise —
+    //    drop one signal or reweight q113's blend.
+    QueryDef(
+      "q134_signal_corr",
+      (s, dir) => {
+        import s.implicits._
+        val qc = TextAnalysis.qualityColumns($"text").toMap
+        val d = Tables.documents(s, dir)
+          .select($"source",
+            qc("n_tokens").cast("long").as("x"),
+            floor(qc("quality_score") * lit(1e9)).cast("long").as("y"))
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val st = d.groupBy($"source")
+          .agg(count(lit(1)).as("n"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum(($"x" * $"y").cast(dec)).as("sxy"),
+            sum(($"x" * $"x").cast(dec)).as("sxx"),
+            sum(($"y".cast(dec19) * $"y".cast(dec19)).cast(dec)).as("syy"))
+        val n = $"n".cast("double")
+        val cov = n * $"sxy".cast("double") -
+          $"sx".cast("double") * $"sy".cast("double")
+        val vx = n * $"sxx".cast("double") -
+          $"sx".cast("double") * $"sx".cast("double")
+        val vy = n * $"syy".cast("double") -
+          $"sy".cast("double") * $"sy".cast("double")
+        st.select($"source", $"n",
+          round(when(vx > 0.0 && vy > 0.0,
+            cov / (sqrt(vx) * sqrt(vy))).otherwise(0.0), 9).as("pearson_r"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT source, text, CAST(length(text) AS DOUBLE) AS len,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, CAST(len(toks) AS BIGINT) AS x,
+        |    CAST(floor((least(len / 500.0, 1.0) * 0.4
+        |      + least((CASE WHEN len(toks) > 0
+        |          THEN CAST(len(list_filter(toks, z -> list_contains($stopwordListSql, z))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |          ELSE 0.0 END) * 5.0, 1.0) * 0.4
+        |      + greatest(1.0 - (CASE WHEN len > 0
+        |          THEN (len - CAST(length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)) / len
+        |          ELSE 0.0 END) * 10.0, 0.0) * 0.2) * 1e9) AS BIGINT) AS y
+        |  FROM t),
+        |st AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+        |    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS syy
+        |  FROM d GROUP BY 1)
+        |SELECT source, n,
+        |  ROUND(CASE WHEN
+        |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |      AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    ELSE 0.0 END, 9) AS pearson_r
+        |FROM st""".stripMargin)),
+
     // ── Inverted-index build: top-5 posting entries per qualifying term
     //    (df ≥ 5 prunes hapax noise), scored by the q73 linear-idf tf-idf.
     //    This is the SERVING-INDEX export — q73/q83 score ad hoc, this
