@@ -1024,6 +1024,101 @@ object TextQueries {
         |    / CAST(SUM(n_tokens) AS DOUBLE), 9) AS token_retention
         |FROM k GROUP BY source""".stripMargin)),
 
+    // ── Curation waterfall: how many documents survive each pipeline
+    //    stage (raw → quality ≥ 0.5 → identified language → dedup keeper),
+    //    with tokens accounted at every step — the funnel report a
+    //    curation run publishes so a sudden retention drop is attributable
+    //    to a STAGE, not discovered in the final count. Stages share q62's
+    //    one-projection signals (adding a stage costs zero passes); the
+    //    keeper window is the only shuffle; output is one row.
+    QueryDef(
+      "q135_curation_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val qc = TextAnalysis.qualityColumns($"text").toMap
+        val lc = TextAnalysis.langIdColumns($"text").toMap
+        val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
+        val d = Tables.documents(s, dir).select($"doc_id",
+          qc("n_tokens").cast("long").as("n_tokens"),
+          qc("quality_score").as("q"),
+          lc("pred_lang").as("pl"),
+          TextAnalysis.hash60(norm).as("fp"))
+        val byFp = Window.partitionBy($"fp")
+        val flagged = d
+          .withColumn("pass_q", $"q" >= 0.5)
+          .withColumn("pass_l", $"pass_q" && $"pl" =!= "und")
+          .withColumn("pass_k",
+            $"pass_l" && min(when($"pass_l", $"doc_id")).over(byFp) === $"doc_id")
+        flagged.agg(
+          count(lit(1)).as("n_raw"),
+          sum(when($"pass_q", 1L).otherwise(0L)).as("n_quality"),
+          sum(when($"pass_l", 1L).otherwise(0L)).as("n_lang"),
+          sum(when($"pass_k", 1L).otherwise(0L)).as("n_kept"),
+          sum($"n_tokens").as("tok_raw"),
+          sum(when($"pass_k", $"n_tokens").otherwise(0L)).as("tok_kept"))
+          .select($"n_raw", $"n_quality", $"n_lang", $"n_kept",
+            $"tok_raw", $"tok_kept",
+            round($"n_kept".cast("double") / $"n_raw".cast("double"), 9)
+              .as("doc_retention"),
+            round($"tok_kept".cast("double") / $"tok_raw".cast("double"), 9)
+              .as("token_retention"))
+      },
+      Some {
+        val markerSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+          s"CASE WHEN n_tok > 0 THEN CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE) / n_tok ELSE 0.0 END AS score_$lang"
+        }.mkString(",\n    ")
+        // identical pick logic to the verified q62 oracle
+        val pick =
+          """CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0.0 THEN 'und'
+            |         WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+            |         WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+            |         WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+            |         ELSE 'es' END""".stripMargin
+        s"""WITH t AS (
+        |  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS len,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks,
+        |    ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, fp, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok, len, toks,
+        |    least(len / 500.0, 1.0) * 0.4
+        |      + least((CASE WHEN len(toks) > 0
+        |          THEN CAST(len(list_filter(toks, z -> list_contains($stopwordListSql, z))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |          ELSE 0.0 END) * 5.0, 1.0) * 0.4
+        |      + greatest(1.0 - (CASE WHEN len > 0
+        |          THEN (len - CAST(length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)) / len
+        |          ELSE 0.0 END) * 10.0, 0.0) * 0.2 AS q
+        |  FROM t),
+        |l AS (
+        |  SELECT doc_id, fp, n_tokens, q, $markerSql
+        |  FROM r),
+        |flags AS (
+        |  SELECT doc_id, fp, n_tokens,
+        |    q >= 0.5 AS pass_q,
+        |    q >= 0.5 AND ($pick) <> 'und' AS pass_l
+        |  FROM l),
+        |keep AS (
+        |  SELECT doc_id, n_tokens, pass_q, pass_l,
+        |    pass_l AND MIN(CASE WHEN pass_l THEN doc_id END)
+        |      OVER (PARTITION BY fp) = doc_id AS pass_k
+        |  FROM flags)
+        |SELECT COUNT(*) AS n_raw,
+        |  CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(SUM(CASE WHEN pass_l THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |  CAST(SUM(CASE WHEN pass_k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tok_raw,
+        |  CAST(SUM(CASE WHEN pass_k THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS tok_kept,
+        |  ROUND(CAST(SUM(CASE WHEN pass_k THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS doc_retention,
+        |  ROUND(CAST(SUM(CASE WHEN pass_k THEN n_tokens ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(n_tokens) AS DOUBLE), 9) AS token_retention
+        |FROM keep""".stripMargin
+      }),
+
     // ── Signal correlation — are two curation signals measuring the same
     //    thing? Pearson r between token count and the q31 quality score,
     //    per source, from EXACT moments: x stays integer, y is the score
