@@ -712,6 +712,85 @@ object DedupQueries {
         |  GROUP BY 1)
         |SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1""".stripMargin)),
 
+    // ── Boilerplate blocklist builder: shingles repeated across many
+    //    distinct documents are template/boilerplate text, not content — the
+    //    blocklist a C4-style cleaner strips BEFORE dedup so boilerplate
+    //    doesn't glue unrelated documents into near-dup candidates (the
+    //    q126 fat-tail fix at its root). Doc frequency is a two-phase
+    //    exact distinct on the shingle (strings kept here — the artifact
+    //    must be readable); output is the blocklist itself, ordered by
+    //    reach, top-50 via TakeOrderedAndProject.
+    QueryDef(
+      "q139_boilerplate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        Dedup.shingleRows(docs, "doc_id", "text")
+          .distinct()
+          .groupBy($"shingle").agg(count(lit(1)).as("doc_freq"))
+          .crossJoin(broadcast(nDocs))
+          // reach floor: ≥ 5 distinct docs (the fixture corpus is too
+          // diverse for a percentage rule; production uses doc_share)
+          .where($"doc_freq" >= 5L)
+          .select($"shingle", $"doc_freq",
+            round($"doc_freq".cast("double") / $"n_docs".cast("double"), 9)
+              .as("doc_share"))
+          .orderBy($"doc_freq".desc, $"shingle".asc)
+          .limit(50)
+      },
+      Some(s"""WITH $shingleCte,
+        |df AS (
+        |  SELECT shingle, COUNT(*) AS doc_freq
+        |  FROM (SELECT DISTINCT doc_id, shingle FROM sh) GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT shingle, doc_freq,
+        |  ROUND(CAST(doc_freq AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+        |    AS doc_share
+        |FROM df CROSS JOIN nd
+        |WHERE doc_freq >= 5
+        |ORDER BY doc_freq DESC, shingle ASC LIMIT 50""".stripMargin)),
+
+    // ── Delta-batch novelty: what fraction of an arriving batch's
+    //    distinct shingles the corpus has never seen — the one number
+    //    that says whether today's crawl is worth ingesting (q123's curve
+    //    collapsed to the incremental case; q88's delta convention:
+    //    doc_id % 10 = 9 is the "new batch"). Corpus-side work is one
+    //    distinct-hash projection; the novelty test is a LEFT ANTI join
+    //    on the 60-bit hash — keyed, payload-free, exactly the shape of
+    //    a bucketed shingle index probe at 100 TB.
+    QueryDef(
+      "q140_delta_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val sh = Dedup.hashedShingleRows(docs, "doc_id", "text")
+        val delta = sh.where($"doc_id" % 10 === 9)
+        val corpus = sh.where($"doc_id" % 10 =!= 9).select($"h").distinct()
+        val deltaSh = delta.select($"h").distinct()
+        val novel = deltaSh.join(corpus, Seq("h"), "left_anti")
+          .agg(count(lit(1)).as("n_novel"))
+        deltaSh.agg(count(lit(1)).as("n_delta"))
+          .crossJoin(broadcast(novel))
+          .select($"n_delta", $"n_novel",
+            round($"n_novel".cast("double") / $"n_delta".cast("double"), 9)
+              .as("novelty_rate"))
+      },
+      Some(s"""WITH $shingleCte,
+        |hh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |corpus AS (SELECT DISTINCT h FROM hh WHERE doc_id % 10 <> 9),
+        |delta AS (SELECT DISTINCT h FROM hh WHERE doc_id % 10 = 9),
+        |novel AS (
+        |  SELECT COUNT(*) AS n_novel FROM delta d
+        |  LEFT JOIN corpus c ON d.h = c.h WHERE c.h IS NULL)
+        |SELECT (SELECT COUNT(*) FROM delta) AS n_delta, n_novel,
+        |  ROUND(CAST(n_novel AS DOUBLE) /
+        |    CAST((SELECT COUNT(*) FROM delta) AS DOUBLE), 9) AS novelty_rate
+        |FROM novel""".stripMargin)),
+
     // ── Leakage REPAIR (the q114 fix): route every near-dup CLUSTER to a
     //    single split — each document inherits the split of its cluster
     //    head (min-id member, from the same label-propagation CC as q49),
