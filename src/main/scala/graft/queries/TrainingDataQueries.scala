@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object TrainingDataQueries {
 
+  /** DuckDB list literal of the q31 stopword set (oracle-side twin of
+    * [[TextAnalysis.stopwords]], same as TextQueries' helper). */
+  private val stopwordListSqlTD =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
   /** Exact decimal dot of two DuckDB list columns over index i (oracle). */
   private def dotSql(a: String, b: String) =
     s"CAST(SUM(CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE)"
@@ -876,6 +881,124 @@ object TrainingDataQueries {
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2""".stripMargin)),
+
+    // ── Packing-quality report on q64's sequences: fill efficiency
+    //    (tokens per 512-slot) and cross-document contamination (share of
+    //    sequences mixing ≥ 2 documents — the packed-attention leakage a
+    //    trainer either masks or accepts). Pure rollup of the packing
+    //    manifest: 20 rows out, and the interesting ratios are single
+    //    pinned divisions of exact integer sums.
+    QueryDef(
+      "q141_packing_stats",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val seqs = Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            TextAnalysis.tokenCount($"text").as("n_tokens"))
+          .withColumn("cum_before",
+            coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .withColumn("seq_id", floor($"cum_before" / 512).cast("int"))
+          .groupBy($"source", $"seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"))
+        seqs.groupBy($"source")
+          .agg(count(lit(1)).as("n_seqs"),
+            sum($"n_docs").as("n_docs"),
+            sum($"seq_tokens").as("n_tokens"),
+            sum(when($"n_docs" > 1L, 1L).otherwise(0L)).as("n_mixed"))
+          .select($"source", $"n_seqs", $"n_docs", $"n_tokens", $"n_mixed",
+            round($"n_mixed".cast("double") / $"n_seqs".cast("double"), 9)
+              .as("mixed_share"),
+            round($"n_tokens".cast("double") /
+              ($"n_seqs".cast("double") * lit(512.0)), 9).as("fill_ratio"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t),
+        |seqs AS (
+        |  SELECT source, CAST(cum_before // 512 AS INT) AS seq_id,
+        |    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        |  FROM c GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_seqs,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(seq_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+        |  ROUND(CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS mixed_share,
+        |  ROUND(CAST(SUM(seq_tokens) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(512 AS DOUBLE)), 9) AS fill_ratio
+        |FROM seqs GROUP BY source""".stripMargin)),
+
+    // ── Quality-first budget fill — the selection strategy q69's uniform
+    //    hash sampling deliberately is not: each source spends a token
+    //    budget (30% of its supply) on its HIGHEST-quality documents
+    //    first (quality-ordered running total, keep while the budget
+    //    holds). One window per source partition over gate-verified
+    //    scores (doc_id tie-break: total order, no ties); budgets are
+    //    integer arithmetic. The per-source rollup reports docs/tokens
+    //    kept and realized mean quality of the selection, floor-1e9.
+    QueryDef(
+      "q142_budget_fill",
+      (s, dir) => {
+        import s.implicits._
+        val qc = TextAnalysis.qualityColumns($"text").toMap
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+            qc("quality_score").as("q"))
+        val budgets = d.groupBy($"source")
+          .agg(expr("(sum(n_tokens) * 3) div 10").as("budget"))
+        val byQ = Window.partitionBy($"source")
+          .orderBy($"q".desc, $"doc_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.withColumn("cum", sum($"n_tokens").over(byQ))
+          .join(broadcast(budgets), "source")
+          .where($"cum" <= $"budget")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum($"n_tokens").as("tokens_kept"),
+            min($"budget").as("budget"),
+            (sum(floor($"q" * lit(1e9)).cast("long")).cast("double") /
+              lit(1e9) / count(lit(1))).as("mean_quality_kept"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, source, text, CAST(length(text) AS DOUBLE) AS len,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    least(len / 500.0, 1.0) * 0.4
+        |      + least((CASE WHEN len(toks) > 0
+        |          THEN CAST(len(list_filter(toks, z -> list_contains($stopwordListSqlTD, z))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |          ELSE 0.0 END) * 5.0, 1.0) * 0.4
+        |      + greatest(1.0 - (CASE WHEN len > 0
+        |          THEN (len - CAST(length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)) / len
+        |          ELSE 0.0 END) * 10.0, 0.0) * 0.2 AS q
+        |  FROM t),
+        |b AS (SELECT source, (SUM(n_tokens) * 3) // 10 AS budget
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT d.doc_id, d.source, d.n_tokens, d.q, b.budget,
+        |    SUM(d.n_tokens) OVER (PARTITION BY d.source
+        |      ORDER BY d.q DESC, d.doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d JOIN b USING (source))
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+        |  CAST(MIN(budget) AS BIGINT) AS budget,
+        |  CAST(SUM(CAST(floor(q * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)
+        |    AS mean_quality_kept
+        |FROM c WHERE cum <= budget GROUP BY source""".stripMargin)),
 
     // ── Temperature-weighted source mixing — the data-mixing sampler a
     //    multilingual/multi-domain pretraining run uses: per-source token
