@@ -1119,6 +1119,98 @@ object TextQueries {
         |FROM keep""".stripMargin
       }),
 
+    // ── THE capstone composition — the complete pretraining-data
+    //    pipeline as ONE declarative plan: quality + language gates and
+    //    the dedup keeper (q62) → hash split (q63) → per-(split, source)
+    //    sequence packing (q64) → split-level manifest. Catalyst sees the
+    //    whole chain at once: one corpus scan computes every signal, the
+    //    fingerprint window is the first shuffle, the packing window the
+    //    second — adding any stage's signal costs zero extra passes, and
+    //    the manifest is what a trainer's data loader is handed. This is
+    //    the query a user of the whole library actually runs.
+    QueryDef(
+      "q143_full_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val qc = TextAnalysis.qualityColumns($"text").toMap
+        val lc = TextAnalysis.langIdColumns($"text").toMap
+        val norm = regexp_replace(lower(trim($"text")), "\\s+", " ")
+        val bucket = pmod(TextAnalysis.hash60(
+          concat(lit("split:"), $"doc_id".cast("string"))), lit(100)).cast("int")
+        val enriched = Tables.documents(s, dir).select($"doc_id", $"source",
+          qc("n_tokens").cast("long").as("n_tokens"),
+          qc("quality_score").as("q"),
+          lc("pred_lang").as("pl"),
+          TextAnalysis.hash60(norm).as("fp"),
+          when(bucket < 80, "train")
+            .when(bucket < 90, "validation").otherwise("test").as("split"))
+        val byFp = Window.partitionBy($"fp")
+        val kept = enriched
+          .withColumn("keeper", min($"doc_id").over(byFp))
+          .where($"doc_id" === $"keeper" && $"q" >= 0.5 && $"pl" =!= "und")
+        val packW = Window.partitionBy($"split", $"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        kept
+          .withColumn("cum_before",
+            coalesce(sum($"n_tokens").over(packW), lit(0L)))
+          .withColumn("seq_id", floor($"cum_before" / 512).cast("int"))
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("n_tokens"),
+            countDistinct($"source", $"seq_id").as("n_seqs"))
+      },
+      Some {
+        val pick =
+          """CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0.0 THEN 'und'
+            |         WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+            |         WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+            |         WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+            |         ELSE 'es' END""".stripMargin
+        val markerSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+          s"CASE WHEN n_tok > 0 THEN CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE) / n_tok ELSE 0.0 END AS score_$lang"
+        }.mkString(",\n    ")
+        s"""WITH t AS (
+        |  SELECT doc_id, source, text, CAST(length(text) AS DOUBLE) AS len,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks,
+        |    ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS fp,
+        |    CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'validation'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, fp, split,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok, len, toks,
+        |    least(len / 500.0, 1.0) * 0.4
+        |      + least((CASE WHEN len(toks) > 0
+        |          THEN CAST(len(list_filter(toks, z -> list_contains($stopwordListSql, z))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |          ELSE 0.0 END) * 5.0, 1.0) * 0.4
+        |      + greatest(1.0 - (CASE WHEN len > 0
+        |          THEN (len - CAST(length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)) / len
+        |          ELSE 0.0 END) * 10.0, 0.0) * 0.2 AS q
+        |  FROM t),
+        |l AS (SELECT doc_id, source, fp, split, n_tokens, q, $markerSql FROM r),
+        |kept AS (
+        |  SELECT doc_id, source, split, n_tokens FROM (
+        |    SELECT doc_id, source, split, n_tokens, q,
+        |      MIN(doc_id) OVER (PARTITION BY fp) AS keeper,
+        |      ($pick) AS pred_lang
+        |    FROM l)
+        |  WHERE doc_id = keeper AND q >= 0.5 AND pred_lang <> 'und'),
+        |packed AS (
+        |  SELECT split, source, doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY split, source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 512 AS INT) AS seq_id
+        |  FROM kept)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT (source, seq_id)) AS n_seqs
+        |FROM packed GROUP BY split""".stripMargin
+      }),
+
     // ── Signal correlation — are two curation signals measuring the same
     //    thing? Pearson r between token count and the q31 quality score,
     //    per source, from EXACT moments: x stays integer, y is the score
