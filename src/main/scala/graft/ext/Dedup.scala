@@ -405,6 +405,70 @@ object Dedup {
           .otherwise(0.0), 9).as("dup_coverage"))
   }
 
+  /** Exact-substring SCRUB (q144): q76 measures duplicated-span coverage;
+    * this operator actually removes it — every token inside a duplicated
+    * 8-word span (seen in >1 distinct doc) is dropped and the surviving
+    * tokens are reassembled in order into the cleaned, whitespace-normalized
+    * document. Per doc: original/kept/removed token counts plus the 60-bit
+    * fingerprint of the cleaned text (the artifact a re-ingest keys on).
+    * Scale shape: the q76 substrate (stride-1 hashed spans, one keyed
+    * distinct-doc count, per-doc interval union) plus one bounded position
+    * explode and a LEFT ANTI join on (doc, pos) — never pairwise; the
+    * reassembly agg is per-doc bounded (collect of one doc's own tokens,
+    * the same bound as holding the document string itself).
+    */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+    val sh = toks.where(size(col("w")) >= spanWords)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("w")) - (spanWords - 1), lit(1)))
+          .as("i"),
+        col("w"))
+      .select(col(idCol), col("i"),
+        TextAnalysis.hash60Fast(s,
+          concat_ws(" ", slice(col("w"), col("i"), lit(spanWords)))).as("h"))
+    val multi = sh.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") > 1)
+    val sp = sh.join(multi, "h")
+      .select(col(idCol), col("i").as("start"),
+        (col("i") + spanWords).as("end"))
+    val order = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    val prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    val run = order.rowsBetween(Window.unboundedPreceding, 0)
+    val merged = sp
+      .withColumn("new_grp",
+        when(coalesce(max(col("end")).over(prev), lit(-1)) >= col("start"), 0L)
+          .otherwise(1L))
+      .withColumn("grp", sum(col("new_grp")).over(run))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+    // merged intervals are disjoint, so the position explode is exact
+    // (no per-position dedup needed) and bounded by the dup-token count
+    val dupPos = merged.select(col(idCol),
+      explode(sequence(col("s"), col("e") - 1)).as("pos"))
+    val allPos = toks
+      .select(col(idCol), posexplode(col("w")).as(Seq("p0", "word")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("word"))
+    val kept = allPos.join(dupPos, Seq(idCol, "pos"), "left_anti")
+    val re = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word"))).as("cleaned"))
+    docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens").cast("long") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        TextAnalysis.hash60Fast(s, coalesce(col("cleaned"), lit("")))
+          .as("cleaned_h"))
+  }
+
   val SimhashBits = 32
 
   /** Session-scoped cache of per-corpus simhash signatures: the signature

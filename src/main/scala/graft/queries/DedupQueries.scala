@@ -846,6 +846,68 @@ object DedupQueries {
         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
         |SELECT doc_id, old_split, new_split, old_split <> new_split AS moved
         |FROM rt""".stripMargin
-      })
+      }),
+
+    // ── Exact-substring SCRUB — q76 measures duplicated-span coverage,
+    //    this one removes it: tokens inside duplicated 8-word spans are
+    //    dropped and the doc is reassembled in token order (the actual
+    //    clean-corpus emission of substring-level dedup, not just the
+    //    measurement). Output: per-doc kept/removed counts + the 60-bit
+    //    fingerprint of the cleaned text. See
+    //    [[graft.ext.Dedup.scrubDupSpans]] for the scale notes.
+    QueryDef(
+      "q144_substring_scrub",
+      (s, dir) =>
+        Dedup.scrubDupSpans(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, i,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        |        FROM t WHERE len(w) >= 8)),
+        |hd AS (SELECT h FROM (
+        |    SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY 1)
+        |  WHERE nd > 1),
+        |sp AS (SELECT doc_id, i AS s_start, i + 8 AS s_end
+        |  FROM sh JOIN hd USING (h)),
+        |g AS (
+        |  SELECT doc_id, s_start, s_end,
+        |    CASE WHEN COALESCE(MAX(s_end) OVER (PARTITION BY doc_id
+        |        ORDER BY s_start
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |        >= s_start
+        |      THEN 0 ELSE 1 END AS new_grp
+        |  FROM sp),
+        |gg AS (
+        |  SELECT doc_id, s_start, s_end,
+        |    SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s_start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM g),
+        |m AS (SELECT doc_id, grp, MIN(s_start) AS s, MAX(s_end) AS e
+        |  FROM gg GROUP BY 1, 2),
+        |dp AS (SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos FROM m),
+        |ap AS (SELECT doc_id, i AS pos, w[i] AS word
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t)),
+        |kept AS (
+        |  SELECT ap.doc_id, ap.pos, ap.word
+        |  FROM ap LEFT JOIN dp ON ap.doc_id = dp.doc_id AND ap.pos = dp.pos
+        |  WHERE dp.pos IS NULL),
+        |re AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(word, ' ' ORDER BY pos) AS cleaned
+        |  FROM kept GROUP BY 1),
+        |n AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) END
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT n.doc_id, n.n_tokens,
+        |  COALESCE(re.n_kept, 0) AS n_kept,
+        |  CAST(n.n_tokens AS BIGINT) - COALESCE(re.n_kept, 0) AS n_removed,
+        |  ('0x' || substr(md5(COALESCE(re.cleaned, '')), 1, 15))::BIGINT AS cleaned_h
+        |FROM n LEFT JOIN re ON n.doc_id = re.doc_id""".stripMargin))
   )
 }

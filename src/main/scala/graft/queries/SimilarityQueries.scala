@@ -518,7 +518,115 @@ object SimilarityQueries {
         |SELECT dim, n_old, n_new, mean_old, mean_new,
         |  mean_new - mean_old AS delta,
         |  abs(mean_new - mean_old) > CAST(0.02 AS DOUBLE) AS drifted
-        |FROM agg""".stripMargin))
+        |FROM agg""".stripMargin)),
+
+    // ── SEMANTIC split leakage — q114's contamination check in embedding
+    //    space: vectors split train/val by the salted 60-bit hash (10%
+    //    val), then every val vector reports the max exact cosine to any
+    //    TRAIN vector sharing one of q61's 3×8-plane LSH buckets — the
+    //    paraphrase-level leakage lexical shingles (q114) can't see.
+    //    Scale shape: the banded substrate is built once and the
+    //    candidate join is keyed (table, bucket) with the val side ~10%
+    //    of the corpus — never val × train; the per-val max is a max_by
+    //    partial agg (1 row/val pre-shuffle), not a window.
+    QueryDef(
+      "q145_semantic_leakage",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.cosineSimExact
+        val isTrain = pmod(graft.ext.TextAnalysis.hash60Fast(s,
+          concat(lit("esplit:"), $"vec_id".cast("string"))), lit(100)) < 90
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding", isTrain.as("is_train"))
+          .localCheckpoint()
+        val tables = (0 until LshTables).map { t =>
+          struct(lit(t).as("table_id"),
+            Similarity.lshSignatureFast(s, $"embedding", LshTablePlanes,
+              planeOffset = t * LshTablePlanes).as("bucket"))
+        }
+        val bands = e
+          .select($"vec_id", $"is_train", explode(array(tables: _*)).as("band"))
+          .select($"vec_id", $"is_train", $"band.table_id", $"band.bucket")
+          .localCheckpoint()
+        val cand = bands.where(!$"is_train")
+          .select($"vec_id".as("val_id"), $"table_id", $"bucket")
+          .join(bands.where($"is_train")
+            .select($"vec_id".as("train_id"), $"table_id", $"bucket"),
+            Seq("table_id", "bucket"))
+          .select($"val_id", $"train_id").distinct()
+        val scored = cand
+          .join(e.select($"vec_id".as("val_id"), $"embedding".as("ev")), "val_id")
+          .join(e.select($"vec_id".as("train_id"), $"embedding".as("et")),
+            "train_id")
+          .select($"val_id", $"train_id",
+            cosineSimExact($"ev", $"et").as("cos"))
+        val best = scored.groupBy($"val_id")
+          .agg(max_by($"train_id", struct($"cos", -$"train_id"))
+            .as("nn_train_id"),
+            max($"cos").as("max_cos"))
+        e.where(!$"is_train").select($"vec_id".as("val_id"))
+          .join(best, Seq("val_id"), "left")
+          .select($"val_id",
+            coalesce($"nn_train_id", lit(-1L)).as("nn_train_id"),
+            coalesce($"max_cos", lit(0.0)).as("max_cos"))
+          .withColumn("leaked", $"max_cos" >= 0.8)
+      },
+      Some {
+        val perTable = (0 until LshTables).map { t =>
+          val sig = (t * LshTablePlanes until (t + 1) * LshTablePlanes)
+            .map(p => s"b$p").mkString(" || ")
+          s"SELECT vec_id, $t AS table_id, $sig AS bucket FROM bits"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH sp AS (
+        |  SELECT vec_id, embedding,
+        |    ('0x' || substr(md5('esplit:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 AS is_train
+        |  FROM embeddings),
+        |terms AS (
+        |  SELECT vec_id, embedding AS e,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |bits AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    ${planeBitsSql(LshTables * LshTablePlanes)}
+        |  FROM terms GROUP BY 1),
+        |bands AS (
+        |  $perTable),
+        |cand AS (
+        |  SELECT DISTINCT v.vec_id AS val_id, t.vec_id AS train_id
+        |  FROM (SELECT b.* FROM bands b JOIN sp USING (vec_id)
+        |        WHERE NOT sp.is_train) v
+        |  JOIN (SELECT b.* FROM bands b JOIN sp USING (vec_id)
+        |        WHERE sp.is_train) t
+        |    ON v.table_id = t.table_id AND v.bucket = t.bucket),
+        |rterms AS (
+        |  SELECT val_id, train_id, a.embedding AS ev, b.embedding AS et,
+        |    unnest(generate_series(1, len(a.embedding))) AS i
+        |  FROM cand JOIN sp a ON val_id = a.vec_id
+        |    JOIN sp b ON train_id = b.vec_id),
+        |dots AS (
+        |  SELECT val_id, train_id,
+        |    ${dotSql("ev", "et")} AS dot,
+        |    ${dotSql("ev", "ev")} AS na,
+        |    ${dotSql("et", "et")} AS nb
+        |  FROM rterms GROUP BY val_id, train_id, ev, et),
+        |scored AS (
+        |  SELECT val_id, train_id,
+        |    ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot / (sqrt(na) * sqrt(nb))
+        |         ELSE 0.0 END, 9) AS cos
+        |  FROM dots),
+        |best AS (
+        |  SELECT val_id, train_id AS nn_train_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY val_id
+        |      ORDER BY cos DESC, train_id ASC) AS rn
+        |  FROM scored)
+        |SELECT v.vec_id AS val_id,
+        |  COALESCE(b.nn_train_id, -1) AS nn_train_id,
+        |  COALESCE(b.cos, CAST(0.0 AS DOUBLE)) AS max_cos,
+        |  COALESCE(b.cos, CAST(0.0 AS DOUBLE)) >= CAST(0.8 AS DOUBLE) AS leaked
+        |FROM (SELECT vec_id FROM sp WHERE NOT is_train) v
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON v.vec_id = b.val_id""".stripMargin
+      })
   )
 
   /** Hash tables × planes-per-table for the multi-table LSH near-dup. */
