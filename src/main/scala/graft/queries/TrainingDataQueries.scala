@@ -1848,6 +1848,115 @@ object TrainingDataQueries {
         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e18, 9)
         |    < CAST(0.0001 AS DOUBLE) AS dead
-        |FROM st""".stripMargin))
+        |FROM st""".stripMargin)),
+
+    // ── Deterministic training-order interleave — the data-loader's
+    //    global example order: each source is shuffled by the salted
+    //    60-bit hash (epoch-seeded, run-independent), then sources are
+    //    interleaved PROPORTIONALLY by normalized position
+    //    (2·rn−1)/(2·n_s) — a source with 10× the docs appears 10× as
+    //    often, uniformly, not in runs. Emits the first 500 global steps.
+    //    Scale shape: per-source shuffle order is a keyed window (parallel
+    //    across sources); the global order needs no total sort — the
+    //    top-500 cut is TakeOrderedAndProject on the interleave key and
+    //    step numbering happens on the bounded result.
+    QueryDef(
+      "q146_interleave_order",
+      (s, dir) => {
+        import s.implicits._
+        val h = TextAnalysis.hash60Fast(s,
+          concat(lit("order:"), $"doc_id".cast("string")))
+        val bySrc = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"source", h.as("h"))
+          .withColumn("rn", row_number().over(bySrc).cast("long"))
+        val counts = d.groupBy($"source").agg(count(lit(1)).as("n_s"))
+        val keyed = d.join(broadcast(counts), "source")
+          .select($"doc_id", $"source", $"rn",
+            ((lit(2L) * $"rn" - 1L).cast("double") /
+              (lit(2L) * $"n_s").cast("double")).as("pos_key"))
+        val top = keyed.orderBy($"pos_key".asc, $"source".asc, $"doc_id".asc)
+          .limit(500)
+        top.withColumn("step",
+          row_number().over(Window.orderBy($"pos_key".asc, $"source".asc,
+            $"doc_id".asc)).cast("long"))
+          .select($"step", $"doc_id", $"source", $"rn",
+            round($"pos_key", 9).as("pos_key"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn
+        |  FROM d),
+        |c AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
+        |k AS (
+        |  SELECT doc_id, r.source, rn,
+        |    CAST(2 * rn - 1 AS DOUBLE) / CAST(2 * n_s AS DOUBLE) AS pos_key
+        |  FROM r JOIN c ON r.source = c.source),
+        |sel AS (
+        |  SELECT * FROM k ORDER BY pos_key ASC, source ASC, doc_id ASC
+        |  LIMIT 500)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pos_key ASC, source ASC,
+        |    doc_id ASC) AS BIGINT) AS step,
+        |  doc_id, source, rn, ROUND(pos_key, 9) AS pos_key
+        |FROM sel""".stripMargin)),
+
+    // ── Length-bucketed batching — the padding-minimizing loader for a
+    //    non-packing trainer: docs bucket to the next power-of-two token
+    //    length (integer bit length, no libm), batches of 32 form inside
+    //    each bucket in doc_id order, and the report prices the padding
+    //    overhead per bucket. The power-of-two cap comes from
+    //    length(bin(n−1)) — identical in both engines. Scale shape: one
+    //    narrow token-count pass, one keyed window per bucket (parallel
+    //    across buckets), a bucket-sized rollup.
+    QueryDef(
+      "q147_length_batching",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .select($"doc_id",
+            TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+          .where($"n_tokens" >= 1L)
+          .withColumn("bin_cap",
+            when($"n_tokens" <= 1L, 1L).otherwise(
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n_tokens - 1)) AS INT))")))
+        val byBin = Window.partitionBy($"bin_cap").orderBy($"doc_id")
+        val batched = d
+          .withColumn("batch_id",
+            ((row_number().over(byBin) - 1) / 32).cast("long"))
+        batched.groupBy($"bin_cap")
+          .agg(count(lit(1)).as("n_docs"),
+            (max($"batch_id") + 1L).as("n_batches"),
+            sum($"n_tokens").as("n_tokens"),
+            sum($"bin_cap" - $"n_tokens").as("pad_tokens"))
+          .withColumn("fill_ratio",
+            round($"n_tokens".cast("double") /
+              ($"n_docs" * $"bin_cap").cast("double"), 9))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 1 THEN 1
+        |         ELSE (CAST(1 AS BIGINT) << length(bin(n_tokens - 1))) END AS bin_cap
+        |  FROM d WHERE n_tokens >= 1),
+        |bb AS (
+        |  SELECT doc_id, n_tokens, bin_cap,
+        |    CAST((ROW_NUMBER() OVER (PARTITION BY bin_cap ORDER BY doc_id) - 1) // 32 AS BIGINT) AS batch_id
+        |  FROM b)
+        |SELECT bin_cap, COUNT(*) AS n_docs,
+        |  CAST(MAX(batch_id) + 1 AS BIGINT) AS n_batches,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(bin_cap - n_tokens) AS BIGINT) AS pad_tokens,
+        |  ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+        |    / CAST(COUNT(*) * bin_cap AS DOUBLE), 9) AS fill_ratio
+        |FROM bb GROUP BY bin_cap""".stripMargin))
   )
 }
