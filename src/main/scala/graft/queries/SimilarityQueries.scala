@@ -626,6 +626,211 @@ object SimilarityQueries {
         |  COALESCE(b.cos, CAST(0.0 AS DOUBLE)) >= CAST(0.8 AS DOUBLE) AS leaked
         |FROM (SELECT vec_id FROM sp WHERE NOT is_train) v
         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON v.vec_id = b.val_id""".stripMargin
+      }),
+
+    // ── MMR-diversified top-k — relevance-only top-k (q40) returns
+    //    near-duplicates of each other; maximal marginal relevance greedily
+    //    picks argmax(λ·rel − (1−λ)·max-sim-to-selected), λ=0.5, k=10 from
+    //    the top-50 relevance pool. The pool build and both cosine kernels
+    //    are distributed (broadcast query, exact decimal dots); the greedy
+    //    loop itself is scalar control flow over the CONSTANT-size pool
+    //    artifact (k² sims, same posture as the BPE trainer's per-round
+    //    argmax) — pool size never grows with the corpus. Selection
+    //    compares RAW doubles (identical IEEE values in both engines);
+    //    round-9 is display-only.
+    QueryDef(
+      "q148_mmr_diverse",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.cosineSimExact
+        val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+        val q = e.where($"vec_id" === 0L).select($"embedding".as("qe"))
+        val pool = e.where($"vec_id" =!= 0L)
+          .crossJoin(broadcast(q))
+          .select($"vec_id", $"embedding",
+            cosineSimExact($"embedding", $"qe").as("rel"))
+          .orderBy($"rel".desc, $"vec_id".asc).limit(50)
+          .localCheckpoint()
+        val sims = pool.select($"vec_id".as("a"), $"embedding".as("ea"))
+          .join(pool.select($"vec_id".as("b"), $"embedding".as("eb")),
+            $"a" =!= $"b")
+          .select($"a", $"b", cosineSimExact($"ea", $"eb").as("sim"))
+        val relMap = pool.select($"vec_id", $"rel").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val simMap = sims.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val remaining = scala.collection.mutable.SortedSet(relMap.keys.toSeq: _*)
+        var selected = Vector.empty[(Long, Double, Double)]
+        for (_ <- 1 to 10 if remaining.nonEmpty) {
+          val (id, sc) = remaining.toSeq.map { c =>
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.map(sel => simMap((c, sel._1))).max
+            (c, 0.5 * relMap(c) - 0.5 * maxSim)
+          }.minBy { case (c, sc) => (-sc, c) }
+          selected :+= ((id, relMap(id), sc))
+          remaining -= id
+        }
+        def round9(x: Double): Double =
+          new java.math.BigDecimal(x)
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        selected.zipWithIndex
+          .map { case ((id, rl, sc), i) => (i + 1, id, rl, round9(sc)) }
+          .toDF("rank", "vec_id", "rel", "mmr_score")
+      },
+      Some {
+        val rounds = (2 to 10).map { r =>
+          s"""cand$r AS (
+             |  SELECT p.vec_id, p.rel,
+             |    CAST(0.5 AS DOUBLE) * p.rel - CAST(0.5 AS DOUBLE) * MAX(s.sim) AS sc
+             |  FROM pool p JOIN sims s ON s.a = p.vec_id
+             |    AND s.b IN (SELECT vec_id FROM selall${r - 1})
+             |  WHERE p.vec_id NOT IN (SELECT vec_id FROM selall${r - 1})
+             |  GROUP BY p.vec_id, p.rel),
+             |pick$r AS (SELECT vec_id, rel, sc FROM cand$r
+             |  ORDER BY sc DESC, vec_id LIMIT 1),
+             |selall$r AS MATERIALIZED (SELECT * FROM selall${r - 1}
+             |  UNION ALL SELECT vec_id, rel, sc, $r AS rank FROM pick$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+        |terms AS (
+        |  SELECT vec_id, embedding, qe,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM c CROSS JOIN q),
+        |dots AS (
+        |  SELECT vec_id,
+        |    ${dotSql("embedding", "qe")} AS dot,
+        |    ${dotSql("embedding", "embedding")} AS n2,
+        |    ${dotSql("qe", "qe")} AS qn2
+        |  FROM terms GROUP BY vec_id, embedding, qe),
+        |pool AS MATERIALIZED (
+        |  SELECT d.vec_id, c.embedding,
+        |    ROUND(CASE WHEN n2 > 0 AND qn2 > 0 THEN dot / (sqrt(n2) * sqrt(qn2))
+        |         ELSE 0.0 END, 9) AS rel
+        |  FROM dots d JOIN c ON d.vec_id = c.vec_id
+        |  ORDER BY rel DESC, d.vec_id ASC LIMIT 50),
+        |pterms AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b, a.embedding AS ea,
+        |    b.embedding AS eb,
+        |    unnest(generate_series(1, len(a.embedding))) AS i
+        |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+        |pdots AS (
+        |  SELECT a, b,
+        |    ${dotSql("ea", "eb")} AS dot,
+        |    ${dotSql("ea", "ea")} AS na,
+        |    ${dotSql("eb", "eb")} AS nb
+        |  FROM pterms GROUP BY a, b, ea, eb),
+        |sims AS MATERIALIZED (
+        |  SELECT a, b,
+        |    ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot / (sqrt(na) * sqrt(nb))
+        |         ELSE 0.0 END, 9) AS sim
+        |  FROM pdots),
+        |selall1 AS MATERIALIZED (
+        |  SELECT vec_id, rel, CAST(0.5 AS DOUBLE) * rel AS sc, 1 AS rank
+        |  FROM pool ORDER BY CAST(0.5 AS DOUBLE) * rel DESC, vec_id LIMIT 1),
+        |$rounds
+        |SELECT CAST(rank AS INT) AS rank, vec_id, rel,
+        |  ROUND(sc, 9) AS mmr_score
+        |FROM selall10""".stripMargin
+      }),
+
+    // ── Approximate k-NN GRAPH construction — the adjacency artifact
+    //    semantic clustering / SemDeDup / label propagation consume: per
+    //    vector, the top-3 neighbors among its q61 LSH candidates (3×8-bit
+    //    tables, OR of buckets), plus whether each directed edge is
+    //    MUTUAL (its reverse also survived top-3 — the reciprocal-edge
+    //    filter that separates true neighborhoods from hub artifacts).
+    //    Scale shape: the banded substrate is built once; candidates are
+    //    keyed (table, bucket) equi-joins, the per-vector top-3 is one
+    //    keyed window over candidate edges (never corpus × corpus), and
+    //    the mutuality check is a self-join of the (already tiny) edge
+    //    list on the reversed key.
+    QueryDef(
+      "q149_knn_graph",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.cosineSimExact
+        val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+          .localCheckpoint()
+        val tables = (0 until LshTables).map { t =>
+          struct(lit(t).as("table_id"),
+            Similarity.lshSignatureFast(s, $"embedding", LshTablePlanes,
+              planeOffset = t * LshTablePlanes).as("bucket"))
+        }
+        val bands = e
+          .select($"vec_id", explode(array(tables: _*)).as("band"))
+          .select($"vec_id", $"band.table_id", $"band.bucket")
+          .localCheckpoint()
+        val cand = bands.select($"vec_id".as("src"), $"table_id", $"bucket")
+          .join(bands.select($"vec_id".as("dst"), $"table_id", $"bucket"),
+            Seq("table_id", "bucket"))
+          .where($"src" =!= $"dst")
+          .select($"src", $"dst").distinct()
+        val scored = cand
+          .join(e.select($"vec_id".as("src"), $"embedding".as("ea")), "src")
+          .join(e.select($"vec_id".as("dst"), $"embedding".as("eb")), "dst")
+          .select($"src", $"dst", cosineSimExact($"ea", $"eb").as("cos"))
+        val bySrc = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+        val edges = scored
+          .withColumn("rank", row_number().over(bySrc).cast("int"))
+          .where($"rank" <= 3)
+          .localCheckpoint()
+        edges
+          .join(edges.select($"dst".as("src"), $"src".as("dst"),
+            lit(true).as("mutual")), Seq("src", "dst"), "left")
+          .select($"src", $"dst", $"rank", $"cos",
+            coalesce($"mutual", lit(false)).as("mutual"))
+      },
+      Some {
+        val perTable = (0 until LshTables).map { t =>
+          val sig = (t * LshTablePlanes until (t + 1) * LshTablePlanes)
+            .map(p => s"b$p").mkString(" || ")
+          s"SELECT vec_id, $t AS table_id, $sig AS bucket FROM bits"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH terms AS (
+        |  SELECT vec_id, embedding AS e,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |bits AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    ${planeBitsSql(LshTables * LshTablePlanes)}
+        |  FROM terms GROUP BY 1),
+        |bands AS (
+        |  $perTable),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM bands a JOIN bands b
+        |    ON a.table_id = b.table_id AND a.bucket = b.bucket
+        |      AND a.vec_id <> b.vec_id),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |rterms AS (
+        |  SELECT src, dst, a.embedding AS ea, b.embedding AS eb,
+        |    unnest(generate_series(1, len(a.embedding))) AS i
+        |  FROM cand JOIN e a ON src = a.vec_id JOIN e b ON dst = b.vec_id),
+        |dots AS (
+        |  SELECT src, dst,
+        |    ${dotSql("ea", "eb")} AS dot,
+        |    ${dotSql("ea", "ea")} AS na,
+        |    ${dotSql("eb", "eb")} AS nb
+        |  FROM rterms GROUP BY src, dst, ea, eb),
+        |scored AS (
+        |  SELECT src, dst,
+        |    ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot / (sqrt(na) * sqrt(nb))
+        |         ELSE 0.0 END, 9) AS cos
+        |  FROM dots),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst, CAST(rank AS INT) AS rank, cos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+        |      ORDER BY cos DESC, dst ASC) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 3)
+        |SELECT x.src, x.dst, x.rank, x.cos,
+        |  y.src IS NOT NULL AS mutual
+        |FROM edges x LEFT JOIN edges y
+        |  ON x.src = y.dst AND x.dst = y.src""".stripMargin
       })
   )
 
