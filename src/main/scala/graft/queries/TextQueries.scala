@@ -1417,6 +1417,46 @@ object TextQueries {
         |SELECT doc_id, source, quality_score, repetition,
         |  ROUND((pr_q + pr_r) * 0.5, 9) AS blend,
         |  ROUND((pr_q + pr_r) * 0.5, 9) >= CAST(0.5 AS DOUBLE) AS keep
-        |FROM pr""".stripMargin))
+        |FROM pr""".stripMargin)),
+
+    // ── Sliding-window chunking with overlap — the RAG-ingestion emission
+    //    q51 only samples: every document becomes stride-64 windows of up
+    //    to 128 tokens (64-token halo so no boundary context is lost),
+    //    each chunk carrying its token interval and 60-bit content
+    //    fingerprint (the retrieval index key). Scale shape: one narrow
+    //    pass, a bounded explode (≤ 2× token count across chunks), zero
+    //    shuffles — chunk rows inherit the document's partition.
+    QueryDef(
+      "q150_chunk_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+          .where(size($"w") >= 1)
+        toks
+          .select($"doc_id", $"w",
+            explode(sequence(lit(1), size($"w"), lit(64))).as("start_tok"))
+          .select($"doc_id",
+            (($"start_tok" - 1) / 64).cast("int").as("chunk_idx"),
+            $"start_tok",
+            least(lit(128), size($"w") - $"start_tok" + 1).as("n_chunk_tokens"),
+            TextAnalysis.hash60Fast(s,
+              concat_ws(" ", slice($"w", $"start_tok", lit(128))))
+              .as("chunk_h"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w), 64)) AS start_tok
+        |  FROM t WHERE len(w) >= 1)
+        |SELECT doc_id,
+        |  CAST((start_tok - 1) // 64 AS INT) AS chunk_idx,
+        |  CAST(start_tok AS INT) AS start_tok,
+        |  CAST(least(128, len(w) - start_tok + 1) AS INT) AS n_chunk_tokens,
+        |  ('0x' || substr(md5(array_to_string(w[start_tok:start_tok+127], ' ')), 1, 15))::BIGINT AS chunk_h
+        |FROM c""".stripMargin))
   )
 }
