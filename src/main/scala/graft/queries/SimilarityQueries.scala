@@ -672,11 +672,13 @@ object SimilarityQueries {
           selected :+= ((id, relMap(id), sc))
           remaining -= id
         }
-        def round9(x: Double): Double =
-          new java.math.BigDecimal(x)
-            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        // floor-1e9 fixed point, not round-9: HALF_UP over the exact binary
+        // expansion and DuckDB's double-math ROUND disagree on half-ulp
+        // values; floor(x*1e9) is one identical IEEE op in both engines
         selected.zipWithIndex
-          .map { case ((id, rl, sc), i) => (i + 1, id, rl, round9(sc)) }
+          .map { case ((id, rl, sc), i) =>
+            (i + 1, id, rl, math.floor(sc * 1e9) / 1e9)
+          }
           .toDF("rank", "vec_id", "rel", "mmr_score")
       },
       Some {
@@ -732,7 +734,7 @@ object SimilarityQueries {
         |  FROM pool ORDER BY CAST(0.5 AS DOUBLE) * rel DESC, vec_id LIMIT 1),
         |$rounds
         |SELECT CAST(rank AS INT) AS rank, vec_id, rel,
-        |  ROUND(sc, 9) AS mmr_score
+        |  CAST(floor(sc * 1e9) AS DOUBLE) / 1e9 AS mmr_score
         |FROM selall10""".stripMargin
       }),
 
