@@ -311,4 +311,69 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("q144 scrub: dup positions removed by LEFT ANTI join, never cartesian") {
+    val p = planOf("q144_substring_scrub")
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q145 semantic leakage: keyed bucket join + max_by agg, no window") {
+    val p = planOf("q145_semantic_leakage")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // per-val max is a partial-agg'd max_by, not a rank window
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      p.take(1200))
+  }
+
+  test("q146 interleave: the 500-step cut is TakeOrdered, not a global sort") {
+    val p = planOf("q146_interleave_order")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("q148 MMR pool is TakeOrdered; pairwise sims stay pool-bounded") {
+    val p = SparkEntry.queries("q148_mmr_diverse")(spark, dir)
+    // the RESULT is a 10-row local frame; the assertion is on the pool
+    // build itself: top-50 by (rel, id) must be a TakeOrderedAndProject
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val q = e.where($"vec_id" === 0L).select($"embedding".as("qe"))
+    val pool = e.where($"vec_id" =!= 0L).crossJoin(broadcast(q))
+      .select($"vec_id",
+        graft.functions.GraftFunctions.cosineSimExact($"embedding", $"qe")
+          .as("rel"))
+      .orderBy($"rel".desc, $"vec_id".asc).limit(50)
+    val pp = pool.queryExecution.executedPlan.toString
+    assert(pp.contains("TakeOrderedAndProject"), pp.take(1200))
+  }
+
+  test("q149 knn graph: WindowGroupLimit top-3 heap, no cartesian") {
+    val p = planOf("q149_knn_graph")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the final plan reads the checkpointed edge list; assert the top-3
+    // heap on the edge build itself (same construction, no checkpoint)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val pairs = e.select($"vec_id".as("src"), $"embedding".as("ea"))
+      .join(e.select($"vec_id".as("dst"), $"embedding".as("eb")),
+        $"src" =!= $"dst")
+      .select($"src", $"dst",
+        graft.functions.GraftFunctions.cosineSimExact($"ea", $"eb").as("cos"))
+    val ranked = pairs.withColumn("rank",
+      row_number().over(Window.partitionBy($"src")
+        .orderBy($"cos".desc, $"dst".asc)))
+      .where($"rank" <= 3)
+    val rp = ranked.queryExecution.executedPlan.toString
+    assert(rp.contains("WindowGroupLimit"), rp.take(1200))
+  }
+
+  test("q150 chunking is a zero-exchange narrow pass") {
+    val p = planOf("q150_chunk_overlap")
+    assert(!p.contains("Exchange"), p.take(1200))
+  }
 }
