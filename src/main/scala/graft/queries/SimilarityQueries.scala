@@ -833,6 +833,116 @@ object SimilarityQueries {
         |  y.src IS NOT NULL AS mutual
         |FROM edges x LEFT JOIN edges y
         |  ON x.src = y.dst AND x.dst = y.src""".stripMargin
+      }),
+
+    // ── Semantic clusters — connected components over the MUTUAL edges of
+    //    the q149 kNN graph (cos ≥ 0.3): the topic/near-duplicate
+    //    neighborhood map that SemDeDup-style pruning, cluster-balanced
+    //    sampling, and diversity audits consume. Mutuality + threshold
+    //    keep hub vectors from gluing unrelated neighborhoods. Scale
+    //    shape: the edge list is LSH-bounded and top-3-capped (≤ 3n rows),
+    //    label propagation runs keyed joins over it (fail-loud round cap);
+    //    never corpus × corpus.
+    QueryDef(
+      "q151_semantic_clusters",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.cosineSimExact
+        val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+          .localCheckpoint()
+        val tables = (0 until LshTables).map { t =>
+          struct(lit(t).as("table_id"),
+            Similarity.lshSignatureFast(s, $"embedding", LshTablePlanes,
+              planeOffset = t * LshTablePlanes).as("bucket"))
+        }
+        val bands = e
+          .select($"vec_id", explode(array(tables: _*)).as("band"))
+          .select($"vec_id", $"band.table_id", $"band.bucket")
+          .localCheckpoint()
+        val cand = bands.select($"vec_id".as("src"), $"table_id", $"bucket")
+          .join(bands.select($"vec_id".as("dst"), $"table_id", $"bucket"),
+            Seq("table_id", "bucket"))
+          .where($"src" =!= $"dst")
+          .select($"src", $"dst").distinct()
+        val scored = cand
+          .join(e.select($"vec_id".as("src"), $"embedding".as("ea")), "src")
+          .join(e.select($"vec_id".as("dst"), $"embedding".as("eb")), "dst")
+          .select($"src", $"dst", cosineSimExact($"ea", $"eb").as("cos"))
+        val bySrc = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+        val edges = scored
+          .withColumn("rank", row_number().over(bySrc))
+          .where($"rank" <= 3)
+          .select($"src", $"dst", $"cos")
+          .localCheckpoint()
+        val pairs = edges
+          .join(edges.select($"dst".as("src"), $"src".as("dst")),
+            Seq("src", "dst"), "left_semi")
+          .where($"cos" >= 0.3 && $"src" < $"dst")
+          .select($"src", $"dst")
+        val cc = graft.ext.Dedup.connectedComponents(pairs, "src", "dst")
+        cc.groupBy($"cluster_id")
+          .agg(count(lit(1)).as("n_members"), max($"id").as("max_member"))
+      },
+      Some {
+        val perTable = (0 until LshTables).map { t =>
+          val sig = (t * LshTablePlanes until (t + 1) * LshTablePlanes)
+            .map(p => s"b$p").mkString(" || ")
+          s"SELECT vec_id, $t AS table_id, $sig AS bucket FROM bits"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH RECURSIVE terms AS (
+        |  SELECT vec_id, embedding AS e,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |bits AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    ${planeBitsSql(LshTables * LshTablePlanes)}
+        |  FROM terms GROUP BY 1),
+        |bands AS (
+        |  $perTable),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM bands a JOIN bands b
+        |    ON a.table_id = b.table_id AND a.bucket = b.bucket
+        |      AND a.vec_id <> b.vec_id),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |rterms AS (
+        |  SELECT src, dst, a.embedding AS ea, b.embedding AS eb,
+        |    unnest(generate_series(1, len(a.embedding))) AS i
+        |  FROM cand JOIN e a ON src = a.vec_id JOIN e b ON dst = b.vec_id),
+        |dots AS (
+        |  SELECT src, dst,
+        |    ${dotSql("ea", "eb")} AS dot,
+        |    ${dotSql("ea", "ea")} AS na,
+        |    ${dotSql("eb", "eb")} AS nb
+        |  FROM rterms GROUP BY src, dst, ea, eb),
+        |scored AS (
+        |  SELECT src, dst,
+        |    ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot / (sqrt(na) * sqrt(nb))
+        |         ELSE 0.0 END, 9) AS cos
+        |  FROM dots),
+        |kedges AS MATERIALIZED (
+        |  SELECT src, dst, cos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+        |      ORDER BY cos DESC, dst ASC) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 3),
+        |mpairs AS (
+        |  SELECT x.src, x.dst FROM kedges x JOIN kedges y
+        |    ON x.src = y.dst AND x.dst = y.src
+        |  WHERE x.cos >= CAST(0.3 AS DOUBLE) AND x.src < x.dst),
+        |gedges AS (
+        |  SELECT src, dst FROM mpairs
+        |  UNION SELECT dst, src FROM mpairs),
+        |reach AS (
+        |  SELECT src, dst FROM gedges
+        |  UNION SELECT r.src, g.dst FROM reach r JOIN gedges g ON r.dst = g.src),
+        |cc AS (
+        |  SELECT id, LEAST(id, MIN(dst)) AS cluster_id
+        |  FROM (SELECT src AS id, dst FROM reach) GROUP BY id)
+        |SELECT cluster_id, COUNT(*) AS n_members,
+        |  MAX(id) AS max_member
+        |FROM cc GROUP BY cluster_id""".stripMargin
       })
   )
 

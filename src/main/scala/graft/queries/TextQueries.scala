@@ -1457,6 +1457,71 @@ object TextQueries {
         |  CAST(start_tok AS INT) AS start_tok,
         |  CAST(least(128, len(w) - start_tok + 1) AS INT) AS n_chunk_tokens,
         |  ('0x' || substr(md5(array_to_string(w[start_tok:start_tok+127], ' ')), 1, 15))::BIGINT AS chunk_h
-        |FROM c""".stripMargin))
+        |FROM c""".stripMargin)),
+
+    // ── CCNet-style LANGUAGE-MODEL BANDS — Wenzek et al.'s head/middle/
+    //    tail partition, per source: docs rank by the q91 trigram-LM score
+    //    within their source and NTILE(3) cuts the bands; the keep flag
+    //    drops the tail band (the actual CCNet curation decision, where
+    //    q91 only thresholded against the corpus mean). Scale shape: the
+    //    charset³-bounded LM broadcasts; banding is one keyed window per
+    //    source partition over an already-narrow scored frame.
+    QueryDef(
+      "q152_ccnet_bands",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+        val tg = trigramsCached(s, dir).select($"doc_id", $"trigram")
+        val counts = tg.groupBy($"trigram").agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum($"cnt").as("t_total"))
+        val per = tg.join(broadcast(counts), "trigram")
+          .groupBy($"doc_id")
+          .agg(sum($"cnt").as("cnt_sum"), count(lit(1)).as("n_tg"))
+        val scored = per.crossJoin(broadcast(tot))
+          .select($"doc_id",
+            ($"cnt_sum".cast("double") /
+              ($"n_tg".cast("double") * $"t_total".cast("double")))
+              .as("lm_score"))
+        val byScore = Window.partitionBy($"source")
+          .orderBy($"lm_score".desc, $"doc_id".asc)
+        docs.join(scored, Seq("doc_id"), "left")
+          .na.fill(0.0, Seq("lm_score"))
+          .withColumn("band", ntile(3).over(byScore))
+          .select($"doc_id", $"source", $"lm_score", $"band",
+            when($"band" === 1, "head").when($"band" === 2, "middle")
+              .otherwise("tail").as("band_label"),
+            ($"band" < 3).as("keep"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, substr(norm, i, 3) AS trigram
+        |  FROM (SELECT doc_id, norm,
+        |      unnest(generate_series(1, length(norm) - 2)) AS i
+        |    FROM d WHERE length(norm) >= 3)),
+        |cnts AS (SELECT trigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tg GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM cnts),
+        |per AS (
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS cnt_sum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tg
+        |  FROM tg JOIN cnts USING (trigram) GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(cnt_sum AS DOUBLE) /
+        |      (CAST(n_tg AS DOUBLE) * CAST(t_total AS DOUBLE)) AS lm_score
+        |  FROM per CROSS JOIN tot),
+        |b AS (
+        |  SELECT d.doc_id, d.source, COALESCE(s.lm_score, 0.0) AS lm_score,
+        |    CAST(NTILE(3) OVER (PARTITION BY d.source
+        |      ORDER BY COALESCE(s.lm_score, 0.0) DESC, d.doc_id ASC) AS INT) AS band
+        |  FROM d LEFT JOIN scored s ON d.doc_id = s.doc_id)
+        |SELECT doc_id, source, lm_score, band,
+        |  CASE WHEN band = 1 THEN 'head' WHEN band = 2 THEN 'middle'
+        |       ELSE 'tail' END AS band_label,
+        |  band < 3 AS keep
+        |FROM b""".stripMargin))
   )
 }
