@@ -944,6 +944,92 @@ object SimilarityQueries {
         |SELECT cluster_id, COUNT(*) AS n_members,
         |  MAX(id) AS max_member
         |FROM cc GROUP BY cluster_id""".stripMargin
+      }),
+
+    // ── In-batch false-negative rate — the contrastive-training data
+    //    audit: near-duplicate pairs (kNN edges with cos ≥ 0.4) that land
+    //    in the SAME training batch poison in-batch-negative losses
+    //    (InfoNCE treats them as negatives). Batches here are the
+    //    hash-random baseline (50 batches, salted 60-bit hash — the q63
+    //    split device); the one-row report prices how often random
+    //    batching collides versus the 1/50 expectation. Scale shape: the
+    //    cached edge list is ≤ 3n rows, batch membership is a codegen'd
+    //    hash of each endpoint, and the report is one partial-agg'd count.
+    QueryDef(
+      "q153_inbatch_collisions",
+      (s, dir) => {
+        import s.implicits._
+        def batchOf(c: org.apache.spark.sql.Column) =
+          pmod(graft.ext.TextAnalysis.hash60Fast(s,
+            concat(lit("batch:"), c.cast("string"))), lit(50L))
+        val pairs = knnEdgesCached(s, dir)
+          .where($"cos" >= 0.4 && $"src" < $"dst")
+        pairs
+          .select((batchOf($"src") === batchOf($"dst")).as("collide"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when($"collide", 1L).otherwise(0L)).as("n_collisions"))
+          .select($"n_pairs", $"n_collisions",
+            round(when($"n_pairs" > 0,
+              $"n_collisions".cast("double") / $"n_pairs".cast("double"))
+              .otherwise(0.0), 9).as("collision_rate"))
+      },
+      Some {
+        val perTable = (0 until LshTables).map { t =>
+          val sig = (t * LshTablePlanes until (t + 1) * LshTablePlanes)
+            .map(p => s"b$p").mkString(" || ")
+          s"SELECT vec_id, $t AS table_id, $sig AS bucket FROM bits"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH terms AS (
+        |  SELECT vec_id, embedding AS e,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |bits AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    ${planeBitsSql(LshTables * LshTablePlanes)}
+        |  FROM terms GROUP BY 1),
+        |bands AS (
+        |  $perTable),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM bands a JOIN bands b
+        |    ON a.table_id = b.table_id AND a.bucket = b.bucket
+        |      AND a.vec_id <> b.vec_id),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |rterms AS (
+        |  SELECT src, dst, a.embedding AS ea, b.embedding AS eb,
+        |    unnest(generate_series(1, len(a.embedding))) AS i
+        |  FROM cand JOIN e a ON src = a.vec_id JOIN e b ON dst = b.vec_id),
+        |dots AS (
+        |  SELECT src, dst,
+        |    ${dotSql("ea", "eb")} AS dot,
+        |    ${dotSql("ea", "ea")} AS na,
+        |    ${dotSql("eb", "eb")} AS nb
+        |  FROM rterms GROUP BY src, dst, ea, eb),
+        |scored AS (
+        |  SELECT src, dst,
+        |    ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot / (sqrt(na) * sqrt(nb))
+        |         ELSE 0.0 END, 9) AS cos
+        |  FROM dots),
+        |kedges AS (
+        |  SELECT src, dst, cos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+        |      ORDER BY cos DESC, dst ASC) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 3),
+        |p AS (
+        |  SELECT src, dst FROM kedges
+        |  WHERE cos >= CAST(0.4 AS DOUBLE) AND src < dst),
+        |flags AS (
+        |  SELECT ('0x' || substr(md5('batch:' || CAST(src AS VARCHAR)), 1, 15))::BIGINT % 50
+        |    = ('0x' || substr(md5('batch:' || CAST(dst AS VARCHAR)), 1, 15))::BIGINT % 50 AS collide
+        |  FROM p)
+        |SELECT COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN collide THEN 1 ELSE 0 END) AS BIGINT) AS n_collisions,
+        |  ROUND(CASE WHEN COUNT(*) > 0
+        |    THEN CAST(SUM(CASE WHEN collide THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)
+        |    ELSE 0.0 END, 9) AS collision_rate
+        |FROM flags""".stripMargin
       })
   )
 

@@ -1522,6 +1522,79 @@ object TextQueries {
         |  CASE WHEN band = 1 THEN 'head' WHEN band = 2 THEN 'middle'
         |       ELSE 'tail' END AS band_label,
         |  band < 3 AS keep
-        |FROM b""".stripMargin))
+        |FROM b""".stripMargin)),
+
+    // ── Curriculum schedule — quality-staged epoch planning over q152's
+    //    bands: epoch 1 trains on the head band only, epoch 2 adds the
+    //    middle, epoch 3 sees everything (the easy→hard pacing curriculum
+    //    learning prescribes). A doc in band b participates in epochs
+    //    b..3, so the manifest is one bounded explode over the banded
+    //    frame; the output prices each (epoch, band) cell in docs and
+    //    tokens. Scale shape: banding is q152's keyed window; the epoch
+    //    explode is ≤ 3× and feeds a 9-row rollup.
+    QueryDef(
+      "q154_curriculum",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+        val tg = trigramsCached(s, dir).select($"doc_id", $"trigram")
+        val counts = tg.groupBy($"trigram").agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum($"cnt").as("t_total"))
+        val per = tg.join(broadcast(counts), "trigram")
+          .groupBy($"doc_id")
+          .agg(sum($"cnt").as("cnt_sum"), count(lit(1)).as("n_tg"))
+        val scored = per.crossJoin(broadcast(tot))
+          .select($"doc_id",
+            ($"cnt_sum".cast("double") /
+              ($"n_tg".cast("double") * $"t_total".cast("double")))
+              .as("lm_score"))
+        val byScore = Window.partitionBy($"source")
+          .orderBy($"lm_score".desc, $"doc_id".asc)
+        docs.join(scored, Seq("doc_id"), "left")
+          .na.fill(0.0, Seq("lm_score"))
+          .withColumn("band", ntile(3).over(byScore))
+          .select($"band", $"n_tokens",
+            explode(sequence($"band", lit(3))).as("epoch"))
+          .groupBy($"epoch", $"band")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT)
+        |      AS n_tokens,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, substr(norm, i, 3) AS trigram
+        |  FROM (SELECT doc_id, norm,
+        |      unnest(generate_series(1, length(norm) - 2)) AS i
+        |    FROM d WHERE length(norm) >= 3)),
+        |cnts AS (SELECT trigram, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tg GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM cnts),
+        |per AS (
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS cnt_sum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tg
+        |  FROM tg JOIN cnts USING (trigram) GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(cnt_sum AS DOUBLE) /
+        |      (CAST(n_tg AS DOUBLE) * CAST(t_total AS DOUBLE)) AS lm_score
+        |  FROM per CROSS JOIN tot),
+        |b AS (
+        |  SELECT d.doc_id, d.n_tokens,
+        |    CAST(NTILE(3) OVER (PARTITION BY d.source
+        |      ORDER BY COALESCE(s.lm_score, 0.0) DESC, d.doc_id ASC) AS INT) AS band
+        |  FROM d LEFT JOIN scored s ON d.doc_id = s.doc_id),
+        |x AS (
+        |  SELECT band, n_tokens,
+        |    CAST(unnest(generate_series(band, 3)) AS INT) AS epoch
+        |  FROM b)
+        |SELECT epoch, band, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM x GROUP BY 1, 2""".stripMargin))
   )
 }
