@@ -1595,6 +1595,60 @@ object TextQueries {
         |  FROM b)
         |SELECT epoch, band, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-        |FROM x GROUP BY 1, 2""".stripMargin))
+        |FROM x GROUP BY 1, 2""".stripMargin)),
+
+    // ── Passage-keeper selection — the DECISION table q70's measurement
+    //    implies: every duplicated 8-word passage hash (q70's
+    //    non-overlapping chunk granularity, where the fixture corpus
+    //    genuinely duplicates) reports its instance/document spread and
+    //    the deterministic keeper (min (doc_id, chunk_idx) — the one copy
+    //    a retrieval index stores, every other instance drops). The
+    //    sub-document analog of q34's exact-dedup keeper. Scale shape:
+    //    one narrow chunk pass, one keyed agg on the 60-bit hash —
+    //    map-side partials, no pairwise work.
+    QueryDef(
+      "q157_chunk_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val chunks = Tables.documents(s, dir)
+          .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+          .where(size($"w") >= 8)
+          .select($"doc_id", $"w",
+            explode(sequence(lit(1), size($"w") - 7, lit(8))).as("start_tok"))
+          .select($"doc_id",
+            (($"start_tok" - 1) / 8).cast("int").as("chunk_idx"),
+            TextAnalysis.hash60Fast(s,
+              concat_ws(" ", slice($"w", $"start_tok", lit(8))))
+              .as("chunk_h"))
+        chunks.groupBy($"chunk_h")
+          .agg(count(lit(1)).as("n_instances"),
+            countDistinct($"doc_id").as("n_docs"),
+            min(struct($"doc_id", $"chunk_idx")).as("k"))
+          .where($"n_instances" > 1L)
+          .select($"chunk_h", $"n_instances", $"n_docs",
+            $"k.doc_id".as("keep_doc"), $"k.chunk_idx".as("keep_chunk"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CAST((start_tok - 1) // 8 AS INT) AS chunk_idx,
+        |    ('0x' || substr(md5(array_to_string(w[start_tok:start_tok+7], ' ')), 1, 15))::BIGINT AS chunk_h
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7, 8)) AS start_tok
+        |        FROM t WHERE len(w) >= 8)),
+        |dup AS (
+        |  SELECT chunk_h, COUNT(*) AS n_instances,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM ch GROUP BY 1 HAVING COUNT(*) > 1),
+        |k AS (
+        |  SELECT chunk_h, doc_id AS keep_doc, chunk_idx AS keep_chunk
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_h
+        |      ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT d.chunk_h, d.n_instances, d.n_docs, k.keep_doc, k.keep_chunk
+        |FROM dup d JOIN k USING (chunk_h)""".stripMargin))
   )
 }

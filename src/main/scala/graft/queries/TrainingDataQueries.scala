@@ -1957,6 +1957,113 @@ object TrainingDataQueries {
         |  CAST(SUM(bin_cap - n_tokens) AS BIGINT) AS pad_tokens,
         |  ROUND(CAST(SUM(n_tokens) AS DOUBLE)
         |    / CAST(COUNT(*) * bin_cap AS DOUBLE), 9) AS fill_ratio
-        |FROM bb GROUP BY bin_cap""".stripMargin))
+        |FROM bb GROUP BY bin_cap""".stripMargin)),
+
+    // ── Tokenizer compression ratio — chars per TRAINED-BPE subword
+    //    token, the Gopher-style quality heuristic: natural prose
+    //    compresses well (high chars/token), character soup and
+    //    boilerplate code blocks don't. Reuses the q57 trained merges
+    //    (session cache) and q60's vocabulary-join application; flags the
+    //    extreme tails. Scale shape: vocabulary-sized lookup broadcast
+    //    onto one narrow corpus explode + per-doc agg.
+    QueryDef(
+      "q155_compression_ratio",
+      (s, dir) => {
+        import s.implicits._
+        val (_, seg) = trainedMerges(s, dir)
+        val nsub = seg.select($"token", size(Bpe.symbols($"enc")).as("n_sub"))
+        val sub = Tables.documents(s, dir)
+          .select($"doc_id",
+            explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0)))
+              .as("token"))
+          .join(nsub, "token")
+          .groupBy($"doc_id")
+          .agg(sum($"n_sub").cast("long").as("n_subword_tokens"))
+        Tables.documents(s, dir).select($"doc_id", $"n_chars")
+          .join(sub, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_subword_tokens"))
+          .select($"doc_id", $"n_chars", $"n_subword_tokens",
+            round(when($"n_subword_tokens" > 0L,
+              $"n_chars".cast("double") / $"n_subword_tokens".cast("double"))
+              .otherwise(0.0), 9).as("chars_per_token"))
+          .withColumn("flagged",
+            $"chars_per_token" < 2.0 || $"chars_per_token" > 12.0)
+      },
+      Some(s"""WITH ${bpeCtes(BpeMerges)},
+        |seg AS (SELECT token, len(string_split(trim(enc), '  ')) AS n_sub
+        |  FROM bw$BpeMerges),
+        |dt AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |  FROM documents),
+        |sub AS (SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_subword_tokens
+        |  FROM dt JOIN seg USING (token) GROUP BY doc_id),
+        |r AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    COALESCE(sub.n_subword_tokens, 0) AS n_subword_tokens,
+        |    ROUND(CASE WHEN COALESCE(sub.n_subword_tokens, 0) > 0
+        |      THEN CAST(d.n_chars AS DOUBLE)
+        |        / CAST(sub.n_subword_tokens AS DOUBLE)
+        |      ELSE 0.0 END, 9) AS chars_per_token
+        |  FROM documents d LEFT JOIN sub ON d.doc_id = sub.doc_id)
+        |SELECT doc_id, n_chars, n_subword_tokens, chars_per_token,
+        |  chars_per_token < CAST(2.0 AS DOUBLE)
+        |    OR chars_per_token > CAST(12.0 AS DOUBLE) AS flagged
+        |FROM r""".stripMargin)),
+
+    // ── Packed-sequence MASK MANIFEST — the attention-mask artifact q64's
+    //    packing implies but never emitted: every (sequence, document)
+    //    intersection with its token interval inside the 512-slot
+    //    sequence, including documents that straddle sequence boundaries
+    //    (is_head marks the segment holding the document's first token).
+    //    This is the table a trainer's collator reads to build block-
+    //    diagonal attention masks. Scale shape: q64's per-source exclusive
+    //    prefix sum plus a ≤(n/512 + 1)-way bounded explode per doc —
+    //    integer arithmetic end to end, no new shuffles.
+    QueryDef(
+      "q156_pack_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            TextAnalysis.tokenCount($"text").cast("long").as("n"))
+          .where($"n" >= 1L)
+          .withColumn("cum",
+            coalesce(sum($"n").over(w), lit(0L)))
+          .withColumn("seq_lo", floor($"cum" / 512).cast("long"))
+          .withColumn("seq_hi",
+            floor(($"cum" + $"n" - 1L) / 512).cast("long"))
+          .select($"doc_id", $"source", $"n", $"cum", $"seq_lo",
+            explode(sequence($"seq_lo", $"seq_hi")).as("seq_id"))
+          .select($"source", $"seq_id", $"doc_id",
+            greatest(lit(0L), $"cum" - $"seq_id" * 512L).as("start_in_seq"),
+            least(lit(512L), $"cum" + $"n" - $"seq_id" * 512L).as("end_in_seq"),
+            ($"seq_lo" === $"seq_id").as("is_head"))
+          .withColumn("n_cell_tokens", $"end_in_seq" - $"start_in_seq")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT)
+        |      AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n,
+        |    CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum
+        |  FROM t WHERE n >= 1),
+        |x AS (
+        |  SELECT doc_id, source, n, cum, cum // 512 AS seq_lo,
+        |    unnest(generate_series(cum // 512, (cum + n - 1) // 512)) AS seq_id
+        |  FROM c)
+        |SELECT source, seq_id, doc_id,
+        |  greatest(CAST(0 AS BIGINT), cum - seq_id * 512) AS start_in_seq,
+        |  least(CAST(512 AS BIGINT), cum + n - seq_id * 512) AS end_in_seq,
+        |  seq_lo = seq_id AS is_head,
+        |  least(CAST(512 AS BIGINT), cum + n - seq_id * 512)
+        |    - greatest(CAST(0 AS BIGINT), cum - seq_id * 512) AS n_cell_tokens
+        |FROM x""".stripMargin))
   )
 }
