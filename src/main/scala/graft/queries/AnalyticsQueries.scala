@@ -375,7 +375,8 @@ object AnalyticsQueries {
     partitionPruneDef,
     scd2LookupDef,
     attributionDef,
-    joinSkewDef
+    joinSkewDef,
+    eventDebounceDef
   )
 
   // ── Join-skew profile for a key BEFORE joining on it: the per-key
@@ -1152,6 +1153,52 @@ object AnalyticsQueries {
       |SELECT t.prev_type, t.next_type, t.n_trans,
       |  ROUND(CAST(t.n_trans AS DOUBLE) / CAST(o.n_from AS DOUBLE), 9) AS p_trans
       |FROM trans t JOIN tot o USING (prev_type)""".stripMargin))
+
+  // ── Event debounce — telemetry-ingest duplicate suppression: an event
+  //    is suppressed when the SAME (user, type) fired within the
+  //    preceding 5 seconds (client retries, double-clicks, at-least-once
+  //    delivery). One LAG window per (user_id, event_type) key in exact
+  //    epoch-micros arithmetic (the q94 posture — no timestamp
+  //    subtraction semantics to disagree on), tie-broken by event_id.
+  //    The per-type rollup prices the suppression rate. Scale shape: one
+  //    keyed window, one small agg — the window key is the natural
+  //    partition of the event stream.
+  private def eventDebounceDef: QueryDef = QueryDef(
+    "q158_event_debounce",
+    (s, dir) => {
+      import s.implicits._
+      val byKey = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"us".asc, $"event_id".asc)
+      Tables.events(s, dir)
+        .select($"user_id", $"event_type", $"event_id",
+          unix_micros($"ts").as("us"))
+        .withColumn("prev_us", lag($"us", 1).over(byKey))
+        .withColumn("suppressed",
+          $"prev_us".isNotNull && ($"us" - $"prev_us") <= 5000000L)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"suppressed", 1L).otherwise(0L)).as("n_suppressed"))
+        .withColumn("suppress_rate",
+          round($"n_suppressed".cast("double") / $"n_events".cast("double"), 9))
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+      |  FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |    LAG(us) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY us ASC, event_id ASC) AS prev_us,
+      |    us
+      |  FROM e),
+      |f AS (
+      |  SELECT event_type,
+      |    prev_us IS NOT NULL AND (us - prev_us) <= 5000000 AS suppressed
+      |  FROM l)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN suppressed THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+      |  ROUND(CAST(SUM(CASE WHEN suppressed THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 9) AS suppress_rate
+      |FROM f GROUP BY event_type""".stripMargin))
 
   /** The dialect-neutral SQL text q89 feeds IDENTICALLY to Spark SQL and
     * DuckDB (ANSI joins, CAST, exact decimal-sum revenue).

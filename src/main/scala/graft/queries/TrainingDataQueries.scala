@@ -2064,6 +2064,66 @@ object TrainingDataQueries {
         |  seq_lo = seq_id AS is_head,
         |  least(CAST(512 AS BIGINT), cum + n - seq_id * 512)
         |    - greatest(CAST(0 AS BIGINT), cum - seq_id * 512) AS n_cell_tokens
-        |FROM x""".stripMargin))
+        |FROM x""".stripMargin)),
+
+    // ── Packing-efficiency frontier — q141's fill/contamination numbers
+    //    swept across candidate sequence lengths (256/512/1024): the
+    //    3-row table that actually DECIDES the training sequence length
+    //    (longer sequences fill better but mix more documents per
+    //    window). One prefix-sum pass serves all three lengths via a
+    //    3-way bounded explode — the sweep costs one extra narrow column,
+    //    not three corpus passes.
+    QueryDef(
+      "q159_packing_frontier",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            TextAnalysis.tokenCount($"text").as("n_tokens"))
+          .withColumn("cum_before",
+            coalesce(sum($"n_tokens").over(w), lit(0L)))
+        d.select($"source", $"cum_before", $"n_tokens",
+            explode(array(lit(256), lit(512), lit(1024))).as("seq_len"))
+          .withColumn("seq_id",
+            floor($"cum_before" / $"seq_len").cast("long"))
+          .groupBy($"seq_len", $"source", $"seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"))
+          .groupBy($"seq_len")
+          .agg(count(lit(1)).as("n_seqs"),
+            sum($"seq_tokens").as("n_tokens"),
+            sum(when($"n_docs" > 1L, 1L).otherwise(0L)).as("n_mixed"))
+          .select($"seq_len", $"n_seqs", $"n_tokens",
+            round($"n_mixed".cast("double") / $"n_seqs".cast("double"), 9)
+              .as("mixed_share"),
+            round($"n_tokens".cast("double") /
+              ($"n_seqs".cast("double") * $"seq_len".cast("double")), 9)
+              .as("fill_ratio"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM t),
+        |lens AS (SELECT CAST(x AS INT) AS seq_len
+        |  FROM (VALUES (256), (512), (1024)) v(x)),
+        |seqs AS (
+        |  SELECT seq_len, source, cum_before // seq_len AS seq_id,
+        |    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        |  FROM c CROSS JOIN lens GROUP BY 1, 2, 3)
+        |SELECT seq_len, COUNT(*) AS n_seqs,
+        |  CAST(SUM(seq_tokens) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS mixed_share,
+        |  ROUND(CAST(SUM(seq_tokens) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(seq_len AS DOUBLE)), 9) AS fill_ratio
+        |FROM seqs GROUP BY seq_len""".stripMargin))
   )
 }
