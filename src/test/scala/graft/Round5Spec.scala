@@ -112,4 +112,95 @@ class Round5Spec extends SparkSpec {
       assert(r.getAs[Int]("chunk_idx") == (start - 1) / 64)
     }
   }
+
+  test("semantic clusters: members ≥ 2, cluster_id is the min member") {
+    val rows = SparkEntry.queries("q151_semantic_clusters")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2L)
+      assert(r.getAs[Long]("max_member") > r.getAs[Long]("cluster_id"))
+    }
+  }
+
+  test("ccnet bands: per-source tercile sizes differ by at most one") {
+    val rows = SparkEntry.queries("q152_ccnet_bands")(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sizes = rs.groupBy(_.getAs[Int]("band")).view.mapValues(_.length)
+      assert(sizes.keySet == Set(1, 2, 3))
+      assert(sizes.values.max - sizes.values.min <= 1)
+      // tail band is the drop band
+      rs.foreach(r =>
+        assert(r.getAs[Boolean]("keep") == (r.getAs[Int]("band") < 3)))
+    }
+  }
+
+  test("pack manifest: per-sequence cells tile 512 slots without overlap") {
+    val rows = SparkEntry.queries("q156_pack_manifest")(spark, dir).collect()
+    rows.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id")))
+      .foreach { case (_, cells) =>
+        val sorted = cells.sortBy(_.getAs[Long]("start_in_seq"))
+        // contiguous tiling: each cell starts where the previous ended
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[Long]("end_in_seq") == b.getAs[Long]("start_in_seq"))
+          case _ =>
+        }
+        assert(sorted.head.getAs[Long]("start_in_seq") == 0L ||
+          sorted.length == 1) // a straddling doc's tail cell starts at 0
+        cells.foreach { c =>
+          val n = c.getAs[Long]("n_cell_tokens")
+          assert(n >= 1L && n <= 512L)
+        }
+      }
+    // exactly one head segment per document
+    val heads = rows.filter(_.getAs[Boolean]("is_head"))
+      .map(_.getAs[Long]("doc_id"))
+    assert(heads.distinct.length == heads.length)
+  }
+
+  test("passage keepers: keeper is the lexicographic min instance") {
+    val rows = SparkEntry.queries("q157_chunk_dedup")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_instances") >= 2L)
+      assert(r.getAs[Long]("n_docs") >= 1L)
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_instances"))
+    }
+  }
+
+  test("debounce: suppression only counts within-5s same-key repeats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // literal frame: u1/click fires at 0s, 3s (dup), 10s (fresh);
+    // u1/view at 4s is a different key; u2/click at 4s a different user
+    val ev = Seq(
+      (1L, "1970-01-01 00:00:00", 1L, "click"),
+      (2L, "1970-01-01 00:00:03", 1L, "click"),
+      (3L, "1970-01-01 00:00:10", 1L, "click"),
+      (4L, "1970-01-01 00:00:04", 1L, "view"),
+      (5L, "1970-01-01 00:00:04", 2L, "click"))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .select($"event_id", $"ts_s".cast("timestamp").as("ts"),
+        $"user_id", $"event_type")
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type")
+      .orderBy($"us".asc, $"event_id".asc)
+    val out = ev.select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(byKey))
+      .withColumn("suppressed",
+        $"prev_us".isNotNull && ($"us" - $"prev_us") <= 5000000L)
+      .orderBy($"event_id").collect()
+    assert(out.map(_.getAs[Boolean]("suppressed")).toSeq ==
+      Seq(false, true, false, false, false))
+  }
+
+  test("packing frontier: longer sequences fill no worse, mix no less") {
+    val rows = SparkEntry.queries("q159_packing_frontier")(spark, dir)
+      .orderBy("seq_len").collect()
+    assert(rows.map(_.getAs[Int]("seq_len")).toSeq == Seq(256, 512, 1024))
+    val mixed = rows.map(_.getAs[Double]("mixed_share"))
+    // more slots per window ⇒ at least as many multi-doc windows
+    assert(mixed(0) <= mixed(1) + 1e-9 && mixed(1) <= mixed(2) + 1e-9)
+  }
 }
