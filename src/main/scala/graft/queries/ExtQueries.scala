@@ -198,6 +198,41 @@ object ExtQueries {
       },
       Some(s"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
         |COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin))
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ── Frame-sampling schedule — the video-ingest planning op: from each
+    //    media item's decoded duration (here the deterministic
+    //    [[graft.ext.Multimodal.decodeStub]] — the real decoder is the
+    //    declared plug point), emit the uniform 4-frame sampling
+    //    timestamps ((i+0.5)·duration/4, the center-of-bin rule a
+    //    frame-extraction stage actually executes). The schedule is what
+    //    the distributed pipeline materializes and ships to decode
+    //    workers; payloads never shuffle. One narrow projection + a
+    //    4-way bounded explode, zero exchanges.
+    QueryDef(
+      "q160_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", $"text".cast("binary").as("payload"))
+          .withColumn("dec", Multimodal.decodeStub($"payload"))
+          .select($"doc_id", $"dec.duration_s".as("duration_s"),
+            explode(sequence(lit(0), lit(3))).as("frame_idx"))
+          .select($"doc_id", round($"duration_s", 9).as("duration_s"),
+            $"frame_idx",
+            round(($"frame_idx".cast("double") + 0.5) * $"duration_s" / 4.0, 9)
+              .as("sample_ts"))
+      },
+      Some("""WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(sha256(text)), 1, 15))::BIGINT % 3600 AS DOUBLE)
+        |      / CAST(10.0 AS DOUBLE) AS duration_s
+        |  FROM documents),
+        |f AS (SELECT CAST(x AS INT) AS frame_idx
+        |  FROM (VALUES (0), (1), (2), (3)) v(x))
+        |SELECT doc_id, ROUND(duration_s, 9) AS duration_s, frame_idx,
+        |  ROUND((CAST(frame_idx AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |    * duration_s / CAST(4.0 AS DOUBLE), 9) AS sample_ts
+        |FROM m CROSS JOIN f""".stripMargin))
   )
 }
