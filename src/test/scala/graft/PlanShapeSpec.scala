@@ -376,4 +376,27 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q150_chunk_overlap")
     assert(!p.contains("Exchange"), p.take(1200))
   }
+
+  test("q156 pack manifest: one window exchange, bounded explode, no joins") {
+    val p = planOf("q156_pack_manifest")
+    assert(!p.contains("Join"), p.take(1200))
+    assert(p.contains("Generate"), p.take(1200))
+  }
+
+  test("q158 debounce: single keyed window, no joins") {
+    val p = planOf("q158_event_debounce")
+    assert(!p.contains("Join"), p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(1600))
+  }
+
+  test("q159 frontier: the 3-length sweep is one scan, not three") {
+    val p = planOf("q159_packing_frontier")
+    // a single parquet scan of documents feeds the exploded sweep
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
+  }
+
+  test("q160 frame schedule is a zero-exchange narrow pass") {
+    val p = planOf("q160_frame_sample")
+    assert(!p.contains("Exchange"), p.take(1200))
+  }
 }
