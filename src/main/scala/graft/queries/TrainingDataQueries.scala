@@ -1907,11 +1907,14 @@ object TrainingDataQueries {
     // ── Length-bucketed batching — the padding-minimizing loader for a
     //    non-packing trainer: docs bucket to the next power-of-two token
     //    length (integer bit length, no libm), batches of 32 form inside
-    //    each bucket in doc_id order, and the report prices the padding
-    //    overhead per bucket. The power-of-two cap comes from
-    //    length(bin(n−1)) — identical in both engines. Scale shape: one
-    //    narrow token-count pass, one keyed window per bucket (parallel
-    //    across buckets), a bucket-sized rollup.
+    //    each bucket, and the report prices the padding overhead per
+    //    bucket. The power-of-two cap comes from length(bin(n−1)) —
+    //    identical in both engines. Scale shape: one narrow token-count
+    //    pass and ONE keyed agg — batch count is ceil(n/32) arithmetic,
+    //    so the report needs no per-bucket row numbering at all (the
+    //    windowed batch-id MATERIALIZATION is the loader's job at read
+    //    time; a single bucket holding most of a 100 TB corpus would make
+    //    that window the bottleneck here).
     QueryDef(
       "q147_length_batching",
       (s, dir) => {
@@ -1923,18 +1926,15 @@ object TrainingDataQueries {
           .withColumn("bin_cap",
             when($"n_tokens" <= 1L, 1L).otherwise(
               expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n_tokens - 1)) AS INT))")))
-        val byBin = Window.partitionBy($"bin_cap").orderBy($"doc_id")
-        val batched = d
-          .withColumn("batch_id",
-            ((row_number().over(byBin) - 1) / 32).cast("long"))
-        batched.groupBy($"bin_cap")
+        d.groupBy($"bin_cap")
           .agg(count(lit(1)).as("n_docs"),
-            (max($"batch_id") + 1L).as("n_batches"),
             sum($"n_tokens").as("n_tokens"),
             sum($"bin_cap" - $"n_tokens").as("pad_tokens"))
-          .withColumn("fill_ratio",
+          .select($"bin_cap", $"n_docs",
+            (($"n_docs" + 31L) / lit(32L)).cast("long").as("n_batches"),
+            $"n_tokens", $"pad_tokens",
             round($"n_tokens".cast("double") /
-              ($"n_docs" * $"bin_cap").cast("double"), 9))
+              ($"n_docs" * $"bin_cap").cast("double"), 9).as("fill_ratio"))
       },
       Some("""WITH d AS (
         |  SELECT doc_id,
@@ -1946,18 +1946,14 @@ object TrainingDataQueries {
         |  SELECT doc_id, n_tokens,
         |    CASE WHEN n_tokens <= 1 THEN 1
         |         ELSE (CAST(1 AS BIGINT) << length(bin(n_tokens - 1))) END AS bin_cap
-        |  FROM d WHERE n_tokens >= 1),
-        |bb AS (
-        |  SELECT doc_id, n_tokens, bin_cap,
-        |    CAST((ROW_NUMBER() OVER (PARTITION BY bin_cap ORDER BY doc_id) - 1) // 32 AS BIGINT) AS batch_id
-        |  FROM b)
+        |  FROM d WHERE n_tokens >= 1)
         |SELECT bin_cap, COUNT(*) AS n_docs,
-        |  CAST(MAX(batch_id) + 1 AS BIGINT) AS n_batches,
+        |  CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches,
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
         |  CAST(SUM(bin_cap - n_tokens) AS BIGINT) AS pad_tokens,
         |  ROUND(CAST(SUM(n_tokens) AS DOUBLE)
         |    / CAST(COUNT(*) * bin_cap AS DOUBLE), 9) AS fill_ratio
-        |FROM bb GROUP BY bin_cap""".stripMargin)),
+        |FROM b GROUP BY bin_cap""".stripMargin)),
 
     // ── Tokenizer compression ratio — chars per TRAINED-BPE subword
     //    token, the Gopher-style quality heuristic: natural prose
