@@ -144,6 +144,45 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class DebEvent(user_id: Long, event_type: String, event_id: Long,
+      us: Long)
+  case class DebFlag(user_id: Long, event_type: String, event_id: Long,
+      suppressed: Boolean)
+
+  /** Streaming twin of q158's debounce: an event is suppressed when the
+    * same (user, type) key fired within the preceding `windowUs`. Keyed
+    * state is ONE long (the last event time per key); micro-batch arrival
+    * order is not event order, so each batch's group is sorted by
+    * (us, event_id) before the state fold — exactly the batch LAG
+    * window's order, so flags match the batch q158 bit-for-bit under
+    * AvailableNow. At-scale posture: state is #active-keys × 8 bytes;
+    * an EventTimeTimeout eviction (as in [[sessionize]]) would bound it
+    * to keys active inside the watermark.
+    */
+  def debounceStream(events: DataFrame,
+      windowUs: Long = 5000000L): Dataset[DebFlag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us")).as[DebEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: (Long, String), it: Iterator[DebEvent],
+            state: GroupState[Long]) =>
+          val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+          var last = state.getOption
+          val out = evs.map { e =>
+            val sup = last.exists(l => e.us - l <= windowUs)
+            last = Some(e.us)
+            DebFlag(e.user_id, e.event_type, e.event_id, sup)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Online anomaly scoring with an offline-trained model — the
     * batch-train / stream-score split every production monitor runs:
     * `stats` is the (event_type, mean, std) table the BATCH q108 pipeline

@@ -144,6 +144,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("event_id").distinct().count() == base.count())
   }
 
+  test("streaming debounce flags match the batch q158 lag window") {
+    val streamed = EventStream.runToBatch(spark,
+      EventStream.debounceStream(EventStream.readStream(spark, dir)).toDF(),
+      "deb_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type")
+      .orderBy($"us".asc, $"event_id".asc)
+    val batch = spark.read.parquet(dir)
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(byKey))
+      .withColumn("suppressed",
+        $"prev_us".isNotNull && ($"us" - $"prev_us") <= 5000000L)
+      .select($"event_id", $"suppressed")
+    assert(streamed.count() == batch.count())
+    val diff = streamed.select($"event_id", $"suppressed".as("s_sup"))
+      .join(batch, "event_id")
+      .where($"s_sup" =!= $"suppressed")
+    assert(diff.isEmpty)
+  }
+
   test("stateful per-user activity matches batch groupBy") {
     val streamed = EventStream.runToBatch(spark,
       EventStream.userActivity(
