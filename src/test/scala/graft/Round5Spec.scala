@@ -195,6 +195,28 @@ class Round5Spec extends SparkSpec {
       Seq(false, true, false, false, false))
   }
 
+  test("scrub conserves tokens: kept + removed = original, corpus-wide") {
+    val out = SparkEntry.queries("q144_substring_scrub")(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") ==
+        r.getAs[Int]("n_tokens").toLong)
+      assert(r.getAs[Long]("n_removed") >= 0L)
+    }
+  }
+
+  test("pack manifest conserves tokens: cells of a doc sum to its count") {
+    import org.apache.spark.sql.functions._
+    val cells = SparkEntry.queries("q156_pack_manifest")(spark, dir)
+      .groupBy("doc_id").agg(sum("n_cell_tokens").as("cell_sum"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .where(col("n") >= 1)
+    val bad = docs.join(cells, Seq("doc_id"), "left")
+      .where(col("cell_sum").isNull || col("cell_sum") =!= col("n"))
+    assert(bad.isEmpty)
+  }
+
   test("packing frontier: longer sequences fill no worse, mix no less") {
     val rows = SparkEntry.queries("q159_packing_frontier")(spark, dir)
       .orderBy("seq_len").collect()
