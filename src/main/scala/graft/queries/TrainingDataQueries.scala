@@ -2120,6 +2120,150 @@ object TrainingDataQueries {
         |    / CAST(COUNT(*) AS DOUBLE), 9) AS mixed_share,
         |  ROUND(CAST(SUM(seq_tokens) AS DOUBLE)
         |    / (CAST(COUNT(*) AS DOUBLE) * CAST(seq_len AS DOUBLE)), 9) AS fill_ratio
-        |FROM seqs GROUP BY seq_len""".stripMargin))
+        |FROM seqs GROUP BY seq_len""".stripMargin)),
+
+    // ── Export shard balance — the output-layout audit for
+    //    [[graft.ext.TrainingExport.writeShards]]'s (split, shard) tree:
+    //    per cell, docs and bytes plus the byte ratio to the split's mean
+    //    shard — the skew number that decides whether trainer-side readers
+    //    stall on a fat shard. Shard membership is the salted-hash
+    //    property (run-independent), so the audit is one narrow projection
+    //    + a 24-row agg + a broadcast mean join-back.
+    QueryDef(
+      "q161_shard_balance",
+      (s, dir) => {
+        import s.implicits._
+        def h(salt: String) = pmod(TextAnalysis.hash60Fast(s,
+          concat(lit(salt), $"doc_id".cast("string"))), lit(100))
+        val tagged = Tables.documents(s, dir)
+          .select($"doc_id", $"n_chars",
+            when(h("split:") < 80, "train")
+              .when(h("split:") < 90, "validation").otherwise("test")
+              .as("split"),
+            pmod(TextAnalysis.hash60Fast(s,
+              concat(lit("shard:"), $"doc_id".cast("string"))), lit(8L))
+              .cast("int").as("shard"))
+        val cells = tagged.groupBy($"split", $"shard")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_bytes"))
+        val means = cells.groupBy($"split")
+          .agg(sum($"n_bytes").as("tot_bytes"),
+            count(lit(1)).as("n_shards"))
+        cells.join(broadcast(means), "split")
+          .select($"split", $"shard", $"n_docs", $"n_bytes",
+            round($"n_bytes".cast("double") /
+              ($"tot_bytes".cast("double") / $"n_shards".cast("double")), 9)
+              .as("balance_ratio"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'validation'
+        |         ELSE 'test' END AS split,
+        |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard
+        |  FROM documents),
+        |cells AS (
+        |  SELECT split, shard, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+        |  FROM t GROUP BY 1, 2),
+        |m AS (
+        |  SELECT split, CAST(SUM(n_bytes) AS BIGINT) AS tot_bytes,
+        |    COUNT(*) AS n_shards
+        |  FROM cells GROUP BY 1)
+        |SELECT c.split, c.shard, c.n_docs, c.n_bytes,
+        |  ROUND(CAST(c.n_bytes AS DOUBLE)
+        |    / (CAST(m.tot_bytes AS DOUBLE) / CAST(m.n_shards AS DOUBLE)), 9)
+        |    AS balance_ratio
+        |FROM cells c JOIN m ON c.split = m.split""".stripMargin)),
+
+    // ── Truncation-loss accounting — the packing-vs-truncation decision
+    //    input: per source, the share of tokens LOST if documents are
+    //    hard-truncated at 512 tokens instead of packed (q64) — plus how
+    //    many docs overflow at all. Pure integer arithmetic over one
+    //    narrow pass; the 20-row report is what justifies the packing
+    //    pipeline's complexity to a training team.
+    QueryDef(
+      "q162_truncation_loss",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"source",
+            TextAnalysis.tokenCount($"text").cast("long").as("n"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n").as("n_tokens"),
+            sum(when($"n" > 512L, 1L).otherwise(0L)).as("n_overflow"),
+            sum(when($"n" > 512L, $"n" - 512L).otherwise(0L)).as("lost_tokens"))
+          .withColumn("loss_share",
+            round(when($"n_tokens" > 0L,
+              $"lost_tokens".cast("double") / $"n_tokens".cast("double"))
+              .otherwise(0.0), 9))
+      },
+      Some("""WITH d AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT)
+        |      AS n
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN n > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+        |  CAST(SUM(CASE WHEN n > 512 THEN n - 512 ELSE 0 END) AS BIGINT) AS lost_tokens,
+        |  ROUND(CASE WHEN SUM(n) > 0
+        |    THEN CAST(SUM(CASE WHEN n > 512 THEN n - 512 ELSE 0 END) AS DOUBLE)
+        |      / CAST(SUM(n) AS DOUBLE)
+        |    ELSE 0.0 END, 9) AS loss_share
+        |FROM d GROUP BY source""".stripMargin)),
+
+    // ── Vocabulary coverage curve — what share of corpus TOKEN INSTANCES
+    //    the top-k word types cover, for k ∈ {100, 1000, 10000}: the
+    //    Zipf-coverage table that sizes a word-level vocabulary (and
+    //    explains why subword tokenizers exist). The word-count table is
+    //    vocabulary-sized, so the global rank window runs over a bounded
+    //    frame — the corpus contributes exactly one word-count shuffle.
+    QueryDef(
+      "q163_vocab_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val wc = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens($"text")).as("tok"))
+          .where($"tok" =!= "")
+          .groupBy($"tok").agg(count(lit(1)).as("c"))
+        val tot = wc.agg(sum($"c").as("total"), count(lit(1)).as("n_types"))
+        val ranked = wc
+          .withColumn("rnk",
+            row_number().over(Window.orderBy($"c".desc, $"tok".asc)))
+        ranked
+          .select($"c", $"rnk",
+            explode(array(lit(100), lit(1000), lit(10000))).as("k"))
+          .where($"rnk" <= $"k")
+          .groupBy($"k")
+          .agg(sum($"c").as("covered_tokens"))
+          .crossJoin(broadcast(tot))
+          .select($"k", $"covered_tokens", $"total".as("total_tokens"),
+            $"n_types",
+            round($"covered_tokens".cast("double") / $"total".cast("double"), 9)
+              .as("coverage"))
+      },
+      Some("""WITH t AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |    ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |wc AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(w) AS tok FROM t) WHERE tok <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+        |  COUNT(*) AS n_types FROM wc),
+        |r AS (
+        |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rnk
+        |  FROM wc),
+        |ks AS (SELECT CAST(x AS INT) AS k
+        |  FROM (VALUES (100), (1000), (10000)) v(x)),
+        |cov AS (
+        |  SELECT k, CAST(SUM(c) AS BIGINT) AS covered_tokens
+        |  FROM r CROSS JOIN ks WHERE rnk <= k GROUP BY k)
+        |SELECT k, covered_tokens, tot.total AS total_tokens, tot.n_types,
+        |  ROUND(CAST(covered_tokens AS DOUBLE) / CAST(tot.total AS DOUBLE), 9)
+        |    AS coverage
+        |FROM cov CROSS JOIN tot""".stripMargin))
   )
 }
