@@ -1,0 +1,352 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operational / scale-pattern operators rounding out the engine surface:
+  * rule-based corpus filtering (the Gopher-rules complement of q31's scored
+  * quality), incremental materialized-view maintenance, explicit skew-salted
+  * joins, weighted priority sampling, rolling multi-day distinct windows,
+  * relational set operators, and wide→long reshaping (unpivot/melt).
+  *
+  * Every threshold in the rule filter is an integer cross-multiplication
+  * (mean ≥ 3 ⟺ sum ≥ 3·count), so no float knife edge ever enters a
+  * keep/drop decision — the determinism discipline the scored signals
+  * (q31/q113) established, applied to hard rules.
+  */
+object OpsQueries {
+
+  /** Stopword literal shared by the Spark and oracle sides of q164. */
+  private val Stop = TextAnalysis.stopwords
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── Gopher-style rule filter — the hard-rule document gate from the
+    //    Gopher/MassiveText cleaning recipe (word-count bounds, mean word
+    //    length 3–10, symbol-to-word ratio, ≥80% alphabetic words, ≥2
+    //    stopwords), reported as per-source pass rates per rule plus the
+    //    all-rules survivor count. One narrow projection (all rules ride
+    //    the same token array) → one 20-row agg; every predicate is an
+    //    integer cross-multiplication, so the keep decision is bit-stable
+    //    at any scale and in both engines.
+    QueryDef(
+      "q164_gopher_rules",
+      (s, dir) => {
+        import s.implicits._
+        val ws = TextAnalysis.tokens($"text")
+        val stopArr = array(Stop.map(lit): _*)
+        val d = Tables.documents(s, dir).select(
+          $"source",
+          size(ws).cast("long").as("n_words"),
+          aggregate(ws, lit(0L), (acc, x) => acc + length(x).cast("long"))
+            .as("sum_wlen"),
+          size(filter(ws, x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
+          size(filter(ws, x => array_contains(stopArr, x))).cast("long")
+            .as("n_stop"),
+          (length($"text") - length(regexp_replace($"text", "#", "")))
+            .cast("long").as("n_hash"),
+          ((length($"text") -
+            length(regexp_replace($"text", "\\.\\.\\.", ""))) / 3)
+            .cast("long").as("n_ell"))
+        d.select($"source",
+            ($"n_words" >= 50L && $"n_words" <= 100000L).as("r1"),
+            (lit(3L) * $"n_words" <= $"sum_wlen" &&
+              $"sum_wlen" <= lit(10L) * $"n_words").as("r2"),
+            (lit(10L) * ($"n_hash" + $"n_ell") <= $"n_words").as("r3"),
+            (lit(5L) * $"n_alpha" >= lit(4L) * $"n_words").as("r4"),
+            ($"n_stop" >= 2L).as("r5"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"r1", 1L).otherwise(0L)).as("p_len"),
+            sum(when($"r2", 1L).otherwise(0L)).as("p_wlen"),
+            sum(when($"r3", 1L).otherwise(0L)).as("p_sym"),
+            sum(when($"r4", 1L).otherwise(0L)).as("p_alpha"),
+            sum(when($"r5", 1L).otherwise(0L)).as("p_stop"),
+            sum(when($"r1" && $"r2" && $"r3" && $"r4" && $"r5", 1L)
+              .otherwise(0L)).as("p_all"))
+      },
+      Some(s"""WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws,
+        |    text
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_aggregate(
+        |      list_transform(ws, x -> length(x)), 'sum'), 0) AS BIGINT)
+        |      AS sum_wlen,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(ws, x -> list_contains(
+        |      [${Stop.map(w => s"'$w'").mkString(", ")}], x))) AS BIGINT)
+        |      AS n_stop,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_ell
+        |  FROM d),
+        |r AS (
+        |  SELECT source,
+        |    (n_words >= 50 AND n_words <= 100000) AS r1,
+        |    (3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words) AS r2,
+        |    (10 * (n_hash + n_ell) <= n_words) AS r3,
+        |    (5 * n_alpha >= 4 * n_words) AS r4,
+        |    (n_stop >= 2) AS r5
+        |  FROM m)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS p_len,
+        |  CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS p_wlen,
+        |  CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS p_sym,
+        |  CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS p_alpha,
+        |  CAST(SUM(CASE WHEN r5 THEN 1 ELSE 0 END) AS BIGINT) AS p_stop,
+        |  CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS p_all
+        |FROM r GROUP BY source""".stripMargin)),
+
+    // ── Incremental materialized-view maintenance — the daily-rollup
+    //    refresh that touches ONLY the newest day: state = the per-type
+    //    rollup over all days before the latest, delta = the latest day's
+    //    rows, merged = algebraic combine (sums add, counts add, max/min
+    //    compose, avg re-derives from merged sums). The gate proves merged
+    //    ≡ full recompute (the oracle computes the monolithic rollup). At
+    //    100 TB the state side is a stored table of #types rows and each
+    //    refresh scans one day's partition — the incremental-pipeline
+    //    contract, stated as a query.
+    QueryDef(
+      "q165_incremental_agg",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        val ev = Tables.events(s, dir)
+          .select($"event_type", to_date($"ts").as("d"), $"value")
+        val maxd = ev.agg(max($"d").as("maxd"))
+        val tagged = ev.crossJoin(broadcast(maxd))
+        // partials stay in exact decimal so the two-level sum is exactly
+        // the monolithic sum (decimal addition is associative)
+        def rollup(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"event_type")
+            .agg(count(lit(1)).as("n"),
+              sum($"value".cast(DecimalType(18, 4))).as("total_dec"),
+              max($"value").as("vmax"), min($"value").as("vmin"))
+        val state = rollup(tagged.where($"d" < $"maxd"))
+        val delta = rollup(tagged.where($"d" === $"maxd"))
+        state.unionByName(delta)
+          .groupBy($"event_type")
+          .agg(sum($"n").as("n"),
+            sum($"total_dec").cast("double").as("total"),
+            max($"vmax").as("vmax"), min($"vmin").as("vmin"))
+          .withColumn("avg_v", $"total" / $"n".cast("double"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+        |  ${graft.QueryDef.dsumSql("value")} AS total,
+        |  MAX(value) AS vmax, MIN(value) AS vmin,
+        |  ${graft.QueryDef.dsumSql("value")}
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_v
+        |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ── Skew-salted join — the hot-key mitigation pattern made explicit:
+    //    the fact side derives salt = hash(row) mod 8, the (tiny) dim side
+    //    explodes all 8 salts, and the join runs on (key, salt) — forced to
+    //    SortMergeJoin so the salt genuinely spreads each hot key's rows
+    //    across 8 shuffle partitions instead of one (with broadcast the
+    //    salt would be decorative). The gate proves the salted plan is
+    //    RESULT-IDENTICAL to the plain join the oracle runs; PlanShapeSpec
+    //    pins SMJ + salt in the join keys. At 100 TB this is the escape
+    //    hatch when one key holds 10% of a shuffle and AQE's skew split
+    //    can't apply (e.g. the key feeds a downstream keyed agg).
+    QueryDef(
+      "q166_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val dim = ev.select($"event_type").distinct()
+          .withColumn("weight",
+            (length($"event_type").cast("long") * 10L + 1L))
+        val salted = ev.withColumn("salt",
+          pmod(TextAnalysis.hash60Fast(s, $"event_id".cast("string")),
+            lit(8L)).cast("int"))
+        val dimSalted = dim
+          .withColumn("salt", explode(array((0 until 8).map(lit): _*)))
+        // floor-1e6 fixed point: value*weight is float-derived, so a
+        // decimal cast could tie HALF_UP vs HALF_EVEN — floor has no ties
+        salted.join(dimSalted.hint("merge"), Seq("event_type", "salt"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            (sum(floor(($"value" * $"weight".cast("double")) * lit(1e6))
+              .cast("long")).cast("double") / lit(1e6)).as("weighted_sum"))
+      },
+      Some("""WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(length(event_type) AS BIGINT) * 10 + 1 AS weight
+        |  FROM events)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(floor((e.value * CAST(dim.weight AS DOUBLE)) * 1e6)
+        |    AS BIGINT)) AS DOUBLE) / 1e6 AS weighted_sum
+        |FROM events e JOIN dim ON e.event_type = dim.event_type
+        |GROUP BY e.event_type""".stripMargin)),
+
+    // ── Priority sampling (Duffield–Lund–Thorup) — a weighted sample of
+    //    k=100 documents with UNBIASED subset-sum estimators, fully
+    //    deterministic: u = (hash60(doc_id)+1)/2^60 ∈ (0,1], priority
+    //    p = w/u, keep the top-k by p, and every kept item's estimated
+    //    weight is max(w, τ) where τ is the (k+1)-th priority. Two pinned
+    //    IEEE divisions per row (identical in both engines), top-101 via
+    //    TakeOrderedAndProject (per-partition heaps — no global sort), and
+    //    the rank window runs over exactly 101 rows at any corpus size.
+    //    Σ est_w over the sample is an unbiased estimate of Σ w over the
+    //    corpus — the sampling primitive for budget-bounded audits that
+    //    must overrepresent heavy documents.
+    QueryDef(
+      "q167_priority_sample",
+      (s, dir) => {
+        import s.implicits._
+        val Two60 = 1152921504606846976L // 2^60
+        val p = Tables.documents(s, dir)
+          .select($"doc_id", $"n_chars".as("w"),
+            ($"n_chars".cast("double") /
+              ((TextAnalysis.hash60($"doc_id".cast("string")) + lit(1L))
+                .cast("double") / lit(Two60).cast("double")))
+              .as("priority"))
+        val top = p.orderBy($"priority".desc, $"doc_id".asc).limit(101)
+          .withColumn("rnk",
+            row_number().over(Window.orderBy($"priority".desc, $"doc_id".asc)))
+        val tau = top.agg(
+          max(when($"rnk" === 101, $"priority")).as("tau"))
+        top.where($"rnk" <= 100)
+          .crossJoin(broadcast(tau))
+          .select($"rnk", $"doc_id", $"w",
+            greatest($"w".cast("double"), coalesce($"tau", lit(0.0)))
+              .as("est_w"))
+      },
+      Some("""WITH h AS (
+        |  SELECT doc_id, n_chars AS w,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS hv
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, w,
+        |    CAST(w AS DOUBLE) / (CAST(hv + 1 AS DOUBLE)
+        |      / CAST(1152921504606846976 AS DOUBLE)) AS priority
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, w, priority,
+        |    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rnk
+        |  FROM p QUALIFY rnk <= 101),
+        |tau AS (SELECT MAX(CASE WHEN rnk = 101 THEN priority END) AS tau
+        |  FROM r)
+        |SELECT rnk, doc_id, w,
+        |  GREATEST(CAST(w AS DOUBLE), COALESCE(tau.tau, 0.0)) AS est_w
+        |FROM r CROSS JOIN tau WHERE rnk <= 100""".stripMargin)),
+
+    // ── Rolling 7-day distinct users (WAU) per day — the sliding-window
+    //    distinct that RANGE window frames cannot express (COUNT DISTINCT
+    //    is not frame-mergeable): distinct (user, day) pairs fan out to
+    //    the ≤7 report days they support (bounded explode), then one keyed
+    //    agg per (report_day, user) collapses multi-day activity, then a
+    //    day-keyed count. DAU rides the same pass as a min-offset flag.
+    //    Corpus-scale work is the (user, day) distinct; the 7× fan-out is
+    //    on the POST-distinct rows — at 100 TB that is users×days, not
+    //    events.
+    QueryDef(
+      "q168_rolling_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val ud = Tables.events(s, dir)
+          .select($"user_id", to_date($"ts").as("d")).distinct()
+        val spine = ud.select($"d").distinct()
+        val fan = ud
+          .select($"user_id", $"d",
+            explode(sequence(lit(0), lit(6))).as("k"))
+          .select($"user_id", date_add($"d", $"k").as("report_d"), $"k")
+          .join(broadcast(spine.withColumnRenamed("d", "report_d")),
+            Seq("report_d"))
+        fan.groupBy($"report_d", $"user_id").agg(min($"k").as("mink"))
+          .groupBy($"report_d")
+          .agg(count(lit(1)).as("wau"),
+            sum(when($"mink" === 0, 1L).otherwise(0L)).as("dau"))
+      },
+      Some("""WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d FROM ud)
+        |SELECT days.d AS report_d,
+        |  COUNT(DISTINCT ud.user_id) AS wau,
+        |  CAST(COUNT(DISTINCT CASE WHEN ud.d = days.d THEN ud.user_id END)
+        |    AS BIGINT) AS dau
+        |FROM days JOIN ud
+        |  ON ud.d <= days.d AND ud.d >= days.d - 6
+        |GROUP BY days.d""".stripMargin)),
+
+    // ── Relational set operators — INTERSECT / EXCEPT (both directions) /
+    //    UNION DISTINCT over two content-hash sets (first-half vs
+    //    second-half sources), gating Spark's set-operator surface
+    //    end-to-end: cross-source duplicate content is exactly the
+    //    intersection. Each operator is one keyed distinct-shuffle on the
+    //    60-bit hash; counts stay in-plan (no driver collect).
+    QueryDef(
+      "q169_setops",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        def fps(pred: org.apache.spark.sql.Column) = docs.where(pred)
+          .select(TextAnalysis.hash60Fast(s, $"text").as("fp")).distinct()
+        val a = fps(regexp_extract($"source", "(\\d+)", 1).cast("int") < 10)
+        val b = fps(regexp_extract($"source", "(\\d+)", 1).cast("int") >= 10)
+        def tag(df: org.apache.spark.sql.DataFrame, op: String) =
+          df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), $"n")
+        tag(a.intersect(b), "intersect")
+          .unionByName(tag(a.except(b), "except_ab"))
+          .unionByName(tag(b.except(a), "except_ba"))
+          .unionByName(tag(a.union(b).distinct(), "union"))
+      },
+      Some("""WITH d AS (
+        |  SELECT CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS sn,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+        |  FROM documents),
+        |a AS (SELECT DISTINCT fp FROM d WHERE sn < 10),
+        |b AS (SELECT DISTINCT fp FROM d WHERE sn >= 10)
+        |SELECT 'intersect' AS op, COUNT(*) AS n
+        |  FROM (SELECT fp FROM a INTERSECT SELECT fp FROM b)
+        |UNION ALL SELECT 'except_ab', COUNT(*)
+        |  FROM (SELECT fp FROM a EXCEPT SELECT fp FROM b)
+        |UNION ALL SELECT 'except_ba', COUNT(*)
+        |  FROM (SELECT fp FROM b EXCEPT SELECT fp FROM a)
+        |UNION ALL SELECT 'union', COUNT(*)
+        |  FROM (SELECT fp FROM a UNION SELECT fp FROM b)""".stripMargin)),
+
+    // ── Unpivot / melt — wide→long reshaping via Spark's native unpivot
+    //    (Expand under the hood: each input row emits one row per measure
+    //    MAP-SIDE, no shuffle beyond the source agg). The wide side is the
+    //    per-source stats table; the long side is the (source, metric,
+    //    value) triple the dashboard/export layer wants. The oracle is the
+    //    dialect-neutral UNION ALL form.
+    QueryDef(
+      "q170_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        val wide = Tables.documents(s, dir)
+          .select($"source", TextAnalysis.tokenCount($"text").cast("long")
+            .as("t"), $"n_chars")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"t").as("n_tokens"),
+            sum($"n_chars").as("n_bytes"))
+        wide.unpivot(
+          Array($"source"),
+          Array($"n_docs", $"n_tokens", $"n_bytes"),
+          "metric", "value")
+      },
+      Some("""WITH w AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END)
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+        |  FROM documents GROUP BY source)
+        |SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
+        |UNION ALL SELECT source, 'n_tokens', n_tokens FROM w
+        |UNION ALL SELECT source, 'n_bytes', n_bytes FROM w""".stripMargin))
+  )
+}

@@ -2218,8 +2218,12 @@ object TrainingDataQueries {
     //    the top-k word types cover, for k ∈ {100, 1000, 10000}: the
     //    Zipf-coverage table that sizes a word-level vocabulary (and
     //    explains why subword tokenizers exist). The word-count table is
-    //    vocabulary-sized, so the global rank window runs over a bounded
-    //    frame — the corpus contributes exactly one word-count shuffle.
+    //    vocabulary-sized, and only ranks ≤ 10000 are consumed, so the
+    //    candidate set is bounded FIRST by a top-k limit (plans as
+    //    TakeOrderedAndProject — per-partition heaps of 10k, no global
+    //    sort); the single-partition rank window then runs over exactly
+    //    10k rows at any corpus size. The corpus contributes exactly one
+    //    word-count shuffle.
     QueryDef(
       "q163_vocab_coverage",
       (s, dir) => {
@@ -2230,6 +2234,7 @@ object TrainingDataQueries {
           .groupBy($"tok").agg(count(lit(1)).as("c"))
         val tot = wc.agg(sum($"c").as("total"), count(lit(1)).as("n_types"))
         val ranked = wc
+          .orderBy($"c".desc, $"tok".asc).limit(10000)
           .withColumn("rnk",
             row_number().over(Window.orderBy($"c".desc, $"tok".asc)))
         ranked
