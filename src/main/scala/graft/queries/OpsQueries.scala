@@ -21,6 +21,36 @@ object OpsQueries {
   /** Stopword literal shared by the Spark and oracle sides of q164. */
   private val Stop = TextAnalysis.stopwords
 
+  /** Per-document Gopher-rule flags r1–r5 for [[defs q164]], exposed so
+    * fixture tests can pin each rule's boundary on literal texts. Every
+    * threshold is an integer cross-multiplication — no float compares.
+    */
+  def gopherFlags(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val ws = TextAnalysis.tokens(text)
+    val stopArr = array(Stop.map(lit): _*)
+    df.withColumn("n_words", size(ws).cast("long"))
+      .withColumn("sum_wlen",
+        aggregate(ws, lit(0L), (acc, x) => acc + length(x).cast("long")))
+      .withColumn("n_alpha",
+        size(filter(ws, x => x.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(ws, x => array_contains(stopArr, x))).cast("long"))
+      .withColumn("n_hash",
+        (length(text) - length(regexp_replace(text, "#", ""))).cast("long"))
+      .withColumn("n_ell",
+        ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3)
+          .cast("long"))
+      .withColumn("r1", col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("r2", lit(3L) * col("n_words") <= col("sum_wlen") &&
+        col("sum_wlen") <= lit(10L) * col("n_words"))
+      .withColumn("r3",
+        lit(10L) * (col("n_hash") + col("n_ell")) <= col("n_words"))
+      .withColumn("r4", lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"))
+      .withColumn("r5", col("n_stop") >= 2L)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ── Gopher-style rule filter — the hard-rule document gate from the
@@ -35,28 +65,8 @@ object OpsQueries {
       "q164_gopher_rules",
       (s, dir) => {
         import s.implicits._
-        val ws = TextAnalysis.tokens($"text")
-        val stopArr = array(Stop.map(lit): _*)
-        val d = Tables.documents(s, dir).select(
-          $"source",
-          size(ws).cast("long").as("n_words"),
-          aggregate(ws, lit(0L), (acc, x) => acc + length(x).cast("long"))
-            .as("sum_wlen"),
-          size(filter(ws, x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
-          size(filter(ws, x => array_contains(stopArr, x))).cast("long")
-            .as("n_stop"),
-          (length($"text") - length(regexp_replace($"text", "#", "")))
-            .cast("long").as("n_hash"),
-          ((length($"text") -
-            length(regexp_replace($"text", "\\.\\.\\.", ""))) / 3)
-            .cast("long").as("n_ell"))
-        d.select($"source",
-            ($"n_words" >= 50L && $"n_words" <= 100000L).as("r1"),
-            (lit(3L) * $"n_words" <= $"sum_wlen" &&
-              $"sum_wlen" <= lit(10L) * $"n_words").as("r2"),
-            (lit(10L) * ($"n_hash" + $"n_ell") <= $"n_words").as("r3"),
-            (lit(5L) * $"n_alpha" >= lit(4L) * $"n_words").as("r4"),
-            ($"n_stop" >= 2L).as("r5"))
+        gopherFlags(Tables.documents(s, dir).select($"source", $"text"),
+            "text")
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"),
             sum(when($"r1", 1L).otherwise(0L)).as("p_len"),

@@ -399,4 +399,39 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q160_frame_sample")
     assert(!p.contains("Exchange"), p.take(1200))
   }
+
+  test("q163 vocab rank window input is bounded by a TakeOrdered top-10k") {
+    val p = planOf("q163_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+  }
+
+  test("q164 gopher rules: all rules ride one scan and one exchange") {
+    val p = planOf("q164_gopher_rules")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+  }
+
+  test("q166 salted join is a SortMergeJoin keyed on (event_type, salt)") {
+    val p = planOf("q166_salted_join")
+    assert(p.contains("SortMergeJoin"), p.take(1600))
+    // the salt must be IN the join keys — that's what spreads a hot key
+    val smj = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
+    assert(smj.contains("salt"), smj)
+  }
+
+  test("q167 priority sample: top-101 via TakeOrderedAndProject heaps") {
+    val p = planOf("q167_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+  }
+
+  test("q168 rolling distinct: fan-out joins the broadcast day spine") {
+    val p = planOf("q168_rolling_distinct")
+    assert(p.contains("BroadcastHashJoin"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q170 unpivot plans as a map-side Expand") {
+    val p = planOf("q170_unpivot")
+    assert(p.contains("Expand"), p.take(1600))
+  }
 }
