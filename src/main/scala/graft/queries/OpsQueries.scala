@@ -357,6 +357,169 @@ object OpsQueries {
         |  FROM documents GROUP BY source)
         |SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
         |UNION ALL SELECT source, 'n_tokens', n_tokens FROM w
-        |UNION ALL SELECT source, 'n_bytes', n_bytes FROM w""".stripMargin))
+        |UNION ALL SELECT source, 'n_bytes', n_bytes FROM w""".stripMargin)),
+
+    // ── Forward as-of join with tolerance — for every `error` event, the
+    //    first `click` by the SAME user strictly after it and within 5
+    //    minutes (the "recovery latency" shape; the mirror of q27's
+    //    backward as-of). Expressed as ONE conditional min over an exact-
+    //    micros RANGE frame — no self-join, no fan-out: the window shuffle
+    //    is keyed on user_id and the frame is time-bounded, so state per
+    //    key is the 5-minute horizon at any scale (and the same plan runs
+    //    incrementally as a watermarked stream-stream interval join).
+    QueryDef(
+      "q172_asof_forward",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"user_id", $"event_type",
+            unix_micros($"ts").as("us"))
+        val w = Window.partitionBy($"user_id").orderBy($"us")
+          .rangeBetween(1L, 300000000L)
+        ev.withColumn("next_click_us",
+            min(when($"event_type" === "click", $"us")).over(w))
+          .where($"event_type" === "error")
+          .select($"event_id", $"user_id", $"us".as("err_us"),
+            $"next_click_us",
+            ($"next_click_us" - $"us").as("latency_us"),
+            $"next_click_us".isNotNull.as("matched"))
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events)
+        |SELECT event_id, user_id, us AS err_us, next_click_us,
+        |  next_click_us - us AS latency_us,
+        |  next_click_us IS NOT NULL AS matched
+        |FROM (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' THEN us END) OVER (
+        |    PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 1 FOLLOWING AND 300000000 FOLLOWING)
+        |    AS next_click_us
+        |  FROM e)
+        |WHERE event_type = 'error'""".stripMargin)),
+
+    // ── Window-function suite — first_value / last_value / nth_value over
+    //    the full-partition frame, cume_dist and dense_rank, gated in one
+    //    query: the remaining analytic-window surface stated explicitly.
+    //    The order key (us, event_id) is tie-free, so cume_dist is one
+    //    exact integer division per row (floored to 1e-9 fixed point);
+    //    dense_rank runs over the categorical key where ties are REQUIRED
+    //    and deterministic. One user-keyed window shuffle total.
+    QueryDef(
+      "q173_window_suite",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"user_id", $"event_type",
+            unix_micros($"ts").as("us"))
+        val ord = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        val full = ord.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        ev.select($"event_id", $"user_id",
+          first($"event_type").over(full).as("first_et"),
+          last($"event_type").over(full).as("last_et"),
+          nth_value($"event_type", 2).over(full).as("second_et"),
+          floor(cume_dist().over(ord) * lit(1e9)).cast("long").as("cd9"),
+          dense_rank().over(
+            Window.partitionBy($"user_id").orderBy($"event_type"))
+            .cast("long").as("type_rank"))
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  first_value(event_type) OVER f AS first_et,
+        |  last_value(event_type) OVER f AS last_et,
+        |  nth_value(event_type, 2) OVER f AS second_et,
+        |  CAST(floor(cume_dist() OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) * 1e9) AS BIGINT)
+        |    AS cd9,
+        |  CAST(dense_rank() OVER
+        |    (PARTITION BY user_id ORDER BY event_type) AS BIGINT)
+        |    AS type_rank
+        |FROM e
+        |WINDOW f AS (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+        .stripMargin)),
+
+    // ── Seasonal baseline vs actual — expected hourly event counts per
+    //    (type, day-of-week, hour) learned from the first 21 days, scored
+    //    against the final 7 days on a gap-filled (type × day × hour)
+    //    spine, in 1e-6 fixed point (expected = total·1e6 div n_days —
+    //    integer, so partial-agg order is irrelevant). Day-of-week is
+    //    days-since-epoch mod 7 (pure integer arithmetic — immune to the
+    //    Sunday=0-vs-1 dialect drift). The model state is ≤ types×7×24
+    //    rows (broadcast at any scale); the corpus contributes one
+    //    filtered keyed agg per side — q108's spike detector generalized
+    //    to a weekly-seasonal baseline.
+    QueryDef(
+      "q174_seasonal_baseline",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"event_type", to_date($"ts").as("d"),
+            hour($"ts").cast("long").as("h"))
+          .withColumn("dow",
+            pmod(datediff($"d", lit("1970-01-01").cast("date")), lit(7)))
+        val bounds = ev.agg(min($"d").as("mind"), max($"d").as("maxd"))
+        val tagged = ev.crossJoin(broadcast(bounds))
+        val train = tagged.where(datediff($"d", $"mind") < 21)
+        val ndays = train.select($"dow", $"d").distinct()
+          .groupBy($"dow").agg(count(lit(1)).as("n_days"))
+        val expect = train.groupBy($"event_type", $"dow", $"h")
+          .agg(count(lit(1)).as("c_train"))
+          .join(broadcast(ndays), "dow")
+          .select($"event_type", $"dow", $"h",
+            expr("(c_train * 1000000) div n_days").as("expected_fp"))
+        val testDays = tagged.where(datediff($"maxd", $"d") < 7)
+          .select($"d", $"dow").distinct()
+        val types = ev.select($"event_type").distinct()
+        val spine = testDays
+          .crossJoin(types)
+          .withColumn("h", explode(sequence(lit(0L), lit(23L))))
+        val actual = tagged.where(datediff($"maxd", $"d") < 7)
+          .groupBy($"event_type", $"d", $"h")
+          .agg(count(lit(1)).as("actual"))
+        spine
+          .join(actual, Seq("event_type", "d", "h"), "left")
+          .na.fill(0L, Seq("actual"))
+          .join(broadcast(expect), Seq("event_type", "dow", "h"), "left")
+          .na.fill(0L, Seq("expected_fp"))
+          .select($"event_type", $"d", $"h", $"actual", $"expected_fp",
+            ($"actual" * 1000000L - $"expected_fp").as("diff_fp"))
+      },
+      Some("""WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, hour(ts) AS h,
+        |    ((CAST(ts AS DATE) - DATE '1970-01-01') % 7 + 7) % 7 AS dow
+        |  FROM events),
+        |b AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM e),
+        |train AS (SELECT e.* FROM e CROSS JOIN b WHERE e.d - b.mind < 21),
+        |nd AS (SELECT dow, COUNT(*) AS n_days
+        |  FROM (SELECT DISTINCT dow, d FROM train) GROUP BY dow),
+        |ex AS (
+        |  SELECT event_type, t.dow, h,
+        |    (COUNT(*) * 1000000) // MAX(nd.n_days) AS expected_fp
+        |  FROM train t JOIN nd ON t.dow = nd.dow
+        |  GROUP BY event_type, t.dow, h),
+        |test AS (SELECT e.* FROM e CROSS JOIN b WHERE b.maxd - e.d < 7),
+        |td AS (SELECT DISTINCT d, dow FROM test),
+        |ty AS (SELECT DISTINCT event_type FROM e),
+        |spine AS (
+        |  SELECT ty.event_type, td.d, td.dow, hh.h
+        |  FROM td CROSS JOIN ty
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) hh),
+        |act AS (
+        |  SELECT event_type, d, h, COUNT(*) AS actual
+        |  FROM test GROUP BY 1, 2, 3)
+        |SELECT s.event_type, s.d, s.h,
+        |  CAST(COALESCE(a.actual, 0) AS BIGINT) AS actual,
+        |  CAST(COALESCE(ex.expected_fp, 0) AS BIGINT) AS expected_fp,
+        |  CAST(COALESCE(a.actual, 0) * 1000000 - COALESCE(ex.expected_fp, 0)
+        |    AS BIGINT) AS diff_fp
+        |FROM spine s
+        |  LEFT JOIN act a ON s.event_type = a.event_type AND s.d = a.d
+        |    AND s.h = a.h
+        |  LEFT JOIN ex ON s.event_type = ex.event_type AND s.dow = ex.dow
+        |    AND s.h = ex.h""".stripMargin))
   )
 }

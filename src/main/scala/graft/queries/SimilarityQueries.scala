@@ -815,52 +815,78 @@ object SimilarityQueries {
             coalesce($"mutual", lit(false)).as("mutual"))
       },
       Some {
-        val perTable = (0 until LshTables).map { t =>
-          val sig = (t * LshTablePlanes until (t + 1) * LshTablePlanes)
-            .map(p => s"b$p").mkString(" || ")
-          s"SELECT vec_id, $t AS table_id, $sig AS bucket FROM bits"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH terms AS (
-        |  SELECT vec_id, embedding AS e,
-        |    unnest(generate_series(1, len(embedding))) AS i
-        |  FROM embeddings),
-        |bits AS MATERIALIZED (
-        |  SELECT vec_id,
-        |    ${planeBitsSql(LshTables * LshTablePlanes)}
-        |  FROM terms GROUP BY 1),
-        |bands AS (
-        |  $perTable),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-        |  FROM bands a JOIN bands b
-        |    ON a.table_id = b.table_id AND a.bucket = b.bucket
-        |      AND a.vec_id <> b.vec_id),
-        |e AS (SELECT vec_id, embedding FROM embeddings),
-        |rterms AS (
-        |  SELECT src, dst, a.embedding AS ea, b.embedding AS eb,
-        |    unnest(generate_series(1, len(a.embedding))) AS i
-        |  FROM cand JOIN e a ON src = a.vec_id JOIN e b ON dst = b.vec_id),
-        |dots AS (
-        |  SELECT src, dst,
-        |    ${dotSql("ea", "eb")} AS dot,
-        |    ${dotSql("ea", "ea")} AS na,
-        |    ${dotSql("eb", "eb")} AS nb
-        |  FROM rterms GROUP BY src, dst, ea, eb),
-        |scored AS (
-        |  SELECT src, dst,
-        |    ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot / (sqrt(na) * sqrt(nb))
-        |         ELSE 0.0 END, 9) AS cos
-        |  FROM dots),
-        |edges AS MATERIALIZED (
-        |  SELECT src, dst, CAST(rank AS INT) AS rank, cos FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-        |      ORDER BY cos DESC, dst ASC) AS rank
-        |    FROM scored)
-        |  WHERE rank <= 3)
+        s"""$knnEdgesCtesSql
         |SELECT x.src, x.dst, x.rank, x.cos,
         |  y.src IS NOT NULL AS mutual
         |FROM edges x LEFT JOIN edges y
         |  ON x.src = y.dst AND x.dst = y.src""".stripMargin
+      }),
+
+    // ── PageRank over the kNN graph — 5 damped power-iteration rounds on
+    //    the q149 edge list, entirely in 1e-9 FIXED POINT: contributions
+    //    are integer divisions pr div outdeg, the damped update is
+    //    150_000_000 + (85·Σ) div 100 — no float accumulation anywhere, so
+    //    partial-agg order cannot move a single bit and both engines land
+    //    on identical longs. Scale shape: each round is one keyed agg over
+    //    the (≤3n-row) edge list + one left join onto the node list, with
+    //    a per-round localCheckpoint (the label-prop CC posture); the
+    //    centrality scores rank which documents anchor semantic
+    //    neighborhoods — the "importance" signal for cluster-keeper
+    //    selection and curriculum seeding.
+    QueryDef(
+      "q171_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val edges = knnEdgesCached(s, dir).select($"src", $"dst")
+        val outd = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+        val ewd = edges.join(outd, "src").localCheckpoint()
+        val nodes = edges.select($"src".as("vec_id"))
+          .union(edges.select($"dst".as("vec_id"))).distinct()
+          .localCheckpoint()
+        var pr = nodes.withColumn("pr", lit(1000000000L))
+        for (_ <- 1 to 5) {
+          val contrib = ewd
+            .join(pr.withColumnRenamed("vec_id", "src"), "src")
+            .select($"dst", expr("pr div outdeg").as("c"))
+            .groupBy($"dst").agg(sum($"c").as("sc"))
+          pr = nodes
+            .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"),
+              "left")
+            .select($"vec_id",
+              (lit(150000000L) +
+                expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
+                .as("pr"))
+            .localCheckpoint()
+        }
+        val top = pr.orderBy($"pr".desc, $"vec_id".asc).limit(20)
+        top.withColumn("rank",
+            row_number().over(Window.orderBy($"pr".desc, $"vec_id".asc))
+              .cast("int"))
+          .select($"rank", $"vec_id", $"pr")
+      },
+      Some {
+        def round(k: Int) = s"""pr$k AS (
+        |  SELECT n.vec_id,
+        |    CAST(150000000 + (85 * COALESCE(SUM(c.c), 0)) // 100 AS BIGINT)
+        |      AS pr
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, p.pr // o.outdeg AS c
+        |    FROM edges e JOIN outd o ON e.src = o.src
+        |      JOIN pr${k - 1} p ON e.src = p.vec_id) c
+        |    ON c.dst = n.vec_id
+        |  GROUP BY n.vec_id)"""
+        s"""$knnEdgesCtesSql,
+        |outd AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT vec_id FROM (
+        |  SELECT src AS vec_id FROM edges
+        |  UNION ALL SELECT dst FROM edges)),
+        |pr0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+        |${(1 to 5).map(round).mkString(",\n")}
+        |SELECT CAST(rnk AS INT) AS rank, vec_id, pr FROM (
+        |  SELECT vec_id, pr,
+        |    ROW_NUMBER() OVER (ORDER BY pr DESC, vec_id ASC) AS rnk
+        |  FROM pr5)
+        |WHERE rnk <= 20""".stripMargin
       }),
 
     // ── Semantic clusters — connected components over the MUTUAL edges of
@@ -1036,6 +1062,56 @@ object SimilarityQueries {
   /** Hash tables × planes-per-table for the multi-table LSH near-dup. */
   val LshTables = 3
   val LshTablePlanes = 8
+
+  /** Oracle CTE chain replaying the full kNN-edge substrate (LSH bands →
+    * candidates → exact rescore → top-3 ranks) through `edges AS
+    * MATERIALIZED`; q149 and q171 append their final SELECTs to it — the
+    * SQL twin of [[knnEdgesCached]].
+    */
+  private def knnEdgesCtesSql: String = {
+    val perTable = (0 until LshTables).map { t =>
+      val sig = (t * LshTablePlanes until (t + 1) * LshTablePlanes)
+        .map(p => s"b$p").mkString(" || ")
+      s"SELECT vec_id, $t AS table_id, $sig AS bucket FROM bits"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH terms AS (
+    |  SELECT vec_id, embedding AS e,
+    |    unnest(generate_series(1, len(embedding))) AS i
+    |  FROM embeddings),
+    |bits AS MATERIALIZED (
+    |  SELECT vec_id,
+    |    ${planeBitsSql(LshTables * LshTablePlanes)}
+    |  FROM terms GROUP BY 1),
+    |bands AS (
+    |  $perTable),
+    |cand AS (
+    |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+    |  FROM bands a JOIN bands b
+    |    ON a.table_id = b.table_id AND a.bucket = b.bucket
+    |      AND a.vec_id <> b.vec_id),
+    |e AS (SELECT vec_id, embedding FROM embeddings),
+    |rterms AS (
+    |  SELECT src, dst, a.embedding AS ea, b.embedding AS eb,
+    |    unnest(generate_series(1, len(a.embedding))) AS i
+    |  FROM cand JOIN e a ON src = a.vec_id JOIN e b ON dst = b.vec_id),
+    |dots AS (
+    |  SELECT src, dst,
+    |    ${dotSql("ea", "eb")} AS dot,
+    |    ${dotSql("ea", "ea")} AS na,
+    |    ${dotSql("eb", "eb")} AS nb
+    |  FROM rterms GROUP BY src, dst, ea, eb),
+    |scored AS (
+    |  SELECT src, dst,
+    |    ROUND(CASE WHEN na > 0 AND nb > 0 THEN dot / (sqrt(na) * sqrt(nb))
+    |         ELSE 0.0 END, 9) AS cos
+    |  FROM dots),
+    |edges AS MATERIALIZED (
+    |  SELECT src, dst, CAST(rank AS INT) AS rank, cos FROM (
+    |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+    |      ORDER BY cos DESC, dst ASC) AS rank
+    |    FROM scored)
+    |  WHERE rank <= 3)""".stripMargin
+  }
 
   /** Oracle fragment: one `'1'/'0'` sign bit per hyperplane, matching
     * [[graft.ext.Similarity.lshSignature]]'s decimal projection exactly.

@@ -434,4 +434,26 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q170_unpivot")
     assert(p.contains("Expand"), p.take(1600))
   }
+
+  test("q171 pagerank rounds are keyed joins over the edge list, no cartesian") {
+    val p = planOf("q171_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q172 forward as-of is one keyed window — no self-join, no fan-out") {
+    val p = planOf("q172_asof_forward")
+    assert(!p.contains("Join"), p.take(1600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+  }
+
+  test("q173 window suite shares ONE user-keyed exchange across all specs") {
+    val p = planOf("q173_window_suite")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+  }
+
+  test("q174 seasonal: model and spine joins broadcast, actuals keyed") {
+    val p = planOf("q174_seasonal_baseline")
+    assert(p.contains("BroadcastHashJoin"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
 }

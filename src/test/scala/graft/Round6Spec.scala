@@ -124,6 +124,55 @@ class Round6Spec extends SparkSpec {
     assert(un >= inter && ab >= 0 && ba >= 0)
   }
 
+  test("q171 pagerank: 20 ranked rows, descending, never below the base") {
+    val rows = SparkEntry.queries("q171_pagerank")(spark, dir)
+      .orderBy("rank").collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    val prs = rows.map(_.getAs[Long]("pr"))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b })
+    // damped base: every node keeps at least the teleport mass
+    assert(prs.forall(_ >= 150000000L))
+  }
+
+  test("q172 forward as-of: latency within (0, 5min], null iff unmatched") {
+    val rows = SparkEntry.queries("q172_asof_forward")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val matched = r.getAs[Boolean]("matched")
+      if (matched) {
+        val lat = r.getAs[Long]("latency_us")
+        assert(lat >= 1L && lat <= 300000000L, lat)
+      } else assert(r.isNullAt(r.fieldIndex("latency_us")))
+    }
+  }
+
+  test("q173 window suite: cume_dist tops out at 1e9 once per user") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q173_window_suite")(spark, dir)
+    val per = out.groupBy($"user_id")
+      .agg(max($"cd9").as("mx"),
+        countDistinct($"first_et").as("nf"),
+        countDistinct($"last_et").as("nl"),
+        sum(when($"cd9" === 1000000000L, 1L).otherwise(0L)).as("ntop"))
+      .collect()
+    per.foreach { r =>
+      assert(r.getAs[Long]("mx") == 1000000000L)
+      assert(r.getAs[Long]("nf") == 1L && r.getAs[Long]("nl") == 1L)
+      assert(r.getAs[Long]("ntop") == 1L)
+    }
+  }
+
+  test("q174 seasonal: full 5x7x24 spine, diff ties out") {
+    val rows = SparkEntry.queries("q174_seasonal_baseline")(spark, dir)
+      .collect()
+    assert(rows.length == 5 * 7 * 24)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("diff_fp") ==
+        r.getAs[Long]("actual") * 1000000L - r.getAs[Long]("expected_fp"))
+    }
+  }
+
   test("q170 unpivot emits 3 metric rows per source, values match wide") {
     import org.apache.spark.sql.functions._
     val long = SparkEntry.queries("q170_unpivot")(spark, dir)
