@@ -183,6 +183,129 @@ object EventStream {
       }
   }
 
+  case class AsofEvent(user_id: Long, event_type: String, event_id: Long,
+      ts: java.time.Instant) {
+    def us: Long = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+  }
+  case class AsofMatch(event_id: Long, user_id: Long, err_us: Long,
+      next_click_us: Option[Long], latency_us: Option[Long],
+      matched: Boolean)
+
+  /** Streaming forward as-of join — q172's "first click within 5 minutes
+    * after each error" as keyed state: per user, pending errors wait in
+    * state until either a qualifying click arrives (emit matched) or the
+    * EVENT-TIME TIMEOUT fires past the tolerance horizon (emit unmatched)
+    * — so every error is emitted exactly once and state per user is
+    * bounded by the errors inside one tolerance window (+ lateness).
+    * Micro-batch groups are sorted by (us, event_id) before the fold, so
+    * under ordered arrival the MATCHED output equals the batch q172
+    * RANGE-frame window bit for bit, and unmatched errors emit as soon as
+    * any event proves the horizon passed (StreamingSpec pins both). The
+    * scale posture of a streaming as-of: state never holds the click side
+    * at all — clicks only probe and retire pending errors.
+    */
+  def asofForwardStream(events: DataFrame,
+      toleranceUs: Long = 300000000L): Dataset[AsofMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .where(col("event_type").isin("error", "click")).as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[AsofEvent],
+            state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            // horizon passed: every pending error is definitively unmatched
+            val pending = state.getOption.getOrElse(Nil)
+            state.remove()
+            pending.sortBy(identity).iterator.map { case (us, id) =>
+              AsofMatch(id, user, us, None, None, matched = false)
+            }
+          } else {
+            val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+            var pending = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
+            evs.foreach { e =>
+              if (e.event_type == "error") pending ::= (e.us, e.event_id)
+              else {
+                val (hit, keep) = pending.partition { case (us, _) =>
+                  e.us > us && e.us - us <= toleranceUs
+                }
+                hit.sortBy(identity).foreach { case (us, id) =>
+                  out += AsofMatch(id, user, us, Some(e.us),
+                    Some(e.us - us), matched = true)
+                }
+                // clicks also expire pending errors beyond the tolerance
+                val (dead, live) = keep.partition(_._1 + toleranceUs < e.us)
+                dead.sortBy(identity).foreach { case (us, id) =>
+                  out += AsofMatch(id, user, us, None, None, matched = false)
+                }
+                pending = live
+              }
+            }
+            if (pending.nonEmpty) {
+              state.update(pending)
+              // wake when event time passes the oldest pending horizon
+              state.setTimeoutTimestamp(
+                (pending.map(_._1).min + toleranceUs) / 1000L + 1L)
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
+  /** Incremental materialized-view maintenance via foreachBatch — q165's
+    * merge contract run as a stream: each micro-batch is rolled up to
+    * per-type partials (count / exact-decimal sum / max / min) and merged
+    * into a parquet state table by re-aggregation (sums add, counts add,
+    * extrema compose). The state table is #types rows at any stream
+    * length, each refresh touches only the arriving batch, and decimal
+    * partials make the merged sum EXACTLY the monolithic sum regardless
+    * of how the stream was batched — the warehouse-upsert pattern stated
+    * as code. Returns the final state table.
+    */
+  def rollupMaintain(spark: SparkSession, events: DataFrame,
+      statePath: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4)))
+          .cast(DecimalType(18, 4)).as("total_dec"),
+        max(col("value")).as("vmax"), min(col("value")).as("vmin"))
+    val q = events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val incoming = partials(batch)
+        val merged =
+          if (new java.io.File(statePath).exists()) {
+            spark.read.parquet(statePath)
+              .withColumn("total_dec",
+                col("total_dec").cast(DecimalType(18, 4)))
+              .unionByName(incoming)
+              .groupBy(col("event_type"))
+              .agg(sum(col("n")).as("n"),
+                sum(col("total_dec")).cast(DecimalType(18, 4))
+                  .as("total_dec"),
+                max(col("vmax")).as("vmax"), min(col("vmin")).as("vmin"))
+          } else incoming
+        // state tables are tiny (#types rows): localCheckpoint breaks the
+        // lineage onto the old files so the overwrite can't race the read
+        merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(statePath)
+      .withColumn("total", col("total_dec").cast("double"))
+      .withColumn("avg_v", col("total") / col("n").cast("double"))
+      .drop("total_dec")
+  }
+
   /** Online anomaly scoring with an offline-trained model — the
     * batch-train / stream-score split every production monitor runs:
     * `stats` is the (event_type, mean, std) table the BATCH q108 pipeline

@@ -334,4 +334,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0 && streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming forward as-of: matched pairs equal the batch q172 window") {
+    val streamed = EventStream.runToBatch(spark,
+      EventStream.asofForwardStream(EventStream.readStream(spark, dir))
+        .toDF(),
+      "asof_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = SparkEntry
+      .queries("q172_asof_forward")(spark, "/root/testdata/sf0.001")
+    // matched rows must agree bit for bit
+    val sm = streamed.where($"matched")
+      .select($"event_id", $"user_id", $"err_us", $"next_click_us",
+        $"latency_us")
+    val bm = batch.where($"matched")
+      .select($"event_id", $"user_id", $"err_us", $"next_click_us",
+        $"latency_us")
+    assert(sm.count() > 0 && sm.count() == bm.count())
+    assert(sm.exceptAll(bm).isEmpty && bm.exceptAll(sm).isEmpty)
+    // every emitted unmatched error is unmatched in batch too, and every
+    // error whose horizon a later click provably passed HAS been emitted
+    val su = streamed.where(!$"matched").select($"event_id")
+    val bu = batch.where(!$"matched").select($"event_id")
+    assert(su.exceptAll(bu).isEmpty)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("us"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"us".as("click_us"))
+    val provable = batch.where(!$"matched")
+      .join(clicks, Seq("user_id"))
+      .where($"click_us" > $"err_us" + 300000000L)
+      .select($"event_id").distinct()
+    assert(provable.exceptAll(su).isEmpty)
+  }
+
+  test("foreachBatch rollup maintenance converges to the monolithic rollup") {
+    import org.apache.spark.sql.types.DecimalType
+    val statePath = Files.createTempDirectory("graft_mv").toString + "/state"
+    // force multiple micro-batches so the merge path genuinely runs
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val fin = EventStream.rollupMaintain(spark, stream, statePath)
+      .orderBy("event_type").collect()
+    val mono = spark.read.parquet(dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 4))).cast("double").as("total"),
+        max($"value").as("vmax"), min($"value").as("vmin"))
+      .withColumn("avg_v", $"total" / $"n".cast("double"))
+      .orderBy("event_type").collect()
+    assert(fin.length == mono.length && fin.length > 0)
+    fin.zip(mono).foreach { case (f, m) =>
+      assert(f.getAs[String]("event_type") == m.getAs[String]("event_type"))
+      assert(f.getAs[Long]("n") == m.getAs[Long]("n"))
+      assert(f.getAs[Double]("total") == m.getAs[Double]("total"))
+      assert(f.getAs[Double]("vmax") == m.getAs[Double]("vmax"))
+      assert(f.getAs[Double]("vmin") == m.getAs[Double]("vmin"))
+      assert(f.getAs[Double]("avg_v") == m.getAs[Double]("avg_v"))
+    }
+  }
 }
