@@ -520,6 +520,168 @@ object OpsQueries {
         |  LEFT JOIN act a ON s.event_type = a.event_type AND s.d = a.d
         |    AND s.h = a.h
         |  LEFT JOIN ex ON s.event_type = ex.event_type AND s.dow = ex.dow
-        |    AND s.h = ex.h""".stripMargin))
+        |    AND s.h = ex.h""".stripMargin)),
+
+    // ── Local-supply revenue (the TPC-H Q5 shape) — the 6-table star
+    //    join: region → nation → customer → orders → lineitem → supplier,
+    //    with the customer-and-supplier-share-a-nation equality that makes
+    //    Q5 the classic join-order workout. Spark plan: every dimension
+    //    side broadcasts (region/nation always; customer under AQE), the
+    //    fact table is scanned once with the date filter pushed down, and
+    //    the only shuffle is the final per-nation agg. Revenue uses the
+    //    exact decimal sum, so join order cannot move a bit.
+    QueryDef(
+      "q175_local_supply",
+      (s, dir) => {
+        import s.implicits._
+        import graft.QueryDef.dsum
+        val region = Tables.region(s, dir).where($"r_name" === "ASIA")
+        val nation = Tables.nation(s, dir)
+        val cust = Tables.customer(s, dir)
+        val sup = Tables.supplier(s, dir)
+        val ord = Tables.orders(s, dir)
+          .where(year($"o_orderdate") === 1996)
+        val li = Tables.lineitem(s, dir)
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey" &&
+            $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT n_name,
+        |  ${graft.QueryDef.dsumSql("l_extendedprice * (1.0 - l_discount)", 6)}
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |    AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+        |GROUP BY n_name""".stripMargin)),
+
+    // ── Sentence statistics — the sentence-segmentation profile (counts,
+    //    not NLP): sentences = non-blank spans between [.!?]+ runs, token
+    //    mass per sentence in 1e-6 fixed point. One narrow projection
+    //    (the split rides the same scan as every other text signal) → one
+    //    20-row agg; the regex stays in the Java/RE2 common subset.
+    QueryDef(
+      "q176_sentence_stats",
+      (s, dir) => {
+        import s.implicits._
+        val sents = filter(split($"text", "[.!?]+"),
+          x => length(trim(x)) > 0)
+        val d = Tables.documents(s, dir)
+          .select($"source",
+            size(sents).cast("long").as("n_sent"),
+            TextAnalysis.tokenCount($"text").cast("long").as("n_tok"))
+        d.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_sent").as("total_sentences"),
+            max($"n_sent").as("max_sentences"),
+            expr("(sum(n_tok) * 1000000) div greatest(sum(n_sent), 1)")
+              .as("tokens_per_sentence_fp"))
+      },
+      Some("""WITH d AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      x -> length(trim(x)) > 0)) AS BIGINT) AS n_sent,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END
+        |      AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_sent) AS BIGINT) AS total_sentences,
+        |  CAST(MAX(n_sent) AS BIGINT) AS max_sentences,
+        |  CAST((SUM(n_tok) * 1000000) // greatest(SUM(n_sent), 1) AS BIGINT)
+        |    AS tokens_per_sentence_fp
+        |FROM d GROUP BY source""".stripMargin)),
+
+    // ── SQL subquery surface — correlated EXISTS / NOT EXISTS and a
+    //    scalar subquery, fed verbatim through the spark.sql front door
+    //    (q89's posture): Catalyst must decorrelate the EXISTS into a
+    //    semi/anti join and plan the scalar subquery as a broadcast
+    //    one-row cross — the rewrite surface this gate pins end to end.
+    //    The threshold is MAX/2 (exact IEEE halving), never AVG, so no
+    //    float accumulation enters the predicate.
+    QueryDef(
+      "q177_sql_subqueries",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT c.c_mktsegment,
+            COUNT(*) AS n_cust,
+            CAST(SUM(CASE WHEN EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice >
+                  (SELECT MAX(o2.o_totalprice) / 2 FROM orders o2))
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders,
+            CAST(SUM(CASE WHEN NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+          FROM customer c
+          GROUP BY c.c_mktsegment""")
+      },
+      Some("""SELECT c.c_mktsegment,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(CASE WHEN EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_totalprice >
+        |        (SELECT MAX(o2.o_totalprice) / 2 FROM orders o2))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders,
+        |  CAST(SUM(CASE WHEN NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+        |FROM customer c
+        |GROUP BY c.c_mktsegment""".stripMargin)),
+
+    // ── Array-function profile — array_distinct / array_intersect-style
+    //    set algebra over the token arrays, aggregated per source. The
+    //    stopword-overlap twin is written as filter(distinct) in BOTH
+    //    dialects so element order (which the engines are free to differ
+    //    on) never reaches the output — only set SIZES do.
+    QueryDef(
+      "q178_array_ops",
+      (s, dir) => {
+        import s.implicits._
+        val ws = TextAnalysis.tokens($"text")
+        val stopArr = array(Stop.map(lit): _*)
+        val d = Tables.documents(s, dir).select(
+          $"source",
+          size(array_distinct(ws)).cast("long").as("n_distinct"),
+          size(filter(array_distinct(ws), x => array_contains(stopArr, x)))
+            .cast("long").as("n_stop_types"))
+        d.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_distinct").as("distinct_sum"),
+            max($"n_distinct").as("distinct_max"),
+            sum($"n_stop_types").as("stop_type_sum"))
+      },
+      Some(s"""WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(list_distinct(ws), x -> list_contains(
+        |      [${Stop.map(w => s"'$w'").mkString(", ")}], x))) AS BIGINT)
+        |      AS n_stop_types
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_distinct) AS BIGINT) AS distinct_sum,
+        |  CAST(MAX(n_distinct) AS BIGINT) AS distinct_max,
+        |  CAST(SUM(n_stop_types) AS BIGINT) AS stop_type_sum
+        |FROM m GROUP BY source""".stripMargin))
   )
 }

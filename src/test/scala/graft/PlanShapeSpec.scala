@@ -456,4 +456,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1600))
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
+
+  test("q175 star join: every dimension broadcasts, fact scanned once") {
+    val p = planOf("q175_local_supply")
+    assert(p.contains("BroadcastHashJoin"), p.take(1600))
+    assert(!p.contains("SortMergeJoin"), p.take(1600))
+    assert("Scan parquet".r.findAllIn(p).size == 6, p.take(2000))
+    // the year predicate is pushed into the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+  }
+
+  test("q177 subqueries decorrelate: EXISTS becomes semi/anti joins") {
+    val p = planOf("q177_sql_subqueries")
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin"),
+      p.take(1600))
+    assert(p.contains("LeftAnti") || p.contains("ExistenceJoin"),
+      p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q176/q178 text profiles: one scan, one exchange each") {
+    Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
+      val p = planOf(q)
+      assert("Scan parquet".r.findAllIn(p).size == 1, q + ": " + p.take(1200))
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        q + ": " + p.take(1200))
+    }
+  }
 }
