@@ -682,6 +682,120 @@ object OpsQueries {
         |  CAST(SUM(n_distinct) AS BIGINT) AS distinct_sum,
         |  CAST(MAX(n_distinct) AS BIGINT) AS distinct_max,
         |  CAST(SUM(n_stop_types) AS BIGINT) AS stop_type_sum
-        |FROM m GROUP BY source""".stripMargin))
+        |FROM m GROUP BY source""".stripMargin)),
+
+    // ── Top supplier(s) (the TPC-H Q15 shape) — revenue per supplier over
+    //    a quarter, keeping every supplier that achieves the GLOBAL
+    //    maximum: the "having = max of an aggregate" pattern, planned as
+    //    one keyed agg + a 1-row broadcast cross + an equality filter.
+    //    Both engines derive revenue from the same exact decimal sum, so
+    //    the double equality against the max is bit-safe (identical
+    //    values, identical cast).
+    QueryDef(
+      "q179_top_supplier",
+      (s, dir) => {
+        import s.implicits._
+        import graft.QueryDef.dsum
+        val rev = Tables.lineitem(s, dir)
+          .where($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+          .groupBy($"l_suppkey")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+            .as("total_revenue"))
+        val mx = rev.agg(max($"total_revenue").as("max_revenue"))
+        rev.crossJoin(broadcast(mx))
+          .where($"total_revenue" === $"max_revenue")
+          .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+          .select($"s_suppkey", $"s_name", $"total_revenue")
+      },
+      Some(s"""WITH rev AS (
+        |  SELECT l_suppkey,
+        |    ${graft.QueryDef.dsumSql("l_extendedprice * (1.0 - l_discount)", 6)}
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"""
+        .stripMargin)),
+
+    // ── Promo revenue share (the TPC-H Q14 shape) — the conditional-
+    //    share-of-total pattern: promo revenue / total revenue per month,
+    //    both sums exact decimal, the share ONE pinned IEEE division in
+    //    1e-9 floor fixed point. A single fact scan with the part
+    //    dimension broadcast — the filter-free conditional aggregation
+    //    that sum-case pivots (q07) generalize to ratios.
+    QueryDef(
+      "q180_promo_share",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .where(year($"l_shipdate") === 1996)
+        val pt = Tables.part(s, dir).select($"p_partkey", $"p_type")
+        li.join(broadcast(pt), $"l_partkey" === $"p_partkey")
+          .groupBy(month($"l_shipdate").as("m"))
+          .agg(
+            sum(when($"p_type" === "PROMO",
+              ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+                .cast("decimal(18,6)")).otherwise(lit(0).cast("decimal(18,6)")))
+              .cast("double").as("promo_revenue"),
+            sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .cast("decimal(18,6)")).cast("double").as("total_revenue"))
+          .withColumn("promo_share_fp",
+            expr("cast(floor(promo_revenue / total_revenue * 1e9) as bigint)"))
+      },
+      Some("""SELECT month(l_shipdate) AS m,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+        |  CAST(floor(
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE) * 1e9) AS BIGINT)
+        |    AS promo_share_fp
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE year(l_shipdate) = 1996
+        |GROUP BY month(l_shipdate)""".stripMargin)),
+
+    // ── Idle rich customers (the TPC-H Q22 shape) — customers whose
+    //    balance exceeds the positive-balance average but who placed no
+    //    RECENT order: the decimal-exact aggregate threshold (davg — the sum
+    //    and the division are the same two IEEE ops in both engines)
+    //    broadcasts into a filter, and the no-orders test is a LEFT ANTI
+    //    join (keys only — at scale the anti join is the cheapest
+    //    existence check there is). Grouped per nation.
+    QueryDef(
+      "q181_idle_rich",
+      (s, dir) => {
+        import s.implicits._
+        import graft.QueryDef.{davg, dsum}
+        val cust = Tables.customer(s, dir)
+        val thr = cust.where($"c_acctbal" > 0.0)
+          .agg(davg($"c_acctbal").as("avg_bal"))
+        cust.crossJoin(broadcast(thr))
+          .where($"c_acctbal" > $"avg_bal")
+          .join(Tables.orders(s, dir)
+            .where($"o_orderdate" >= "2000-01-01").select($"o_custkey"),
+            $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n_cust"),
+            dsum($"c_acctbal").as("total_bal"))
+      },
+      Some(s"""WITH thr AS (
+        |  SELECT ${graft.QueryDef.davgSql("c_acctbal")} AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  ${graft.QueryDef.dsumSql("c_acctbal")} AS total_bal
+        |FROM customer CROSS JOIN thr
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey""".stripMargin))
   )
 }

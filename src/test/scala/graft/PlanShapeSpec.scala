@@ -475,6 +475,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q179 top supplier: 1-row max broadcasts back; supplier join broadcast") {
+    val p = planOf("q179_top_supplier")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    // the quarter filter reaches the lineitem scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+  }
+
+  test("q180 promo share: part dimension broadcasts onto one fact scan") {
+    val p = planOf("q180_promo_share")
+    assert(p.contains("BroadcastHashJoin"), p.take(1600))
+    assert(!p.contains("SortMergeJoin"), p.take(1600))
+  }
+
+  test("q181 idle rich: existence test is a LEFT ANTI join on keys only") {
+    val p = planOf("q181_idle_rich")
+    assert(p.contains("LeftAnti"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)
