@@ -796,6 +796,106 @@ object OpsQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY c_nationkey""".stripMargin))
+        |GROUP BY c_nationkey""".stripMargin)),
+
+    // ── Weekly churn / new-user accounting — per Monday-week: active
+    //    users, users who do NOT return next week (churn), users absent
+    //    the previous week (new). The whole statement is set algebra over
+    //    the distinct (user, week) activity table: churn = LEFT ANTI on
+    //    (user, week+7), new = LEFT ANTI on (user, week−7) — keyed
+    //    existence checks, no windows over the event stream, and the only
+    //    corpus-scale shuffle is the initial distinct. Weeks missing a
+    //    successor (the last one) are excluded from the report, where
+    //    churn is undefined.
+    QueryDef(
+      "q182_weekly_churn",
+      (s, dir) => {
+        import s.implicits._
+        val uw = Tables.events(s, dir)
+          .select($"user_id",
+            date_trunc("week", $"ts").cast("date").as("wk"))
+          .distinct().localCheckpoint()
+        val churn = uw.join(
+          uw.select($"user_id", date_sub($"wk", 7).as("wk")),
+          Seq("user_id", "wk"), "left_anti")
+          .groupBy($"wk").agg(count(lit(1)).as("n_churned"))
+        val fresh = uw.join(
+          uw.select($"user_id", date_add($"wk", 7).as("wk")),
+          Seq("user_id", "wk"), "left_anti")
+          .groupBy($"wk").agg(count(lit(1)).as("n_new"))
+        val active = uw.groupBy($"wk").agg(count(lit(1)).as("n_active"))
+        val maxwk = uw.agg(max($"wk").as("maxwk"))
+        active
+          .join(churn, Seq("wk"), "left")
+          .join(fresh, Seq("wk"), "left")
+          .na.fill(0L, Seq("n_churned", "n_new"))
+          .crossJoin(broadcast(maxwk))
+          .where($"wk" < $"maxwk")
+          .select($"wk", $"n_active", $"n_churned", $"n_new")
+      },
+      Some("""WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+        |    AS wk
+        |  FROM events),
+        |act AS (SELECT wk, COUNT(*) AS n_active FROM uw GROUP BY wk),
+        |ch AS (
+        |  SELECT a.wk, COUNT(*) AS n_churned FROM uw a
+        |  WHERE NOT EXISTS (SELECT 1 FROM uw b
+        |    WHERE b.user_id = a.user_id AND b.wk = a.wk + 7)
+        |  GROUP BY a.wk),
+        |nw AS (
+        |  SELECT a.wk, COUNT(*) AS n_new FROM uw a
+        |  WHERE NOT EXISTS (SELECT 1 FROM uw b
+        |    WHERE b.user_id = a.user_id AND b.wk = a.wk - 7)
+        |  GROUP BY a.wk)
+        |SELECT act.wk, n_active,
+        |  CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned,
+        |  CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new
+        |FROM act LEFT JOIN ch ON act.wk = ch.wk
+        |  LEFT JOIN nw ON act.wk = nw.wk
+        |WHERE act.wk < (SELECT MAX(wk) FROM uw)""".stripMargin)),
+
+    // ── Pareto frontier (2-D skyline) — per source, the documents no
+    //    other document dominates on (length, vocabulary richness): the
+    //    data-selection frontier ("longest doc at every richness level").
+    //    The naive skyline is O(n²) pairwise dominance; this plan is the
+    //    LINEAR one: collapse ties to per-length maxima, then one keyed
+    //    running-max window ordered by length desc — a point is on the
+    //    frontier iff it beats every strictly-longer point's richness.
+    //    All integers; the window is per-source, never global.
+    QueryDef(
+      "q183_skyline",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir).select(
+          $"source", $"n_chars",
+          size(array_distinct(TextAnalysis.tokens($"text"))).cast("long")
+            .as("n_distinct"))
+        val byLen = d.groupBy($"source", $"n_chars")
+          .agg(max($"n_distinct").as("n_distinct"))
+        val w = Window.partitionBy($"source").orderBy($"n_chars".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byLen
+          .withColumn("prevmax", max($"n_distinct").over(w))
+          .where($"n_distinct" > coalesce($"prevmax", lit(-1L)))
+          .select($"source", $"n_chars", $"n_distinct")
+      },
+      Some("""WITH d AS (
+        |  SELECT source, n_chars,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(list_distinct(
+        |        string_split_regex(lower(trim(text)), '\s+'))) END AS BIGINT)
+        |      AS n_distinct
+        |  FROM documents),
+        |bylen AS (
+        |  SELECT source, n_chars, MAX(n_distinct) AS n_distinct
+        |  FROM d GROUP BY source, n_chars),
+        |rm AS (
+        |  SELECT source, n_chars, n_distinct,
+        |    MAX(n_distinct) OVER (PARTITION BY source ORDER BY n_chars DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM bylen)
+        |SELECT source, n_chars, CAST(n_distinct AS BIGINT) AS n_distinct
+        |FROM rm WHERE n_distinct > COALESCE(prevmax, -1)""".stripMargin))
   )
 }

@@ -496,6 +496,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q182 churn: existence checks are LEFT ANTI joins, no windows") {
+    val p = planOf("q182_weekly_churn")
+    assert("LeftAnti".r.findAllIn(p).size == 2, p.take(1600))
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"),
+      p.take(1600))
+  }
+
+  test("q183 skyline: linear keyed running-max, no pairwise dominance join") {
+    val p = planOf("q183_skyline")
+    assert(!p.contains("Join"), p.take(1600))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      p.take(1600))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)
