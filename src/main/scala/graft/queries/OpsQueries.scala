@@ -896,6 +896,131 @@ object OpsQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
         |  FROM bylen)
         |SELECT source, n_chars, CAST(n_distinct AS BIGINT) AS n_distinct
-        |FROM rm WHERE n_distinct > COALESCE(prevmax, -1)""".stripMargin))
+        |FROM rm WHERE n_distinct > COALESCE(prevmax, -1)""".stripMargin)),
+
+    // ── Largest-remainder (Hamilton) quota apportionment — split a fixed
+    //    1000-document sampling budget across sources EXACTLY
+    //    proportionally to token mass: floor shares first, then the
+    //    leftover seats go to the largest remainders (rank window over
+    //    #sources rows). Everything is integer arithmetic on exact token
+    //    counts — remainders are compared as n·B mod T (no division
+    //    results are ever compared), so there is no float anywhere. The
+    //    exact-quota allocator behind q99's rank-capped sampler and
+    //    q146's interleave: corpus-scale work is one token-count agg;
+    //    apportionment happens on the 20-row source table.
+    QueryDef(
+      "q184_hamilton_quota",
+      (s, dir) => {
+        import s.implicits._
+        val B = 1000L
+        val src = Tables.documents(s, dir)
+          .select($"source",
+            TextAnalysis.tokenCount($"text").cast("long").as("t"))
+          .groupBy($"source").agg(sum($"t").as("n_tokens"))
+        val tot = src.agg(sum($"n_tokens").as("total"))
+        val base = src.crossJoin(broadcast(tot))
+          .select($"source", $"n_tokens",
+            expr(s"(n_tokens * $B) div total").as("floor_share"),
+            expr(s"(n_tokens * $B) % total").as("rem"))
+        val used = base.agg(sum($"floor_share").as("used"))
+        val ranked = base.crossJoin(broadcast(used))
+          .withColumn("rrank",
+            row_number().over(Window.orderBy($"rem".desc, $"source".asc))
+              .cast("long"))
+        ranked.select($"source", $"n_tokens", $"floor_share",
+            (($"rrank" <= lit(B) - $"used").cast("long")).as("bonus"))
+          .withColumn("quota", $"floor_share" + $"bonus")
+      },
+      Some(s"""WITH src AS (
+        |  SELECT source,
+        |    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END)
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(n_tokens) AS total FROM src),
+        |base AS (
+        |  SELECT source, n_tokens,
+        |    (n_tokens * 1000) // total AS floor_share,
+        |    (n_tokens * 1000) % total AS rem
+        |  FROM src CROSS JOIN tot),
+        |used AS (SELECT SUM(floor_share) AS used FROM base),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+        |    AS BIGINT) AS rrank
+        |  FROM base CROSS JOIN used)
+        |SELECT source, n_tokens,
+        |  CAST(floor_share AS BIGINT) AS floor_share,
+        |  CAST(CASE WHEN rrank <= 1000 - used THEN 1 ELSE 0 END AS BIGINT)
+        |    AS bonus,
+        |  CAST(floor_share + CASE WHEN rrank <= 1000 - used THEN 1 ELSE 0
+        |    END AS BIGINT) AS quota
+        |FROM r""".stripMargin)),
+
+    // ── Wordlist safety filter — the blocklist curation stage: per
+    //    document, occurrences of flagged terms (token-exact, not
+    //    substring — "class" never trips "ass"); per source, the document
+    //    flag rate and total hits, plus the overall clean share. One scan,
+    //    one 20-row agg; the blocklist broadcasts as a literal array at
+    //    any corpus size (real deployments swap in a broadcast variable
+    //    or a bloom filter — q116's pattern — with no plan change).
+    QueryDef(
+      "q185_blocklist_filter",
+      (s, dir) => {
+        import s.implicits._
+        val blocked = Seq("dup", "hash", "spill7", "leak9")
+        val blockArr = array(blocked.map(lit): _*)
+        val d = Tables.documents(s, dir).select(
+          $"source",
+          size(filter(TextAnalysis.tokens($"text"),
+            x => array_contains(blockArr, x))).cast("long").as("n_hits"))
+        d.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"n_hits" > 0L, 1L).otherwise(0L)).as("n_flagged"),
+            sum($"n_hits").as("total_hits"))
+      },
+      Some(s"""WITH d AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(
+        |      CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |        ELSE string_split_regex(lower(trim(text)), '\\s+') END,
+        |      x -> list_contains(['dup', 'hash', 'spill7', 'leak9'],
+        |        x))) AS BIGINT) AS n_hits
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(SUM(n_hits) AS BIGINT) AS total_hits
+        |FROM d GROUP BY source""".stripMargin)),
+
+    // ── Feature-adoption curves — per (event_type, day): users adopting
+    //    that event type for the FIRST time, and the running total of
+    //    adopters (the product-analytics adoption curve next to q182's
+    //    churn view). First-adoption is a keyed min-agg over (user, type)
+    //    — the q79 novelty shape on users; the cumulative window is
+    //    per-type over the ≤#days daily rollup, never over events.
+    QueryDef(
+      "q186_adoption_curve",
+      (s, dir) => {
+        import s.implicits._
+        val firstSeen = Tables.events(s, dir)
+          .select($"user_id", $"event_type", to_date($"ts").as("d"))
+          .groupBy($"user_id", $"event_type").agg(min($"d").as("first_d"))
+        val daily = firstSeen.groupBy($"event_type", $"first_d".as("d"))
+          .agg(count(lit(1)).as("n_new"))
+        daily.withColumn("cum_adopters",
+          sum($"n_new").over(Window.partitionBy($"event_type").orderBy($"d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      },
+      Some("""WITH fs AS (
+        |  SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS first_d
+        |  FROM events GROUP BY user_id, event_type),
+        |daily AS (
+        |  SELECT event_type, first_d AS d, COUNT(*) AS n_new
+        |  FROM fs GROUP BY event_type, first_d)
+        |SELECT event_type, d, n_new,
+        |  CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_adopters
+        |FROM daily""".stripMargin))
   )
 }

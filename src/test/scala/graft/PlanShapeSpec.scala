@@ -510,6 +510,25 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1600))
   }
 
+  test("q184 hamilton: apportionment happens on the 20-row source table") {
+    val p = planOf("q184_hamilton_quota")
+    // corpus-scale work is exactly one keyed agg; the rank window and
+    // quota math run post-aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q185 blocklist rides one scan and one exchange") {
+    val p = planOf("q185_blocklist_filter")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("q186 adoption: cumulative window is keyed per type, no global sort") {
+    val p = planOf("q186_adoption_curve")
+    assert(!p.contains("Exchange rangepartitioning"), p.take(1600))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)

@@ -173,6 +173,34 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("q184 hamilton quotas sum exactly to the 1000-doc budget") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q184_hamilton_quota")(spark, dir)
+    val tot = rows.agg(sum($"quota")).head.getLong(0)
+    assert(tot == 1000L)
+    // every quota within 1 of the exact proportional share
+    val r = rows.select($"n_tokens", $"floor_share", $"quota").collect()
+    r.foreach { x =>
+      val q = x.getAs[Long]("quota"); val f = x.getAs[Long]("floor_share")
+      assert(q == f || q == f + 1)
+    }
+  }
+
+  test("q186 adoption: cumulative monotone, totals tie to distinct users") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q186_adoption_curve")(spark, dir)
+    val perType = out.groupBy($"event_type")
+      .agg(max($"cum_adopters").as("final"), sum($"n_new").as("tot"))
+      .collect()
+    val ev = Tables.events(spark, dir)
+    perType.foreach { r =>
+      assert(r.getAs[Long]("final") == r.getAs[Long]("tot"))
+      val expect = ev.where($"event_type" === r.getAs[String]("event_type"))
+        .select($"user_id").distinct().count()
+      assert(r.getAs[Long]("final") == expect)
+    }
+  }
+
   test("q170 unpivot emits 3 metric rows per source, values match wide") {
     import org.apache.spark.sql.functions._
     val long = SparkEntry.queries("q170_unpivot")(spark, dir)
