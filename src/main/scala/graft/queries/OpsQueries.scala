@@ -913,10 +913,14 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         val B = 1000L
+        // materialize the 20-row source table once: tot/base/used all
+        // consume it, and without the checkpoint each consumer would
+        // re-run the corpus-scale token-count agg
         val src = Tables.documents(s, dir)
           .select($"source",
             TextAnalysis.tokenCount($"text").cast("long").as("t"))
           .groupBy($"source").agg(sum($"t").as("n_tokens"))
+          .localCheckpoint()
         val tot = src.agg(sum($"n_tokens").as("total"))
         val base = src.crossJoin(broadcast(tot))
           .select($"source", $"n_tokens",

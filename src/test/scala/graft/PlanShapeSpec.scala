@@ -512,9 +512,10 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q184 hamilton: apportionment happens on the 20-row source table") {
     val p = planOf("q184_hamilton_quota")
-    // corpus-scale work is exactly one keyed agg; the rank window and
-    // quota math run post-aggregation
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+    // the corpus-scale token agg is checkpointed once; the final plan
+    // (quota math, rank window) never rescans the corpus
+    assert(!p.contains("Scan parquet"), p.take(1600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p.take(1600))
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
