@@ -1025,6 +1025,199 @@ object OpsQueries {
         |  CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_adopters
-        |FROM daily""".stripMargin))
+        |FROM daily""".stripMargin)),
+
+    // ── CDC merge (SCD1 upsert-apply) — the warehouse MERGE stated as a
+    //    query: the dimension state is built from history (last value per
+    //    user before the cutover), then a change batch (events after the
+    //    cutover) applies last-writer-wins upserts, with a final `error`
+    //    event acting as a tombstone DELETE. The merged dimension must
+    //    equal the monolithic recompute the oracle runs. Scale shape:
+    //    both sides are keyed latest-per-user window-group-limits; the
+    //    merge is a full-outer keyed join; nothing is ever ordered
+    //    globally. The cutover is a data property (max day − 7), so
+    //    reruns agree.
+    QueryDef(
+      "q187_cdc_merge",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"user_id", $"event_type", $"value",
+            unix_micros($"ts").as("us"), $"event_id", to_date($"ts").as("d"))
+        val cut = ev.agg(date_sub(max($"d"), 7).as("cutd"))
+        val tagged = ev.crossJoin(broadcast(cut)).localCheckpoint()
+        def latest(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"user_id")
+              .orderBy($"us".desc, $"event_id".desc)))
+          .where($"rn" === 1)
+          .select($"user_id", $"event_type".as("last_type"),
+            $"value".as("last_value"), $"us".as("last_us"))
+        val state = latest(tagged.where($"d" <= $"cutd"))
+        val delta = latest(tagged.where($"d" > $"cutd"))
+        state.select($"user_id", $"last_type", $"last_value", $"last_us")
+          .join(delta.select($"user_id",
+            $"last_type".as("n_type"), $"last_value".as("n_value"),
+            $"last_us".as("n_us")), Seq("user_id"), "full_outer")
+          .where(coalesce($"n_type", $"last_type") =!= "error")
+          .select($"user_id",
+            coalesce($"n_type", $"last_type").as("cur_type"),
+            coalesce($"n_value", $"last_value").as("cur_value"),
+            coalesce($"n_us", $"last_us").as("cur_us"))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_type, value, epoch_us(ts) AS us, event_id,
+        |    CAST(ts AS DATE) AS d
+        |  FROM events),
+        |cut AS (SELECT MAX(d) - 7 AS cutd FROM e),
+        |latest AS (
+        |  SELECT user_id, event_type AS cur_type, value AS cur_value,
+        |    us AS cur_us
+        |  FROM (SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e)
+        |  WHERE rn = 1)
+        |SELECT user_id, cur_type, cur_value, cur_us
+        |FROM latest WHERE cur_type <> 'error'""".stripMargin)),
+
+    // ── Inter-event gap profile — the number that SIZES SESSION GAPS and
+    //    state-eviction watermarks: per user, the gap between consecutive
+    //    events, reported as a power-of-two histogram of gap minutes
+    //    (integer bit length — no libm). Where the mass of this histogram
+    //    ends is where q26's 30-minute session gap and the streaming
+    //    state timeouts come from. One keyed LAG window + a ≤#buckets
+    //    agg; the q138 log2 trick pointed at temporal structure.
+    QueryDef(
+      "q188_gap_profile",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        val gaps = ev
+          .withColumn("prev", lag($"us", 1).over(w))
+          .where($"prev".isNotNull)
+          .withColumn("gap_min", expr("(us - prev) div 60000000"))
+        gaps
+          .withColumn("bucket",
+            when($"gap_min" === 0L, 0L)
+              .otherwise(length(bin($"gap_min")).cast("long")))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_gaps"),
+            max($"gap_min").as("max_gap_min"))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (
+        |  SELECT us, LAG(us, 1) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |b AS (
+        |  SELECT CAST((us - prev) // 60000000 AS BIGINT) AS gap_min
+        |  FROM l WHERE prev IS NOT NULL)
+        |SELECT CASE WHEN gap_min = 0 THEN 0
+        |    ELSE CAST(length(bin(gap_min)) AS BIGINT) END AS bucket,
+        |  COUNT(*) AS n_gaps,
+        |  CAST(MAX(gap_min) AS BIGINT) AS max_gap_min
+        |FROM b GROUP BY 1""".stripMargin)),
+
+    // ── Exact two-sample Kolmogorov–Smirnov distance — are two sources'
+    //    length distributions the same? D = max |F1 − F2| over the merged
+    //    support, computed ENTIRELY in integers: the ECDF difference
+    //    |c1·n2 − c2·n1| is compared cross-multiplied, and only the final
+    //    D is rendered as one fixed-point division. The support is
+    //    value-bounded (distinct lengths), the cumulative counts are one
+    //    ordered window over it — the distribution-drift test next to
+    //    q107's chi-square, with zero float accumulation.
+    QueryDef(
+      "q189_ks_distance",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .where($"source".isin("src0", "src1"))
+          .select($"source", $"n_chars")
+        val counts = d.groupBy($"n_chars")
+          .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("c0"),
+            sum(when($"source" === "src1", 1L).otherwise(0L)).as("c1"))
+        val w = Window.orderBy($"n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = d.groupBy()
+          .agg(sum(when($"source" === "src0", 1L).otherwise(0L)).as("n0"),
+            sum(when($"source" === "src1", 1L).otherwise(0L)).as("n1"))
+        counts
+          .withColumn("f0", sum($"c0").over(w))
+          .withColumn("f1", sum($"c1").over(w))
+          .crossJoin(broadcast(tot))
+          .select(abs($"f0" * $"n1" - $"f1" * $"n0").as("num"),
+            ($"n0" * $"n1").as("den"))
+          .groupBy()
+          .agg(max($"num").as("ks_num"), max($"den").as("ks_den"))
+          .withColumn("ks_fp",
+            expr("(ks_num * 1000000000) div ks_den"))
+      },
+      Some("""WITH d AS (
+        |  SELECT source, n_chars FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |c AS (
+        |  SELECT n_chars,
+        |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c0,
+        |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1
+        |  FROM d GROUP BY n_chars),
+        |t AS (
+        |  SELECT SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n0,
+        |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS n1
+        |  FROM d),
+        |f AS (
+        |  SELECT
+        |    SUM(c0) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f0,
+        |    SUM(c1) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1
+        |  FROM c)
+        |SELECT CAST(MAX(abs(f0 * n1 - f1 * n0)) AS BIGINT) AS ks_num,
+        |  CAST(MAX(n0 * n1) AS BIGINT) AS ks_den,
+        |  CAST((MAX(abs(f0 * n1 - f1 * n0)) * 1000000000) // MAX(n0 * n1)
+        |    AS BIGINT) AS ks_fp
+        |FROM f CROSS JOIN t""".stripMargin)),
+
+    // ── Gini concentration of token mass across sources — the
+    //    data-balance number for the dataset card: Gini over the 20-row
+    //    source token totals via the sorted-shares formula
+    //    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx), all in integers until ONE
+    //    final fixed-point division. Corpus-scale work is one token agg;
+    //    the sort is 20 rows.
+    QueryDef(
+      "q190_gini_tokens",
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables.documents(s, dir)
+          .select($"source",
+            TextAnalysis.tokenCount($"text").cast("long").as("t"))
+          .groupBy($"source").agg(sum($"t").as("x"))
+          .localCheckpoint()
+        val ranked = src.withColumn("i",
+          row_number().over(Window.orderBy($"x".asc, $"source".asc))
+            .cast("long"))
+        ranked.groupBy()
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+            sum($"i" * $"x").as("six"))
+          .select($"n", $"sx",
+            expr("((2 * six - (n + 1) * sx) * 1000000000) div (n * sx)")
+              .as("gini_fp"))
+      },
+      Some("""WITH src AS (
+        |  SELECT source,
+        |    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(lower(trim(text)), '\s+')) END)
+        |      AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC, source ASC)
+        |    AS BIGINT) AS i
+        |  FROM src)
+        |SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |  CAST(((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000000)
+        |    // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_fp
+        |FROM r""".stripMargin))
   )
 }

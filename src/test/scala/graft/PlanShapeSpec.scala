@@ -530,6 +530,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p.take(1600))
   }
 
+  test("q187 cdc merge: latest-per-key gets WindowGroupLimit, full-outer keyed") {
+    val p = planOf("q187_cdc_merge")
+    assert(p.contains("WindowGroupLimit"), p.take(1600))
+    assert(p.contains("FullOuter"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q188 gap profile: one keyed lag window, bounded agg") {
+    val p = planOf("q188_gap_profile")
+    assert(!p.contains("Join"), p.take(1600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(1600))
+  }
+
+  test("q189 ks distance: totals broadcast, no shuffle join") {
+    val p = planOf("q189_ks_distance")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(1600))
+  }
+
+  test("q190 gini: rank and division run on the checkpointed 20-row table") {
+    val p = planOf("q190_gini_tokens")
+    assert(!p.contains("Scan parquet"), p.take(1600))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)
