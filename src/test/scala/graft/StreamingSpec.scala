@@ -335,6 +335,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("native session_window streaming agg matches batch and the custom sessionize") {
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(28,10)")).as("total"))
+      .select($"session_window.start".as("w_start"),
+        $"session_window.end".as("w_end"), $"user_id", $"n_events", $"total")
+    val streamed = EventStream.runToBatch(spark,
+      agg(EventStream.readStream(spark, dir)), "sesswin_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = agg(spark.read.parquet(dir))
+    // Append mode only emits sessions the final watermark (max ts − 2 h)
+    // has closed; sessions ending inside the lateness window stay open
+    val wmHeld = {
+      val maxTs = spark.read.parquet(dir)
+        .agg(max(unix_micros($"ts"))).head.getLong(0)
+      batch.where(unix_micros($"w_end") > maxTs - 2L * 3600L * 1000000L)
+    }
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty)
+    assert(batch.exceptAll(streamed).exceptAll(wmHeld).isEmpty)
+    assert(streamed.count() + wmHeld.count() >= batch.count())
+    // same 30-minute gap rule as the stateful custom sessionize: every
+    // CLOSED custom session appears in the native windows with the same
+    // (user, first-event) start
+    val custom = EventStream.sessionize(spark.read.parquet(dir)).toDF()
+    assert(custom.count() > 0 && custom.count() <= batch.count())
+    val cPairs = custom.select($"user_id", $"session_start".as("w_start"))
+    val bPairs = batch.select($"user_id", $"w_start")
+    assert(cPairs.exceptAll(bPairs).isEmpty)
+  }
+
   test("streaming forward as-of: matched pairs equal the batch q172 window") {
     val streamed = EventStream.runToBatch(spark,
       EventStream.asofForwardStream(EventStream.readStream(spark, dir))
