@@ -908,6 +908,66 @@ object DedupQueries {
         |  COALESCE(re.n_kept, 0) AS n_kept,
         |  CAST(n.n_tokens AS BIGINT) - COALESCE(re.n_kept, 0) AS n_removed,
         |  ('0x' || substr(md5(COALESCE(re.cleaned, '')), 1, 15))::BIGINT AS cleaned_h
-        |FROM n LEFT JOIN re ON n.doc_id = re.doc_id""".stripMargin))
+        |FROM n LEFT JOIN re ON n.doc_id = re.doc_id""".stripMargin)),
+
+    // ── Measured LSH recall — the q109/q119 eval harness pointed at the
+    //    TEXT dedup index: exact shingle-Jaccard ground truth (threshold
+    //    as the integer cross-multiplication 2·|∩| ≥ |∪| — no float ever
+    //    enters the truth set) on a 100-doc probe slice, against the
+    //    capped LSH candidate set. Ground truth stays bounded because one
+    //    join side is the probe slice; at 8 bands × 4 rows theory says
+    //    ~40% recall AT the 0.5 threshold and near-1 for the high-Jaccard
+    //    dups dedup actually cares about — this is the number that sizes
+    //    the band structure before anyone trusts q36's output.
+    QueryDef(
+      "q191_lsh_recall",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, _, cands) =
+          Dedup.minhashSubstrateCached(Tables.documents(s, dir), dir,
+            "doc_id", "text")
+        val inter = sh.where($"doc_id" < 100)
+          .select($"doc_id".as("doc_a"), $"h")
+          .join(sh.select($"doc_id".as("doc_b"), $"h"), Seq("h"))
+          .where($"doc_a" < $"doc_b")
+          .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("ni"))
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val truth = inter
+          .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+          .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+          .where(lit(2L) * $"ni" >= $"na" + $"nb" - $"ni")
+          .select($"doc_a", $"doc_b").localCheckpoint()
+        val hits = truth.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .crossJoin(cands.where($"doc_a" < 100)
+            .agg(count(lit(1)).as("n_probe_cands")))
+          .withColumn("recall_fp",
+            expr("(n_hits * 1000000000) div greatest(n_truth, 1)"))
+      },
+      Some(s"""WITH $minhashDupCtes,
+        |pinter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+        |  FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 100
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT p.doc_a, p.doc_b
+        |  FROM pinter p JOIN sz x ON p.doc_a = x.doc_id
+        |    JOIN sz y ON p.doc_b = y.doc_id
+        |  WHERE 2 * p.ni >= x.n + y.n - p.ni),
+        |m AS (
+        |  SELECT
+        |    (SELECT COUNT(*) FROM truth) AS n_truth,
+        |    (SELECT COUNT(*) FROM truth t JOIN cand c
+        |      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits,
+        |    (SELECT COUNT(*) FROM cand WHERE doc_a < 100)
+        |      AS n_probe_cands)
+        |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(n_probe_cands AS BIGINT) AS n_probe_cands,
+        |  CAST((n_hits * 1000000000) // greatest(n_truth, 1) AS BIGINT)
+        |    AS recall_fp
+        |FROM m""".stripMargin))
   )
 }

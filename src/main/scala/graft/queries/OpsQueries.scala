@@ -1218,6 +1218,106 @@ object OpsQueries {
         |SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
         |  CAST(((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000000)
         |    // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_fp
-        |FROM r""".stripMargin))
+        |FROM r""".stripMargin)),
+
+    // ── Sliding (hopping) window aggregation — 2-hour windows every hour,
+    //    so each event lands in exactly two windows: Spark's
+    //    window(ts, '2 hours', '1 hour') plans a map-side 2× Expand (like
+    //    unpivot — no extra shuffle), then one keyed agg. The oracle
+    //    derives the same two memberships per row by truncation-and-shift.
+    //    The tumbling q43 generalized to overlap; the smoothing shape
+    //    dashboards want.
+    QueryDef(
+      "q192_sliding_window",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n_events"))
+          .select($"window.start".as("w_start"), $"event_type", $"n_events")
+      },
+      Some("""WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |m AS (
+        |  SELECT event_type, h + (x * INTERVAL 1 HOUR) AS w_start
+        |  FROM e CROSS JOIN (SELECT unnest([0, -1]) AS x))
+        |SELECT w_start, event_type, COUNT(*) AS n_events
+        |FROM m GROUP BY w_start, event_type""".stripMargin)),
+
+    // ── Null-safe join (<=>) — equality that treats NULL as a joinable
+    //    key value: the dimension-with-unknown-bucket pattern (an
+    //    "unclassified" dim row matches facts whose key is NULL, instead
+    //    of silently dropping them). Key is NULLIF(event_type, 'error');
+    //    oracle twin is IS NOT DISTINCT FROM. The join stays a hash join —
+    //    null-safe equality is still an equi-key to Spark.
+    QueryDef(
+      "q193_nullsafe_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .withColumn("k", nullif($"event_type", lit("error")))
+        val dim = ev.select($"k").distinct()
+          .withColumn("category",
+            when($"k".isNull, "unclassified")
+              .otherwise(concat(lit("cat_"), $"k")))
+        ev.join(dim, ev("k") <=> dim("k"))
+          .groupBy($"category")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct($"user_id").as("n_users"))
+      },
+      Some("""WITH e AS (
+        |  SELECT *, NULLIF(event_type, 'error') AS k FROM events),
+        |dim AS (
+        |  SELECT k, CASE WHEN k IS NULL THEN 'unclassified'
+        |    ELSE 'cat_' || k END AS category
+        |  FROM (SELECT DISTINCT k FROM e))
+        |SELECT category, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM e JOIN dim ON e.k IS NOT DISTINCT FROM dim.k
+        |GROUP BY category""".stripMargin)),
+
+    // ── LOCF gap-fill (last observation carried forward) — IGNORE NULLS
+    //    window semantics: sensor readings that failed (here: `error`
+    //    events null out their value) inherit the user's most recent good
+    //    reading. One keyed window, last_value(..., ignoreNulls) over the
+    //    running frame; the per-user report counts filled vs unfillable
+    //    (no prior good reading) rows. The time-series repair primitive.
+    QueryDef(
+      "q194_locf_fill",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+            when($"event_type" === "error", lit(null).cast("double"))
+              .otherwise($"value").as("v"))
+        val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val filled = ev.withColumn("v_filled",
+          last($"v", ignoreNulls = true).over(w))
+        filled.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"v".isNull && $"v_filled".isNotNull, 1L).otherwise(0L))
+              .as("n_filled"),
+            sum(when($"v_filled".isNull, 1L).otherwise(0L))
+              .as("n_unfillable"),
+            graft.QueryDef.tavg($"v_filled").as("mean_filled"))
+      },
+      Some(s"""WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, v,
+        |    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN v IS NULL AND v_filled IS NOT NULL THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(SUM(CASE WHEN v_filled IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unfillable,
+        |  ${graft.QueryDef.tavgSql("v_filled")} AS mean_filled
+        |FROM f GROUP BY user_id""".stripMargin))
   )
 }

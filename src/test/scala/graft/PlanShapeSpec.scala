@@ -554,6 +554,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"), p.take(1600))
   }
 
+  test("q191 lsh recall: truth join is probe-bounded and keyed, no cartesian") {
+    val p = planOf("q191_lsh_recall")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(p.contains("LeftSemi"), p.take(1600))
+  }
+
+  test("q192 sliding windows expand map-side: one Expand, one keyed agg") {
+    val p = planOf("q192_sliding_window")
+    assert(p.contains("Expand") || p.contains("Generate"), p.take(1600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+  }
+
+  test("q193 null-safe equality still plans a hash join, not a nested loop") {
+    val p = planOf("q193_nullsafe_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q194 locf: one keyed running window, no self-join") {
+    val p = planOf("q194_locf_fill")
+    assert(!p.contains("Join"), p.take(1600))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)
