@@ -1318,6 +1318,161 @@ object OpsQueries {
         |  CAST(SUM(CASE WHEN v_filled IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_unfillable,
         |  ${graft.QueryDef.tavgSql("v_filled")} AS mean_filled
-        |FROM f GROUP BY user_id""".stripMargin))
+        |FROM f GROUP BY user_id""".stripMargin)),
+
+    // ── Session-concurrency curve — how many sessions are OPEN at each
+    //    hour: the interval-stabbing count done as a SWEEP LINE, never an
+    //    interval × timeline join. Sessions (q26's 30-minute-gap
+    //    definition) emit +1 at their start hour and −1 one hour past
+    //    their end hour; the concurrency curve is the running sum of
+    //    deltas over the gap-filled hour spine (a BOUNDED window: ≤ #hours
+    //    rows at any corpus size). The capacity-planning number for
+    //    stateful-stream sizing (how many session states coexist).
+    QueryDef(
+      "q195_concurrency_curve",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val sessions = Tables.events(s, dir)
+          .select($"user_id", $"event_id", $"ts")
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_session",
+            when($"prev_ts".isNull ||
+              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_no",
+            sum($"new_session").over(w.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_no")
+          .agg(date_trunc("hour", min($"ts")).as("h_start"),
+            date_trunc("hour", max($"ts")).as("h_end"))
+        val deltas = sessions
+          .select($"h_start".as("h"), lit(1L).as("delta"))
+          .unionByName(sessions.select(
+            ($"h_end" + expr("INTERVAL 1 HOUR")).as("h"),
+            lit(-1L).as("delta")))
+          .groupBy($"h").agg(sum($"delta").as("d"))
+        val bounds = deltas.agg(min($"h").as("h0"), max($"h").as("h1"))
+        val spine = bounds.select(
+          explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("h"))
+        spine.join(deltas, Seq("h"), "left").na.fill(0L, Seq("d"))
+          .withColumn("n_open",
+            sum($"d").over(Window.orderBy($"h")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select($"h", $"n_open")
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |      OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_no
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, session_no,
+        |    date_trunc('hour', MIN(ts)) AS h_start,
+        |    date_trunc('hour', MAX(ts)) AS h_end
+        |  FROM f GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT h, CAST(SUM(d) AS BIGINT) AS d FROM (
+        |    SELECT h_start AS h, 1 AS d FROM sess
+        |    UNION ALL
+        |    SELECT h_end + INTERVAL 1 HOUR, -1 FROM sess)
+        |  GROUP BY h),
+        |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM deltas),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM b)
+        |SELECT spine.h,
+        |  CAST(SUM(COALESCE(deltas.d, 0)) OVER (ORDER BY spine.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_open
+        |FROM spine LEFT JOIN deltas ON spine.h = deltas.h""".stripMargin)),
+
+    // ── Character-banded typo mining — same-length vocabulary pairs at
+    //    HAMMING distance ≤ 2 (substitution typos), with q59's banded
+    //    pigeonhole applied at the CHARACTER level: each token splits
+    //    into 3 positional bands, and ≤ 2 edits cannot touch all 3, so
+    //    candidates sharing any (length, band_id, band_text) have EXACT
+    //    recall — the quadratic verify only ever runs inside band
+    //    buckets, never vocab × vocab. The verify itself is a per-
+    //    position mismatch count (pure integer), and output is the
+    //    top-20 pairs by combined frequency via TakeOrdered.
+    QueryDef(
+      "q196_typo_mining",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens($"text")).as("tok"))
+          .where(length($"tok").between(3, 10) && $"tok".rlike("^[a-z]+$"))
+          .groupBy($"tok").agg(count(lit(1)).as("c"))
+          .withColumn("l", length($"tok"))
+          .localCheckpoint()
+        val bands = vocab.select($"tok", $"c", $"l",
+          explode(array(
+            struct(lit(0).as("band_id"),
+              expr("substring(tok, 1, l div 3)").as("band_text")),
+            struct(lit(1).as("band_id"),
+              expr("substring(tok, l div 3 + 1, l div 3)").as("band_text")),
+            struct(lit(2).as("band_id"),
+              expr("substring(tok, 2 * (l div 3) + 1)").as("band_text"))))
+            .as("b"))
+          .select($"tok", $"c", $"l", $"b.band_id", $"b.band_text")
+        val cand = bands.select($"l", $"band_id", $"band_text",
+            $"tok".as("tok_a"), $"c".as("c_a"))
+          .join(bands.select($"l", $"band_id", $"band_text",
+            $"tok".as("tok_b"), $"c".as("c_b")),
+            Seq("l", "band_id", "band_text"))
+          .where($"tok_a" < $"tok_b")
+          .select($"l", $"tok_a", $"tok_b", $"c_a", $"c_b").distinct()
+        cand
+          .withColumn("hamming",
+            expr("size(filter(sequence(1, l), i -> " +
+              "substring(tok_a, i, 1) != substring(tok_b, i, 1)))"))
+          .where($"hamming" >= 1 && $"hamming" <= 2)
+          .select($"tok_a", $"tok_b", $"hamming".cast("long").as("hamming"),
+            ($"c_a" + $"c_b").as("c_total"))
+          .orderBy($"c_total".desc, $"tok_a".asc, $"tok_b".asc)
+          .limit(20)
+      },
+      Some("""WITH v AS (
+        |  SELECT tok, COUNT(*) AS c, length(tok) AS l
+        |  FROM (SELECT unnest(CASE WHEN length(trim(text)) = 0
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(lower(trim(text)), '\s+') END) AS tok
+        |    FROM documents)
+        |  WHERE length(tok) BETWEEN 3 AND 10
+        |    AND regexp_matches(tok, '^[a-z]+$')
+        |  GROUP BY tok),
+        |bands AS (
+        |  SELECT tok, c, l, 0 AS band_id, substr(tok, 1, l // 3)
+        |    AS band_text FROM v
+        |  UNION ALL
+        |  SELECT tok, c, l, 1, substr(tok, l // 3 + 1, l // 3) FROM v
+        |  UNION ALL
+        |  SELECT tok, c, l, 2, substr(tok, 2 * (l // 3) + 1) FROM v),
+        |cand AS (
+        |  SELECT DISTINCT a.l, a.tok AS tok_a, b.tok AS tok_b,
+        |    a.c AS c_a, b.c AS c_b
+        |  FROM bands a JOIN bands b
+        |    ON a.l = b.l AND a.band_id = b.band_id
+        |      AND a.band_text = b.band_text AND a.tok < b.tok),
+        |ver AS (
+        |  SELECT tok_a, tok_b,
+        |    CAST(len(list_filter(generate_series(1, l),
+        |      i -> substr(tok_a, i, 1) <> substr(tok_b, i, 1))) AS BIGINT)
+        |      AS hamming,
+        |    c_a + c_b AS c_total
+        |  FROM cand)
+        |SELECT tok_a, tok_b, hamming, CAST(c_total AS BIGINT) AS c_total
+        |FROM ver WHERE hamming BETWEEN 1 AND 2
+        |ORDER BY c_total DESC, tok_a ASC, tok_b ASC LIMIT 20"""
+        .stripMargin))
   )
 }

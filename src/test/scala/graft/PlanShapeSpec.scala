@@ -577,6 +577,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1600))
   }
 
+  test("q195 concurrency: sweep-line deltas, spine join broadcasts") {
+    val p = planOf("q195_concurrency_curve")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    // the interval x timeline join never materializes: deltas union,
+    // then one bounded running window over the hour spine
+    assert(p.contains("WindowGroupLimit") || !p.contains("RangeJoin"),
+      p.take(1600))
+  }
+
+  test("q196 typo mining: banded equi-join, never vocab x vocab") {
+    val p = planOf("q196_typo_mining")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)
