@@ -19,7 +19,8 @@ object SparkEntry {
       _root_.graft.queries.AnalyticsQueries.defs ++
       _root_.graft.queries.TrainingDataQueries.defs ++
       _root_.graft.queries.ProfilingQueries.defs ++
-      _root_.graft.queries.OpsQueries.defs
+      _root_.graft.queries.OpsQueries.defs ++
+      _root_.graft.queries.EvalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q21_cost_report chains the full Gold-report operator spine:

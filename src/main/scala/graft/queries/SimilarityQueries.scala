@@ -1056,7 +1056,86 @@ object SimilarityQueries {
         |      / CAST(COUNT(*) AS DOUBLE)
         |    ELSE 0.0 END, 9) AS collision_rate
         |FROM flags""".stripMargin
-      })
+      }),
+
+    // ── Triangle census of the kNN graph — how clique-ish the embedding
+    //    neighborhoods are (high closure ⇒ tight semantic clusters;
+    //    q151's cluster count tells you how many, this tells you how
+    //    dense). Classic distributed pattern: undirect the cached top-3
+    //    edge list, ORIENT each edge from its lower-(degree, id) endpoint
+    //    to the higher one, and join oriented out-neighbor pairs against
+    //    the undirected edge set — each triangle is counted exactly once,
+    //    from its minimum-degree apex, so the wedge join's fan-out per
+    //    vertex is bounded by its ORIENTED out-degree (≤ max undirected
+    //    degree, itself ≤ 3 + in-links here; on power-law graphs this
+    //    orientation is what makes the join feasible at all). Wedge
+    //    count Σ d(d−1)/2 and the closure ratio 3Δ/wedges are exact
+    //    integers until one final double division.
+    QueryDef(
+      "q199_triangles",
+      (s, dir) => {
+        import s.implicits._
+        val und = knnEdgesCached(s, dir)
+          .select(least($"src", $"dst").as("u"),
+            greatest($"src", $"dst").as("v"))
+          .distinct()
+          .localCheckpoint()
+        val deg = und.select($"u".as("vtx"))
+          .unionByName(und.select($"v".as("vtx")))
+          .groupBy($"vtx").agg(count(lit(1)).as("d"))
+        val o = und
+          .join(deg.select($"vtx".as("u"), $"d".as("du")), "u")
+          .join(deg.select($"vtx".as("v"), $"d".as("dv")), "v")
+          .select(
+            when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
+              $"u").otherwise($"v").as("x"),
+            when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
+              $"v").otherwise($"u").as("y"))
+        val tri = o.select($"x", $"y".as("y1"))
+          .join(o.select($"x", $"y".as("y2")), Seq("x"))
+          .where($"y1" < $"y2")
+          .join(und, $"y1" === $"u" && $"y2" === $"v", "left_semi")
+          .agg(count(lit(1)).as("n_tri"))
+        val stats = deg.agg(count(lit(1)).as("n_nodes"),
+          sum($"d" * ($"d" - 1L)).as("wedges2"))
+        und.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(stats).crossJoin(tri)
+          .select($"n_nodes", $"n_edges", $"n_tri",
+            expr("wedges2 div 2").as("n_wedges"),
+            when($"wedges2" > 0,
+              (lit(6L) * $"n_tri").cast("double") /
+                $"wedges2".cast("double")).as("closure"))
+      },
+      Some(knnEdgesCtesSql + """,
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM edges),
+        |deg AS (
+        |  SELECT vtx, COUNT(*) AS d FROM (
+        |    SELECT u AS vtx FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY vtx),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u < v)
+        |      THEN u ELSE v END AS x,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND u < v)
+        |      THEN v ELSE u END AS y
+        |  FROM und JOIN deg da ON da.vtx = u JOIN deg db ON db.vtx = v),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_tri FROM (
+        |    SELECT e1.x, e1.y AS y1, e2.y AS y2
+        |    FROM o e1 JOIN o e2 ON e1.x = e2.x AND e1.y < e2.y) w
+        |  WHERE EXISTS (SELECT 1 FROM und
+        |    WHERE und.u = w.y1 AND und.v = w.y2)),
+        |st AS (
+        |  SELECT COUNT(*) AS n_nodes, SUM(d * (d - 1)) AS wedges2
+        |  FROM deg)
+        |SELECT st.n_nodes, (SELECT COUNT(*) FROM und) AS n_edges,
+        |  CAST(tri.n_tri AS BIGINT) AS n_tri,
+        |  CAST(st.wedges2 // 2 AS BIGINT) AS n_wedges,
+        |  CASE WHEN st.wedges2 > 0 THEN
+        |    CAST(6 * tri.n_tri AS DOUBLE) / CAST(st.wedges2 AS DOUBLE)
+        |    ELSE NULL END AS closure
+        |FROM st, tri""".stripMargin))
   )
 
   /** Hash tables × planes-per-table for the multi-table LSH near-dup. */

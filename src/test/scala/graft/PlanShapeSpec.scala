@@ -593,6 +593,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1600))
   }
 
+  test("q197 symspell: key-blocked equi-join, top-k without global sort") {
+    val p = planOf("q197_symspell")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+  }
+
+  test("q198 auc: one scan, no joins — pure agg + bounded window") {
+    val p = planOf("q198_auc_rank")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!p.contains("Join"), p.take(1600))
+  }
+
+  test("q199 triangles: wedge join keyed, closing edge via semi join") {
+    val p = planOf("q199_triangles")
+    assert(p.contains("LeftSemi"), p.take(1600))
+  }
+
+  test("q200 ols: one scan, no joins, map-side-combinable sums") {
+    val p = planOf("q200_ols_trend")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!p.contains("Join"), p.take(1600))
+  }
+
+  test("q201 grid join: 3x3 probe Expand, cell-keyed equi-join, top-k") {
+    val p = planOf("q201_grid_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+    assert(p.contains("Generate") || p.contains("Expand"), p.take(1600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+  }
+
+  test("q202 cusum: one scan, no joins — rollup plus bounded windows") {
+    val p = planOf("q202_cusum_shift")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!p.contains("Join"), p.take(1600))
+  }
+
+  test("q203 quantile norm: consumers read the checkpointed bucket table") {
+    val p = planOf("q203_quantile_norm")
+    assert(!p.contains("Scan parquet"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q204 lift: user-keyed self-join, only the 1-row total broadcasts") {
+    val p = planOf("q204_lift_rules")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)

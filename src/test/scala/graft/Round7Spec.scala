@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the round-7 operators: SymSpell blocking's exact
+  * recall proven against a quadratic reference join, rank-AUC against the
+  * brute-force pair count, the kNN triangle census against a driver-side
+  * adjacency-set count over q149's edge list, and the closed-form OLS
+  * slope against Spark's own covar_pop/var_pop.
+  */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q197 symspell: identical to the quadratic levenshtein reference") {
+    val got = SparkEntry.queries("q197_symspell")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+    // reference: brute-force all-pairs join (fine at 150 names), same
+    // ordering and limit — the blocked candidate set must lose nothing
+    val names = Tables.customer(spark, dir)
+      .groupBy($"c_name".as("tok")).agg(count(lit(1)).as("c"))
+    val want = names.select($"tok".as("tok_a"), $"c".as("c_a"))
+      .crossJoin(names.select($"tok".as("tok_b"), $"c".as("c_b")))
+      .where($"tok_a" < $"tok_b" &&
+        levenshtein($"tok_a", $"tok_b") === 1)
+      .select($"tok_a", $"tok_b",
+        when(length($"tok_a") === length($"tok_b"), lit("sub"))
+          .otherwise(lit("indel")).as("edit_type"),
+        ($"c_a" + $"c_b").as("c_total"))
+      .orderBy($"c_total".desc, $"tok_a".asc, $"tok_b".asc)
+      .limit(20)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q198 auc equals the brute-force scaled pair count") {
+    val rows = SparkEntry.queries("q198_auc_rank")(spark, dir)
+      .where($"signal" === "n_chars").collect()
+    assert(rows.length == 1)
+    val (np, nn, auc) =
+      (rows(0).getLong(1), rows(0).getLong(2), rows(0).getDouble(3))
+    val d = Tables.documents(spark, dir)
+      .select(($"lang" === "en").cast("long").as("pos"),
+        $"n_chars".cast("long").as("score"))
+    val pos = d.where($"pos" === 1).select($"score".as("sp"))
+    val neg = d.where($"pos" === 0).select($"score".as("sn"))
+    val pair = pos.crossJoin(neg).agg(
+      sum(when($"sp" > $"sn", 1L).otherwise(0L)).as("gt"),
+      sum(when($"sp" === $"sn", 1L).otherwise(0L)).as("eq"),
+      count(lit(1)).as("n")).collect()(0)
+    val (gt, eq, n) =
+      (pair.getLong(0), pair.getLong(1), pair.getLong(2))
+    assert(n == np * nn)
+    // same final operation: integer numerator, one double division
+    assert(auc == (2L * gt + eq).toDouble / (2L * np * nn).toDouble)
+  }
+
+  test("q199 triangle census matches adjacency-set counting on q149 edges") {
+    val row = SparkEntry.queries("q199_triangles")(spark, dir).collect()(0)
+    val und = SparkEntry.queries("q149_knn_graph")(spark, dir)
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nTri = und.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).count(w => w > v)
+    }.sum.toLong
+    val nWedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(row.getLong(0) == adj.size.toLong)     // n_nodes
+    assert(row.getLong(1) == und.size.toLong)     // n_edges
+    assert(row.getLong(2) == nTri)                // n_tri
+    assert(row.getLong(3) == nWedges)             // n_wedges
+    assert(nTri > 0)
+  }
+
+  test("q201 grid join: identical to the quadratic distance reference") {
+    val got = SparkEntry.queries("q201_grid_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val p = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        floor(element_at($"embedding", 1).cast("double") * 1e6)
+          .cast("long").as("xi"),
+        floor(element_at($"embedding", 2).cast("double") * 1e6)
+          .cast("long").as("yi"))
+    val want = p.select($"vec_id".as("a"), $"xi", $"yi")
+      .crossJoin(p.select($"vec_id".as("b"), $"xi".as("xb"), $"yi".as("yb")))
+      .where($"a" < $"b")
+      .withColumn("dist2", ($"xi" - $"xb") * ($"xi" - $"xb") +
+        ($"yi" - $"yb") * ($"yi" - $"yb"))
+      .where($"dist2" <= 20000L * 20000L)
+      .select($"a", $"b", $"dist2")
+      .orderBy($"dist2".asc, $"a".asc, $"b".asc).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q202 cusum matches a driver-side integer replay") {
+    val got = SparkEntry.queries("q202_cusum_shift")(spark, dir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDate(2).toString, r.getLong(3)))).toMap
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).toInstant.toString.take(10), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val series = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val n = series.size.toLong
+      val t = series.map(_._2).sum
+      var s = 0L
+      val cusum = series.map { case (day, y) => s += n * y - t; (day, s.abs) }
+      val mx = cusum.map(_._2).max
+      val (cpDay, sAbs) = cusum.find(_._2 == mx).get
+      assert(got(tpe) == ((n, cpDay, sAbs)), s"$tpe")
+    }
+  }
+
+  test("q203 buckets partition each source and norm_value is monotone") {
+    val rows = SparkEntry.queries("q203_quantile_norm")(spark, dir).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    val total = Tables.documents(spark, dir).count()
+    assert(bySource.values.map(_.map(_.getLong(2)).sum).sum == total)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 20L), src)
+    }
+    val norm = rows.map(r => r.getLong(1) -> r.getDouble(4))
+      .distinct.sortBy(_._1).map(_._2)
+    assert(norm.zip(norm.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q204 lift matches a driver-side basket replay") {
+    val got = SparkEntry.queries("q204_lift_rules")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val ut = Tables.events(spark, dir)
+      .select($"user_id", $"event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val n = ut.map(_._1).distinct.size.toLong
+    val ca = ut.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val cab = ut.groupBy(_._1).toSeq.flatMap { case (_, ts) =>
+      val types = ts.map(_._2).sorted
+      for { a <- types; b <- types if a < b } yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got.keySet == cab.keySet && got.nonEmpty)
+    cab.foreach { case ((a, b), c) =>
+      val (gca, gcb, gcab, glift) = got((a, b))
+      assert((gca, gcb, gcab) == ((ca(a), ca(b), c)), s"$a/$b")
+      assert(glift == (n * c).toDouble / (ca(a) * ca(b)).toDouble, s"$a/$b")
+    }
+  }
+
+  test("q200 slope agrees with covar_pop/var_pop to 1e-9 relative") {
+    val got = SparkEntry.queries("q200_ols_trend")(spark, dir)
+      .select($"event_type", $"slope").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+    val want = daily
+      .withColumn("x", datediff($"d", min($"d").over(wt)).cast("double"))
+      .groupBy($"event_type")
+      .agg((covar_pop($"x", $"y") / var_pop($"x")).as("slope"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"$k: $v vs ${want(k)}")
+    }
+  }
+}
