@@ -1135,7 +1135,138 @@ object SimilarityQueries {
         |  CASE WHEN st.wedges2 > 0 THEN
         |    CAST(6 * tri.n_tri AS DOUBLE) / CAST(st.wedges2 AS DOUBLE)
         |    ELSE NULL END AS closure
-        |FROM st, tri""".stripMargin))
+        |FROM st, tri""".stripMargin)),
+
+    // ── HITS hubs & authorities over the kNN digraph — the asymmetric
+    //    complement of q171's PageRank: a vector is an AUTHORITY when
+    //    many strong hubs point at it (a canonical/centroid-like
+    //    document), a HUB when it points at strong authorities. Four
+    //    mutual-reinforcement rounds entirely in integer fixed point:
+    //    each half-step is one keyed sum over the (≤3n) edge list, then
+    //    a deterministic integer renormalization `score div (max div
+    //    1e6 + 1)` (max broadcasts as a 1-row frame) that pins every
+    //    round's scale to ~1e6 — no float accumulation, no overflow at
+    //    any graph size, bit-identical partials in both engines. Per-
+    //    round localCheckpoint, the repo's iterative-algorithm posture.
+    QueryDef(
+      "q205_hits",
+      (s, dir) => {
+        import s.implicits._
+        val edges = knnEdgesCached(s, dir).select($"src", $"dst")
+        val nodes = edges.select($"src".as("vec_id"))
+          .union(edges.select($"dst".as("vec_id"))).distinct()
+          .localCheckpoint()
+        var h = nodes.withColumn("h", lit(1000000L))
+        var a = nodes.withColumn("a", lit(0L))
+        for (_ <- 1 to 4) {
+          val rawa = edges
+            .join(h.withColumnRenamed("vec_id", "src"), "src")
+            .groupBy($"dst").agg(sum($"h").as("ra"))
+          val am = rawa.agg(max($"ra").as("m"))
+          a = nodes
+            .join(rawa.withColumnRenamed("dst", "vec_id"), Seq("vec_id"),
+              "left")
+            .crossJoin(broadcast(am))
+            .select($"vec_id",
+              expr("coalesce(ra, CAST(0 AS BIGINT)) div (m div 1000000 + 1)")
+                .as("a"))
+            .localCheckpoint()
+          val rawh = edges
+            .join(a.withColumnRenamed("vec_id", "dst"), "dst")
+            .groupBy($"src").agg(sum($"a").as("rh"))
+          val hm = rawh.agg(max($"rh").as("m"))
+          h = nodes
+            .join(rawh.withColumnRenamed("src", "vec_id"), Seq("vec_id"),
+              "left")
+            .crossJoin(broadcast(hm))
+            .select($"vec_id",
+              expr("coalesce(rh, CAST(0 AS BIGINT)) div (m div 1000000 + 1)")
+                .as("h"))
+            .localCheckpoint()
+        }
+        val joined = a.join(h, "vec_id")
+        joined.orderBy($"a".desc, $"vec_id".asc).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"a".desc, $"vec_id".asc)).cast("int"))
+          .select($"rank", $"vec_id", $"a".as("auth"), $"h".as("hub"))
+      },
+      Some {
+        def round(k: Int) = s"""rawa$k AS (
+        |  SELECT e.dst, SUM(p.h) AS ra FROM edges e
+        |  JOIN h${k - 1} p ON e.src = p.vec_id GROUP BY 1),
+        |am$k AS (SELECT MAX(ra) AS m FROM rawa$k),
+        |a$k AS (
+        |  SELECT n.vec_id,
+        |    COALESCE(r.ra, 0) // (am.m // 1000000 + 1) AS a
+        |  FROM nodes n LEFT JOIN rawa$k r ON r.dst = n.vec_id, am$k am),
+        |rawh$k AS (
+        |  SELECT e.src, SUM(p.a) AS rh FROM edges e
+        |  JOIN a$k p ON e.dst = p.vec_id GROUP BY 1),
+        |hm$k AS (SELECT MAX(rh) AS m FROM rawh$k),
+        |h$k AS (
+        |  SELECT n.vec_id,
+        |    COALESCE(r.rh, 0) // (hm.m // 1000000 + 1) AS h
+        |  FROM nodes n LEFT JOIN rawh$k r ON r.src = n.vec_id, hm$k hm)"""
+        s"""$knnEdgesCtesSql,
+        |nodes AS (SELECT DISTINCT vec_id FROM (
+        |  SELECT src AS vec_id FROM edges
+        |  UNION ALL SELECT dst FROM edges)),
+        |h0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+        |${(1 to 4).map(round).mkString(",\n")}
+        |SELECT CAST(rnk AS INT) AS rank, vec_id,
+        |  CAST(a AS BIGINT) AS auth, CAST(h AS BIGINT) AS hub
+        |FROM (
+        |  SELECT a4.vec_id, a4.a, h4.h,
+        |    ROW_NUMBER() OVER (ORDER BY a4.a DESC, a4.vec_id ASC) AS rnk
+        |  FROM a4 JOIN h4 ON a4.vec_id = h4.vec_id)
+        |WHERE rnk <= 20""".stripMargin
+      }),
+
+    // ── kNN label-vote classifier eval — the confusion matrix of
+    //    "predict each vector's label by majority vote of its top-3
+    //    neighbors" (ties → smallest label), the standard embedding-
+    //    quality probe (its diagonal mass is the label-consistency of
+    //    the vector space; compare q71's trained linear probe). Votes
+    //    are one keyed agg over the cached edge list, the argmax is a
+    //    per-src WindowGroupLimit heap, and the output is the ≤
+    //    |labels|² confusion rollup — never corpus × corpus, and the
+    //    only join fan-in is 3 edges per vector.
+    QueryDef(
+      "q206_knn_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+        val votes = knnEdgesCached(s, dir).select($"src", $"dst")
+          .join(lab.select($"vec_id".as("dst"), $"label".as("nl")), "dst")
+          .groupBy($"src", $"nl").agg(count(lit(1)).as("v"))
+        val pred = votes
+          .withColumn("rn", row_number().over(Window.partitionBy($"src")
+            .orderBy($"v".desc, $"nl".asc)))
+          .where($"rn" === 1)
+          .select($"src", $"nl".as("pred_label"))
+        pred
+          .join(lab.select($"vec_id".as("src"), $"label".as("true_label")),
+            "src")
+          .groupBy($"true_label", $"pred_label")
+          .agg(count(lit(1)).as("n_vectors"))
+      },
+      Some(knnEdgesCtesSql + """,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |votes AS (
+        |  SELECT e.src, l.label AS nl, COUNT(*) AS v
+        |  FROM edges e JOIN lab l ON e.dst = l.vec_id
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT src, nl AS pred_label FROM (
+        |    SELECT src, nl,
+        |      ROW_NUMBER() OVER (PARTITION BY src
+        |        ORDER BY v DESC, nl ASC) AS rn
+        |    FROM votes)
+        |  WHERE rn = 1)
+        |SELECT l.label AS true_label, p.pred_label,
+        |  COUNT(*) AS n_vectors
+        |FROM pred p JOIN lab l ON p.src = l.vec_id
+        |GROUP BY 1, 2""".stripMargin))
   )
 
   /** Hash tables × planes-per-table for the multi-table LSH near-dup. */

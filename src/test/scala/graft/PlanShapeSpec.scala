@@ -642,6 +642,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q205 hits: keyed rounds, 1-row max broadcasts, top-k output") {
+    val p = planOf("q205_hits")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+  }
+
+  test("q206 knn classifier: per-src argmax is a WindowGroupLimit heap") {
+    val p = planOf("q206_knn_classifier")
+    assert(p.contains("WindowGroupLimit"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q207 weighted median: one scan, no joins, grouped crossing") {
+    val p = planOf("q207_weighted_median")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!p.contains("Join"), p.take(1600))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)

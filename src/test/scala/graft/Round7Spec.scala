@@ -154,6 +154,78 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("q205 hits matches a driver-side integer replay on q149 edges") {
+    val got = SparkEntry.queries("q205_hits")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    val edges = SparkEntry.queries("q149_knn_graph")(spark, dir)
+      .select($"src", $"dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 4) {
+      val rawa = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => h(e._1)).sum
+      }
+      val am = rawa.values.max
+      a = nodes.map(n => n -> rawa.getOrElse(n, 0L) / (am / 1000000L + 1L))
+        .toMap
+      val rawh = edges.groupBy(_._1).map { case (s0, es) =>
+        s0 -> es.map(e => a(e._2)).sum
+      }
+      val hm = rawh.values.max
+      h = nodes.map(n => n -> rawh.getOrElse(n, 0L) / (hm / 1000000L + 1L))
+        .toMap
+    }
+    val want = nodes.map(n => (n, a(n), h(n)))
+      .sortBy { case (n, av, _) => (-av, n) }.take(20)
+      .zipWithIndex.map { case ((n, av, hv), i) => (i + 1, n, av, hv) }
+    assert(got == want)
+    assert(got.head._3 >= 900000L)
+  }
+
+  test("q206 knn classifier matches a driver-side vote replay") {
+    val got = SparkEntry.queries("q206_knn_classifier")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val lab = Tables.embeddings(spark, dir).select($"vec_id", $"label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = SparkEntry.queries("q149_knn_graph")(spark, dir)
+      .select($"src", $"dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = edges.groupBy(_._1).toSeq.map { case (src, es) =>
+      val votes = es.map(e => lab(e._2)).groupBy(identity)
+        .map { case (l, vs) => (l, vs.size) }
+      val pred = votes.toSeq.sortBy { case (l, v) => (-v, l) }.head._1
+      (lab(src), pred)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want)
+    assert(got.values.sum == edges.map(_._1).distinct.size.toLong)
+  }
+
+  test("q207 weighted median: half the token mass sits at or below it") {
+    val rows = SparkEntry.queries("q207_weighted_median")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val masses = Tables.documents(spark, dir)
+      .select($"source", $"n_chars".cast("long").as("v"),
+        size(graft.ext.TextAnalysis.tokens($"text")).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.groupBy(_._1)
+    assert(rows.map(_._1).toSet == masses.keySet && rows.nonEmpty)
+    rows.foreach { case (src, med, tot) =>
+      val ms = masses(src)
+      assert(ms.map(_._3).sum == tot, src)
+      val below = ms.filter(_._2 <= med).map(_._3).sum
+      assert(2L * below >= tot, src)
+      // minimality: the previous distinct length does not reach half
+      val prev = ms.map(_._2).filter(_ < med)
+      if (prev.nonEmpty) {
+        val belowPrev = ms.filter(_._2 <= prev.max).map(_._3).sum
+        assert(2L * belowPrev < tot, src)
+      }
+    }
+  }
+
   test("q200 slope agrees with covar_pop/var_pop to 1e-9 relative") {
     val got = SparkEntry.queries("q200_ols_trend")(spark, dir)
       .select($"event_type", $"slope").collect()
