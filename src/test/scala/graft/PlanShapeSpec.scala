@@ -660,6 +660,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1600))
   }
 
+  test("q208 spearman: one scan, no joins, rank windows keyed by source") {
+    val p = planOf("q208_spearman")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!p.contains("Join"), p.take(1600))
+  }
+
+  test("q209 sole-late: order-keyed semi + anti joins, no cartesian") {
+    val p = planOf("q209_sole_late_supplier")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(1600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("q210 interp: one scan, no joins, shared keyed sort windows") {
+    val p = planOf("q210_linear_interp")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!p.contains("Join"), p.take(1600))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)

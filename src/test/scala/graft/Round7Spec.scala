@@ -226,6 +226,85 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("q208 spearman agrees with corr() over float average ranks") {
+    val got = SparkEntry.queries("q208_spearman")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val d = Tables.documents(spark, dir)
+      .select($"source", $"n_chars".cast("long").as("x"),
+        size(graft.ext.TextAnalysis.tokens($"text")).cast("long").as("y"))
+    def avgRank(c: String) =
+      rank().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy(col(c))).cast("double") +
+        (count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"source", col(c))).cast("double") - 1.0) / 2.0
+    val want = d.withColumn("u", avgRank("x")).withColumn("v", avgRank("y"))
+      .groupBy($"source").agg(corr($"u", $"v").as("rho"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) <= 1e-9, s"$k: $v vs ${want(k)}")
+    }
+  }
+
+  test("q209 sole-late matches a driver-side exists/not-exists replay") {
+    val got = SparkEntry.queries("q209_sole_late_supplier")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val os = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+      .agg(max(when(expr("l_shipdate > o_orderdate + INTERVAL 60 DAY"),
+        1L).otherwise(0L)).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byOrder = os.groupBy(_._1)
+    val sole = os.filter { case (ok, sk, late) =>
+      late == 1L &&
+        byOrder(ok).exists(o => o._2 != sk) &&
+        !byOrder(ok).exists(o => o._2 != sk && o._3 == 1L)
+    }
+    val names = Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = sole.groupBy(_._2).toSeq
+      .map { case (sk, rows) => (names(sk), rows.length.toLong) }
+      .sortBy { case (n, c) => (-c, n) }.take(10)
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q210 interpolation matches a driver-side replay, same IEEE order") {
+    val got = SparkEntry.queries("q210_linear_interp")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val evs = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        when($"event_type" === "error", lit(null).cast("double"))
+          .otherwise($"value").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    var n = 0
+    evs.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).toIndexedSeq
+      for (i <- sorted.indices if sorted(i)._4.isEmpty) {
+        n += 1
+        val before = (i - 1 to 0 by -1).find(j => sorted(j)._4.nonEmpty)
+        val after = (i + 1 until sorted.size).find(j => sorted(j)._4.nonEmpty)
+        val (gf, gv) = got((sorted(i)._1, sorted(i)._2))
+        assert(gf == (before.nonEmpty && after.nonEmpty))
+        (before, after) match {
+          case (Some(b), Some(a)) =>
+            val (us0, v0) = (sorted(b)._3, sorted(b)._4.get)
+            val (us1, v1) = (sorted(a)._3, sorted(a)._4.get)
+            val us = sorted(i)._3
+            val vi = v0 + (v1 - v0) *
+              ((us - us0).toDouble / (us1 - us0).toDouble)
+            assert(gv.contains(math.floor(vi * 1e9).toLong))
+          case _ => assert(gv.isEmpty)
+        }
+      }
+    }
+    assert(n > 0 && got.size == n)
+  }
+
   test("q200 slope agrees with covar_pop/var_pop to 1e-9 relative") {
     val got = SparkEntry.queries("q200_ols_trend")(spark, dir)
       .select($"event_type", $"slope").collect()
