@@ -679,6 +679,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1600))
   }
 
+  test("q211 sparse cosine: index-keyed candidates, top-k, no cartesian") {
+    val p = planOf("q211_sparse_cosine_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+  }
+
+  test("q212 tvd: 24-row histogram broadcasts, no cartesian") {
+    val p = planOf("q212_tvd_drift")
+    assert(p.contains("BroadcastHashJoin"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q213 cohort ltv: cohort dims broadcast, no cartesian") {
+    val p = planOf("q213_cohort_ltv")
+    assert(p.contains("BroadcastHashJoin"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)

@@ -305,6 +305,87 @@ class Round7Spec extends SparkSpec {
     assert(n > 0 && got.size == n)
   }
 
+  test("q211 sparse cosine pairs match a driver-side integer replay") {
+    val got = SparkEntry.queries("q211_sparse_cosine_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val tf = Tables.documents(spark, dir)
+      .select($"doc_id", explode(graft.ext.TextAnalysis.tokens($"text"))
+        .as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nDocs = tf.map(_._1).distinct.size.toLong
+    val df = tf.groupBy(_._2).map { case (t, rs) => t -> rs.size.toLong }
+    val w = tf.map { case (d, t, f) =>
+      (d, t, f * math.min(nDocs * 1000L / df(t), 100000L))
+    }
+    val byDoc = w.groupBy(_._1)
+      .map { case (d, rs) => d -> rs.map(r => r._2 -> r._3).toMap }
+    val norms = byDoc.map { case (d, m) =>
+      d -> m.values.map(x => x * x).sum
+    }
+    val disc = df.filter(_._2 <= nDocs / 4).keySet
+    val cand = w.filter(r => disc(r._2)).groupBy(_._2).values
+      .flatMap { rs =>
+        val ds = rs.map(_._1).toSeq.distinct
+        for { a <- ds; b <- ds if a < b } yield (a, b)
+      }.toSet
+    val want = cand.toSeq.flatMap { case (a, b) =>
+      val (ma, mb) = (byDoc(a), byDoc(b))
+      val dot = ma.keysIterator
+        .map(t => ma(t) * mb.getOrElse(t, 0L)).sum
+      val d2 = BigInt(dot) * BigInt(dot)
+      val nanb = BigInt(norms(a)) * BigInt(norms(b))
+      if (25 * d2 >= 16 * nanb)
+        Some((a, b,
+          math.floor(d2.toDouble / nanb.toDouble * 10000.0).toLong))
+      else None
+    }.sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q212 tvd matches a driver-side integer histogram replay") {
+    val got = SparkEntry.queries("q212_tvd_drift")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val hrs = Tables.events(spark, dir)
+      .select($"event_type", hour($"ts").as("h"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val m = hrs.size.toLong
+    val glob = hrs.groupBy(_._2).map { case (h, rs) => h -> rs.size.toLong }
+    val want = hrs.groupBy(_._1).map { case (t, rs) =>
+      val n = rs.size.toLong
+      val c = rs.groupBy(_._2).map { case (h, xs) => h -> xs.size.toLong }
+      val num = c.map { case (h, ch) => (ch * m - glob(h) * n).abs }.sum
+      t -> (n, num.toDouble / (2L * n * m).toDouble)
+    }
+    assert(got == want)
+  }
+
+  test("q213 cohort ltv: exact decimal accumulation, monotone per cohort") {
+    val rows = SparkEntry.queries("q213_cohort_ltv")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val byAge = rs.sortBy(_._2)
+      byAge.zip(byAge.tail).foreach { case (a, b) =>
+        assert(a._4 <= b._4, s"$cohort: ltv not monotone")
+      }
+      assert(byAge.map(_._3).distinct.size == 1, cohort)
+    }
+    // total value conservation: last cum per cohort * n_users sums to
+    // the exact decimal total of purchase values
+    val totalGot = rows.groupBy(_._1).map { case (_, rs) =>
+      val last = rs.maxBy(_._2)
+      BigDecimal(last._4) * last._3
+    }.sum.toDouble
+    val totalWant = Tables.events(spark, dir)
+      .where($"event_type" === "purchase")
+      .agg(sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 4))
+        ).cast("double")).collect()(0).getDouble(0)
+    assert(math.abs(totalGot - totalWant) <= 1e-6 * math.abs(totalWant))
+  }
+
   test("q200 slope agrees with covar_pop/var_pop to 1e-9 relative") {
     val got = SparkEntry.queries("q200_ols_trend")(spark, dir)
       .select($"event_type", $"slope").collect()
