@@ -1266,8 +1266,131 @@ object SimilarityQueries {
         |SELECT l.label AS true_label, p.pred_label,
         |  COUNT(*) AS n_vectors
         |FROM pred p JOIN lab l ON p.src = l.vec_id
-        |GROUP BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // ── 3-core of the kNN graph — the dense backbone that survives
+    //    iterative peeling of degree-<3 nodes: peel rounds run to an
+    //    OBSERVED fixpoint (edge count stable; peeling only removes, so
+    //    equal count ⇒ no removal ⇒ converged), fail-loud at a 20-round
+    //    cap like the CC fixpoints; the oracle unrolls 20 rounds, which
+    //    is safe because post-fixpoint rounds are no-ops. Each round is
+    //    one degree agg + two endpoint semi-joins + localCheckpoint.
+    //    Peeling strips the hairy periphery that label-propagation and
+    //    sampling both over-count; per-label core membership tells you
+    //    which classes form tight cliquey neighborhoods vs loose
+    //    clouds. All integer, all keyed — the classic distributed
+    //    k-core shape (degree agg + filter + edge semi-join, log-depth
+    //    rounds), never corpus × corpus.
+    QueryDef(
+      "q214_kcore",
+      (s, dir) => {
+        import s.implicits._
+        var e = knnEdgesCached(s, dir)
+          .select(least($"src", $"dst").as("u"),
+            greatest($"src", $"dst").as("v"))
+          .distinct()
+          .localCheckpoint()
+        var prev = e.count()
+        var stable = false
+        for (_ <- 1 to KcoreMaxRounds if !stable) {
+          val deg = e.select($"u".as("vtx"))
+            .unionByName(e.select($"v".as("vtx")))
+            .groupBy($"vtx").agg(count(lit(1)).as("d"))
+          val keep = deg.where($"d" >= 3).select($"vtx")
+          e = e
+            .join(keep.select($"vtx".as("u")), Seq("u"), "left_semi")
+            .join(keep.select($"vtx".as("v")), Seq("v"), "left_semi")
+            .localCheckpoint()
+          val cnt = e.count()
+          stable = cnt == prev
+          prev = cnt
+        }
+        require(stable,
+          s"q214_kcore: peeling did not converge in $KcoreMaxRounds rounds")
+        val nodes = e.select($"u".as("vec_id"))
+          .unionByName(e.select($"v".as("vec_id"))).distinct()
+        nodes
+          .join(Tables.embeddings(s, dir).select($"vec_id", $"label"),
+            "vec_id")
+          .groupBy($"label").agg(count(lit(1)).as("n_members"))
+      },
+      Some {
+        // every round CTE MATERIALIZED: e_k is referenced three times
+        // (scan + two IN probes); inlined CTEs would re-expand the whole
+        // chain 3^k times
+        def round(k: Int) = s"""keep$k AS MATERIALIZED (
+        |  SELECT vtx FROM (
+        |    SELECT vtx, COUNT(*) AS d FROM (
+        |      SELECT u AS vtx FROM e${k - 1}
+        |      UNION ALL SELECT v FROM e${k - 1})
+        |    GROUP BY vtx)
+        |  WHERE d >= 3),
+        |e$k AS MATERIALIZED (
+        |  SELECT u, v FROM e${k - 1}
+        |  WHERE u IN (SELECT vtx FROM keep$k)
+        |    AND v IN (SELECT vtx FROM keep$k))"""
+        s"""$knnEdgesCtesSql,
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM edges),
+        |${(1 to KcoreMaxRounds).map(round).mkString(",\n")}
+        |SELECT emb.label, COUNT(*) AS n_members FROM (
+        |  SELECT DISTINCT vec_id FROM (
+        |    SELECT u AS vec_id FROM e$KcoreMaxRounds UNION ALL SELECT v FROM e$KcoreMaxRounds)) n
+        |JOIN embeddings emb ON emb.vec_id = n.vec_id
+        |GROUP BY emb.label""".stripMargin
+      }),
+
+    // ── Mean reciprocal rank of the kNN index against labels — at what
+    //    rank does each vector first meet a same-label neighbor in its
+    //    top-3 list? The ranking-quality complement of q109/q191's
+    //    recall evals: RR is 1e9 div rank in EXACT fixed point (1e9,
+    //    5e8, 333333333 — no float reciprocals), missing = 0, and the
+    //    per-label mean is one more integer floor division. One keyed
+    //    min over ≤3 edges per vector; output ≤ |labels| rows.
+    QueryDef(
+      "q215_mrr_eval",
+      (s, dir) => {
+        import s.implicits._
+        val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+        val firstHit = knnEdgesCached(s, dir).select($"src", $"dst", $"rank")
+          .join(lab.select($"vec_id".as("src"), $"label".as("sl")), "src")
+          .join(lab.select($"vec_id".as("dst"), $"label".as("dl")), "dst")
+          .where($"sl" === $"dl")
+          .groupBy($"src", $"sl").agg(min($"rank").as("r"))
+        lab.select($"vec_id".as("src"), $"label".as("sl"))
+          .join(firstHit.select($"src", expr("1000000000 div r").as("rr")),
+            Seq("src"), "left")
+          .groupBy($"sl".as("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when($"rr".isNotNull, 1L).otherwise(0L)).as("n_hit"),
+            expr("sum(coalesce(rr, CAST(0 AS BIGINT))) div count(1)")
+              .as("mrr_1e9"))
+      },
+      Some(knnEdgesCtesSql + """,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |fh AS (
+        |  SELECT e.src, MIN(e.rank) AS r
+        |  FROM edges e
+        |  JOIN lab a ON a.vec_id = e.src
+        |  JOIN lab b ON b.vec_id = e.dst AND a.label = b.label
+        |  GROUP BY 1),
+        |rr AS (
+        |  SELECT l.label, l.vec_id,
+        |    CASE WHEN fh.r IS NOT NULL THEN 1000000000 // fh.r
+        |      ELSE NULL END AS rr
+        |  FROM lab l LEFT JOIN fh ON fh.src = l.vec_id)
+        |SELECT label, COUNT(*) AS n_queries,
+        |  CAST(SUM(CASE WHEN rr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hit,
+        |  CAST(SUM(COALESCE(rr, 0)) // COUNT(*) AS BIGINT) AS mrr_1e9
+        |FROM rr GROUP BY label""".stripMargin))
   )
+
+  /** k-core peel-round cap: fail-loud bound for the Spark fixpoint loop
+    * and the unrolled depth of the q214 oracle (post-fixpoint rounds are
+    * no-ops, so the oracle can safely over-unroll). */
+  val KcoreMaxRounds = 20
 
   /** Hash tables × planes-per-table for the multi-table LSH near-dup. */
   val LshTables = 3

@@ -697,6 +697,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q214 kcore: final rollup reads the peeled checkpoint, keyed join") {
+    // the per-round semi-joins run during construction (each round is
+    // checkpointed); the final plan is the label join + rollup only
+    val p = planOf("q214_kcore")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q215 mrr: label joins keyed, no cartesian") {
+    val p = planOf("q215_mrr_eval")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q216 peak load: one scan, no joins — range-frame sweep") {
+    val p = planOf("q216_peak_load")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!p.contains("Join"), p.take(1600))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)

@@ -386,6 +386,67 @@ class Round7Spec extends SparkSpec {
     assert(math.abs(totalGot - totalWant) <= 1e-6 * math.abs(totalWant))
   }
 
+  test("q214 kcore: 8 rounds reach the true until-stable 3-core") {
+    val got = SparkEntry.queries("q214_kcore")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var und = SparkEntry.queries("q149_knn_graph")(spark, dir)
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var stable = false
+    while (!stable) { // peel to FIXPOINT, not a fixed round count
+      val deg = (und.toSeq.map(_._1) ++ und.toSeq.map(_._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val next = und.filter { case (u, v) => deg(u) >= 3 && deg(v) >= 3 }
+      stable = next == und
+      und = next
+    }
+    val lab = Tables.embeddings(spark, dir).select($"vec_id", $"label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nodes = (und.toSeq.map(_._1) ++ und.toSeq.map(_._2)).distinct
+    val want = nodes.groupBy(lab).map { case (l, v) => l -> v.size.toLong }
+    assert(got == want && got.values.sum > 0)
+  }
+
+  test("q215 mrr matches a driver-side fixed-point replay") {
+    val got = SparkEntry.queries("q215_mrr_eval")(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val lab = Tables.embeddings(spark, dir).select($"vec_id", $"label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = SparkEntry.queries("q149_knn_graph")(spark, dir)
+      .select($"src", $"dst", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val firstHit = edges.filter(e => lab(e._1) == lab(e._2))
+      .groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).min }
+    val want = lab.toSeq.groupBy(_._2).map { case (l, vs) =>
+      val rrs = vs.map(v => firstHit.get(v._1)
+        .map(r => 1000000000L / r).getOrElse(0L))
+      l -> (vs.size.toLong,
+        vs.count(v => firstHit.contains(v._1)).toLong,
+        rrs.sum / vs.size)
+    }
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q216 peak load matches a driver-side sweep") {
+    val got = SparkEntry.queries("q216_peak_load")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val evs = Tables.events(spark, dir)
+      .select($"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = evs.groupBy(_._1).map { case (t, rs) =>
+      val us = rs.map(_._2).sorted
+      val counts = us.map(u =>
+        (u, us.count(x => x >= u && x <= u + 3600000000L).toLong))
+      val mx = counts.map(_._2).max
+      val (pu, pc) = counts.filter(_._2 == mx).minBy(_._1)
+      t -> (pu, pc)
+    }
+    assert(got == want)
+  }
+
   test("q200 slope agrees with covar_pop/var_pop to 1e-9 relative") {
     val got = SparkEntry.queries("q200_ols_trend")(spark, dir)
       .select($"event_type", $"slope").collect()
