@@ -717,6 +717,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1600))
   }
 
+  test("q217 streaks: one scan, no joins — island key is one window") {
+    val p = planOf("q217_streaks")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!p.contains("Join"), p.take(1600))
+  }
+
+  test("q218 fingerprint: one scan, one keyed agg, xor map-side combines") {
+    val p = planOf("q218_table_fingerprint")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!p.contains("Join"), p.take(1600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+  }
+
+  test("q219 zorder: scans stay pruned to the two used dims") {
+    val p = planOf("q219_zorder_locality")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)

@@ -447,6 +447,59 @@ class Round7Spec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q217 streaks match a driver-side gaps-and-islands replay") {
+    val got = SparkEntry.queries("q217_streaks")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val days = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val want = days.groupBy(_._1).map { case (u, rs) =>
+      val ds = rs.map(_._2).sorted
+      var streaks = List.empty[Long]
+      var prev = Long.MinValue
+      for (d <- ds) {
+        if (d == prev + 1) streaks = (streaks.head + 1) :: streaks.tail
+        else streaks = 1L :: streaks
+        prev = d
+      }
+      u -> (ds.size.toLong, streaks.max, streaks.size.toLong)
+    }
+    assert(got == want && got.nonEmpty)
+    assert(got.values.exists(_._2 > 1)) // at least one real streak
+  }
+
+  test("q218 fingerprint is order-independent and change-sensitive") {
+    val rows = SparkEntry.queries("q218_table_fingerprint")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // xor replay on the driver from the same 60-bit row hashes
+    val hs = Tables.orders(spark, dir)
+      .select($"o_orderdate".cast("date").cast("string").as("day"),
+        expr("CAST(conv(substring(md5(concat_ws('|', o_orderkey, " +
+          "o_custkey, o_orderstatus, o_orderpriority)), 1, 15), 16, 10)" +
+          " AS BIGINT)").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = hs.groupBy(_._1).map { case (d, v) =>
+      d -> (v.size.toLong, v.map(_._2).foldLeft(0L)(_ ^ _))
+    }
+    assert(rows.map(r => r._1 -> (r._2, r._3)).toMap == want)
+    // flipping any single row flips its day's fingerprint
+    val (d0, n0, f0) = rows.head
+    val flipped = want(d0)._2 ^ 12345L
+    assert(flipped != f0 && n0 > 0)
+  }
+
+  test("q219 z-order locality beats id-order locality on this corpus") {
+    val r = SparkEntry.queries("q219_zorder_locality")(spark, dir)
+      .collect()(0)
+    val (n, zf, idf) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(n > 0)
+    assert(zf > idf, s"z $zf should beat id $idf")
+    assert(zf > 0.9, s"z locality should be near 1, got $zf")
+  }
+
   test("q200 slope agrees with covar_pop/var_pop to 1e-9 relative") {
     val got = SparkEntry.queries("q200_ols_trend")(spark, dir)
       .select($"event_type", $"slope").collect()
