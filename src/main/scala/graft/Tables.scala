@@ -26,15 +26,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as long nanos (legacy conf) and rebuild a microsecond
-    * timestamp with exact integer arithmetic (ts div 1000 — never double
-    * division: epoch-nanos exceed 2^53).
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read as long nanos under the legacy conf
+    * and rebuild with exact integer arithmetic: ts div 1000, never double
+    * division, epoch-nanos exceed 2^53) and as TIMESTAMP(MICROS) without
+    * UTC adjustment (inferred as TIMESTAMP_NTZ). Normalize BOTH lineages
+    * to a session-TZ TimestampType column; the session runs in UTC, so the
+    * NTZ->LTZ cast is micro-exact.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -175,11 +175,20 @@ object ExtQueries {
         import s.implicits._
         import org.apache.spark.sql.types._
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // probe the fixture's ts lineage once (batch footer read): long
+        // nanos under the legacy conf, or TIMESTAMP(MICROS) inferred NTZ —
+        // the stream schema and rebuild expression must match the file
+        val tsType = Tables.load(s, dir, "events").schema("ts").dataType
         val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("event_id", LongType), StructField("ts", tsType),
           StructField("user_id", LongType),
           StructField("event_type", StringType),
           StructField("value", DoubleType)))
+        val rebuild = tsType match {
+          case LongType         => expr("timestamp_micros(ts div 1000)")
+          case TimestampNTZType => $"ts".cast(TimestampType)
+          case _                => $"ts"
+        }
         // the file stream source wants a DIRECTORY of arriving files —
         // stage the fixture behind a symlink in a temp dir
         val srcDir = java.nio.file.Files.createTempDirectory("q54_events")
@@ -187,7 +196,7 @@ object ExtQueries {
           srcDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet"))
         val agg = s.readStream.schema(schema).parquet(srcDir.toString)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts", rebuild)
           .withWatermark("ts", "2 hours")
           .groupBy(window($"ts", "1 hour"), $"event_type")
           .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
