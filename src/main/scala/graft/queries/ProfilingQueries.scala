@@ -282,6 +282,60 @@ object ProfilingQueries {
         |SELECT source, MIN(t_s) AS n_feat_tokens,
         |  CAST(SUM(CAST(floor(((o - e) * (o - e) / e) * 1e9) AS BIGINT)) AS DOUBLE)
         |    / 1e9 AS chi2
-        |FROM terms GROUP BY source""".stripMargin))
+        |FROM terms GROUP BY source""".stripMargin)),
+
+    // ── Benford first-digit audit of order totals — the fraud/data-entry
+    //    anomaly screen: natural multi-scale amounts follow
+    //    P(d) = log10(1 + 1/d). The leading digit comes from integer
+    //    string arithmetic (floor to cents, BIGINT → string, first char),
+    //    never from float formatting, which the two engines render
+    //    differently. The irrational expected frequencies enter BOTH
+    //    plans as the same 1e9-scaled integer literals (computed once
+    //    driver-side), and the observed fractions are integer fixed
+    //    point — the compare never touches a log. One scan, one 9-row
+    //    agg; the digit-total window runs over 9 post-agg rows.
+    QueryDef(
+      "q223_benford",
+      (s, dir) => {
+        import s.implicits._
+        val expCase = BenfordExp1e9.zipWithIndex
+          .map { case (e, i) => s"WHEN ${i + 1} THEN ${e}L" }
+          .mkString("CASE digit ", " ", " ELSE 0L END")
+        Tables.orders(s, dir)
+          .select(expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)" +
+              " AS STRING), 1, 1) AS INT)").as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n_orders"))
+          .withColumn("obs_1e9",
+            expr("n_orders * 1000000000 div sum(n_orders) over ()"))
+          .withColumn("exp_1e9", expr(expCase))
+          .withColumn("dev_1e9", abs($"obs_1e9" - $"exp_1e9"))
+      },
+      Some {
+        val expCase = BenfordExp1e9.zipWithIndex
+          .map { case (e, i) => s"WHEN ${i + 1} THEN $e" }
+          .mkString("CASE digit ", " ", " ELSE 0 END")
+        s"""WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY 1),
+        |o AS (
+        |  SELECT digit, n_orders,
+        |    n_orders * 1000000000 // CAST(SUM(n_orders) OVER () AS BIGINT)
+        |      AS obs_1e9
+        |  FROM c)
+        |SELECT digit, n_orders, obs_1e9,
+        |  CAST($expCase AS BIGINT) AS exp_1e9,
+        |  abs(obs_1e9 - CAST($expCase AS BIGINT)) AS dev_1e9
+        |FROM o""".stripMargin
+      })
   )
+
+  /** Benford expected first-digit frequencies log10(1 + 1/d), d = 1..9,
+    * floor-scaled to 1e9 — irrational, so both engines consume these same
+    * integer literals and no log is evaluated at query time.
+    */
+  val BenfordExp1e9: Seq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e9).toLong)
 }

@@ -1384,8 +1384,130 @@ object SimilarityQueries {
         |  CAST(SUM(CASE WHEN rr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_hit,
         |  CAST(SUM(COALESCE(rr, 0)) // COUNT(*) AS BIGINT) AS mrr_1e9
-        |FROM rr GROUP BY label""".stripMargin))
+        |FROM rr GROUP BY label""".stripMargin)),
+
+    // ── Multi-source BFS reachability over the kNN graph — how much of
+    //    the corpus sits within h hops of a seed set (here vec_id < 10):
+    //    the connectivity complement of q214's density core. Each hop is
+    //    ONE keyed join of the current frontier (dist = r-1 only, never
+    //    the whole visited set) against the undirected edge list, an
+    //    anti-join against visited, and a localCheckpoint — the classic
+    //    distributed frontier expansion, O(hops) rounds, never
+    //    corpus × corpus. The oracle replays the same rounds with
+    //    MIN(dist) folding (equivalent to the anti-join: a revisited
+    //    node keeps its earlier distance). Unreached nodes report
+    //    dist = -1 — the coverage-hole count an index audit wants.
+    QueryDef(
+      "q220_bfs_hops",
+      (s, dir) => {
+        import s.implicits._
+        val ed = knnEdgesCached(s, dir).select($"src", $"dst")
+        val und = ed
+          .unionByName(ed.select($"dst".as("src"), $"src".as("dst")))
+          .distinct().localCheckpoint()
+        var visited = Tables.embeddings(s, dir)
+          .select($"vec_id").where($"vec_id" < 10)
+          .withColumn("dist", lit(0)).localCheckpoint()
+        for (r <- 1 to BfsHops) {
+          val frontier = visited.where($"dist" === r - 1)
+            .select($"vec_id".as("src"))
+          val next = und.join(frontier, "src")
+            .select($"dst".as("vec_id")).distinct()
+            .join(visited.select($"vec_id"), Seq("vec_id"), "left_anti")
+            .withColumn("dist", lit(r))
+          visited = visited.unionByName(next).localCheckpoint()
+        }
+        Tables.embeddings(s, dir).select($"vec_id")
+          .join(visited, Seq("vec_id"), "left")
+          .select(coalesce($"dist", lit(-1)).as("dist"))
+          .groupBy($"dist").agg(count(lit(1)).as("n_vectors"))
+      },
+      Some {
+        def round(r: Int) = s"""v$r AS MATERIALIZED (
+        |  SELECT vec_id, MIN(dist) AS dist FROM (
+        |    SELECT vec_id, dist FROM v${r - 1}
+        |    UNION ALL
+        |    SELECT e.dst AS vec_id, $r AS dist
+        |    FROM ed e JOIN v${r - 1} v
+        |      ON e.src = v.vec_id AND v.dist = ${r - 1})
+        |  GROUP BY vec_id)"""
+        s"""$knnEdgesCtesSql,
+        |ed AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM edges
+        |    UNION ALL SELECT dst, src FROM edges)),
+        |v0 AS MATERIALIZED (
+        |  SELECT vec_id, 0 AS dist FROM embeddings WHERE vec_id < 10),
+        |${(1 to BfsHops).map(round).mkString(",\n")}
+        |SELECT CAST(COALESCE(v.dist, -1) AS INT) AS dist,
+        |  COUNT(*) AS n_vectors
+        |FROM embeddings emb LEFT JOIN v$BfsHops v
+        |  ON emb.vec_id = v.vec_id
+        |GROUP BY 1""".stripMargin
+      }),
+
+    // ── NDCG@3 of the kNN index against labels — the graded complement
+    //    of q215's MRR: every same-label neighbor contributes its rank's
+    //    discount weight, not just the first. The 1/log2(rank+1)
+    //    discounts are IRRATIONAL, so both engines consume the SAME
+    //    1e9-scaled integer literals (computed once driver-side and
+    //    interpolated into both plans) — DCG and the per-label mean stay
+    //    exact BIGINT arithmetic end to end; the ideal DCG (all 3
+    //    neighbors relevant) is the constant the per-query score divides
+    //    by in fixed point. Fan-in ≤ 3 edges/vector; output ≤ |labels|.
+    QueryDef(
+      "q221_ndcg_eval",
+      (s, dir) => {
+        import s.implicits._
+        val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+        val dcg = knnEdgesCached(s, dir).select($"src", $"dst", $"rank")
+          .join(lab.select($"vec_id".as("src"), $"label".as("sl")), "src")
+          .join(lab.select($"vec_id".as("dst"), $"label".as("dl")), "dst")
+          .where($"sl" === $"dl")
+          .groupBy($"src")
+          .agg(sum(when($"rank" === 1, lit(NdcgW1))
+            .when($"rank" === 2, lit(NdcgW2))
+            .otherwise(lit(NdcgW3))).as("dcg"))
+        lab.select($"vec_id".as("src"), $"label")
+          .join(dcg, Seq("src"), "left")
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_queries"),
+            // dcg ≤ IDCG ≈ 2.13e9, so dcg·1e9 ≤ 2.14e18 < 2^63: no overflow
+            expr(s"sum(coalesce(dcg, CAST(0 AS BIGINT)) * 1000000000 div $NdcgIdcg)"
+              + " div count(1)").as("mean_ndcg_1e9"))
+      },
+      Some(knnEdgesCtesSql + s""",
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |dcg AS (
+        |  SELECT e.src,
+        |    SUM(CASE WHEN e.rank = 1 THEN $NdcgW1
+        |             WHEN e.rank = 2 THEN $NdcgW2
+        |             ELSE $NdcgW3 END) AS dcg
+        |  FROM edges e
+        |  JOIN lab a ON a.vec_id = e.src
+        |  JOIN lab b ON b.vec_id = e.dst AND a.label = b.label
+        |  GROUP BY 1)
+        |SELECT l.label, COUNT(*) AS n_queries,
+        |  CAST(SUM(COALESCE(dcg.dcg, 0) * 1000000000 // $NdcgIdcg)
+        |    // COUNT(*) AS BIGINT) AS mean_ndcg_1e9
+        |FROM lab l LEFT JOIN dcg ON dcg.src = l.vec_id
+        |GROUP BY l.label""".stripMargin))
   )
+
+  /** BFS hop budget for q220 (and the unrolled depth of its oracle). */
+  val BfsHops = 4
+
+  /** 1e9-scaled NDCG discount weights 1/log2(rank+1) — irrational, so
+    * both engines consume these exact integer literals. floor(1e9/log2(3))
+    * is computed once here; the Spark plan and the oracle SQL interpolate
+    * the same values, so no runtime log/float enters either engine.
+    */
+  val NdcgW1: Long = 1000000000L
+  val NdcgW2: Long = (1e9 / (math.log(3.0) / math.log(2.0))).toLong
+  val NdcgW3: Long = 500000000L
+
+  /** Ideal DCG@3: all three neighbors relevant. */
+  val NdcgIdcg: Long = NdcgW1 + NdcgW2 + NdcgW3
 
   /** k-core peel-round cap: fail-loud bound for the Spark fixpoint loop
     * and the unrolled depth of the q214 oracle (post-fixpoint rounds are

@@ -1649,6 +1649,96 @@ object TextQueries {
         |      ORDER BY doc_id, chunk_idx) AS rn FROM ch)
         |  WHERE rn = 1)
         |SELECT d.chunk_h, d.n_instances, d.n_docs, k.keep_doc, k.keep_chunk
-        |FROM dup d JOIN k USING (chunk_h)""".stripMargin))
+        |FROM dup d JOIN k USING (chunk_h)""".stripMargin)),
+
+    // ── HyperLogLog replayed EXACTLY in both engines — the sketch q68
+    //    gates behaviorally (`approx_count_distinct` within a pinned
+    //    window) rebuilt here from first principles so every register is
+    //    hash-compared: bucket = top 6 bits of the 60-bit md5 token hash
+    //    (64 registers), ρ = position of the first 1-bit in the remaining
+    //    54 (via integer bit-length, no float log), register = MAX(ρ) —
+    //    max is commutative/associative, so partial aggregation and
+    //    shuffle order can't move it, the same order-independence argument
+    //    as q218's xor fold. The raw estimate αm²/Σ2^-ρ uses ONE IEEE
+    //    division: Σ2^(55-ρ) is an exact BIGINT (2^-ρ scaled by 2^55) and
+    //    α·m²·2^55 is the same driver-computed double literal in both
+    //    plans. At 100 TB the register table is the mergeable per-shard
+    //    state: 64 longs per (source, shard) partial, one tiny final fold.
+    QueryDef(
+      "q225_hll_replay",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.documents(s, dir)
+          .select($"source", explode(TextAnalysis.tokens($"text")).as("token"))
+          .distinct()
+        val reg = tok
+          .select($"source",
+            TextAnalysis.hash60Fast(s, $"token").as("h"))
+          .select($"source",
+            expr("h div 18014398509481984").as("bucket"),
+            expr("h % 18014398509481984").as("w"))
+          .select($"source", $"bucket",
+            expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END")
+              .as("rho"))
+          .groupBy($"source", $"bucket").agg(max($"rho").as("m"))
+        val spine = tok.select($"source").distinct()
+          .select($"source", explode(sequence(lit(0L), lit(63L))).as("bucket"))
+        val z = spine.join(reg, Seq("source", "bucket"), "left")
+          .select($"source", coalesce($"m", lit(0)).as("m"))
+          .groupBy($"source")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).as("z"),
+            sum(when($"m" === 0, 1L).otherwise(0L)).as("n_empty"))
+        val exact = tok.groupBy($"source").agg(count(lit(1)).as("n_exact"))
+        z.join(exact, "source")
+          .select($"source", $"n_exact", $"n_empty",
+            expr(s"CAST(floor($HllNumLit / CAST(z AS DOUBLE)) AS BIGINT)")
+              .as("hll_est"))
+          .withColumn("err_1e9",
+            expr("abs(hll_est - n_exact) * 1000000000 div n_exact"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT DISTINCT source,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |           ELSE string_split_regex(lower(trim(text)), '\\s+') END)
+        |      AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        |  FROM t),
+        |r AS (
+        |  SELECT source, h // 18014398509481984 AS bucket,
+        |    h % 18014398509481984 AS w
+        |  FROM h),
+        |rho AS (
+        |  SELECT source, bucket,
+        |    CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
+        |  FROM r),
+        |reg AS (SELECT source, bucket, MAX(rho) AS m FROM rho GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT source, unnest(generate_series(0, 63)) AS bucket
+        |  FROM (SELECT DISTINCT source FROM t)),
+        |z AS (
+        |  SELECT spine.source,
+        |    CAST(SUM(1::BIGINT << (55 - COALESCE(reg.m, 0))) AS BIGINT) AS z,
+        |    CAST(SUM(CASE WHEN reg.m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_empty
+        |  FROM spine LEFT JOIN reg
+        |    ON spine.source = reg.source AND spine.bucket = reg.bucket
+        |  GROUP BY 1),
+        |ex AS (SELECT source, COUNT(*) AS n_exact FROM t GROUP BY 1)
+        |SELECT z.source, ex.n_exact, z.n_empty,
+        |  CAST(floor($HllNumLit / CAST(z.z AS DOUBLE)) AS BIGINT) AS hll_est,
+        |  abs(CAST(floor($HllNumLit / CAST(z.z AS DOUBLE)) AS BIGINT)
+        |    - ex.n_exact) * 1000000000 // ex.n_exact AS err_1e9
+        |FROM z JOIN ex ON z.source = ex.source""".stripMargin))
   )
+
+  /** α₆₄·m²·2⁵⁵ for the q225 HLL estimate (m = 64 registers,
+    * α = 0.7213/(1 + 1.079/m)), rendered once via Double.toString so both
+    * engines parse the identical shortest-representation literal and the
+    * estimate is ONE shared IEEE division away from the integer Σ2^(55-ρ).
+    */
+  val HllNumLit: String = java.lang.Double.toString(
+    0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * 36028797018963968.0)
 }

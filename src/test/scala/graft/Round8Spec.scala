@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the round-8 operators: BFS conservation and seed
+  * accounting, NDCG bounds + pinned discount literals, EWMA first-day
+  * exactness, Benford digit/expectation conservation, ACF pair counts
+  * against the spine arithmetic, and the q225 HLL registers replayed by an
+  * independent driver-side Scala implementation.
+  */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q220 bfs: counts conserve the corpus and seeds sit at dist 0") {
+    val rows = SparkEntry.queries("q220_bfs_hops")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = Tables.embeddings(spark, dir).count()
+    val seeds = Tables.embeddings(spark, dir)
+      .where($"vec_id" < 10).count()
+    assert(rows.values.sum == total)
+    assert(rows(0) == seeds)
+    assert(rows.keySet.subsetOf((-1 to 4).toSet))
+    // hops reach beyond the seed set on the fixture graph
+    assert(rows.getOrElse(1, 0L) > 0L)
+  }
+
+  test("q221 ndcg: bounded by the fixed-point scale; literals pinned") {
+    // the discount literals are driver-computed once; pin them so an
+    // accidental re-derivation (different log base, rounding) is loud
+    assert(graft.queries.SimilarityQueries.NdcgW2 == 630929753L)
+    assert(graft.queries.SimilarityQueries.NdcgIdcg == 2130929753L)
+    val rows = SparkEntry.queries("q221_ndcg_eval")(spark, dir).collect()
+    val total = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.forall { r =>
+      val m = r.getLong(2); m >= 0L && m <= 1000000000L })
+  }
+
+  test("q222 ewma: first observed day per type equals its count exactly") {
+    val out = SparkEntry.queries("q222_ewma_trend")(spark, dir)
+    val first = out.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"day")))
+      .where($"rn" === 1)
+      .select($"n_events", $"ewma").collect()
+    assert(first.nonEmpty)
+    // no prior days contribute, so num/den = x·2^30 / 2^30 = x exactly
+    first.foreach(r =>
+      assert(r.getDouble(1) == r.getLong(0).toDouble))
+  }
+
+  test("q223 benford: digit counts and expectations conserve") {
+    val rows = SparkEntry.queries("q223_benford")(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (1 to 9))
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, dir).count())
+    val expSum = graft.queries.ProfilingQueries.BenfordExp1e9.sum
+    // nine floors of probabilities summing to 1 lose < 1 ulp each
+    assert(expSum <= 1000000000L && expSum >= 1000000000L - 9L)
+  }
+
+  test("q224 acf: pair counts follow the spine arithmetic; |r| bounded") {
+    val rows = SparkEntry.queries("q224_acf")(spark, dir).collect()
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0))
+    val spans = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg((datediff(max(date_trunc("day", $"ts").cast("date")),
+        min(date_trunc("day", $"ts").cast("date"))) + 1).as("len"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (tpe, lag, n) = (r.getString(0), r.getInt(1), r.getLong(2))
+      assert(n == spans(tpe) - lag)
+    }
+  }
+
+  test("q225 hll: registers match an independent driver-side replay") {
+    val got = SparkEntry.queries("q225_hll_replay")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent reference: plain Scala over the collected corpus
+    val docs = Tables.documents(spark, dir)
+      .select($"source", $"text").as[(String, String)].collect()
+    val toks = docs.flatMap { case (src, text) =>
+      val t = text.trim
+      (if (t.isEmpty) Array.empty[String]
+       else t.toLowerCase.split("\\s+")).map(src -> _)
+    }.distinct
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = toks.groupBy(_._1).map { case (src, ts) =>
+      val regs = Array.fill(64)(0)
+      ts.foreach { case (_, tok) =>
+        val h = h60(tok)
+        val bucket = (h >>> 54).toInt
+        val w = h & ((1L << 54) - 1)
+        val rho =
+          if (w == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(bucket)) regs(bucket) = rho
+      }
+      val z = regs.map(m => 1L << (55 - m)).sum
+      val num = 0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * 36028797018963968.0
+      val est = math.floor(num / z.toDouble).toLong
+      src -> (ts.length.toLong, regs.count(_ == 0).toLong, est)
+    }
+    assert(got == want)
+  }
+}
