@@ -376,8 +376,67 @@ object AnalyticsQueries {
     scd2LookupDef,
     attributionDef,
     joinSkewDef,
-    eventDebounceDef
+    eventDebounceDef,
+    rfmDef
   )
+
+  // ── RFM customer segmentation — the classic retention/marketing cube:
+  //    recency (days since last order), frequency (order count), monetary
+  //    (lifetime cents, exact BIGINT) per customer, each scored into
+  //    quintiles by NTILE over a TOTALLY ordered axis (metric, custkey) —
+  //    the tie-break key makes the quintile assignment deterministic in
+  //    both engines. Output is the ≤125-cell segment histogram, so
+  //    everything after the per-customer rollup is distribution-sized.
+  //    The three global NTILE windows run over one row per customer
+  //    (post-agg); at 100 TB the cut points would come from
+  //    approx_percentile and a broadcast join, same posture as q203's
+  //    documented note — the segment semantics are unchanged.
+  private def rfmDef: QueryDef = QueryDef(
+    "q229_rfm",
+    (s, dir) => {
+      import s.implicits._
+      val dmax = Tables.orders(s, dir)
+        .agg(max($"o_orderdate").as("dmax"))
+      val cust = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(max($"o_orderdate").as("dlast"),
+          count(lit(1)).as("freq"),
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .as("cents"))
+        .crossJoin(broadcast(dmax))
+        .select($"o_custkey", datediff($"dmax", $"dlast").as("recency"),
+          $"freq", $"cents")
+      val scored = cust
+        .withColumn("r", ntile(5).over(
+          Window.orderBy($"recency".asc, $"o_custkey".asc)))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy($"freq".desc, $"o_custkey".asc)))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy($"cents".desc, $"o_custkey".asc)))
+      scored
+        .groupBy(($"r" * 100 + $"f" * 10 + $"m").as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"cents").as("total_cents"))
+    },
+    Some("""WITH dm AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+      |cust AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', MAX(o_orderdate),
+      |      (SELECT dmax FROM dm)) AS recency,
+      |    COUNT(*) AS freq,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |scored AS (
+      |  SELECT o_custkey, cents,
+      |    NTILE(5) OVER (ORDER BY recency ASC, o_custkey ASC) AS r,
+      |    NTILE(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f,
+      |    NTILE(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS m
+      |  FROM cust)
+      |SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM scored GROUP BY 1""".stripMargin))
 
   // ── Join-skew profile for a key BEFORE joining on it: the per-key
   //    cardinality distribution of lineitem's order key (count histogram

@@ -968,6 +968,61 @@ object DedupQueries {
         |  CAST(n_probe_cands AS BIGINT) AS n_probe_cands,
         |  CAST((n_hits * 1000000000) // greatest(n_truth, 1) AS BIGINT)
         |    AS recall_fp
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+
+    // ── Weighted (multiset) Jaccard between source token HISTOGRAMS —
+    //    corpus-level similarity that respects frequency, where q35's
+    //    set Jaccard ignores it: J_w = Σmin(c_a,c_b) / Σmax(c_a,c_b).
+    //    The identity Σmax = tot_a + tot_b − Σmin means only the
+    //    INTERSECTION needs a join: per-token source counts self-join on
+    //    token (fan-out ≤ |sources| per token, never docs²), Σmin folds
+    //    keyed, totals are a broadcast-sized dim. Exact integers until
+    //    one fixed-point division. The source-affinity matrix that
+    //    drives mixture planning (which corpora duplicate each other's
+    //    token mass, not just vocabulary).
+    QueryDef(
+      "q228_weighted_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val oc = Tables.documents(s, dir)
+          .select($"source",
+            explode(graft.ext.TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+        val tot = oc.groupBy($"source").agg(sum($"c").as("tot"))
+        val inter = oc.select($"token", $"source".as("src_a"), $"c".as("ca"))
+          .join(oc.select($"token", $"source".as("src_b"), $"c".as("cb")),
+            Seq("token"))
+          .where($"src_a" < $"src_b")
+          .groupBy($"src_a", $"src_b")
+          .agg(sum(least($"ca", $"cb")).as("inter_min"))
+        inter
+          .join(broadcast(tot.select($"source".as("src_a"),
+            $"tot".as("ta"))), "src_a")
+          .join(broadcast(tot.select($"source".as("src_b"),
+            $"tot".as("tb"))), "src_b")
+          .select($"src_a", $"src_b", $"inter_min",
+            expr("inter_min * 1000000000 div (ta + tb - inter_min)")
+              .as("wj_1e9"))
+      },
+      Some("""WITH t AS (
+        |  SELECT source,
+        |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |           ELSE string_split_regex(lower(trim(text)), '\s+') END)
+        |      AS token
+        |  FROM documents),
+        |oc AS (SELECT source, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM oc
+        |  GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(SUM(least(a.c, b.c)) AS BIGINT) AS inter_min
+        |  FROM oc a JOIN oc b
+        |    ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, i.inter_min,
+        |  i.inter_min * 1000000000 // (x.tot + y.tot - i.inter_min)
+        |    AS wj_1e9
+        |FROM inter i JOIN tot x ON i.src_a = x.source
+        |JOIN tot y ON i.src_b = y.source""".stripMargin))
   )
 }

@@ -329,7 +329,44 @@ object ProfilingQueries {
         |  CAST($expCase AS BIGINT) AS exp_1e9,
         |  abs(obs_1e9 - CAST($expCase AS BIGINT)) AS dev_1e9
         |FROM o""".stripMargin
-      })
+      }),
+
+    // ── EXACT distributed median without a global sort — the selection
+    //    pattern that replaces `ORDER BY + offset` at 100 TB: build the
+    //    per-source VALUE histogram (one keyed agg — the domain of
+    //    n_chars is bounded, ≪ corpus), cumulative-count along the
+    //    value axis (window over distinct values only), and the lower/
+    //    upper middle ranks are the first values whose cumulative count
+    //    crosses (n+1)÷2 and n÷2+1. Even-count interpolation is one
+    //    IEEE (v1+v2)/2 — exactly DuckDB's median()/quantile_cont(0.5)
+    //    semantics, which the oracle calls directly: the gate proves
+    //    histogram selection ≡ sort-based median. For unbounded/float
+    //    domains the first pass coarsens to range buckets and a second
+    //    pass recurses within the selected bucket — same shape, still
+    //    never a global sort.
+    QueryDef(
+      "q226_exact_median",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.documents(s, dir)
+          .groupBy($"source", $"n_chars".cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val tot = counts.groupBy($"source").agg(sum($"c").as("n"))
+        val cum = counts
+          .withColumn("cum", sum($"c").over(
+            Window.partitionBy($"source").orderBy($"v")))
+          .join(tot, "source")
+        val v1 = cum.where($"cum" >= expr("(n + 1) div 2"))
+          .groupBy($"source").agg(min($"v").as("v1"))
+        val v2 = cum.where($"cum" >= expr("n div 2 + 1"))
+          .groupBy($"source").agg(min($"v").as("v2"))
+        tot.join(v1, "source").join(v2, "source")
+          .select($"source", $"n".as("n_docs"),
+            (($"v1" + $"v2").cast("double") / 2.0).as("median_chars"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+        |  median(n_chars) AS median_chars
+        |FROM documents GROUP BY source""".stripMargin))
   )
 
   /** Benford expected first-digit frequencies log10(1 + 1/d), d = 1..9,

@@ -1668,19 +1668,8 @@ object TextQueries {
       "q225_hll_replay",
       (s, dir) => {
         import s.implicits._
-        val tok = Tables.documents(s, dir)
-          .select($"source", explode(TextAnalysis.tokens($"text")).as("token"))
-          .distinct()
-        val reg = tok
-          .select($"source",
-            TextAnalysis.hash60Fast(s, $"token").as("h"))
-          .select($"source",
-            expr("h div 18014398509481984").as("bucket"),
-            expr("h % 18014398509481984").as("w"))
-          .select($"source", $"bucket",
-            expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END")
-              .as("rho"))
-          .groupBy($"source", $"bucket").agg(max($"rho").as("m"))
+        val tok = hllTokens(s, dir)
+        val reg = hllRegisters(s, tok)
         val spine = tok.select($"source").distinct()
           .select($"source", explode(sequence(lit(0L), lit(63L))).as("bucket"))
         val z = spine.join(reg, Seq("source", "bucket"), "left")
@@ -1696,25 +1685,7 @@ object TextQueries {
           .withColumn("err_1e9",
             expr("abs(hll_est - n_exact) * 1000000000 div n_exact"))
       },
-      Some(s"""WITH t AS (
-        |  SELECT DISTINCT source,
-        |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |           ELSE string_split_regex(lower(trim(text)), '\\s+') END)
-        |      AS token
-        |  FROM documents),
-        |h AS (
-        |  SELECT source,
-        |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
-        |  FROM t),
-        |r AS (
-        |  SELECT source, h // 18014398509481984 AS bucket,
-        |    h % 18014398509481984 AS w
-        |  FROM h),
-        |rho AS (
-        |  SELECT source, bucket,
-        |    CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
-        |  FROM r),
-        |reg AS (SELECT source, bucket, MAX(rho) AS m FROM rho GROUP BY 1, 2),
+      Some(s"""WITH $HllRegSql,
         |spine AS (
         |  SELECT source, unnest(generate_series(0, 63)) AS bucket
         |  FROM (SELECT DISTINCT source FROM t)),
@@ -1731,10 +1702,114 @@ object TextQueries {
         |  CAST(floor($HllNumLit / CAST(z.z AS DOUBLE)) AS BIGINT) AS hll_est,
         |  abs(CAST(floor($HllNumLit / CAST(z.z AS DOUBLE)) AS BIGINT)
         |    - ex.n_exact) * 1000000000 // ex.n_exact AS err_1e9
-        |FROM z JOIN ex ON z.source = ex.source""".stripMargin))
+        |FROM z JOIN ex ON z.source = ex.source""".stripMargin)),
+
+    // ── HLL MERGE — the reason the sketch earns its place at 100 TB:
+    //    per-source register tables (q225's state) fold into the corpus
+    //    union by element-wise MAX, without touching the data again.
+    //    This gate proves the mergeability contract end to end: union
+    //    registers = MAX over per-source registers, the union estimate
+    //    comes off the merged state via the same shared-literal division,
+    //    and it is hash-compared against the EXACT corpus-wide distinct
+    //    count computed independently. At scale: shards publish 64-long
+    //    register rows; any subset of sources is unionable in
+    //    O(64 × subsets) — the pre-aggregated OLAP-cube story for
+    //    distinct counts, which plain counts can never give.
+    QueryDef(
+      "q227_hll_union",
+      (s, dir) => {
+        import s.implicits._
+        val tok = hllTokens(s, dir)
+        val u = hllRegisters(s, tok)
+          .groupBy($"bucket").agg(max($"m").as("m"))
+        val spine = s.range(0, 64).select($"id".as("bucket"))
+        val z = spine.join(u, Seq("bucket"), "left")
+          .select(coalesce($"m", lit(0)).as("m"))
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).as("z"),
+            sum(when($"m" === 0, 1L).otherwise(0L)).as("n_empty"))
+        val ex = tok.agg(
+          countDistinct($"token").as("n_exact_union"),
+          countDistinct($"source").as("n_sources"))
+        z.crossJoin(ex)
+          .select($"n_sources", $"n_exact_union", $"n_empty",
+            expr(s"CAST(floor($HllNumLit / CAST(z AS DOUBLE)) AS BIGINT)")
+              .as("hll_union_est"))
+          .withColumn("err_1e9", expr(
+            "abs(hll_union_est - n_exact_union) * 1000000000"
+              + " div n_exact_union"))
+      },
+      Some(s"""WITH $HllRegSql,
+        |u AS (SELECT bucket, MAX(m) AS m FROM reg GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+        |z AS (
+        |  SELECT
+        |    CAST(SUM(1::BIGINT << (55 - COALESCE(u.m, 0))) AS BIGINT) AS z,
+        |    CAST(SUM(CASE WHEN u.m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_empty
+        |  FROM spine LEFT JOIN u ON spine.bucket = u.bucket),
+        |ex AS (
+        |  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS n_exact_union,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM t)
+        |SELECT ex.n_sources, ex.n_exact_union, z.n_empty,
+        |  CAST(floor($HllNumLit / CAST(z.z AS DOUBLE)) AS BIGINT)
+        |    AS hll_union_est,
+        |  abs(CAST(floor($HllNumLit / CAST(z.z AS DOUBLE)) AS BIGINT)
+        |    - ex.n_exact_union) * 1000000000 // ex.n_exact_union AS err_1e9
+        |FROM z, ex""".stripMargin))
   )
 
-  /** α₆₄·m²·2⁵⁵ for the q225 HLL estimate (m = 64 registers,
+  /** Distinct (source, token) pairs — the hashed-item stream both HLL
+    * queries sketch over. */
+  private def hllTokens(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source", explode(TextAnalysis.tokens($"text")).as("token"))
+      .distinct()
+  }
+
+  /** Per-(source, bucket) MAX-ρ HLL registers over [[hllTokens]]: bucket =
+    * top 6 of the 60-bit md5 hash, ρ = first-1-bit position of the
+    * remaining 54 via integer bit-length — no float log anywhere.
+    */
+  private def hllRegisters(s: org.apache.spark.sql.SparkSession,
+      tok: org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    tok
+      .select($"source", TextAnalysis.hash60Fast(s, $"token").as("h"))
+      .select($"source",
+        expr("h div 18014398509481984").as("bucket"),
+        expr("h % 18014398509481984").as("w"))
+      .select($"source", $"bucket",
+        expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END")
+          .as("rho"))
+      .groupBy($"source", $"bucket").agg(max($"rho").as("m"))
+  }
+
+  /** Oracle CTE chain `t → h → r → rho → reg` producing the per-(source,
+    * bucket) registers — the SQL twin of [[hllRegisters]], shared by q225
+    * and q227. */
+  private val HllRegSql: String = """t AS (
+    |  SELECT DISTINCT source,
+    |    unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+    |           ELSE string_split_regex(lower(trim(text)), '\s+') END)
+    |      AS token
+    |  FROM documents),
+    |h AS (
+    |  SELECT source,
+    |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+    |  FROM t),
+    |r AS (
+    |  SELECT source, h // 18014398509481984 AS bucket,
+    |    h % 18014398509481984 AS w
+    |  FROM h),
+    |rho AS (
+    |  SELECT source, bucket,
+    |    CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
+    |  FROM r),
+    |reg AS (SELECT source, bucket, MAX(rho) AS m FROM rho GROUP BY 1, 2)""".stripMargin
+
+  /** α₆₄·m²·2⁵⁵ for the q225/q227 HLL estimates (m = 64 registers,
     * α = 0.7213/(1 + 1.079/m)), rendered once via Double.toString so both
     * engines parse the identical shortest-representation literal and the
     * estimate is ONE shared IEEE division away from the integer Σ2^(55-ρ).

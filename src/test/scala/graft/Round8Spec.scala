@@ -73,6 +73,74 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("q226 median: histogram selection equals the sort-based median") {
+    val got = SparkEntry.queries("q226_exact_median")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val vals = Tables.documents(spark, dir)
+      .select($"source", $"n_chars".cast("long")).as[(String, Long)]
+      .collect().groupBy(_._1)
+    vals.foreach { case (src, rows) =>
+      val v = rows.map(_._2).sorted
+      val n = v.length
+      val want =
+        if (n % 2 == 1) v(n / 2).toDouble
+        else (v(n / 2 - 1) + v(n / 2)).toDouble / 2.0
+      assert(got(src) == want, s"source $src")
+    }
+  }
+
+  test("q227 hll union: merged registers dominate every per-source state") {
+    val per = SparkEntry.queries("q225_hll_replay")(spark, dir)
+      .collect().map(r => r.getLong(3)).toSeq
+    val u = SparkEntry.queries("q227_hll_union")(spark, dir).collect()(0)
+    val (nExact, est) = (u.getLong(1), u.getLong(3))
+    // union estimate can never fall below any single source's estimate
+    // (element-wise MAX only raises registers, which only lowers Z)
+    assert(est >= per.max)
+    assert(nExact <= Tables.documents(spark, dir)
+      .select($"source").distinct().count() * per.length)
+    assert(u.getLong(2) < 64L) // some register is occupied
+  }
+
+  test("q228 weighted jaccard: bounds, pair count, and one exact replay") {
+    val rows = SparkEntry.queries("q228_weighted_jaccard")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nSrc = Tables.documents(spark, dir)
+      .select($"source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2)
+    assert(rows.forall(t => t._4 >= 0L && t._4 <= 1000000000L))
+    // exact replay of the first pair driver-side
+    val (sa, sb, im, wj) = rows.minBy(t => (t._1, t._2))
+    val hist = Tables.documents(spark, dir)
+      .select($"source", $"text").as[(String, String)].collect()
+      .filter(d => d._1 == sa || d._1 == sb)
+      .flatMap { case (src, text) =>
+        val t = text.trim
+        (if (t.isEmpty) Array.empty[String]
+         else t.toLowerCase.split("\\s+")).map(src -> _)
+      }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val toks = hist.keys.map(_._2).toSet
+    val interMin = toks.toSeq.map { t =>
+      math.min(hist.getOrElse(sa -> t, 0L), hist.getOrElse(sb -> t, 0L))
+    }.sum
+    val (ta, tb) = (hist.collect { case ((s, _), c) if s == sa => c }.sum,
+      hist.collect { case ((s, _), c) if s == sb => c }.sum)
+    assert(im == interMin)
+    assert(wj == interMin * 1000000000L / (ta + tb - interMin))
+  }
+
+  test("q229 rfm: segments conserve customers and live in the cube") {
+    val rows = SparkEntry.queries("q229_rfm")(spark, dir).collect()
+    val nCust = Tables.orders(spark, dir)
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    assert(rows.forall { r =>
+      val s = r.getInt(0)
+      val (a, b, c) = (s / 100, s / 10 % 10, s % 10)
+      Seq(a, b, c).forall(x => x >= 1 && x <= 5) })
+  }
+
   test("q225 hll: registers match an independent driver-side replay") {
     val got = SparkEntry.queries("q225_hll_replay")(spark, dir)
       .collect()
