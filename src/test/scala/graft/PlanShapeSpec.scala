@@ -743,4 +743,59 @@ class PlanShapeSpec extends SparkSpec {
         q + ": " + p.take(1200))
     }
   }
+
+  test("q221/q215 index evals: keyed label joins, no cartesian") {
+    Seq("q221_ndcg_eval", "q215_mrr_eval").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), q + ": " + p.take(1600))
+      assert(!p.contains("BroadcastNestedLoopJoin"), q + ": " + p.take(1600))
+    }
+  }
+
+  test("q222 ewma: windowless — explode + one keyed fold, no Window op") {
+    val p = planOf("q222_ewma_trend")
+    assert(!p.contains("Window"), p.take(1600))
+    assert(p.contains("Generate explode"), p.take(1600))
+  }
+
+  test("q224 acf: windowless lag join — explode fan-out, keyed equi-joins") {
+    val p = planOf("q224_acf")
+    assert(!p.contains("Window"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q226 median: histogram selection never global-sorts the data") {
+    val p = planOf("q226_exact_median")
+    // a global ORDER BY would show up as a rangepartitioning exchange
+    assert(!p.contains("rangepartitioning"), p.take(1600))
+  }
+
+  test("q225/q227 hll: register fold is a hash agg, no cartesian") {
+    Seq("q225_hll_replay", "q227_hll_union").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") ||
+        // q227's single-row Z × single-row exact-count cross is the one
+        // legitimate 1×1 combine
+        q == "q227_hll_union", q + ": " + p.take(1600))
+      assert(p.contains("HashAggregate"), q + ": " + p.take(1600))
+    }
+  }
+
+  test("q228 weighted jaccard: totals broadcast, intersection keyed") {
+    val p = planOf("q228_weighted_jaccard")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(p.contains("BroadcastHashJoin"), p.take(1600))
+  }
+
+  test("q230 dbscan: cell-keyed equi-joins only, 9-offset explode probes") {
+    val p = planOf("q230_grid_dbscan")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("q231 watermark: one scan, one keyed window, no joins") {
+    val p = planOf("q231_watermark_audit")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!p.contains("Join"), p.take(1600))
+  }
 }

@@ -141,6 +141,61 @@ class Round8Spec extends SparkSpec {
       Seq(a, b, c).forall(x => x >= 1 && x <= 5) })
   }
 
+  test("q230 dbscan: clusters match an independent driver-side BFS") {
+    val got = SparkEntry.queries("q230_grid_dbscan")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent reference: snap + threshold + flood fill in plain Scala
+    val pts = Tables.embeddings(spark, dir)
+      .select(element_at($"embedding", 1).cast("double"),
+        element_at($"embedding", 2).cast("double"))
+      .as[(Double, Double)].collect()
+    def g(x: Double) = math.min(511L, math.max(0L,
+      (math.floor(x * 1e6).toLong + 8388608L) / 32768L))
+    val cellCounts = pts.map { case (x, y) => (g(x), g(y)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val t = (pts.length + 511) / 512
+    val core = cellCounts.filter(_._2 >= t).keys.toSet
+    var seen = Set.empty[(Long, Long)]
+    val want = core.toSeq.sorted.flatMap { start =>
+      if (seen(start)) None else {
+        var comp = Set(start); var frontier = List(start); seen += start
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap { case (x, y) =>
+            for { dx <- -1L to 1L; dy <- -1L to 1L
+              p = (x + dx, y + dy)
+              if core(p) && !seen(p) } yield { seen += p; comp += p; p }
+          }
+        }
+        val id = comp.map { case (x, y) => x * 512 + y }.min
+        Some((id, comp.size.toLong,
+          comp.toSeq.map(cellCounts).sum))
+      }
+    }.toSet
+    assert(got == want)
+    assert(got.size > 1) // the fixture plane is genuinely multi-modal
+  }
+
+  test("q231 watermark audit: lateness replayed per type driver-side") {
+    val got = SparkEntry.queries("q231_watermark_audit")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", $"event_id", unix_micros($"ts"))
+      .as[(String, Long, Long)].collect()
+    val want = ev.groupBy(_._1).map { case (tpe, rows) =>
+      var hwm = Long.MinValue; var late = 0L; var maxLate = 0L
+      rows.sortBy(_._2).foreach { case (_, _, us) =>
+        hwm = math.max(hwm, us)
+        val l = hwm - us
+        if (l > 7200000000L) late += 1
+        if (l > maxLate) maxLate = l
+      }
+      tpe -> (rows.length.toLong, late, maxLate / 1000000L)
+    }
+    assert(got == want)
+  }
+
   test("q225 hll: registers match an independent driver-side replay") {
     val got = SparkEntry.queries("q225_hll_replay")(spark, dir)
       .collect()
