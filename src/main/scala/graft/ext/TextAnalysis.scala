@@ -35,6 +35,26 @@ object TextAnalysis {
     call_function("hash60", c)
   }
 
+  /** Per-(key, bucket) HyperLogLog MAX-ρ registers over an item column:
+    * bucket = top 6 bits of the 60-bit md5 hash (64 registers), ρ = first
+    * 1-bit position of the remaining 54 via integer bit-length — no float
+    * log anywhere. MAX is commutative/associative/IDEMPOTENT, so partials
+    * merge in any order and survive at-least-once replay — the property
+    * q225/q227 gate in batch and [[graft.streaming.EventStream.hllMaintain]]
+    * exploits as a stream.
+    */
+  def hllRegisters(spark: org.apache.spark.sql.SparkSession,
+      items: DataFrame, key: Column, item: Column): DataFrame =
+    items
+      .select(key.as("source"), hash60Fast(spark, item).as("h"))
+      .select(col("source"),
+        expr("h div 18014398509481984").as("bucket"),
+        expr("h % 18014398509481984").as("w"))
+      .select(col("source"), col("bucket"),
+        expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END")
+          .as("rho"))
+      .groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("m"))
+
   /** Driver-side twin of [[hash60]] for deriving deterministic constants
     * (permutation seeds, hyperplane signs) once instead of per row.
     */

@@ -1768,22 +1768,14 @@ object TextQueries {
       .distinct()
   }
 
-  /** Per-(source, bucket) MAX-ρ HLL registers over [[hllTokens]]: bucket =
-    * top 6 of the 60-bit md5 hash, ρ = first-1-bit position of the
-    * remaining 54 via integer bit-length — no float log anywhere.
+  /** Per-(source, bucket) MAX-ρ HLL registers over [[hllTokens]] — the
+    * shared [[TextAnalysis.hllRegisters]] kernel (same code path as the
+    * streaming maintenance in EventStream.hllMaintain).
     */
   private def hllRegisters(s: org.apache.spark.sql.SparkSession,
       tok: org.apache.spark.sql.DataFrame) = {
     import s.implicits._
-    tok
-      .select($"source", TextAnalysis.hash60Fast(s, $"token").as("h"))
-      .select($"source",
-        expr("h div 18014398509481984").as("bucket"),
-        expr("h % 18014398509481984").as("w"))
-      .select($"source", $"bucket",
-        expr("CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END")
-          .as("rho"))
-      .groupBy($"source", $"bucket").agg(max($"rho").as("m"))
+    TextAnalysis.hllRegisters(s, tok, $"source", $"token")
   }
 
   /** Oracle CTE chain `t → h → r → rho → reg` producing the per-(source,

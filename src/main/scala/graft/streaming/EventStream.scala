@@ -306,6 +306,46 @@ object EventStream {
       .drop("total_dec")
   }
 
+  /** Streaming HyperLogLog maintenance via foreachBatch — q227's
+    * mergeability contract run as a stream: each micro-batch of documents
+    * folds into the per-(source, bucket) MAX-ρ register table
+    * ([[graft.ext.TextAnalysis.hllRegisters]], the same kernel the batch
+    * gate q225 hash-compares). MAX is idempotent as well as
+    * commutative/associative, so unlike the sum-merged rollup above this
+    * state survives AT-LEAST-ONCE delivery unchanged — a replayed batch
+    * cannot corrupt a register, which is why sketch maintenance needs no
+    * exactly-once ledger. State is ≤ 64 rows per source forever; distinct
+    * estimates come off the table at read time without touching the data.
+    */
+  def hllMaintain(spark: SparkSession, docs: DataFrame,
+      statePath: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    def registers(df: DataFrame): DataFrame =
+      TextAnalysis.hllRegisters(spark,
+        df.select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token")),
+        col("source"), col("token"))
+    val q = docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val incoming = registers(batch)
+        val merged =
+          if (new java.io.File(statePath).exists())
+            spark.read.parquet(statePath)
+              .unionByName(incoming)
+              .groupBy(col("source"), col("bucket"))
+              .agg(max(col("m")).as("m"))
+          else incoming
+        merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(statePath)
+  }
+
   /** Online anomaly scoring with an offline-trained model — the
     * batch-train / stream-score split every production monitor runs:
     * `stats` is the (event_type, mean, std) table the BATCH q108 pipeline

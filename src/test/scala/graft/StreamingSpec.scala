@@ -426,4 +426,28 @@ class StreamingSpec extends SparkSpec {
       assert(f.getAs[Double]("avg_v") == m.getAs[Double]("avg_v"))
     }
   }
+
+  test("streaming hll registers equal batch and survive full replay") {
+    import graft.ext.TextAnalysis
+    val ddir = Files.createTempDirectory("graft_docs_hll").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(4).write.mode("overwrite").parquet(ddir)
+    val schema = spark.read.parquet(ddir).schema
+    val statePath = Files.createTempDirectory("graft_hll").toString + "/state"
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val fin = EventStream.hllMaintain(spark, stream, statePath)
+    val batch = TextAnalysis.hllRegisters(spark,
+      spark.read.parquet(ddir)
+        .select($"source", explode(TextAnalysis.tokens($"text")).as("token")),
+      $"source", $"token")
+    assert(fin.count() > 0)
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+    // at-least-once tolerance: replaying the ENTIRE corpus into the same
+    // state cannot move a register (MAX is idempotent — unlike the
+    // sum-merged rollup above, which is why it needs the ledger and this
+    // does not)
+    val fin2 = EventStream.hllMaintain(spark, stream, statePath)
+    assert(fin2.exceptAll(batch).isEmpty && batch.exceptAll(fin2).isEmpty)
+  }
 }
