@@ -1491,7 +1491,125 @@ object SimilarityQueries {
         |  CAST(SUM(COALESCE(dcg.dcg, 0) * 1000000000 // $NdcgIdcg)
         |    // COUNT(*) AS BIGINT) AS mean_ndcg_1e9
         |FROM lab l LEFT JOIN dcg ON dcg.src = l.vec_id
-        |GROUP BY l.label""".stripMargin))
+        |GROUP BY l.label""".stripMargin)),
+
+    // ── Degree assortativity of the kNN graph — do well-connected
+    //    vectors neighbor other well-connected vectors? Positive r means
+    //    hubs cluster (dense cores, consistent with q214); negative
+    //    means hub-and-spoke. Pearson over the endpoint-degree pairs of
+    //    every directed edge (both orientations, the standard
+    //    symmetrization): degrees are one keyed count over the
+    //    undirected edge list, the six sums are exact BIGINTs, and the
+    //    final expression is the identical rounded IEEE tree as
+    //    q224/q200. Everything is edge-keyed — degree dim joins, no
+    //    pairwise anything.
+    QueryDef(
+      "q233_assortativity",
+      (s, dir) => {
+        import s.implicits._
+        val und = knnEdgesCached(s, dir)
+          .select(least($"src", $"dst").as("u"),
+            greatest($"src", $"dst").as("v"))
+          .distinct().localCheckpoint()
+        val deg = und.select($"u".as("vtx"))
+          .unionByName(und.select($"v".as("vtx")))
+          .groupBy($"vtx").agg(count(lit(1)).as("d"))
+        val both = und.unionByName(und.select($"v".as("u"), $"u".as("v")))
+        both
+          .join(deg.select($"vtx".as("u"), $"d".as("da")), "u")
+          .join(deg.select($"vtx".as("v"), $"d".as("db")), "v")
+          .agg(count(lit(1)).as("n_dir_edges"),
+            sum($"da").as("sa"), sum($"db").as("sb"),
+            sum($"da" * $"db").as("sab"),
+            sum($"da" * $"da").as("saa"),
+            sum($"db" * $"db").as("sbb"))
+          .select($"n_dir_edges",
+            round(
+              (($"n_dir_edges" * $"sab" - $"sa" * $"sb").cast("double") /
+                (sqrt(($"n_dir_edges" * $"saa" - $"sa" * $"sa")
+                  .cast("double")) *
+                  sqrt(($"n_dir_edges" * $"sbb" - $"sb" * $"sb")
+                    .cast("double")))),
+              9).as("assortativity"))
+      },
+      Some(knnEdgesCtesSql + """,
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM edges),
+        |deg AS (
+        |  SELECT vtx, COUNT(*) AS d FROM (
+        |    SELECT u AS vtx FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.d AS da, b.d AS db
+        |  FROM (SELECT u, v FROM und UNION ALL SELECT v, u FROM und) e
+        |  JOIN deg a ON a.vtx = e.u JOIN deg b ON b.vtx = e.v),
+        |sums AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(da) AS BIGINT) AS sa, CAST(SUM(db) AS BIGINT) AS sb,
+        |    CAST(SUM(da * db) AS BIGINT) AS sab,
+        |    CAST(SUM(da * da) AS BIGINT) AS saa,
+        |    CAST(SUM(db * db) AS BIGINT) AS sbb
+        |  FROM pairs)
+        |SELECT CAST(n AS BIGINT) AS n_dir_edges,
+        |  ROUND(CAST(n * sab - sa * sb AS DOUBLE) /
+        |    (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
+        |     sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 9) AS assortativity
+        |FROM sums""".stripMargin)),
+
+    // ── Deterministic negative sampling for contrastive training —
+    //    each probe vector draws candidate ids from the 60-bit md5 hash
+    //    of (vec_id, slot) mod N (run-independent, engine-identical),
+    //    rejects itself and anything its kNN top-3 list says is a true
+    //    neighbor (the edges anti-join — don't train against your own
+    //    positives), and keeps the first 4 surviving slots. Oversampling
+    //    8 slots makes the reject rate harmless; everything is keyed
+    //    (hash explode + one anti-join + a ≤8-row-per-probe window).
+    QueryDef(
+      "q234_negative_sampling",
+      (s, dir) => {
+        import s.implicits._
+        val nRow = Tables.embeddings(s, dir)
+          .agg(count(lit(1)).as("nv"))
+        val cand = Tables.embeddings(s, dir)
+          .where($"vec_id" < 100).select($"vec_id")
+          .select($"vec_id", explode(sequence(lit(1), lit(8))).as("slot"))
+          .crossJoin(broadcast(nRow))
+          .select($"vec_id", $"slot",
+            (graft.ext.TextAnalysis.hash60Fast(s,
+              concat_ws(":", $"vec_id", $"slot")) % $"nv").as("neg_id"))
+          .where($"neg_id" =!= $"vec_id")
+        val nonNeighbor = cand.join(
+          knnEdgesCached(s, dir)
+            .select($"src".as("vec_id"), $"dst".as("neg_id")),
+          Seq("vec_id", "neg_id"), "left_anti")
+        nonNeighbor
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"slot")).cast("int"))
+          .where($"rank" <= 4)
+          .select($"vec_id", $"rank", $"neg_id")
+      },
+      Some(knnEdgesCtesSql + """,
+        |nv AS (SELECT COUNT(*) AS nv FROM embeddings),
+        |ncand AS (
+        |  SELECT e.vec_id, slot,
+        |    ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
+        |      CAST(slot AS VARCHAR)), 1, 15))::BIGINT % nv.nv AS neg_id
+        |  FROM embeddings e,
+        |    (SELECT unnest(generate_series(1, 8)) AS slot), nv
+        |  WHERE e.vec_id < 100),
+        |nok AS (
+        |  SELECT vec_id, slot, neg_id FROM ncand c
+        |  WHERE neg_id <> vec_id AND NOT EXISTS (
+        |    SELECT 1 FROM edges x
+        |    WHERE x.src = c.vec_id AND x.dst = c.neg_id)),
+        |r AS (
+        |  SELECT vec_id, neg_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY slot)
+        |      AS INT) AS rank
+        |  FROM nok)
+        |SELECT vec_id, rank, neg_id FROM r WHERE rank <= 4"""
+        .stripMargin))
   )
 
   /** BFS hop budget for q220 (and the unrolled depth of its oracle). */

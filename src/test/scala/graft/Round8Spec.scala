@@ -196,6 +196,44 @@ class Round8Spec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q232 lift: capture monotone, final decile is the base rate") {
+    val rows = SparkEntry.queries("q232_decile_lift")(spark, dir)
+      .orderBy($"decile").collect()
+    assert(rows.length == 10)
+    val caps = rows.map(_.getLong(4))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b })
+    assert(caps.last == 1000000000L)
+    assert(rows.last.getLong(5) == 1000000L) // lift over everything = 1
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, dir).count())
+  }
+
+  test("q233 assortativity: bounded correlation over symmetric pairs") {
+    val r = SparkEntry.queries("q233_assortativity")(spark, dir)
+      .collect()(0)
+    assert(math.abs(r.getDouble(1)) <= 1.0)
+    assert(r.getLong(0) % 2 == 0) // both orientations of each edge
+  }
+
+  test("q234 negatives: 4 per probe, none is a kNN positive, hash replay") {
+    val rows = SparkEntry.queries("q234_negative_sampling")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val perProbe = rows.groupBy(_._1)
+    assert(perProbe.size == 100 && perProbe.values.forall(_.length == 4))
+    val edges = SparkEntry.queries("q149_knn_graph")(spark, dir)
+      .select($"src", $"dst").as[(Long, Long)].collect().toSet
+    assert(rows.forall { case (v, _, n) => !edges.contains(v -> n) })
+    // hash replay for one probe: slots drawn in order, self/positives skipped
+    val nv = Tables.embeddings(spark, dir).count()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 15), 16)
+    val want = (1 to 8).map(i => h60(s"7:$i") % nv)
+      .filter(n => n != 7L && !edges.contains(7L -> n)).take(4)
+    assert(perProbe(7L).sortBy(_._2).map(_._3).toSeq == want)
+  }
+
   test("q225 hll: registers match an independent driver-side replay") {
     val got = SparkEntry.queries("q225_hll_replay")(spark, dir)
       .collect()
