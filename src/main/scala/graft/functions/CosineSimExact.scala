@@ -252,6 +252,10 @@ object GraftFunctions {
       exprs => Hash60(exprs.head),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_registers",
+      exprs => HllRegAgg(exprs.head).toAggregateExpression(),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "heavy_hitters",
       exprs => HeavyHitters(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),

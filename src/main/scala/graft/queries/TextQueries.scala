@@ -1685,24 +1685,45 @@ object TextQueries {
           .withColumn("err_1e9",
             expr("abs(hll_est - n_exact) * 1000000000 div n_exact"))
       },
-      Some(s"""WITH $HllRegSql,
-        |spine AS (
-        |  SELECT source, unnest(generate_series(0, 63)) AS bucket
-        |  FROM (SELECT DISTINCT source FROM t)),
-        |z AS (
-        |  SELECT spine.source,
-        |    CAST(SUM(1::BIGINT << (55 - COALESCE(reg.m, 0))) AS BIGINT) AS z,
-        |    CAST(SUM(CASE WHEN reg.m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_empty
-        |  FROM spine LEFT JOIN reg
-        |    ON spine.source = reg.source AND spine.bucket = reg.bucket
-        |  GROUP BY 1),
-        |ex AS (SELECT source, COUNT(*) AS n_exact FROM t GROUP BY 1)
-        |SELECT z.source, ex.n_exact, z.n_empty,
-        |  CAST(floor($HllNumLit / CAST(z.z AS DOUBLE)) AS BIGINT) AS hll_est,
-        |  abs(CAST(floor($HllNumLit / CAST(z.z AS DOUBLE)) AS BIGINT)
-        |    - ex.n_exact) * 1000000000 // ex.n_exact AS err_1e9
-        |FROM z JOIN ex ON z.source = ex.source""".stripMargin)),
+      Some(HllEstimateSql)),
+
+    // ── The NATIVE form of q225 — [[graft.functions.HllRegAgg]], a
+    //    TypedImperativeAggregate folding every token hash into a 64-BYTE
+    //    buffer per (partition, source): map-side combine ships 64 bytes
+    //    per group per task regardless of input size, where the
+    //    relational form shuffles a (source, bucket, ρ) row per distinct
+    //    token. The sketch side consumes RAW (non-distinct) tokens —
+    //    MAX-fold is duplicate-insensitive, so the expensive distinct
+    //    shuffle exists only for the exactness comparison column. Gated
+    //    against the SAME DuckDB oracle as q225: the native buffer must
+    //    replay the relational register computation bit for bit.
+    QueryDef(
+      "q235_hll_native",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val raw = Tables.documents(s, dir)
+          .select($"source",
+            explode(TextAnalysis.tokens($"text")).as("token"))
+        val regs = raw
+          .select($"source", TextAnalysis.hash60Fast(s, $"token").as("h"))
+          .groupBy($"source")
+          .agg(call_function("hll_registers", $"h").as("regs"))
+        val z = regs
+          .select($"source", posexplode($"regs").as(Seq("bucket", "m")))
+          .groupBy($"source")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).as("z"),
+            sum(when($"m" === 0, 1L).otherwise(0L)).as("n_empty"))
+        val exact = raw.distinct().groupBy($"source")
+          .agg(count(lit(1)).as("n_exact"))
+        z.join(exact, "source")
+          .select($"source", $"n_exact", $"n_empty",
+            expr(s"CAST(floor($HllNumLit / CAST(z AS DOUBLE)) AS BIGINT)")
+              .as("hll_est"))
+          .withColumn("err_1e9",
+            expr("abs(hll_est - n_exact) * 1000000000 div n_exact"))
+      },
+      Some(HllEstimateSql)),
 
     // ── HLL MERGE — the reason the sketch earns its place at 100 TB:
     //    per-source register tables (q225's state) fold into the corpus
@@ -1808,4 +1829,28 @@ object TextQueries {
     */
   val HllNumLit: String = java.lang.Double.toString(
     0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * 36028797018963968.0)
+
+  /** Full per-source estimate oracle (registers → spine → Z → estimate →
+    * error), shared VERBATIM by q225 (relational registers) and q235
+    * (native [[graft.functions.HllRegAgg]] registers): both engines' paths
+    * must land on the identical register table for the hash compare to
+    * pass. */
+  private def HllEstimateSql: String = s"""WITH $HllRegSql,
+    |spine AS (
+    |  SELECT source, unnest(generate_series(0, 63)) AS bucket
+    |  FROM (SELECT DISTINCT source FROM t)),
+    |z AS (
+    |  SELECT spine.source,
+    |    CAST(SUM(1::BIGINT << (55 - COALESCE(reg.m, 0))) AS BIGINT) AS z,
+    |    CAST(SUM(CASE WHEN reg.m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    |      AS n_empty
+    |  FROM spine LEFT JOIN reg
+    |    ON spine.source = reg.source AND spine.bucket = reg.bucket
+    |  GROUP BY 1),
+    |ex AS (SELECT source, COUNT(*) AS n_exact FROM t GROUP BY 1)
+    |SELECT z.source, ex.n_exact, z.n_empty,
+    |  CAST(floor($HllNumLit / CAST(z.z AS DOUBLE)) AS BIGINT) AS hll_est,
+    |  abs(CAST(floor($HllNumLit / CAST(z.z AS DOUBLE)) AS BIGINT)
+    |    - ex.n_exact) * 1000000000 // ex.n_exact AS err_1e9
+    |FROM z JOIN ex ON z.source = ex.source""".stripMargin
 }

@@ -798,4 +798,10 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1600))
     assert(!p.contains("Join"), p.take(1600))
   }
+
+  test("q235 native hll: one 64-byte-buffer ObjectHashAggregate per source") {
+    val p = planOf("q235_hll_native")
+    assert(p.contains("ObjectHashAggregate"), p.take(1600))
+    assert(p.contains("hll_registers"), p.take(1600))
+  }
 }

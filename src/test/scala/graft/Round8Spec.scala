@@ -234,6 +234,30 @@ class Round8Spec extends SparkSpec {
     assert(perProbe(7L).sortBy(_._2).map(_._3).toSeq == want)
   }
 
+  test("q235 native hll agg: buffer equals the relational registers") {
+    import graft.ext.TextAnalysis
+    graft.functions.GraftFunctions.register(spark)
+    val raw = Tables.documents(spark, dir)
+      .select($"source", explode(TextAnalysis.tokens($"text")).as("token"))
+    // native path: RAW tokens (duplicate-insensitive MAX fold)
+    val native = raw
+      .select($"source", TextAnalysis.hash60Fast(spark, $"token").as("h"))
+      .groupBy($"source")
+      .agg(call_function("hll_registers", $"h").as("regs"))
+      .select($"source", posexplode($"regs").as(Seq("bucket", "m")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    // relational path over DISTINCT tokens + zero-filled spine
+    val rel = TextAnalysis.hllRegisters(spark, raw.distinct(),
+      $"source", $"token")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt) -> r.getInt(2))
+      .toMap // (source, bucket) -> m, sparse
+    val sources = rel.keys.map(_._1).toSet
+    val want = (for { s <- sources; b <- 0 until 64 }
+      yield (s, b, rel.getOrElse((s, b), 0))).toSet
+    assert(native == want)
+  }
+
   test("q225 hll: registers match an independent driver-side replay") {
     val got = SparkEntry.queries("q225_hll_replay")(spark, dir)
       .collect()
