@@ -366,6 +366,57 @@ object ProfilingQueries {
       },
       Some("""SELECT source, COUNT(*) AS n_docs,
         |  median(n_chars) AS median_chars
+        |FROM documents GROUP BY source""".stripMargin)),
+
+    // ── Exact interpolated quartiles by the same histogram-crossing
+    //    selection as q226, generalized to p = 1/4, 1/2, 3/4: position
+    //    p·(n−1) splits into integer rank k = (p·4ths of n−1) div 4 and
+    //    an EXACT binary fraction rem/4 (quarters and halves are exact
+    //    doubles, which is why p90 is deliberately absent — 0.9·(n−1)
+    //    rounds), the two bracketing values come from two cumulative
+    //    crossings, and v1 + frac·(v2−v1) is DuckDB's own quantile_cont
+    //    interpolation bit for bit. Still no global sort anywhere — the
+    //    window runs over distinct values per source.
+    QueryDef(
+      "q237_exact_quartiles",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.documents(s, dir)
+          .groupBy($"source", $"n_chars".cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val cum = counts
+          .withColumn("cum", sum($"c").over(
+            Window.partitionBy($"source").orderBy($"v")))
+          .localCheckpoint()
+        val tot = counts.groupBy($"source").agg(sum($"c").as("n"))
+        val wanted = tot
+          .select($"source", $"n",
+            explode(expr("array(1, 2, 3)")).as("quarter"))
+          .select($"source", $"quarter",
+            expr("(quarter * (n - 1)) div 4 + 1").as("r1"),
+            expr("least((quarter * (n - 1)) div 4 + 2, n)").as("r2"),
+            (expr("(quarter * (n - 1)) % 4").cast("double") / 4.0)
+              .as("frac"))
+        val v1 = wanted.join(cum, "source").where($"cum" >= $"r1")
+          .groupBy($"source", $"quarter").agg(min($"v").as("v1"))
+        val v2 = wanted.join(cum, "source").where($"cum" >= $"r2")
+          .groupBy($"source", $"quarter").agg(min($"v").as("v2"))
+        wanted.join(v1, Seq("source", "quarter"))
+          .join(v2, Seq("source", "quarter"))
+          .select($"source", ($"quarter".cast("double") / 4.0).as("p"),
+            ($"v1".cast("double") +
+              $"frac" * ($"v2" - $"v1").cast("double")).as("q_chars"))
+      },
+      Some("""SELECT source, CAST(0.25 AS DOUBLE) AS p,
+        |  quantile_cont(n_chars, 0.25) AS q_chars
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT source, CAST(0.5 AS DOUBLE) AS p,
+        |  quantile_cont(n_chars, 0.5) AS q_chars
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT source, CAST(0.75 AS DOUBLE) AS p,
+        |  quantile_cont(n_chars, 0.75) AS q_chars
         |FROM documents GROUP BY source""".stripMargin))
   )
 

@@ -1609,6 +1609,53 @@ object SimilarityQueries {
         |      AS INT) AS rank
         |  FROM nok)
         |SELECT vec_id, rank, neg_id FROM r WHERE rank <= 4"""
+        .stripMargin)),
+
+    // ── Two-hop neighborhood size — the friend-of-friend feature that
+    //    graph-based rerankers and link predictors consume: for each
+    //    vector, how many DISTINCT vectors sit exactly two undirected
+    //    kNN hops away (reachable via a shared neighbor, not a direct
+    //    neighbor, not self)? One edge-keyed self-join (fan-out bounded
+    //    by degree ≤ 2·k per mid vertex), a distinct, and one anti-join
+    //    against the direct edge list — never corpus × corpus. Vectors
+    //    whose whole 2-hop shell collapses into direct neighbors report
+    //    0 via the left join.
+    QueryDef(
+      "q236_two_hop",
+      (s, dir) => {
+        import s.implicits._
+        val e = knnEdgesCached(s, dir).select($"src", $"dst")
+        val und = e
+          .unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+          .distinct().localCheckpoint()
+        val two = und.select($"src", $"dst".as("mid"))
+          .join(und.select($"src".as("mid"), $"dst".as("hop2")), "mid")
+          .where($"hop2" =!= $"src")
+          .select($"src", $"hop2").distinct()
+          .join(und.select($"src", $"dst".as("hop2")),
+            Seq("src", "hop2"), "left_anti")
+        Tables.embeddings(s, dir).select($"vec_id")
+          .join(two.groupBy($"src".as("vec_id"))
+            .agg(count(lit(1)).as("n")), Seq("vec_id"), "left")
+          .select($"vec_id", coalesce($"n", lit(0L)).as("n_two_hop"))
+      },
+      Some(knnEdgesCtesSql + """,
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM edges
+        |    UNION ALL SELECT dst, src FROM edges)),
+        |two AS (
+        |  SELECT DISTINCT a.src, b.dst AS hop2
+        |  FROM und a JOIN und b ON a.dst = b.src
+        |  WHERE b.dst <> a.src),
+        |indirect AS (
+        |  SELECT src, hop2 FROM two t
+        |  WHERE NOT EXISTS (SELECT 1 FROM und u
+        |    WHERE u.src = t.src AND u.dst = t.hop2)),
+        |cnt AS (
+        |  SELECT src AS vec_id, COUNT(*) AS n FROM indirect GROUP BY 1)
+        |SELECT e.vec_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_two_hop
+        |FROM embeddings e LEFT JOIN cnt ON e.vec_id = cnt.vec_id"""
         .stripMargin))
   )
 

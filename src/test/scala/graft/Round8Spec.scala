@@ -258,6 +258,43 @@ class Round8Spec extends SparkSpec {
     assert(native == want)
   }
 
+  test("q236 two-hop: counts match a driver-side adjacency-set replay") {
+    val got = SparkEntry.queries("q236_two_hop")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = SparkEntry.queries("q149_knn_graph")(spark, dir)
+      .select($"src", $"dst").as[(Long, Long)].collect()
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val all = Tables.embeddings(spark, dir)
+      .select($"vec_id").as[Long].collect()
+    all.foreach { v =>
+      val direct = adj.getOrElse(v, Set.empty)
+      val shell = direct.flatMap(m => adj.getOrElse(m, Set.empty)) -
+        v -- direct
+      assert(got(v) == shell.size.toLong, s"vec $v")
+    }
+  }
+
+  test("q237 quartiles: interpolation matches a driver-side sort") {
+    val got = SparkEntry.queries("q237_exact_quartiles")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val vals = Tables.documents(spark, dir)
+      .select($"source", $"n_chars".cast("long")).as[(String, Long)]
+      .collect().groupBy(_._1)
+    vals.foreach { case (src, rows) =>
+      val v = rows.map(_._2).sorted
+      Seq(1, 2, 3).foreach { q =>
+        val prod = q * (v.length - 1)
+        val k = prod / 4
+        val frac = (prod % 4).toDouble / 4.0
+        val v2 = v(math.min(k + 1, v.length - 1))
+        val want = v(k).toDouble + frac * (v2 - v(k)).toDouble
+        assert(got((src, q / 4.0)) == want, s"$src p=$q/4")
+      }
+    }
+  }
+
   test("q225 hll: registers match an independent driver-side replay") {
     val got = SparkEntry.queries("q225_hll_replay")(spark, dir)
       .collect()
