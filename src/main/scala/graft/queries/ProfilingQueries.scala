@@ -417,7 +417,148 @@ object ProfilingQueries {
         |UNION ALL
         |SELECT source, CAST(0.75 AS DOUBLE) AS p,
         |  quantile_cont(n_chars, 0.75) AS q_chars
-        |FROM documents GROUP BY source""".stripMargin))
+        |FROM documents GROUP BY source""".stripMargin)),
+
+    // ── Count-min sketch replayed exactly — the third classic sketch
+    //    beside q98's Misra-Gries and q225's HLL, and like them gated by
+    //    hash compare, not tolerance: 4 rows × 1024 counters, counter =
+    //    SUM of token counts whose row-hash lands there. Sums commute,
+    //    so the sketch is merge-order-independent (the q218/q225
+    //    argument) and its 4096-cell state is the mergeable per-shard
+    //    partial at 100 TB. The point query est = MIN over rows can
+    //    only OVERCOUNT (collisions add) — the deterministic half of
+    //    the CMS guarantee, emitted per probed token; the probabilistic
+    //    ε-bound is reported as the observed overcount, not asserted.
+    //    Probes are the exact top-20 tokens (q48's TakeOrdered shape).
+    QueryDef(
+      "q238_countmin",
+      (s, dir) => {
+        import s.implicits._
+        val tc = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        def bucket(row: org.apache.spark.sql.Column,
+            tok: org.apache.spark.sql.Column) =
+          TextAnalysis.hash60Fast(s, concat_ws("",
+            lit("cms"), row.cast("string"), lit(":"), tok)) % 1024
+        val cells = tc
+          .select($"token", $"c", explode(expr("array(0, 1, 2, 3)"))
+            .as("r"))
+          .select($"r", bucket($"r", $"token").as("b"), $"c")
+          .groupBy($"r", $"b").agg(sum($"c").as("cell"))
+        val top = tc.orderBy($"c".desc, $"token".asc).limit(20)
+        top
+          .select($"token", $"c", explode(expr("array(0, 1, 2, 3)"))
+            .as("r"))
+          .select($"token", $"c", $"r", bucket($"r", $"token").as("b"))
+          .join(cells, Seq("r", "b"))
+          .groupBy($"token")
+          .agg(min($"c").as("true_n"), min($"cell").as("est_n"))
+          .select($"token", $"true_n", $"est_n",
+            ($"est_n" - $"true_n").as("overcount"),
+            ($"est_n" >= $"true_n").as("no_undercount"))
+      },
+      Some("""WITH t AS (
+        |  SELECT unnest(CASE WHEN length(trim(text)) = 0
+        |      THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(lower(trim(text)), '\s+') END)
+        |    AS token
+        |  FROM documents),
+        |tc AS MATERIALIZED (
+        |  SELECT token, COUNT(*) AS c FROM t GROUP BY 1),
+        |rows AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |cells AS MATERIALIZED (
+        |  SELECT r,
+        |    ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':'
+        |      || token), 1, 15))::BIGINT % 1024 AS b,
+        |    CAST(SUM(c) AS BIGINT) AS cell
+        |  FROM tc, rows GROUP BY 1, 2),
+        |top AS (SELECT token, c FROM tc
+        |  ORDER BY c DESC, token ASC LIMIT 20),
+        |probe AS (
+        |  SELECT token, c, r,
+        |    ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':'
+        |      || token), 1, 15))::BIGINT % 1024 AS b
+        |  FROM top, rows),
+        |est AS (
+        |  SELECT p.token, MIN(p.c) AS true_n, MIN(cl.cell) AS est_n
+        |  FROM probe p JOIN cells cl ON cl.r = p.r AND cl.b = p.b
+        |  GROUP BY 1)
+        |SELECT token, CAST(true_n AS BIGINT) AS true_n,
+        |  CAST(est_n AS BIGINT) AS est_n,
+        |  CAST(est_n - true_n AS BIGINT) AS overcount,
+        |  est_n >= true_n AS no_undercount
+        |FROM est""".stripMargin)),
+
+    // ── Tukey-fence outlier audit — the boxplot rule composed from
+    //    q237's exact quartiles: fences at Q1 − 1.5·IQR / Q3 + 1.5·IQR
+    //    (quarter-valued doubles, so the fence arithmetic is the same
+    //    IEEE tree in both engines), one broadcast join back onto the
+    //    corpus, and a per-source count of each tail. The distribution
+    //    screen that decides whether a length filter needs a manual
+    //    threshold or the data's own spread suffices.
+    QueryDef(
+      "q239_tukey_fences",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.documents(s, dir)
+          .groupBy($"source", $"n_chars".cast("long").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val cum = counts
+          .withColumn("cum", sum($"c").over(
+            Window.partitionBy($"source").orderBy($"v")))
+          .localCheckpoint()
+        val tot = counts.groupBy($"source").agg(sum($"c").as("n"))
+        val wanted = tot
+          .select($"source", $"n",
+            explode(expr("array(1, 3)")).as("quarter"))
+          .select($"source", $"quarter",
+            expr("(quarter * (n - 1)) div 4 + 1").as("r1"),
+            expr("least((quarter * (n - 1)) div 4 + 2, n)").as("r2"),
+            (expr("(quarter * (n - 1)) % 4").cast("double") / 4.0)
+              .as("frac"))
+        val v1 = wanted.join(cum, "source").where($"cum" >= $"r1")
+          .groupBy($"source", $"quarter").agg(min($"v").as("v1"))
+        val v2 = wanted.join(cum, "source").where($"cum" >= $"r2")
+          .groupBy($"source", $"quarter").agg(min($"v").as("v2"))
+        val q = wanted.join(v1, Seq("source", "quarter"))
+          .join(v2, Seq("source", "quarter"))
+          .select($"source", $"quarter",
+            ($"v1".cast("double") +
+              $"frac" * ($"v2" - $"v1").cast("double")).as("qv"))
+        val fences = q.groupBy($"source")
+          .agg(min(when($"quarter" === 1, $"qv")).as("q1"),
+            min(when($"quarter" === 3, $"qv")).as("q3"))
+          .select($"source",
+            ($"q1" - lit(1.5) * ($"q3" - $"q1")).as("lo"),
+            ($"q3" + lit(1.5) * ($"q3" - $"q1")).as("hi"))
+        Tables.documents(s, dir)
+          .select($"source", $"n_chars".cast("double").as("x"))
+          .join(broadcast(fences), "source")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"x" < $"lo", 1L).otherwise(0L)).as("n_low"),
+            sum(when($"x" > $"hi", 1L).otherwise(0L)).as("n_high"),
+            min($"lo").as("fence_lo"), min($"hi").as("fence_hi"))
+      },
+      Some("""WITH q AS (
+        |  SELECT source,
+        |    quantile_cont(n_chars, 0.25) AS q1,
+        |    quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents GROUP BY source),
+        |f AS (
+        |  SELECT source, q1 - 1.5 * (q3 - q1) AS lo,
+        |    q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN CAST(d.n_chars AS DOUBLE) < f.lo
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN CAST(d.n_chars AS DOUBLE) > f.hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  MIN(f.lo) AS fence_lo, MIN(f.hi) AS fence_hi
+        |FROM documents d JOIN f ON d.source = f.source
+        |GROUP BY d.source""".stripMargin))
   )
 
   /** Benford expected first-digit frequencies log10(1 + 1/d), d = 1..9,

@@ -295,6 +295,56 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("q238 cms: never undercounts, exact when a row is collision-free") {
+    val rows = SparkEntry.queries("q238_countmin")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getBoolean(4)) // no_undercount
+      assert(r.getLong(2) >= r.getLong(1) && r.getLong(3) >= 0L)
+    }
+    // driver-side CMS replay for the most frequent token
+    val tc = Tables.documents(spark, dir)
+      .select(explode(graft.ext.TextAnalysis.tokens($"text")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 15), 16)
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    tc.foreach { case (tok, c) =>
+      (0 to 3).foreach { r =>
+        val b = h60(s"cms$r:$tok") % 1024
+        cells((r, b)) = cells.getOrElse((r, b), 0L) + c
+      }
+    }
+    val top = tc.sortBy(t => (-t._2, t._1)).head
+    val est = (0 to 3).map(r => cells((r, h60(s"cms$r:${top._1}") % 1024))).min
+    val got = rows.find(_.getString(0) == top._1).get
+    assert(got.getLong(1) == top._2 && got.getLong(2) == est)
+  }
+
+  test("q239 tukey: tails consistent with the quartile fences") {
+    val fences = SparkEntry.queries("q239_tukey_fences")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    val quart = SparkEntry.queries("q237_exact_quartiles")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val docs = Tables.documents(spark, dir)
+      .select($"source", $"n_chars".cast("double")).as[(String, Double)]
+      .collect().groupBy(_._1)
+    fences.foreach { case (src, (n, lo, hi, flo, fhi)) =>
+      val q1 = quart((src, 0.25)); val q3 = quart((src, 0.75))
+      assert(flo == q1 - 1.5 * (q3 - q1) && fhi == q3 + 1.5 * (q3 - q1))
+      val xs = docs(src).map(_._2)
+      assert(n == xs.length)
+      assert(lo == xs.count(_ < flo) && hi == xs.count(_ > fhi))
+    }
+  }
+
   test("q225 hll: registers match an independent driver-side replay") {
     val got = SparkEntry.queries("q225_hll_replay")(spark, dir)
       .collect()
