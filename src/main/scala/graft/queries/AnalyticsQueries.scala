@@ -377,8 +377,106 @@ object AnalyticsQueries {
     attributionDef,
     joinSkewDef,
     eventDebounceDef,
-    rfmDef
+    rfmDef,
+    marketShareDef,
+    lateOrderPriorityDef
   )
+
+  // ── TPC-H Q8 shape — national market share inside a region: the
+  //    deepest star join in the suite (lineitem ⋈ part ⋈ orders ⋈
+  //    customer ⋈ nation ⋈ region ⋈ supplier ⋈ nation again), every
+  //    dimension broadcast, the fact table scanned once with the part
+  //    filter pushed into the build side. Share = conditional exact-
+  //    decimal volume over total volume, one double division per year.
+  private def marketShareDef: QueryDef = QueryDef(
+    "q240_market_share",
+    (s, dir) => {
+      import s.implicits._
+      val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      val nat = Tables.nation(s, dir)
+      val shared = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .where($"p_type" === "STANDARD").select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+        .join(Tables.orders(s, dir)
+          .where($"o_orderdate".between("1996-01-01", "1999-12-31"))
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, dir)
+          .select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat
+          .select($"n_nationkey", $"n_regionkey")),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)
+          .where($"r_name" === "ASIA").select($"r_regionkey")),
+          $"n_regionkey" === $"r_regionkey")
+        .join(broadcast(Tables.supplier(s, dir)
+          .select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nat.select($"n_nationkey".as("sn_key"),
+          $"n_name".as("supp_nation"))),
+          $"s_nationkey" === $"sn_key")
+      shared
+        .select(year($"o_orderdate").as("o_year"),
+          vol.as("v"), $"supp_nation")
+        .groupBy($"o_year")
+        .agg(
+          QueryDef.dsum(when($"supp_nation" === "NATION_3", $"v")
+            .otherwise(lit(0.0))).as("nation_volume"),
+          QueryDef.dsum($"v").as("total_volume"))
+        .withColumn("mkt_share", $"nation_volume" / $"total_volume")
+    },
+    Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  ${QueryDef.dsumSql(
+           "CASE WHEN sn.n_name = 'NATION_3' " +
+             "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+      |    AS nation_volume,
+      |  ${QueryDef.dsumSql("l_extendedprice * (1.0 - l_discount)")}
+      |    AS total_volume,
+      |  ${QueryDef.dsumSql(
+           "CASE WHEN sn.n_name = 'NATION_3' " +
+             "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+      |    / ${QueryDef.dsumSql("l_extendedprice * (1.0 - l_discount)")}
+      |    AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |  AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1999-12-31'
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |GROUP BY 1""".stripMargin))
+
+  // ── TPC-H Q4 shape — order-priority accounting of LATE orders: one
+  //    quarter of orders, EXISTS-style left-semi join onto lineitems
+  //    that shipped more than 60 days after the order date (keyed on
+  //    orderkey, the date predicate is the residual condition), then a
+  //    ≤5-row priority rollup. The decorrelated-EXISTS pattern q177
+  //    exercises through spark.sql, stated here with the DataFrame API.
+  private def lateOrderPriorityDef: QueryDef = QueryDef(
+    "q241_late_order_priority",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .where($"o_orderdate".between("1997-01-01", "1997-03-31"))
+        .join(Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_shipdate"),
+          $"l_orderkey" === $"o_orderkey" &&
+            $"l_shipdate" > date_add($"o_orderdate", 60),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin))
 
   // ── RFM customer segmentation — the classic retention/marketing cube:
   //    recency (days since last order), frequency (order count), monetary

@@ -804,4 +804,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p.take(1600))
     assert(p.contains("hll_registers"), p.take(1600))
   }
+
+  test("q240 market share: every dimension broadcast, fact scanned once") {
+    val p = planOf("q240_market_share")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("Scan parquet .*lineitem".r.findAllIn(p).size == 1, p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6, p.take(2000))
+  }
+
+  test("q241 late orders: keyed LEFT SEMI with residual date predicate") {
+    val p = planOf("q241_late_order_priority")
+    assert(p.contains("LeftSemi"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
 }
