@@ -558,7 +558,41 @@ object ProfilingQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
         |  MIN(f.lo) AS fence_lo, MIN(f.hi) AS fence_hi
         |FROM documents d JOIN f ON d.source = f.source
-        |GROUP BY d.source""".stripMargin))
+        |GROUP BY d.source""".stripMargin)),
+
+    // ── Equi-DEPTH histogram of order totals — the bin structure a
+    //    cardinality estimator keeps (where q101 keeps equi-WIDTH):
+    //    8 bins of equal row count via NTILE over the totally ordered
+    //    (cents, orderkey) axis — the tie-break key makes bin edges
+    //    deterministic even where a popular value straddles a boundary.
+    //    Output is 8 rows of [lo, hi, n]. The global rank is the q203
+    //    posture: at 100 TB the edges come from approx_percentile and
+    //    the bins from one broadcast-join pass.
+    QueryDef(
+      "q243_equidepth_hist",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select($"o_orderkey",
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .withColumn("bin", ntile(8).over(
+            Window.orderBy($"cents".asc, $"o_orderkey".asc)))
+          .groupBy($"bin")
+          .agg(min($"cents").as("lo"), max($"cents").as("hi"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some("""WITH c AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT cents,
+        |    CAST(NTILE(8) OVER (ORDER BY cents ASC, o_orderkey ASC)
+        |      AS INT) AS bin
+        |  FROM c)
+        |SELECT bin, MIN(cents) AS lo, MAX(cents) AS hi,
+        |  COUNT(*) AS n_orders
+        |FROM b GROUP BY bin""".stripMargin))
   )
 
   /** Benford expected first-digit frequencies log10(1 + 1/d), d = 1..9,

@@ -1656,7 +1656,81 @@ object SimilarityQueries {
         |  SELECT src AS vec_id, COUNT(*) AS n FROM indirect GROUP BY 1)
         |SELECT e.vec_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_two_hop
         |FROM embeddings e LEFT JOIN cnt ON e.vec_id = cnt.vec_id"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ── Per-node local clustering coefficient — q199's global census
+    //    localized: enumerate each triangle once in id order (a<b<c via
+    //    two adjacency joins + an edge semi-join), credit all three
+    //    corners, and coef = 2·tri / deg·(deg−1) in 1e9 fixed point.
+    //    The per-vector "how cliquey is my neighborhood" feature that
+    //    separates dense-community members from bridge nodes — link
+    //    prediction and community detection both consume it. Join
+    //    fan-out is bounded by degree (≤ 2k per vertex); degree-ordered
+    //    orientation (q199) is the documented upgrade if a future graph
+    //    has heavy hubs.
+    QueryDef(
+      "q242_clustering_coef",
+      (s, dir) => {
+        import s.implicits._
+        val und = knnEdgesCached(s, dir)
+          .select(least($"src", $"dst").as("u"),
+            greatest($"src", $"dst").as("v"))
+          .distinct().localCheckpoint()
+        val deg = und.select($"u".as("vtx"))
+          .unionByName(und.select($"v".as("vtx")))
+          .groupBy($"vtx").agg(count(lit(1)).as("d"))
+        val tri = und.select($"u".as("a"), $"v".as("b"))
+          .join(und.select($"u".as("a"), $"v".as("c")), Seq("a"))
+          .where($"b" < $"c")
+          .join(und.select($"u".as("b"), $"v".as("c")),
+            Seq("b", "c"), "left_semi")
+        val incid = tri.select($"a".as("vtx"))
+          .unionByName(tri.select($"b".as("vtx")))
+          .unionByName(tri.select($"c".as("vtx")))
+          .groupBy($"vtx").agg(count(lit(1)).as("t"))
+        Tables.embeddings(s, dir).select($"vec_id")
+          .join(deg.select($"vtx".as("vec_id"), $"d"),
+            Seq("vec_id"), "left")
+          .join(incid.select($"vtx".as("vec_id"), $"t"),
+            Seq("vec_id"), "left")
+          .select($"vec_id",
+            coalesce($"d", lit(0L)).as("degree"),
+            coalesce($"t", lit(0L)).as("n_tri"))
+          .withColumn("coef_1e9",
+            when($"degree" >= 2L,
+              expr("n_tri * 2000000000 div (degree * (degree - 1))"))
+              .otherwise(lit(0L)))
+      },
+      Some(knnEdgesCtesSql + """,
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM edges),
+        |deg AS (
+        |  SELECT vtx, COUNT(*) AS d FROM (
+        |    SELECT u AS vtx FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT w.a, w.b, w.c
+        |  FROM (SELECT x.u AS a, x.v AS b, y.v AS c
+        |    FROM und x JOIN und y ON x.u = y.u AND x.v < y.v) w
+        |  WHERE EXISTS (SELECT 1 FROM und z
+        |    WHERE z.u = w.b AND z.v = w.c)),
+        |incid AS (
+        |  SELECT vtx, COUNT(*) AS t FROM (
+        |    SELECT a AS vtx FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT e.vec_id,
+        |  CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+        |  CAST(COALESCE(incid.t, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN COALESCE(deg.d, 0) >= 2
+        |    THEN COALESCE(incid.t, 0) * 2000000000
+        |      // (deg.d * (deg.d - 1))
+        |    ELSE 0 END AS coef_1e9
+        |FROM embeddings e
+        |LEFT JOIN deg ON deg.vtx = e.vec_id
+        |LEFT JOIN incid ON incid.vtx = e.vec_id""".stripMargin))
   )
 
   /** BFS hop budget for q220 (and the unrolled depth of its oracle). */

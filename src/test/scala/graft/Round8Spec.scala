@@ -345,6 +345,31 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("q242 clustering coef: corner credits sum to 3x the global census") {
+    val rows = SparkEntry.queries("q242_clustering_coef")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val global = SparkEntry.queries("q199_triangles")(spark, dir)
+      .collect()(0).getAs[Long]("n_tri")
+    assert(rows.map(_._2).sum == 3L * global)
+    rows.foreach { case (deg, tri, coef) =>
+      assert(coef >= 0L && coef <= 1000000000L)
+      if (deg < 2) assert(tri == 0L && coef == 0L)
+    }
+  }
+
+  test("q243 equi-depth: contiguous bins of near-equal count") {
+    val rows = SparkEntry.queries("q243_equidepth_hist")(spark, dir)
+      .orderBy($"bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.orders(spark, dir).count()
+    assert(rows.length == 8)
+    assert(rows.map(_._4).sum == total)
+    assert(rows.map(_._4).max - rows.map(_._4).min <= 1L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2) // hi of bin k ≤ lo of bin k+1
+    }
+  }
+
   test("q225 hll: registers match an independent driver-side replay") {
     val got = SparkEntry.queries("q225_hll_replay")(spark, dir)
       .collect()
