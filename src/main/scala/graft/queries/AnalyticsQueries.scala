@@ -379,8 +379,112 @@ object AnalyticsQueries {
     eventDebounceDef,
     rfmDef,
     marketShareDef,
-    lateOrderPriorityDef
+    lateOrderPriorityDef,
+    topBrandDef,
+    interOrderGapDef
   )
+
+  // ── Per-group argmax over a join — each customer's top part brand by
+  //    lifetime spend: fact ⋈ orders keyed, part dim broadcast, exact-
+  //    decimal spend rollup, then ONE keyed window that Spark compiles
+  //    to WindowGroupLimit (rank-1 rows never materialize the full
+  //    sort). Ties break by brand name so the argmax is deterministic.
+  //    The "favorite X per Y" shape every personalization query takes.
+  private def topBrandDef: QueryDef = QueryDef(
+    "q244_top_brand",
+    (s, dir) => {
+      import s.implicits._
+      val spend = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.part(s, dir)
+          .select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"o_custkey", $"p_brand")
+        .agg(QueryDef.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("spend"))
+      spend
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"o_custkey")
+            .orderBy($"spend".desc, $"p_brand".asc)))
+        .where($"rn" === 1)
+        .select($"o_custkey", $"p_brand".as("top_brand"), $"spend")
+    },
+    Some(s"""WITH spend AS (
+      |  SELECT o_custkey, p_brand,
+      |    ${QueryDef.dsumSql("l_extendedprice * (1.0 - l_discount)")}
+      |      AS spend
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT o_custkey, p_brand, spend,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY spend DESC, p_brand ASC) AS rn
+      |  FROM spend)
+      |SELECT o_custkey, p_brand AS top_brand, spend
+      |FROM r WHERE rn = 1""".stripMargin))
+
+  // ── Inter-order gap profile per market segment — the CRM cadence
+  //    metric: per-customer consecutive-order gaps (one keyed LAG over
+  //    the per-customer order history), then per segment an EXACT
+  //    median gap via the q226 histogram-crossing selection (the gap
+  //    value domain is bounded by the calendar, so the cumulative
+  //    window runs over distinct gap lengths, never orders) plus an
+  //    exact-integer mean. Sizes reorder-reminder campaigns and churn
+  //    cutoffs from measured cadence.
+  private def interOrderGapDef: QueryDef = QueryDef(
+    "q245_interorder_gap",
+    (s, dir) => {
+      import s.implicits._
+      val gaps = Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+        .withColumn("prev", lag($"o_orderdate", 1).over(
+          Window.partitionBy($"o_custkey")
+            .orderBy($"o_orderdate".asc, $"o_orderkey".asc)))
+        .where($"prev".isNotNull)
+        .select($"o_custkey",
+          datediff($"o_orderdate", $"prev").cast("long").as("gap"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select($"c_custkey".as("o_custkey"), $"c_mktsegment")),
+          "o_custkey")
+        .localCheckpoint()
+      val counts = gaps.groupBy($"c_mktsegment", $"gap".as("v"))
+        .agg(count(lit(1)).as("c"))
+      val tot = counts.groupBy($"c_mktsegment").agg(sum($"c").as("n"))
+      val cum = counts
+        .withColumn("cum", sum($"c").over(
+          Window.partitionBy($"c_mktsegment").orderBy($"v")))
+        .join(tot, "c_mktsegment")
+      val v1 = cum.where($"cum" >= expr("(n + 1) div 2"))
+        .groupBy($"c_mktsegment").agg(min($"v").as("v1"))
+      val v2 = cum.where($"cum" >= expr("n div 2 + 1"))
+        .groupBy($"c_mktsegment").agg(min($"v").as("v2"))
+      val mean = gaps.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_gaps"), sum($"gap").as("sg"))
+      mean.join(v1, "c_mktsegment").join(v2, "c_mktsegment")
+        .select($"c_mktsegment", $"n_gaps",
+          (($"v1" + $"v2").cast("double") / 2.0).as("median_gap_days"),
+          ($"sg".cast("double") / $"n_gaps".cast("double"))
+            .as("mean_gap_days"))
+    },
+    Some("""WITH g AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', LAG(o_orderdate) OVER (
+      |      PARTITION BY o_custkey
+      |      ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |      o_orderdate) AS gap
+      |  FROM orders),
+      |seg AS (
+      |  SELECT c.c_mktsegment, CAST(g.gap AS BIGINT) AS gap
+      |  FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+      |  WHERE g.gap IS NOT NULL)
+      |SELECT c_mktsegment, COUNT(*) AS n_gaps,
+      |  median(gap) AS median_gap_days,
+      |  CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_gap_days
+      |FROM seg GROUP BY c_mktsegment""".stripMargin))
 
   // ── TPC-H Q8 shape — national market share inside a region: the
   //    deepest star join in the suite (lineitem ⋈ part ⋈ orders ⋈

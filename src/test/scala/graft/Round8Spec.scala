@@ -370,6 +370,54 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("q244 top brand: argmax agrees with a driver-side group max") {
+    val got = SparkEntry.queries("q244_top_brand")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    val spend = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.part(spark, dir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"o_custkey", $"p_brand")
+      .agg(QueryDef.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("spend"))
+      .as[(Long, String, Double)].collect()
+    spend.groupBy(_._1).foreach { case (cust, rows) =>
+      val want = rows.minBy(t => (-t._3, t._2))
+      assert(got(cust) == (want._2, want._3), s"cust $cust")
+    }
+  }
+
+  test("q245 gaps: segment medians match a driver-side sort") {
+    val got = SparkEntry.queries("q245_interorder_gap")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val gaps = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderdate".cast("date").as("o_orderdate"),
+        $"o_orderkey")
+      .join(Tables.customer(spark, dir)
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment"),
+        "o_custkey")
+      .as[(Long, java.sql.Date, Long, String)].collect().toSeq
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._2.toLocalDate.toEpochDay, r._3))
+        sorted.sliding(2).toSeq.collect {
+          case Seq(a, b) =>
+            b._4 ->
+              (b._2.toLocalDate.toEpochDay - a._2.toLocalDate.toEpochDay)
+        }
+      }
+    gaps.groupBy(_._1).foreach { case (seg, rows) =>
+      val v = rows.map(_._2).sorted
+      val n = v.length
+      val want =
+        if (n % 2 == 1) v(n / 2).toDouble
+        else (v(n / 2 - 1) + v(n / 2)).toDouble / 2.0
+      assert(got(seg)._1 == n.toLong && got(seg)._2 == want, s"seg $seg")
+    }
+  }
+
   test("q225 hll: registers match an independent driver-side replay") {
     val got = SparkEntry.queries("q225_hll_replay")(spark, dir)
       .collect()
