@@ -381,8 +381,114 @@ object AnalyticsQueries {
     marketShareDef,
     lateOrderPriorityDef,
     topBrandDef,
-    interOrderGapDef
+    interOrderGapDef,
+    wilsonScorecardDef,
+    joinEstimateDef
   )
+
+  // ── Supplier scorecard ranked by the WILSON LOWER BOUND of the
+  //    late-shipment rate — the small-sample-honest ranking: a supplier
+  //    with 1/2 late lines must not outrank one with 40/100. z = 1.96
+  //    enters both plans as the same literal; everything else is
+  //    +, ×, /, sqrt on exact integer inputs — all IEEE correctly-
+  //    rounded, so both engines compute the identical double before
+  //    the final ROUND(9). One fact pass, one ≤|suppliers| rollup.
+  private def wilsonScorecardDef: QueryDef = QueryDef(
+    "q246_wilson_scorecard",
+    (s, dir) => {
+      import s.implicits._
+      val counts = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"l_shipdate" > date_add($"o_orderdate", 60), 1L)
+            .otherwise(0L)).as("late"))
+      val scored = counts
+        .withColumn("p", $"late".cast("double") / $"n".cast("double"))
+        .withColumn("nn", $"n".cast("double"))
+        .withColumn("wilson_lb", round(
+          (($"p" + lit(1.9208) / $"nn" -
+            lit(1.96) * sqrt(($"p" * (lit(1.0) - $"p") +
+              lit(0.9604) / $"nn") / $"nn")) /
+            (lit(1.0) + lit(3.8416) / $"nn")), 9))
+      scored
+        .select($"l_suppkey", $"n".as("n_lines"), $"late".as("n_late"),
+          $"wilson_lb")
+        .orderBy($"wilson_lb".desc, $"l_suppkey".asc)
+        .limit(25)
+    },
+    Some("""WITH c AS (
+      |  SELECT l_suppkey, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT l_suppkey, n, late,
+      |    CAST(late AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    CAST(n AS DOUBLE) AS nn
+      |  FROM c)
+      |SELECT l_suppkey, n AS n_lines, late AS n_late,
+      |  ROUND((p + 1.9208 / nn
+      |    - 1.96 * sqrt((p * (1.0 - p) + 0.9604 / nn) / nn))
+      |    / (1.0 + 3.8416 / nn), 9) AS wilson_lb
+      |FROM w
+      |ORDER BY wilson_lb DESC, l_suppkey ASC LIMIT 25""".stripMargin))
+
+  // ── The engine predicting its own join — histogram-based cardinality
+  //    estimation checked against ground truth: bin the join key
+  //    (integer range buckets), collect per-bin row and distinct-key
+  //    counts on BOTH sides (one agg each), apply the textbook
+  //    containment assumption est_k = rows_a·rows_b / max(keys_a,
+  //    keys_b) per bin, and emit the estimate beside the TRUE join
+  //    count. The q243 bin structure doing the job it exists for; at
+  //    100 TB these are exactly the per-partition column stats a
+  //    cost-based optimizer keeps.
+  private def joinEstimateDef: QueryDef = QueryDef(
+    "q247_join_estimate",
+    (s, dir) => {
+      import s.implicits._
+      def side(df: org.apache.spark.sql.DataFrame, key: String) = df
+        .select(expr(s"$key div 1024").as("bin"), col(key).as("k"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("rows"), countDistinct($"k").as("keys"))
+      val a = side(Tables.orders(s, dir), "o_orderkey")
+      val b = side(Tables.lineitem(s, dir), "l_orderkey")
+      val est = a.select($"bin", $"rows".as("ra"), $"keys".as("ka"))
+        .join(b.select($"bin", $"rows".as("rb"), $"keys".as("kb")),
+          "bin")
+        .agg(sum(expr("ra * rb div greatest(ka, kb)")).as("est_rows"),
+          count(lit(1)).as("n_bins"))
+      val truth = Tables.orders(s, dir).select($"o_orderkey")
+        .join(Tables.lineitem(s, dir).select($"l_orderkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .agg(count(lit(1)).as("true_rows"))
+      est.crossJoin(truth)
+        .select($"n_bins", $"est_rows", $"true_rows",
+          expr("abs(est_rows - true_rows) * 1000000000 div true_rows")
+            .as("rel_err_1e9"))
+    },
+    Some("""WITH a AS (
+      |  SELECT o_orderkey // 1024 AS bin, COUNT(*) AS ra,
+      |    COUNT(DISTINCT o_orderkey) AS ka
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT l_orderkey // 1024 AS bin, COUNT(*) AS rb,
+      |    COUNT(DISTINCT l_orderkey) AS kb
+      |  FROM lineitem GROUP BY 1),
+      |e AS (
+      |  SELECT COUNT(*) AS n_bins,
+      |    CAST(SUM(ra * rb // greatest(ka, kb)) AS BIGINT) AS est_rows
+      |  FROM a JOIN b USING (bin)),
+      |t AS (
+      |  SELECT COUNT(*) AS true_rows
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      |SELECT e.n_bins, e.est_rows, t.true_rows,
+      |  abs(e.est_rows - t.true_rows) * 1000000000 // t.true_rows
+      |    AS rel_err_1e9
+      |FROM e, t""".stripMargin))
 
   // ── Per-group argmax over a join — each customer's top part brand by
   //    lifetime spend: fact ⋈ orders keyed, part dim broadcast, exact-
