@@ -1730,7 +1730,108 @@ object SimilarityQueries {
         |    ELSE 0 END AS coef_1e9
         |FROM embeddings e
         |LEFT JOIN deg ON deg.vtx = e.vec_id
-        |LEFT JOIN incid ON incid.vtx = e.vec_id""".stripMargin))
+        |LEFT JOIN incid ON incid.vtx = e.vec_id""".stripMargin)),
+
+    // ── Higher-order array functions as a gate — transform / filter /
+    //    aggregate (fold) / array_max over the embedding column, each
+    //    with its DuckDB list_* twin. Elements are floor-scaled to 1e6
+    //    BIGINTs INSIDE the lambda so the fold is exact integer
+    //    arithmetic (a float fold's result would depend on nothing, but
+    //    the discipline everywhere is: no float accumulation reaches an
+    //    output). One narrow codegen'd projection, no shuffle at all —
+    //    the HOF surface a vector pipeline leans on for cheap per-row
+    //    feature math without ever exploding the array.
+    QueryDef(
+      "q248_array_hof",
+      (s, dir) => {
+        import s.implicits._
+        Tables.embeddings(s, dir).select($"vec_id",
+          expr("aggregate(transform(embedding, x -> " +
+            "CAST(floor(abs(CAST(x AS DOUBLE)) * 1e6) AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (a, x) -> a + x)").as("l1_1e6"),
+          expr("array_max(transform(embedding, x -> " +
+            "CAST(floor(abs(CAST(x AS DOUBLE)) * 1e6) AS BIGINT)))")
+            .as("max_abs_1e6"),
+          expr("CAST(size(filter(embedding, x -> x > 0)) AS BIGINT)")
+            .as("n_pos"),
+          expr("CAST(size(filter(embedding, x -> " +
+            "abs(CAST(x AS DOUBLE)) > 0.5)) AS BIGINT)").as("n_large"))
+      },
+      Some("""SELECT vec_id,
+        |  CAST(list_aggregate(list_transform(embedding, x ->
+        |    CAST(floor(abs(CAST(x AS DOUBLE)) * 1e6) AS BIGINT)), 'sum')
+        |    AS BIGINT) AS l1_1e6,
+        |  CAST(list_aggregate(list_transform(embedding, x ->
+        |    CAST(floor(abs(CAST(x AS DOUBLE)) * 1e6) AS BIGINT)), 'max')
+        |    AS BIGINT) AS max_abs_1e6,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+        |    AS n_pos,
+        |  CAST(len(list_filter(embedding, x ->
+        |    abs(CAST(x AS DOUBLE)) > 0.5)) AS BIGINT) AS n_large
+        |FROM embeddings""".stripMargin)),
+
+    // ── Cheapest weighted path to a seed set within 4 hops —
+    //    distributed Bellman-Ford over the kNN graph with integer edge
+    //    weights w = 1e9 − floor(cos·1e9) (dissimilarity in exact fixed
+    //    point, derived from the SAME rounded cos both engines share):
+    //    each round relaxes every edge against the current distance
+    //    table (one keyed join + MIN fold + checkpoint), the oracle
+    //    unrolls the identical rounds, and post-fixpoint rounds are
+    //    no-ops. The weighted generalization of q220's BFS: hop count
+    //    measures reach, path cost measures how SEMANTICALLY far the
+    //    corpus sits from the seeds. At scale the relax set narrows to
+    //    the changed frontier; the full relax here keeps the oracle
+    //    replay exact.
+    QueryDef(
+      "q249_cheapest_path",
+      (s, dir) => {
+        import s.implicits._
+        val e = knnEdgesCached(s, dir).select($"src", $"dst", $"cos")
+        val w = e
+          .unionByName(e.select($"dst".as("src"), $"src".as("dst"),
+            $"cos"))
+          .select($"src", $"dst",
+            expr("1000000000 - CAST(floor(cos * 1e9) AS BIGINT)")
+              .as("w"))
+          .distinct().localCheckpoint()
+        var d = Tables.embeddings(s, dir)
+          .select($"vec_id").where($"vec_id" < 10)
+          .withColumn("cost", lit(0L)).localCheckpoint()
+        for (_ <- 1 to BfsHops) {
+          val relax = w
+            .join(d.select($"vec_id".as("src"), $"cost"), "src")
+            .select($"dst".as("vec_id"), ($"cost" + $"w").as("cost"))
+          d = d.unionByName(relax)
+            .groupBy($"vec_id").agg(min($"cost").as("cost"))
+            .localCheckpoint()
+        }
+        Tables.embeddings(s, dir).select($"vec_id")
+          .join(d, Seq("vec_id"), "left")
+          .select($"vec_id",
+            coalesce($"cost", lit(-1L)).as("cost_1e9"))
+      },
+      Some {
+        def round(r: Int) = s"""d$r AS MATERIALIZED (
+        |  SELECT vec_id, MIN(cost) AS cost FROM (
+        |    SELECT vec_id, cost FROM d${r - 1}
+        |    UNION ALL
+        |    SELECT w.dst, d.cost + w.w
+        |    FROM w JOIN d${r - 1} d ON w.src = d.vec_id)
+        |  GROUP BY 1)"""
+        s"""$knnEdgesCtesSql,
+        |w AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst,
+        |    1000000000 - CAST(floor(cos * 1e9) AS BIGINT) AS w
+        |  FROM (SELECT src, dst, cos FROM edges
+        |    UNION ALL SELECT dst, src, cos FROM edges)),
+        |d0 AS (SELECT vec_id, CAST(0 AS BIGINT) AS cost
+        |  FROM embeddings WHERE vec_id < 10),
+        |${(1 to BfsHops).map(round).mkString(",\n")}
+        |SELECT emb.vec_id,
+        |  CAST(COALESCE(d.cost, -1) AS BIGINT) AS cost_1e9
+        |FROM embeddings emb LEFT JOIN d$BfsHops d
+        |  ON emb.vec_id = d.vec_id""".stripMargin
+      })
   )
 
   /** BFS hop budget for q220 (and the unrolled depth of its oracle). */

@@ -418,6 +418,38 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("q249 cheapest path: costs dominate BFS reachability") {
+    val cost = SparkEntry.queries("q249_cheapest_path")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hops = SparkEntry.queries("q220_bfs_hops")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // same reachable set: cost ≥ 0 iff hops reached it within the budget
+    assert(cost.values.count(_ >= 0L) == hops.collect {
+      case (d, n) if d >= 0 => n }.sum)
+    // seeds are free; every reached non-seed path costs something
+    (0L until 10L).foreach(v => assert(cost(v) == 0L))
+    assert(cost.forall { case (v, c) => v < 10 || c != 0L })
+  }
+
+  test("q248 hof: fold equals the exploded-sum reference") {
+    val got = SparkEntry.queries("q248_array_hof")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ref = Tables.embeddings(spark, dir)
+      .select($"vec_id", explode($"embedding").as("x"))
+      .groupBy($"vec_id")
+      .agg(sum(expr("CAST(floor(abs(CAST(x AS DOUBLE)) * 1e6) AS BIGINT)"))
+          .as("l1"),
+        max(expr("CAST(floor(abs(CAST(x AS DOUBLE)) * 1e6) AS BIGINT)"))
+          .as("mx"),
+        sum(when($"x" > 0f, 1L).otherwise(0L)).as("np"),
+        sum(when(abs($"x".cast("double")) > 0.5, 1L).otherwise(0L))
+          .as("nl"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == ref)
+  }
+
   test("q225 hll: registers match an independent driver-side replay") {
     val got = SparkEntry.queries("q225_hll_replay")(spark, dir)
       .collect()
