@@ -1831,7 +1831,70 @@ object SimilarityQueries {
         |  CAST(COALESCE(d.cost, -1) AS BIGINT) AS cost_1e9
         |FROM embeddings emb LEFT JOIN d$BfsHops d
         |  ON emb.vec_id = d.vec_id""".stripMargin
-      })
+      }),
+
+    // ── Conductance of the label partition on the kNN graph — for each
+    //    label S: φ(S) = cut(S) / min(vol(S), vol(V∖S)), cut = edges
+    //    with exactly one endpoint in S, vol = sum of member degrees.
+    //    Low φ = the label forms a genuine graph community; high φ =
+    //    the labels cut across the similarity structure (an embedding-
+    //    quality verdict the confusion matrix q206 can't give, because
+    //    it needs the GLOBAL edge structure, not per-query votes).
+    //    Two label dim joins on the undirected edge list, one keyed
+    //    rollup each for cut and volume, fixed-point division — all
+    //    edge-keyed, output ≤ |labels| rows.
+    QueryDef(
+      "q250_conductance",
+      (s, dir) => {
+        import s.implicits._
+        val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+        val und = knnEdgesCached(s, dir)
+          .select(least($"src", $"dst").as("u"),
+            greatest($"src", $"dst").as("v"))
+          .distinct()
+          .join(lab.select($"vec_id".as("u"), $"label".as("lu")), "u")
+          .join(lab.select($"vec_id".as("v"), $"label".as("lv")), "v")
+          .localCheckpoint()
+        val vol = und.select($"lu".as("label"))
+          .unionByName(und.select($"lv".as("label")))
+          .groupBy($"label").agg(count(lit(1)).as("vol"))
+        val cut = und.where($"lu" =!= $"lv")
+          .select($"lu".as("label"))
+          .unionByName(und.where($"lu" =!= $"lv").select($"lv".as("label")))
+          .groupBy($"label").agg(count(lit(1)).as("cut"))
+        val totalVol = vol.agg(sum($"vol").as("tv"))
+        vol.join(cut, Seq("label"), "left")
+          .crossJoin(broadcast(totalVol))
+          .select($"label", $"vol",
+            coalesce($"cut", lit(0L)).as("cut"),
+            expr("coalesce(cut, CAST(0 AS BIGINT)) * 1000000000" +
+              " div least(vol, tv - vol)").as("phi_1e9"))
+      },
+      Some(knnEdgesCtesSql + """,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |und AS MATERIALIZED (
+        |  SELECT e.u, e.v, a.label AS lu, b.label AS lv
+        |  FROM (SELECT DISTINCT least(src, dst) AS u,
+        |      greatest(src, dst) AS v FROM edges) e
+        |  JOIN lab a ON a.vec_id = e.u
+        |  JOIN lab b ON b.vec_id = e.v),
+        |vol AS (
+        |  SELECT label, COUNT(*) AS vol FROM (
+        |    SELECT lu AS label FROM und
+        |    UNION ALL SELECT lv FROM und)
+        |  GROUP BY 1),
+        |cut AS (
+        |  SELECT label, COUNT(*) AS cut FROM (
+        |    SELECT lu AS label FROM und WHERE lu <> lv
+        |    UNION ALL SELECT lv FROM und WHERE lu <> lv)
+        |  GROUP BY 1),
+        |tv AS (SELECT CAST(SUM(vol) AS BIGINT) AS tv FROM vol)
+        |SELECT v.label, CAST(v.vol AS BIGINT) AS vol,
+        |  CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
+        |  COALESCE(c.cut, 0) * 1000000000
+        |    // least(v.vol, tv.tv - v.vol) AS phi_1e9
+        |FROM vol v LEFT JOIN cut c ON v.label = c.label, tv"""
+        .stripMargin))
   )
 
   /** BFS hop budget for q220 (and the unrolled depth of its oracle). */

@@ -450,6 +450,19 @@ class Round8Spec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("q250 conductance: cut/vol identities hold against the edge list") {
+    val rows = SparkEntry.queries("q250_conductance")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val edges = SparkEntry.queries("q149_knn_graph")(spark, dir)
+      .select($"src", $"dst").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // Σ vol = 2·|E|; every φ is in [0, 1e9]; cut ≤ vol
+    assert(rows.map(_._1).sum == 2L * edges.length)
+    rows.foreach { case (vol, cut, phi) =>
+      assert(cut <= vol && phi >= 0L && phi <= 1000000000L)
+    }
+  }
+
   test("q225 hll: registers match an independent driver-side replay") {
     val got = SparkEntry.queries("q225_hll_replay")(spark, dir)
       .collect()
