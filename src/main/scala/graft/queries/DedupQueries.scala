@@ -1023,6 +1023,47 @@ object DedupQueries {
         |  i.inter_min * 1000000000 // (x.tot + y.tot - i.inter_min)
         |    AS wj_1e9
         |FROM inter i JOIN tot x ON i.src_a = x.source
-        |JOIN tot y ON i.src_b = y.source""".stripMargin))
+        |JOIN tot y ON i.src_b = y.source""".stripMargin)),
+
+    // ── Cross-language near-dup scan — which language PAIRS share
+    //    verified near-duplicate documents? Same-language pairs are
+    //    ordinary duplication; cross-language pairs are translations or
+    //    templated content, the multilingual-contamination signal a
+    //    deduped multilingual corpus has to report. Rides the cached
+    //    minhash substrate (q36's verified pairs cost nothing extra in
+    //    session), joins the doc→lang dim onto both endpoints (keyed —
+    //    the dim is corpus-sized, never broadcast), and rolls up by the
+    //    unordered language pair.
+    QueryDef(
+      "q251_crosslang_dups",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, _, cands) = Dedup.minhashSubstrateCached(
+          Tables.documents(s, dir), dir, "doc_id", "text")
+        val dup = Dedup.jaccardFor(cands, sh, "doc_id")
+          .where($"jaccard" >= 0.5)
+        val lang = Tables.documents(s, dir).select($"doc_id", $"lang")
+        dup
+          .join(lang.select($"doc_id".as("doc_a"), $"lang".as("la")),
+            "doc_a")
+          .join(lang.select($"doc_id".as("doc_b"), $"lang".as("lb")),
+            "doc_b")
+          .groupBy(least($"la", $"lb").as("lang_x"),
+            greatest($"la", $"lb").as("lang_y"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when($"la" =!= $"lb", 1L).otherwise(0L))
+              .as("n_cross"))
+      },
+      Some(s"""WITH $minhashDupCtes,
+        |lang AS (SELECT doc_id, lang FROM documents)
+        |SELECT least(a.lang, b.lang) AS lang_x,
+        |  greatest(a.lang, b.lang) AS lang_y,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN a.lang <> b.lang THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cross
+        |FROM dupj d
+        |JOIN lang a ON d.doc_a = a.doc_id
+        |JOIN lang b ON d.doc_b = b.doc_id
+        |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -463,6 +463,18 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("q251 crosslang: pair mass equals q36's verified pairs") {
+    val rows = SparkEntry.queries("q251_crosslang_dups")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val dup = SparkEntry.queries("q36_minhash_lsh")(spark, dir).count()
+    assert(rows.map(_._3).sum == dup)
+    rows.foreach { case (lx, ly, n, cross) =>
+      assert(lx <= ly && cross <= n)
+      if (lx == ly) assert(cross == 0L) else assert(cross == n)
+    }
+  }
+
   test("q225 hll: registers match an independent driver-side replay") {
     val got = SparkEntry.queries("q225_hll_replay")(spark, dir)
       .collect()
