@@ -383,8 +383,39 @@ object AnalyticsQueries {
     topBrandDef,
     interOrderGapDef,
     wilsonScorecardDef,
-    joinEstimateDef
+    joinEstimateDef,
+    dowProfileDef
   )
+
+  // ── Day-of-week order seasonality — volume and exact-decimal revenue
+  //    per weekday. The weekday comes from EPOCH-DAY ARITHMETIC
+  //    ((days since 1970-01-01 + 3) % 7 + 1 → ISO Monday=1), NOT the
+  //    engines' dayofweek functions, which disagree on numbering
+  //    (Spark: Sunday=1; DuckDB: Sunday=0) — the cross-engine-function
+  //    trap stated as a gate. One scan, 7-row rollup.
+  private def dowProfileDef: QueryDef = QueryDef(
+    "q252_dow_profile",
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select(
+          expr("(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            + " + 3) % 7 + 1").as("dow_iso"),
+          $"o_totalprice")
+        .groupBy($"dow_iso")
+        .agg(count(lit(1)).as("n_orders"),
+          QueryDef.dsum($"o_totalprice").as("revenue"))
+        .withColumn("avg_order_value",
+          $"revenue" / $"n_orders".cast("double"))
+    },
+    Some(s"""SELECT
+      |  CAST((date_diff('day', DATE '1970-01-01',
+      |    CAST(o_orderdate AS DATE)) + 3) % 7 + 1 AS INT) AS dow_iso,
+      |  COUNT(*) AS n_orders,
+      |  ${QueryDef.dsumSql("o_totalprice")} AS revenue,
+      |  ${QueryDef.dsumSql("o_totalprice")}
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_order_value
+      |FROM orders GROUP BY 1""".stripMargin))
 
   // ── Supplier scorecard ranked by the WILSON LOWER BOUND of the
   //    late-shipment rate — the small-sample-honest ranking: a supplier
