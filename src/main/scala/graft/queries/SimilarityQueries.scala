@@ -1867,8 +1867,13 @@ object SimilarityQueries {
           .crossJoin(broadcast(totalVol))
           .select($"label", $"vol",
             coalesce($"cut", lit(0L)).as("cut"),
+            // greatest(1, ...) guard: with one label owning every edge
+            // least(vol, tv - vol) = 0, where Spark's div yields NULL but
+            // DuckDB's // errors — the guard makes degenerate fixtures
+            // produce the same (meaningless-but-equal) row in both engines
             expr("coalesce(cut, CAST(0 AS BIGINT)) * 1000000000" +
-              " div least(vol, tv - vol)").as("phi_1e9"))
+              " div greatest(CAST(1 AS BIGINT), least(vol, tv - vol))")
+              .as("phi_1e9"))
       },
       Some(knnEdgesCtesSql + """,
         |lab AS (SELECT vec_id, label FROM embeddings),
@@ -1892,7 +1897,7 @@ object SimilarityQueries {
         |SELECT v.label, CAST(v.vol AS BIGINT) AS vol,
         |  CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
         |  COALESCE(c.cut, 0) * 1000000000
-        |    // least(v.vol, tv.tv - v.vol) AS phi_1e9
+        |    // greatest(1, least(v.vol, tv.tv - v.vol)) AS phi_1e9
         |FROM vol v LEFT JOIN cut c ON v.label = c.label, tv"""
         .stripMargin))
   )

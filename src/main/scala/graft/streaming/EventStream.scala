@@ -256,6 +256,38 @@ object EventStream {
       }
   }
 
+  /** Filesystem-portable state probe for the foreachBatch maintainers:
+    * resolves the path through the Hadoop FileSystem API, so state tables
+    * work on HDFS/object-store URIs as well as the local FS a
+    * java.io.File probe would silently assume.
+    */
+  private def stateExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Crash-safer state refresh: write the merged table to a `_tmp` sibling
+    * (the plan reads the OLD state files directly while writing NEW files
+    * elsewhere — no read-vs-overwrite race, so no checkpoint whose blocks
+    * could vanish with an executor), then swap with a delete + rename. A
+    * maintainer dying mid-refresh leaves either the old state or the new
+    * one, never a half-written table; the unprotected window shrinks from
+    * the whole parquet write to one metadata rename (atomic on local FS
+    * and HDFS, best-effort on object stores). Assumes a SINGLE maintaining
+    * process per state path — concurrent maintainers would need a real
+    * table format's commit protocol, not a directory swap.
+    */
+  private def swapWrite(spark: SparkSession, df: DataFrame,
+      statePath: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(statePath)
+    val tmp = new org.apache.hadoop.fs.Path(statePath + "_tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+    ()
+  }
+
   /** Incremental materialized-view maintenance via foreachBatch — q165's
     * merge contract run as a stream: each micro-batch is rolled up to
     * per-type partials (count / exact-decimal sum / max / min) and merged
@@ -280,7 +312,7 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val incoming = partials(batch)
         val merged =
-          if (new java.io.File(statePath).exists()) {
+          if (stateExists(spark, statePath)) {
             spark.read.parquet(statePath)
               .withColumn("total_dec",
                 col("total_dec").cast(DecimalType(18, 4)))
@@ -291,9 +323,7 @@ object EventStream {
                   .as("total_dec"),
                 max(col("vmax")).as("vmax"), min(col("vmin")).as("vmin"))
           } else incoming
-        // state tables are tiny (#types rows): localCheckpoint breaks the
-        // lineage onto the old files so the overwrite can't race the read
-        merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+        swapWrite(spark, merged, statePath)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -316,6 +346,9 @@ object EventStream {
     * cannot corrupt a register, which is why sketch maintenance needs no
     * exactly-once ledger. State is ≤ 64 rows per source forever; distinct
     * estimates come off the table at read time without touching the data.
+    * (The replay-safety claim is LOGICAL — durability of the state table
+    * itself is [[swapWrite]]'s tmp-then-rename swap, single maintainer per
+    * path.)
     */
   def hllMaintain(spark: SparkSession, docs: DataFrame,
       statePath: String): DataFrame = {
@@ -330,13 +363,13 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val incoming = registers(batch)
         val merged =
-          if (new java.io.File(statePath).exists())
+          if (stateExists(spark, statePath))
             spark.read.parquet(statePath)
               .unionByName(incoming)
               .groupBy(col("source"), col("bucket"))
               .agg(max(col("m")).as("m"))
           else incoming
-        merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+        swapWrite(spark, merged, statePath)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -773,10 +773,11 @@ class PlanShapeSpec extends SparkSpec {
   test("q225/q227 hll: register fold is a hash agg, no cartesian") {
     Seq("q225_hll_replay", "q227_hll_union").foreach { q =>
       val p = planOf(q)
-      assert(!p.contains("CartesianProduct") ||
-        // q227's single-row Z × single-row exact-count cross is the one
-        // legitimate 1×1 combine
-        q == "q227_hll_union", q + ": " + p.take(1600))
+      // q227's single-row Z × single-row exact-count cross is the one
+      // legitimate 1×1 combine; q225 allows none
+      val allowedCrosses = if (q == "q227_hll_union") 1 else 0
+      assert("CartesianProduct".r.findAllIn(p).size <= allowedCrosses,
+        q + ": " + p.take(1600))
       assert(p.contains("HashAggregate"), q + ": " + p.take(1600))
     }
   }
