@@ -214,6 +214,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[DotFast].getName, "dot_fast"),
       (exprs: Seq[Expression]) => DotFast(exprs(0), exprs(1))))
     e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sparse_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SparseDotLong].getName, "sparse_dot"),
+      (exprs: Seq[Expression]) => SparseDotLong(
+        exprs(0), exprs(1), exprs(2), exprs(3))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sparse_cos_accept"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SparseCosAccept].getName, "sparse_cos_accept"),
+      (exprs: Seq[Expression]) => SparseCosAccept(
+        exprs(0), exprs(1), exprs(2), exprs(3), exprs(4), exprs(5))))
+    e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_bits"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LshBits].getName, "lsh_bits"),
@@ -242,6 +254,15 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_fast",
       exprs => DotFast(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sparse_dot",
+      exprs => SparseDotLong(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sparse_cos_accept",
+      exprs => SparseCosAccept(exprs(0), exprs(1), exprs(2), exprs(3),
+        exprs(4), exprs(5)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",

@@ -679,10 +679,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1600))
   }
 
-  test("q211 sparse cosine: index-keyed candidates, top-k, no cartesian") {
+  test("q211 sparse cosine: prefix-filtered index, doc-keyed windows, no cartesian") {
     val p = planOf("q211_sparse_cosine_pairs")
     assert(!p.contains("CartesianProduct"), p.take(1600))
     assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+    // the prefix cut runs as doc_id-PARTITIONED window sums: every window
+    // spec in the plan is keyed on doc_id — no global-sort window anywhere
+    val docKeyed = "windowspecdefinition\\(doc_id".r.findAllIn(p).size
+    val all = "windowspecdefinition\\(".r.findAllIn(p).size
+    assert(all > 0 && docKeyed == all, p.take(1600))
   }
 
   test("q212 tvd: 24-row histogram broadcasts, no cartesian") {

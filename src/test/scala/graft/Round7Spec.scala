@@ -307,15 +307,20 @@ class Round7Spec extends SparkSpec {
 
   test("q211 sparse cosine pairs match a driver-side integer replay") {
     val got = SparkEntry.queries("q211_sparse_cosine_pairs")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
     val tf = Tables.documents(spark, dir)
-      .select($"doc_id", explode(graft.ext.TextAnalysis.tokens($"text"))
-        .as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .select($"doc_id", $"source",
+        explode(graft.ext.TextAnalysis.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("tf"), max($"source").as("source"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
     val nDocs = tf.map(_._1).distinct.size.toLong
     val df = tf.groupBy(_._2).map { case (t, rs) => t -> rs.size.toLong }
-    val w = tf.map { case (d, t, f) =>
+    val srcOf = tf.map(r => r._1 -> r._4).toMap
+    val w = tf.map { case (d, t, f, _) =>
       (d, t, f * math.min(nDocs * 1000L / df(t), 100000L))
     }
     val byDoc = w.groupBy(_._1)
@@ -323,11 +328,16 @@ class Round7Spec extends SparkSpec {
     val norms = byDoc.map { case (d, m) =>
       d -> m.values.map(x => x * x).sum
     }
-    val disc = df.filter(_._2 <= nDocs / 4).keySet
-    val cand = w.filter(r => disc(r._2)).groupBy(_._2).values
+    // candidates from EVERY shared token within the source block (no
+    // prefix cut): accepted pairs over the full candidate space must
+    // equal the query's prefix-indexed output — the prefix filter's
+    // no-false-negatives theorem checked end to end against an unpruned
+    // driver-side replay
+    val cand = w.groupBy(_._2).values
       .flatMap { rs =>
         val ds = rs.map(_._1).toSeq.distinct
-        for { a <- ds; b <- ds if a < b } yield (a, b)
+        for { a <- ds; b <- ds if a < b && srcOf(a) == srcOf(b) }
+          yield (a, b)
       }.toSet
     val want = cand.toSeq.flatMap { case (a, b) =>
       val (ma, mb) = (byDoc(a), byDoc(b))
@@ -336,10 +346,10 @@ class Round7Spec extends SparkSpec {
       val d2 = BigInt(dot) * BigInt(dot)
       val nanb = BigInt(norms(a)) * BigInt(norms(b))
       if (25 * d2 >= 16 * nanb)
-        Some((a, b,
+        Some((srcOf(a), a, b,
           math.floor(d2.toDouble / nanb.toDouble * 10000.0).toLong))
       else None
-    }.sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+    }.sortBy { case (_, a, b, c) => (-c, a, b) }.take(20)
     assert(got == want && got.nonEmpty)
   }
 
