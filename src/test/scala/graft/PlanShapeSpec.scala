@@ -738,6 +738,12 @@ class PlanShapeSpec extends SparkSpec {
   test("q219 zorder: scans stay pruned to the two used dims") {
     val p = planOf("q219_zorder_locality")
     assert(!p.contains("CartesianProduct"), p.take(1600))
+    // the adjacency sweep is value-bucketed: every window in the plan is
+    // bk-PARTITIONED — no unpartitioned (Exchange SinglePartition) window
+    // over point-sized data
+    val bucketed = "windowspecdefinition\\(bk#".r.findAllIn(p).size
+    val all = "windowspecdefinition\\(".r.findAllIn(p).size
+    assert(all > 0 && bucketed == all, p.take(2000))
   }
 
   test("q176/q178 text profiles: one scan, one exchange each") {
