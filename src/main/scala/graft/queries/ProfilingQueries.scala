@@ -592,6 +592,96 @@ object ProfilingQueries {
         |  FROM c)
         |SELECT bin, MIN(cents) AS lo, MAX(cents) AS hi,
         |  COUNT(*) AS n_orders
+        |FROM b GROUP BY bin""".stripMargin)),
+
+    // ── SKETCH-edged equi-depth histogram — the gated 100 TB path for the
+    //    global-NTILE family (q105/q152/q229/q232/q243, whose comments all
+    //    name this swap): bin edges come from ONE mergeable
+    //    Greenwald-Khanna sketch pass (approx_percentile at 7 octile
+    //    fractions, fixed-size partials that partial-agg map-side), and
+    //    binning is ONE broadcast of the 7 edges onto the scan — no global
+    //    sort anywhere in the sketch path. Gated q68-style because sketch
+    //    values aren't bit-replayable across engines: the hash-compared
+    //    columns are the EXACT ntile bins (bin/lo/hi/count — the
+    //    verification harness, identical in both engines), and the sketch
+    //    path collapses to in-window booleans evaluated in-engine:
+    //    `edge_rank_ok` asserts each sketch edge's true rank window
+    //    overlaps its target octile within GK's guarantee (rank error
+    //    ≤ n/10000, asserted with 10x headroom), and `sketch_n_ok`
+    //    asserts each sketch bin's population is within the provable
+    //    2·rank-error + edge-tie-mass + 1 envelope of the exact ntile
+    //    count. The oracle emits literal TRUE — a drifting sketch fails
+    //    the hash gate loudly. All arithmetic is integer cross-multiplied
+    //    (8000·rank vs n·(1000·b ± 8)); no float enters any boolean.
+    QueryDef(
+      "q253_sketch_equidepth",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.Column
+        val c = Tables.orders(s, dir)
+          .select($"o_orderkey",
+            expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        // sketch pass 1: the 7 octile edges from one GK aggregate
+        val edges = c.agg(percentile_approx($"cents",
+            array((1 to 7).map(k => lit(k / 8.0)): _*), lit(10000))
+            .as("es"))
+          .select((1 to 7).map(k => element_at($"es", k).as(s"e$k")): _*)
+        // sketch pass 2 (the "binning" broadcast join): exact ranks and
+        // tie masses of each edge in ONE scan — lt/le per edge are
+        // codegen'd conditional sums, also the per-bin populations
+        // (bin b = le_b − le_{b−1})
+        val rankCols = Seq(count(lit(1)).as("n")) ++ (1 to 7).flatMap { k =>
+          Seq(sum(when($"cents" < col(s"e$k"), 1L).otherwise(0L))
+              .as(s"lt_$k"),
+            sum(when($"cents" <= col(s"e$k"), 1L).otherwise(0L))
+              .as(s"le_$k"))
+        }
+        val ranks = c.crossJoin(broadcast(edges))
+          .agg(rankCols.head, rankCols.tail: _*)
+        // exact ntile harness (q243's plan): deterministic via the
+        // (cents, orderkey) total order; hash-compared across engines
+        val exact = c
+          .withColumn("bin", ntile(8).over(
+            Window.orderBy($"cents".asc, $"o_orderkey".asc)))
+          .groupBy($"bin")
+          .agg(min($"cents").as("lo"), max($"cents").as("hi"),
+            count(lit(1)).as("n_orders"))
+        def perBin(f: Int => Column): Column =
+          (1 to 8).foldLeft(lit(null).cast("long")) { (acc, b) =>
+            when($"bin" === b, f(b)).otherwise(acc)
+          }
+        def leC(k: Int): Column =
+          if (k == 0) lit(0L) else if (k == 8) $"n" else col(s"le_$k")
+        def eqC(k: Int): Column =
+          if (k == 0 || k == 8) lit(0L)
+          else col(s"le_$k") - col(s"lt_$k")
+        val nSk = perBin(b => leC(b) - leC(b - 1))
+        // provable envelope: |sketch bin − n/8| ≤ 2·εn + adjacent edge
+        // ties, |exact bin − n/8| ≤ 1; ε = 1e-4 with 10x headroom
+        val tol = perBin(b => lit(2L) * expr("n div 1000") +
+          eqC(b - 1) + eqC(b) + lit(1L))
+        val ltB = perBin(b => if (b == 8) lit(0L) else col(s"lt_$b"))
+        val leB = perBin(b => if (b == 8) lit(0L) else col(s"le_$b"))
+        val bL = $"bin".cast("long")
+        val edgeOk = when($"bin" === 8, lit(true)).otherwise(
+          ltB * 8000L <= $"n" * (bL * 1000L + 8L) &&
+            leB * 8000L >= $"n" * (bL * 1000L - 8L))
+        exact.crossJoin(broadcast(ranks))
+          .select($"bin", $"lo", $"hi", $"n_orders",
+            (abs(nSk - $"n_orders") <= tol).as("sketch_n_ok"),
+            edgeOk.as("edge_rank_ok"))
+      },
+      Some("""WITH c AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT cents,
+        |    CAST(NTILE(8) OVER (ORDER BY cents ASC, o_orderkey ASC)
+        |      AS INT) AS bin
+        |  FROM c)
+        |SELECT bin, MIN(cents) AS lo, MAX(cents) AS hi,
+        |  COUNT(*) AS n_orders, TRUE AS sketch_n_ok, TRUE AS edge_rank_ok
         |FROM b GROUP BY bin""".stripMargin))
   )
 

@@ -746,6 +746,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(all > 0 && bucketed == all, p.take(2000))
   }
 
+  test("q253 sketch equi-depth: GK sketch edges broadcast; the only " +
+      "global window is the exact-ntile harness") {
+    val p = planOf("q253_sketch_equidepth")
+    assert(p.contains("percentile_approx"), p.take(1600))
+    assert(p.contains("BroadcastExchange"), p.take(1600))
+    // the sketch path has NO window at all — the single window in the
+    // plan is the exact NTILE verification harness the gate compares
+    val all = "windowspecdefinition\\(".r.findAllIn(p).size
+    assert(all == 1, p.take(2000))
+  }
+
   test("q176/q178 text profiles: one scan, one exchange each") {
     Seq("q176_sentence_stats", "q178_array_ops").foreach { q =>
       val p = planOf(q)
