@@ -379,6 +379,107 @@ object EventStream {
     spark.read.parquet(statePath)
   }
 
+  /** Streaming incremental near-dup dedup via foreachBatch — q88's
+    * daily-crawl contract run continuously: each micro-batch (the
+    * "delta") is LSH-banded, candidate-paired against the ACCUMULATED
+    * corpus band index plus its own earlier rows (same-batch pairs are
+    * oriented `doc_b < doc_a`, exactly q88's delta convention),
+    * Jaccard-verified on the hashed-shingle store, and then APPENDED to
+    * the index — candidate cost per batch is ∝ |delta| and the old×old
+    * pair space is never re-examined. State = three append-only tables
+    * (band index, shingle store, per-doc verdicts) plus a batch-id
+    * ledger: parquet appends are NOT idempotent, so exactly-once under
+    * replay rests on the ledger skip — the same contract as
+    * [[ledgeredIngest]], and the reason this maintainer (unlike the
+    * MAX-merged [[hllMaintain]]) needs one. The skew cap is q36's:
+    * bucket counts over ALL band rows (index + delta) partial-agg'd, so
+    * a degenerate band key cannot go quadratic in any batch. At 100 TB
+    * the band index and shingle store are bucketed tables keyed on
+    * (band_id, band_key) / doc_id, appended per batch; here plain
+    * parquet directories with a single maintaining process
+    * ([[swapWrite]]'s caveat applies to the layout, not the appends).
+    * Returns the accumulated verdicts table: one row per ingested doc
+    * with its dup flag and best earlier match (ties to the smallest doc
+    * id — q88's tiebreak).
+    */
+  def dedupMaintain(spark: SparkSession, docs: DataFrame, statePath: String,
+      threshold: Double = 0.5, maxBandBucket: Int = 100000): DataFrame = {
+    import graft.ext.Dedup
+    val bandsP = statePath + "/bands"
+    val shP = statePath + "/shingles"
+    val verdictsP = statePath + "/verdicts"
+    val ledgerP = statePath + "/ledger"
+    val q = docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val done: Set[Long] =
+          if (stateExists(spark, ledgerP))
+            spark.read.parquet(ledgerP).select(col("batch_id"))
+              .collect().map(_.getLong(0)).toSet
+          else Set.empty
+        if (!done.contains(batchId)) {
+          // delta substrate: checkpointed once (delta-sized), consumed by
+          // candidate generation, verification, and the index append
+          val sh = Dedup.hashedShingleRows(batch, "doc_id", "text")
+            .localCheckpoint()
+          val bands = Dedup.bandRows(
+            Dedup.minhashSignatures(sh, "doc_id"), "doc_id")
+            .localCheckpoint()
+          val haveIdx = stateExists(spark, bandsP)
+          val allBands = bands.withColumn("_delta", lit(true))
+            .unionByName(
+              if (haveIdx)
+                spark.read.parquet(bandsP).withColumn("_delta", lit(false))
+              else bands.withColumn("_delta", lit(true)).limit(0))
+          val keep = allBands.groupBy(col("band_id"), col("band_key"))
+            .agg(count(lit(1)).as("bucket_n"))
+            .where(col("bucket_n") <= maxBandBucket && col("bucket_n") >= 2)
+            .select(col("band_id"), col("band_key"))
+          val capped = allBands.join(keep, Seq("band_id", "band_key"))
+          val a = capped.where(col("_delta"))
+            .select(col("doc_id").as("doc_a"), col("band_id"),
+              col("band_key"))
+          val b = capped.select(col("doc_id").as("doc_b"),
+            col("_delta").as("_delta_b"), col("band_id"), col("band_key"))
+          val cands = a.join(b, Seq("band_id", "band_key"))
+            .where(col("doc_b") =!= col("doc_a") &&
+              (!col("_delta_b") || col("doc_b") < col("doc_a")))
+            .select(col("doc_a"), col("doc_b")).distinct()
+            .localCheckpoint()
+          val allSh =
+            if (stateExists(spark, shP))
+              sh.unionByName(spark.read.parquet(shP))
+            else sh
+          val best = Dedup.jaccardFor(cands, allSh, "doc_id")
+            .where(col("jaccard") >= threshold)
+            .groupBy(col("doc_a"))
+            .agg(max_by(struct(col("jaccard"), col("doc_b")),
+              struct(col("jaccard"), -col("doc_b"))).as("bm"))
+            .select(col("doc_a"), col("bm.doc_b").as("best_match"),
+              col("bm.jaccard").as("best_jaccard"))
+          val verdicts = batch.select(col("doc_id"))
+            .join(best, col("doc_id") === col("doc_a"), "left")
+            .select(col("doc_id"), lit(batchId).as("batch_id"),
+              col("best_match").isNotNull.as("is_dup"),
+              col("best_match"), col("best_jaccard"))
+          // verdicts computed BEFORE the index grows; appends follow,
+          // ledger row LAST so a crash mid-append replays the whole batch
+          // (at-least-once within the batch, exactly-once across batches)
+          verdicts.write.mode("append").parquet(verdictsP)
+          bands.write.mode("append").parquet(bandsP)
+          sh.write.mode("append").parquet(shP)
+          val s = batch.sparkSession
+          import s.implicits._
+          Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerP)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(verdictsP)
+  }
+
   /** Online anomaly scoring with an offline-trained model — the
     * batch-train / stream-score split every production monitor runs:
     * `stats` is the (event_type, mean, std) table the BATCH q108 pipeline

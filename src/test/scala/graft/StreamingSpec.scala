@@ -427,6 +427,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental dedup matches the batch contract and survives replay") {
+    import graft.ext.Dedup
+    val ddir = Files.createTempDirectory("graft_dedup_stream").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // three "daily crawls": wave = doc_id % 3, each landed as ONE file
+    // with pinned mtimes so the file source replays them in wave order
+    // (the curation test's determinism pattern)
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 3).foreach { w =>
+      base.where($"doc_id" % 3 === w).coalesce(1)
+        .write.mode("append").parquet(ddir)
+      val now = Files.list(java.nio.file.Paths.get(ddir)).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path]).toSet
+      (now -- known).foreach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(1000000000000L + w * 1000000L))
+      }
+      known = now
+    }
+    val statePath =
+      Files.createTempDirectory("graft_dedup_state").toString + "/state"
+    val schema = spark.read.parquet(ddir).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val fin = EventStream.dedupMaintain(spark, stream, statePath)
+    // batch twin: same substrate, symmetric candidates oriented by the
+    // arrival order key (wave, doc_id) — a doc is a dup iff a verified
+    // match precedes it in that order; best match = max jaccard, ties to
+    // the smallest doc id (q88's tiebreak)
+    val sh = Dedup.hashedShingleRows(base, "doc_id", "text")
+    val bands = Dedup.bandRows(Dedup.minhashSignatures(sh, "doc_id"), "doc_id")
+    val jac = Dedup.jaccardFor(Dedup.candidatePairs(bands, "doc_id"), sh,
+      "doc_id").where($"jaccard" >= 0.5)
+    val oriented = jac
+      .unionByName(jac.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b"),
+        $"jaccard"))
+      .where(($"doc_b" % 3 < $"doc_a" % 3) ||
+        (($"doc_b" % 3 === $"doc_a" % 3) && $"doc_b" < $"doc_a"))
+    val best = oriented.groupBy($"doc_a")
+      .agg(max_by(struct($"jaccard", $"doc_b"),
+        struct($"jaccard", -$"doc_b")).as("bm"))
+      .select($"doc_a", $"bm.doc_b".as("best_match"),
+        $"bm.jaccard".as("best_jaccard"))
+    val twin = base.select($"doc_id", ($"doc_id" % 3).as("batch_id"))
+      .join(best, $"doc_id" === $"doc_a", "left")
+      .select($"doc_id", $"batch_id", $"best_match".isNotNull.as("is_dup"),
+        $"best_match", $"best_jaccard")
+    assert(fin.count() == base.count())
+    assert(fin.where($"is_dup").count() > 0, "fixture must contain near-dups")
+    assert(fin.exceptAll(twin).isEmpty && twin.exceptAll(fin).isEmpty)
+    // exactly-once under full replay: a fresh run re-reads every file
+    // under the SAME batch ids; the ledger skips them all, so the
+    // non-idempotent appends never double
+    val fin2 = EventStream.dedupMaintain(spark, stream, statePath)
+    assert(fin2.count() == base.count())
+    assert(fin2.exceptAll(twin).isEmpty && twin.exceptAll(fin2).isEmpty)
+  }
+
   test("streaming hll registers equal batch and survive full replay") {
     import graft.ext.TextAnalysis
     val ddir = Files.createTempDirectory("graft_docs_hll").toString
