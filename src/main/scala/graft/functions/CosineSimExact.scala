@@ -281,6 +281,11 @@ object GraftFunctions {
       exprs => HeavyHitters(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k",
+      exprs => TopKAgg(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "scala_udf")
     // Spark's own runtime-filter machinery (InjectRuntimeFilter) wraps the
     // key in XxHash64 on both the build and probe sides; exposing the same
     // pair lets queries state the bloom-prefiltered join pattern explicitly

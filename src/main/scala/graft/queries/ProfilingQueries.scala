@@ -682,7 +682,43 @@ object ProfilingQueries {
         |  FROM c)
         |SELECT bin, MIN(cents) AS lo, MAX(cents) AS hi,
         |  COUNT(*) AS n_orders, TRUE AS sketch_n_ok, TRUE AS edge_rank_ok
-        |FROM b GROUP BY bin""".stripMargin))
+        |FROM b GROUP BY bin""".stripMargin)),
+
+    // ── Grouped top-k WITHOUT the window sort — the native bounded-heap
+    //    aggregate ([[graft.functions.TopKAgg]]) run as the 100 TB form of
+    //    the W6 family: per source, the 5 longest documents under the
+    //    strict order (n_chars DESC, doc_id ASC). The idiomatic
+    //    row_number window shuffles every row of every group and sorts
+    //    each partition (WindowGroupLimit caps it at k per task but the
+    //    sort remains); the aggregate's PARTIAL heaps bound map-side
+    //    state and shuffle width to k pairs per group per task, and a
+    //    strict total order (doc_id unique) makes partial-merge EXACTLY
+    //    the global top-k under any layout — so unlike the sketch gates
+    //    this hash-compares directly against the window oracle, no
+    //    booleans needed. PlanShapeSpec pins the plan: ObjectHashAggregate
+    //    partial/final, zero WindowExec. TopKAggSpec proves layout
+    //    independence (1/7/64 partitions, reversed input) against a
+    //    sort-based reference.
+    QueryDef(
+      "q254_group_topk",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, dir)
+          .groupBy($"source")
+          .agg(call_function("top_k", $"n_chars", $"doc_id", lit(5))
+            .as("tk"))
+          .select($"source", posexplode($"tk"))
+          .select($"source", ($"pos" + 1).cast("int").as("rnk"),
+            $"col.key".as("n_chars"), $"col.id".as("doc_id"))
+      },
+      Some("""SELECT source, CAST(rn AS INT) AS rnk, n_chars, doc_id
+        |FROM (
+        |  SELECT source, n_chars, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin))
   )
 
   /** Benford expected first-digit frequencies log10(1 + 1/d), d = 1..9,

@@ -12,6 +12,13 @@ class PlanShapeSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q254 grouped top-k: partial-heap ObjectHashAggregate, zero window sort") {
+    val p = planOf("q254_group_topk")
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(p.contains("top_k"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
   test("q98 heavy hitters runs as a bounded-buffer ObjectHashAggregate") {
     val p = planOf("q98_heavy_hitters")
     assert(p.contains("ObjectHashAggregate"), p.take(1200))
