@@ -1064,6 +1064,94 @@ object DedupQueries {
         |FROM dupj d
         |JOIN lang a ON d.doc_a = a.doc_id
         |JOIN lang b ON d.doc_b = b.doc_id
-        |GROUP BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // ── Quality-aware keeper selection — production near-dup dedup keeps
+    //    the BEST copy, not the smallest id (q46/q62 keep min-id; crawls
+    //    keep the cleanest mirror): verified near-dup clusters (shared
+    //    LSH substrate → jaccard ≥ 0.5 → the q49/q115 label-prop CC)
+    //    each elect the member with the highest q31 heuristic quality,
+    //    ties to the smallest doc_id; every document reports its
+    //    cluster, the elected keeper, the cluster size, and its
+    //    keep/drop verdict (singletons keep themselves via coalesce).
+    //    Scale shape: quality is one codegen'd projection on the corpus
+    //    scan; the election is ONE max_by keyed agg over cluster
+    //    members; the cluster map joins are id-keyed. The keeper policy
+    //    is the single pluggable struct — swap quality for recency,
+    //    length, or a model score without touching the cluster side.
+    //    Quality doubles are per-row deterministic math (the q31 gate
+    //    proves them bit-identical cross-engine), so the argmax is
+    //    engine-stable.
+    QueryDef(
+      "q255_quality_keeper",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, _, cands) = Dedup.minhashSubstrateCached(
+          Tables.documents(s, dir), dir, "doc_id", "text")
+        val dup = Dedup.jaccardFor(cands, sh, "doc_id")
+          .where($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b")
+        val cc = Dedup.connectedComponents(dup, "doc_a", "doc_b")
+        val qual = Tables.documents(s, dir).select($"doc_id",
+          TextAnalysis.qualityColumns($"text").toMap
+            .apply("quality_score").as("qs"))
+        val members = qual
+          .join(cc.select($"id".as("doc_id"), $"cluster_id"),
+            Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+        val elect = members.groupBy($"cluster_id")
+          .agg(max_by($"doc_id", struct($"qs", -$"doc_id"))
+              .as("keeper_doc_id"),
+            count(lit(1)).as("cluster_size"))
+        members.join(elect, Seq("cluster_id"))
+          .select($"doc_id", $"cluster_id", $"keeper_doc_id",
+            $"cluster_size", ($"doc_id" === $"keeper_doc_id").as("keep"))
+      },
+      Some {
+        val stoplist =
+          TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+        s"""WITH RECURSIVE $minhashDupCtes,
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM dupj
+        |  UNION SELECT doc_b, doc_a FROM dupj),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+        |cc AS (
+        |  SELECT id, LEAST(id, MIN(dst)) AS cluster_id
+        |  FROM (SELECT src AS id, dst FROM reach) GROUP BY id),
+        |tq AS (
+        |  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS len,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len, CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    len - CAST(length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+        |      AS DOUBLE) AS n_punct,
+        |    CAST(len(list_filter(toks, t -> list_contains($stoplist, t)))
+        |      AS DOUBLE) AS n_stop
+        |  FROM tq),
+        |q AS (
+        |  SELECT doc_id,
+        |    least(len / 500.0, 1.0) * 0.4
+        |    + least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END)
+        |        * 5.0, 1.0) * 0.4
+        |    + greatest(1.0 - (CASE WHEN len > 0 THEN n_punct / len
+        |        ELSE 0.0 END) * 10.0, 0.0) * 0.2 AS qs
+        |  FROM r),
+        |m AS (
+        |  SELECT q.doc_id, COALESCE(cc.cluster_id, q.doc_id) AS cluster_id,
+        |    q.qs
+        |  FROM q LEFT JOIN cc ON q.doc_id = cc.id),
+        |e AS (
+        |  SELECT cluster_id,
+        |    FIRST(doc_id ORDER BY qs DESC, doc_id ASC) AS keeper_doc_id,
+        |    COUNT(*) AS cluster_size
+        |  FROM m GROUP BY cluster_id)
+        |SELECT m.doc_id, m.cluster_id, e.keeper_doc_id, e.cluster_size,
+        |  m.doc_id = e.keeper_doc_id AS keep
+        |FROM m JOIN e USING (cluster_id)""".stripMargin
+      })
   )
 }

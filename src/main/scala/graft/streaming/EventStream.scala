@@ -522,6 +522,31 @@ object EventStream {
       count(lit(1)).as("n_total"))
   }
 
+  /** Streaming grouped top-k: the native bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]) as a Complete-mode streaming agg —
+    * per (group) key the state-store buffer holds at most k (key, id)
+    * pairs, merged heap-union-truncate per micro-batch, so the
+    * always-current "top events per type" leaderboard costs
+    * #groups × k state forever. Unlike [[heavyHitterStream]]'s sketch
+    * this is EXACT under any batching (strict total order ⇒ partial
+    * merge = global top-k), so the parity test compares against the
+    * batch window plan bit-for-bit. The top-k key here is the
+    * microsecond event time ties-to-smallest-event-id — "latest k" —
+    * but any BIGINT priority works.
+    */
+  def topKStream(events: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .groupBy(col("event_type"))
+      .agg(call_function("top_k", col("us"), col("event_id"), lit(k))
+        .as("tk"))
+      .select(col("event_type"), posexplode(col("tk")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.key").as("us"), col("col.id").as("event_id"))
+  }
+
   /** Stream-stream interval self-join — the "followed-by within N
     * minutes" pattern (funnel/causality analysis): pair each event with
     * the same user's subsequent events inside the interval. Both sides

@@ -49,6 +49,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming grouped top-k equals the batch window top-k exactly") {
+    val streamed = EventStream.runToBatch(spark,
+      EventStream.topKStream(EventStream.readStream(spark, dir), 7),
+      "topk_out")
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+          .orderBy($"us".desc, $"event_id".asc)))
+      .where($"rnk" <= 7)
+      .select($"event_type", $"rnk", $"us", $"event_id")
+    assert(streamed.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming rate scoring against batch-trained stats matches batch z") {
     // offline: train the q108 stats (exact integer moments over the
     // gap-filled series) from the same data the stream will see
