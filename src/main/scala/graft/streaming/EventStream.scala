@@ -522,6 +522,101 @@ object EventStream {
       count(lit(1)).as("n_total"))
   }
 
+  /** Streaming mini-batch k-means (Sculley-style) via foreachBatch — the
+    * online codebook-refresh companion to the batch Lloyd trainer
+    * ([[graft.ext.KMeans.trainCodebook]]): each micro-batch is assigned
+    * to the CURRENT centroids (broadcast k rows, exact cosine, max_by
+    * argmax — the same kernel as batch), and its per-(cid, dim)
+    * fixed-point sums fold into the state table; centroids are the
+    * running means. The state is k×dim (cid, dim, s1e9, n) rows forever,
+    * and because the sums are the SAME floor(v·1e9) longs the batch
+    * trainer's `tavg` uses, a single-batch run reproduces one Lloyd
+    * round BIT-FOR-BIT (identical integer sums, identical two IEEE
+    * divisions — StreamingSpec pins it). Multi-batch runs are classic
+    * sequential mini-batch: batch i is assigned under the centroids
+    * after batches 0..i−1 (arrival order matters, as in every online
+    * k-means; counts conserve exactly). Init: the k smallest vec_ids of
+    * the FIRST batch (deterministic, the batch trainer's rule) — at
+    * scale you would train the init offline (k-means‖,
+    * `trainCodebookParallel`) and let the stream only refresh. Sum-merged
+    * state is NOT replay-idempotent, so this maintainer carries the
+    * batch-id ledger ([[ledgeredIngest]]'s contract), like
+    * [[dedupMaintain]] and unlike the MAX-merged [[hllMaintain]].
+    * Returns the centroid table (cid, ce, cn2, n_vectors).
+    */
+  def kmeansMaintain(spark: SparkSession, vecs: DataFrame,
+      statePath: String, k: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.dotExact
+    val cellsP = statePath + "/cells"
+    val ledgerP = statePath + "/ledger"
+    def centroidsOf(cells: DataFrame): DataFrame = cells
+      .select(col("cid"), col("dim"),
+        ((col("s1e9").cast("double") / lit(1e9)) /
+          col("n").cast("double")).as("cv"),
+        col("n"))
+      .groupBy(col("cid"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          _.getField("cv")).as("ce"),
+        max(col("n")).as("n_vectors"))
+      .withColumn("cn2", dotExact(col("ce"), col("ce")))
+      .select(col("cid"), col("ce"), col("cn2"), col("n_vectors"))
+    val q = vecs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val done: Set[Long] =
+          if (stateExists(spark, ledgerP))
+            spark.read.parquet(ledgerP).select(col("batch_id"))
+              .collect().map(_.getLong(0)).toSet
+          else Set.empty
+        if (!done.contains(batchId)) {
+          val e = batch
+            .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double"))
+                .as("embedding"))
+            .withColumn("n2", dotExact(col("embedding"), col("embedding")))
+            .localCheckpoint()
+          val cents =
+            if (stateExists(spark, cellsP))
+              centroidsOf(spark.read.parquet(cellsP))
+            else e.where(col("vec_id") < k)
+              .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+                col("n2").as("cn2"))
+          val scored = e.join(broadcast(
+              cents.select(col("cid"), col("ce"), col("cn2"))))
+            .select(col("vec_id"), col("cid"),
+              graft.ext.Similarity.cosine(
+                dotExact(col("embedding"), col("ce")),
+                col("n2"), col("cn2")).as("c_sim"))
+          val assign = scored.groupBy(col("vec_id"))
+            .agg(max_by(col("cid"), struct(col("c_sim"), -col("cid")))
+              .as("cid"))
+          val newCells = e.join(assign, "vec_id")
+            .select(col("cid"), posexplode(col("embedding"))
+              .as(Seq("dim", "v")))
+            .groupBy(col("cid"), col("dim"))
+            .agg(sum(floor(col("v") * lit(1e9)).cast("long")).as("s1e9"),
+              count(lit(1)).as("n"))
+          val merged =
+            if (stateExists(spark, cellsP))
+              spark.read.parquet(cellsP).unionByName(newCells)
+                .groupBy(col("cid"), col("dim"))
+                .agg(sum(col("s1e9")).as("s1e9"), sum(col("n")).as("n"))
+            else newCells
+          swapWrite(spark, merged, cellsP)
+          val s = batch.sparkSession
+          import s.implicits._
+          Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerP)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    centroidsOf(spark.read.parquet(cellsP))
+  }
+
   /** Streaming grouped top-k: the native bounded-heap aggregate
     * ([[graft.functions.TopKAgg]]) as a Complete-mode streaming agg —
     * per (group) key the state-store buffer holds at most k (key, id)

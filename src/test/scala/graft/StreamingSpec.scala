@@ -442,6 +442,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming mini-batch k-means: one batch = one Lloyd round; counts conserve") {
+    import graft.ext.KMeans
+    val src = "/root/testdata/sf0.001"
+    // single-file source → ONE micro-batch → must reproduce one batch
+    // Lloyd round bit-for-bit (same init rule, same fixed-point sums)
+    val edir = Files.createTempDirectory("graft_km_stream").toString
+    spark.read.parquet(s"$src/embeddings.parquet").coalesce(1)
+      .write.mode("overwrite").parquet(edir)
+    val schema = spark.read.parquet(edir).schema
+    val st1 = Files.createTempDirectory("graft_km_state").toString + "/s"
+    val fin = EventStream.kmeansMaintain(spark,
+      spark.readStream.schema(schema).parquet(edir), st1, 8)
+    val batch = KMeans.trainCodebook(Tables.embeddings(spark, src), 8, 1)
+    assert(fin.count() == batch.count() && fin.count() > 0)
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+    // full replay under the same state is a no-op (batch-id ledger)
+    val fin3 = EventStream.kmeansMaintain(spark,
+      spark.readStream.schema(schema).parquet(edir), st1, 8)
+    assert(fin3.exceptAll(batch).isEmpty && batch.exceptAll(fin3).isEmpty)
+    // multi-batch mini-batch run: 4 ordered waves (vec_id % 4, mtime
+    // pinned); sequential assignment differs from batch Lloyd by design,
+    // but counts must conserve exactly and centroids stay bounded by k
+    val edir4 = Files.createTempDirectory("graft_km_stream4").toString
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 4).foreach { w =>
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .where($"vec_id" % 4 === w).coalesce(1)
+        .write.mode("append").parquet(edir4)
+      val now = Files.list(java.nio.file.Paths.get(edir4)).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path]).toSet
+      (now -- known).foreach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(1000000000000L + w * 1000000L))
+      }
+      known = now
+    }
+    val st2 = Files.createTempDirectory("graft_km_state4").toString + "/s"
+    val fin2 = EventStream.kmeansMaintain(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(edir4), st2, 8)
+    val nTotal = spark.read.parquet(edir4).count()
+    assert(fin2.agg(sum($"n_vectors")).head().getLong(0) == nTotal)
+    assert(fin2.count() <= 8 && fin2.count() > 0)
+  }
+
   test("streaming incremental dedup matches the batch contract and survives replay") {
     import graft.ext.Dedup
     val ddir = Files.createTempDirectory("graft_dedup_stream").toString
