@@ -522,6 +522,87 @@ object EventStream {
       count(lit(1)).as("n_total"))
   }
 
+  /** Streaming incremental connected components via foreachBatch — the
+    * cluster-map maintenance that turns [[dedupMaintain]]'s per-doc
+    * verdicts into live duplicate CLUSTERS under daily edge arrivals.
+    * Union-find re-expressed relationally: each micro-batch of edges is
+    * RELABELED through the current root map (edge (a,b) → (root(a),
+    * root(b)), unseen nodes root to themselves), the distinct non-loop
+    * root pairs — a graph whose size is bounded by the BATCH, never the
+    * accumulated corpus — run through the star-contraction CC, and the
+    * resulting root merges rewrite the map. Because min-merge CC labels
+    * roots to the minimum member and roots are themselves minimum
+    * member ids, the maintained root of every node equals the batch
+    * CC's cluster_id over ALL edges seen so far, for ANY arrival order
+    * or batching (StreamingSpec pins it over interleaved chain/star
+    * waves). Sum-free but not idempotent (a replayed merge is harmless,
+    * a replayed APPEND of new singleton nodes is too — but the ledger
+    * still guards the map swap so a replayed batch never races a
+    * concurrent one; same posture as [[dedupMaintain]]). At 100 TB the
+    * map-rewrite join touches only partitions holding AFFECTED roots in
+    * a root-partitioned table; here the parquet map is swapped whole.
+    * Returns the accumulated (id, root) map.
+    */
+  def ccMaintain(spark: SparkSession, edges: DataFrame,
+      statePath: String): DataFrame = {
+    val rootsP = statePath + "/roots"
+    val ledgerP = statePath + "/ledger"
+    val q = edges.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val done: Set[Long] =
+          if (stateExists(spark, ledgerP))
+            spark.read.parquet(ledgerP).select(col("batch_id"))
+              .collect().map(_.getLong(0)).toSet
+          else Set.empty
+        if (!done.contains(batchId)) {
+          val eb = batch.select(col("a"), col("b")).localCheckpoint()
+          val nodesB = eb.select(col("a").as("id"))
+            .union(eb.select(col("b").as("id"))).distinct()
+          val haveMap = stateExists(spark, rootsP)
+          val roots0 =
+            if (haveMap) spark.read.parquet(rootsP)
+            else nodesB.select(col("id"), col("id").as("root")).limit(0)
+          // nodes never seen before enter as their own root
+          val newNodes = nodesB.join(roots0, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("root"))
+          val base = roots0.unionByName(newNodes).localCheckpoint()
+          val lk = base.select(col("id"), col("root"))
+          val rel = eb
+            .join(lk.select(col("id").as("a"), col("root").as("ra")), Seq("a"))
+            .join(lk.select(col("id").as("b"), col("root").as("rb")), Seq("b"))
+            .where(col("ra") =!= col("rb"))
+            .select(col("ra"), col("rb")).distinct()
+          val merged =
+            if (rel.isEmpty) base
+            else {
+              // batch-bounded root graph → star-contraction CC → root
+              // rewrites. Star (O(log² n) rounds), NOT label-prop: the
+              // relabeled root graph of an adversarial arrival order is
+              // a long path (every third chain edge per wave stitches
+              // into a diameter-n/3 root chain), exactly the shape
+              // label-prop's O(diameter) rounds can't take.
+              val cc = graft.ext.Dedup.connectedComponentsStar(
+                rel, "ra", "rb")
+              base.join(
+                  cc.select(col("id").as("root"), col("cluster_id")),
+                  Seq("root"), "left")
+                .select(col("id"),
+                  coalesce(col("cluster_id"), col("root")).as("root"))
+            }
+          swapWrite(spark, merged, rootsP)
+          val s = batch.sparkSession
+          import s.implicits._
+          Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerP)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(rootsP)
+  }
+
   /** Streaming mini-batch k-means (Sculley-style) via foreachBatch — the
     * online codebook-refresh companion to the batch Lloyd trainer
     * ([[graft.ext.KMeans.trainCodebook]]): each micro-batch is assigned

@@ -442,6 +442,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental CC equals batch CC under interleaved waves + replay") {
+    import graft.ext.Dedup
+    // one 100-node chain (0-1-2-...-99) + stars (700+7j roots) whose
+    // edges interleave across waves by (a+b) % 3 — merges are forced to
+    // happen ACROSS batches, exercising the root-rewrite path
+    val chain = (0L until 99L).map(i => (i, i + 1))
+    val stars = (0L until 70L).map(i => (700L + i, 700L + i - i % 7))
+      .filter { case (a, b) => a != b }
+    val all = chain ++ stars
+    val edir = Files.createTempDirectory("graft_cc_stream").toString
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 3).foreach { w =>
+      all.filter { case (a, b) => (a + b) % 3 == w }
+        .toDF("a", "b").coalesce(1).write.mode("append").parquet(edir)
+      val now = Files.list(java.nio.file.Paths.get(edir)).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path]).toSet
+      (now -- known).foreach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(1000000000000L + w * 1000000L))
+      }
+      known = now
+    }
+    val schema = spark.read.parquet(edir).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(edir)
+    val statePath =
+      Files.createTempDirectory("graft_cc_state").toString + "/s"
+    val fin = EventStream.ccMaintain(spark, stream, statePath)
+    val batch = Dedup.connectedComponentsStar(all.toDF("a", "b"), "a", "b")
+      .select($"id", $"cluster_id".as("root"))
+    assert(fin.count() == batch.count() && fin.count() > 0)
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+    // the chain must have fully merged to root 0 across the three waves
+    assert(fin.where($"id" === 99L).head().getLong(1) == 0L)
+    // full replay is a no-op (ledger)
+    val fin2 = EventStream.ccMaintain(spark, stream, statePath)
+    assert(fin2.exceptAll(batch).isEmpty && batch.exceptAll(fin2).isEmpty)
+  }
+
   test("streaming mini-batch k-means: one batch = one Lloyd round; counts conserve") {
     import graft.ext.KMeans
     val src = "/root/testdata/sf0.001"
