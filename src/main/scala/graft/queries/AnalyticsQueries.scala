@@ -384,7 +384,10 @@ object AnalyticsQueries {
     interOrderGapDef,
     wilsonScorecardDef,
     joinEstimateDef,
-    dowProfileDef
+    dowProfileDef,
+    rollingHllDef,
+    smallQtyRevenueDef,
+    custDistDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -1611,4 +1614,177 @@ object AnalyticsQueries {
       |JOIN nation ON c_nationkey = n_nationkey
       |WHERE o_orderstatus = 'F'
       |GROUP BY n_name""".stripMargin
+
+  // ── SLIDING-WINDOW distinct counting from mergeable daily sketch
+  //    partials — the dashboard op ("distinct active users, trailing 7
+  //    days, for every day") whose exact form is inherently quadratic in
+  //    window length: every event must be re-counted under 7 anchor days.
+  //    The sketch form touches each event ONCE (daily HLL register
+  //    partials, q225's 64-register layout over the md5 hash), then
+  //    merges 7 days of 64-long register rows per anchor by element-wise
+  //    MAX — a window over the tiny (days × 64) register table, never the
+  //    event stream. Both engines replay the registers bit-for-bit (the
+  //    q225 argument: MAX-fold is order-independent, ρ via integer
+  //    bit-length, one shared IEEE division), so the ESTIMATE itself is
+  //    hash-compared, not boolean-gated. The exact side is q168's
+  //    fan-out-to-anchor-days harness, restricted to days that exist.
+  //    At 100 TB: register rows are the pre-aggregated state a streaming
+  //    maintainer (EventStream.hllMaintain) keeps per day; any trailing
+  //    window re-merges in O(window × 64) regardless of event volume.
+  private def rollingHllDef: QueryDef = QueryDef(
+    "q256_rolling_hll",
+    (s, dir) => {
+      import s.implicits._
+      val du = Tables.events(s, dir)
+        .select(unix_date($"ts".cast("date")).cast("long").as("d"),
+          $"user_id")
+        .distinct()
+      val reg = graft.ext.TextAnalysis
+        .hllRegisters(s, du, $"d", $"user_id".cast("string"))
+        .withColumnRenamed("source", "d")
+      val days = du.select($"d").distinct()
+      val spine = days.crossJoin(s.range(0, 64).select($"id".as("bucket")))
+      val filled = spine.join(reg, Seq("d", "bucket"), "left")
+        .select($"d", $"bucket", coalesce($"m", lit(0)).as("m"))
+      val w7 = Window.partitionBy($"bucket").orderBy($"d")
+        .rangeBetween(-6, 0)
+      val z = filled.withColumn("mm", max($"m").over(w7))
+        .groupBy($"d")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mm)")).as("z"),
+          sum(when($"mm" === 0, 1L).otherwise(0L)).as("n_empty"))
+      val exact = du
+        .select($"user_id", explode(sequence($"d", $"d" + 6L)).as("d"))
+        .join(days, Seq("d"), "left_semi")
+        .groupBy($"d").agg(countDistinct($"user_id").as("n_exact"))
+      z.join(exact, "d")
+        .select($"d".cast("int").as("epoch_day"), $"n_exact", $"n_empty",
+          expr(s"CAST(floor(${TextQueries.HllNumLit} / CAST(z AS DOUBLE))"
+            + " AS BIGINT)").as("hll_7d_est"))
+        .withColumn("err_1e9",
+          expr("abs(hll_7d_est - n_exact) * 1000000000 div n_exact"))
+    },
+    Some(s"""WITH du AS (
+      |  SELECT DISTINCT
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+      |    user_id
+      |  FROM events),
+      |h AS (
+      |  SELECT d,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM du),
+      |r AS (
+      |  SELECT d, h // 18014398509481984 AS bucket,
+      |    h % 18014398509481984 AS w
+      |  FROM h),
+      |rho AS (
+      |  SELECT d, bucket,
+      |    CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
+      |  FROM r),
+      |reg AS (SELECT d, bucket, MAX(rho) AS m FROM rho GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT d FROM du),
+      |spine AS (
+      |  SELECT d, unnest(generate_series(0, 63)) AS bucket FROM days),
+      |filled AS (
+      |  SELECT spine.d, spine.bucket, COALESCE(reg.m, 0) AS m
+      |  FROM spine LEFT JOIN reg
+      |    ON spine.d = reg.d AND spine.bucket = reg.bucket),
+      |roll AS (
+      |  SELECT d,
+      |    MAX(m) OVER (PARTITION BY bucket ORDER BY d
+      |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mm
+      |  FROM filled),
+      |z AS (
+      |  SELECT d, CAST(SUM(1::BIGINT << (55 - mm)) AS BIGINT) AS z,
+      |    CAST(SUM(CASE WHEN mm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_empty
+      |  FROM roll GROUP BY d),
+      |fan AS (
+      |  SELECT user_id, unnest(generate_series(d, d + 6)) AS d FROM du),
+      |exact AS (
+      |  SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      |  FROM fan WHERE d IN (SELECT d FROM days) GROUP BY d)
+      |SELECT CAST(z.d AS INT) AS epoch_day, exact.n_exact, z.n_empty,
+      |  CAST(floor(${TextQueries.HllNumLit} / CAST(z.z AS DOUBLE))
+      |    AS BIGINT) AS hll_7d_est,
+      |  abs(CAST(floor(${TextQueries.HllNumLit} / CAST(z.z AS DOUBLE))
+      |    AS BIGINT) - exact.n_exact) * 1000000000 // exact.n_exact
+      |    AS err_1e9
+      |FROM z JOIN exact ON z.d = exact.d""".stripMargin))
+
+  // ── Small-quantity revenue loss (the TPC-H Q17 shape): lineitems whose
+  //    quantity falls below 20% of their PART's average quantity — the
+  //    "would-be lost revenue if we stopped stocking odd lots" report.
+  //    The correlated scalar subquery decorrelates into ONE per-part
+  //    aggregate joined back to the fact scan; quantities are integral
+  //    doubles, so the 20%-of-average threshold is the exact integer
+  //    cross-multiplication 5·qty·n_part < sum_part — no float boundary
+  //    for the two engines to disagree on. Scale shape: the per-part agg
+  //    shuffles once on l_partkey and joins back on the same key (AQE
+  //    picks broadcast when the part side is small); revenue is the
+  //    exact decimal sum. Brand rollup keeps the output bounded.
+  private def smallQtyRevenueDef: QueryDef = QueryDef(
+    "q257_small_qty_revenue",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_extendedprice",
+          $"l_quantity".cast("bigint").as("qty"))
+      val perPart = li.groupBy($"l_partkey")
+        .agg(sum($"qty").as("sum_qty"), count(lit(1)).as("n_li"))
+      val small = li.join(perPart, "l_partkey")
+        .where($"qty" * 5L * $"n_li" < $"sum_qty")
+      small
+        .join(broadcast(Tables.part(s, dir)),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_small"),
+          dsum($"l_extendedprice").as("lost_revenue"))
+    },
+    Some(s"""WITH li AS (
+      |  SELECT l_partkey, l_extendedprice,
+      |    CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem),
+      |pp AS (
+      |  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+      |    COUNT(*) AS n_li
+      |  FROM li GROUP BY 1)
+      |SELECT p_brand, COUNT(*) AS n_small,
+      |  ${dsumSql("l_extendedprice")} AS lost_revenue
+      |FROM li
+      |JOIN pp USING (l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE qty * 5 * n_li < sum_qty
+      |GROUP BY p_brand""".stripMargin))
+
+  // ── Customer order-count distribution (the TPC-H Q13 shape): how many
+  //    customers placed exactly k non-urgent orders, INCLUDING the
+  //    zero-order customers a plain join would drop — the left outer
+  //    join is the whole point of the shape. Two keyed aggregations:
+  //    orders-per-customer (left join so absent customers count 0), then
+  //    the histogram over counts. All-integer output. Scale shape: one
+  //    shuffle on o_custkey (the filter prunes map-side), one tiny
+  //    shuffle on the count value; no window, no distinct.
+  private def custDistDef: QueryDef = QueryDef(
+    "q258_custdist",
+    (s, dir) => {
+      import s.implicits._
+      val ord = Tables.orders(s, dir)
+        .where($"o_orderpriority" =!= "1-URGENT")
+        .select($"o_custkey")
+      val perCust = Tables.customer(s, dir)
+        .join(ord, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_custkey").as("c_count"))
+      perCust.groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""WITH pc AS (
+      |  SELECT c_custkey, COUNT(o_custkey) AS c_count
+      |  FROM customer
+      |  LEFT JOIN (SELECT o_custkey FROM orders
+      |             WHERE o_orderpriority <> '1-URGENT') o
+      |    ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM pc GROUP BY c_count""".stripMargin))
 }

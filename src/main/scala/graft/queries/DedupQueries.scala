@@ -1152,6 +1152,100 @@ object DedupQueries {
         |SELECT m.doc_id, m.cluster_id, e.keeper_doc_id, e.cluster_size,
         |  m.doc_id = e.keeper_doc_id AS keep
         |FROM m JOIN e USING (cluster_id)""".stripMargin
-      })
+      }),
+
+    // ── Blocked sorted-neighborhood near-dup (Hernández–Stolfo SNM, the
+    //    third classic blocking family next to LSH bands and simhash
+    //    byte-bands): sort the corpus by a cheap normalization key, pair
+    //    each doc only with its w−1 successors in sort order, verify the
+    //    survivors with exact shingle Jaccard. Here the sort is BLOCKED
+    //    on the key's 4-char prefix, so the rank window is a KEYED
+    //    window per block — no global sort anywhere (the unblocked
+    //    textbook form would be q219's repartitionByRange posture).
+    //    Candidates are ≤ (w−1)·n by construction — linear, the
+    //    strongest candidate bound of the three families — at the price
+    //    of recall SNM is known for (docs differing in their first
+    //    chars never pair; the oracle mirrors that contract exactly).
+    //    Verify cost is candidate-proportional: shingle sets join only
+    //    onto the candidate pairs. One shuffle on the block key, one on
+    //    the pair key.
+    QueryDef(
+      "q259_sorted_neighborhood",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", lower(trim($"text")).as("k"))
+        val blk = docs.select($"doc_id", $"k",
+          substring($"k", 1, 4).as("blk"))
+        val w = Window.partitionBy($"blk").orderBy($"k".asc, $"doc_id".asc)
+        val nbr = blk
+          .withColumn("n1", lead($"doc_id", 1).over(w))
+          .withColumn("n2", lead($"doc_id", 2).over(w))
+        val cand = nbr.where($"n1".isNotNull)
+          .select($"doc_id".as("doc_a"), $"n1".as("doc_b"),
+            lit(1).as("rank_gap"))
+          .unionByName(nbr.where($"n2".isNotNull)
+            .select($"doc_id".as("doc_a"), $"n2".as("doc_b"),
+              lit(2).as("rank_gap")))
+        val sh = Tables.documents(s, dir)
+          .select($"doc_id", TextAnalysis.tokens($"text").as("_w"))
+          .select($"doc_id",
+            explode(TextAnalysis.shinglesFromTokens($"_w")).as("shingle"))
+          .select($"doc_id", TextAnalysis.hash60Fast(s, $"shingle").as("h"))
+          .distinct()
+          .localCheckpoint()
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.select($"doc_id".as("doc_a"), $"h"), "doc_a")
+          .join(sh.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
+          .groupBy($"doc_a", $"doc_b", $"rank_gap")
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a"))),
+            "doc_a")
+          .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b"))),
+            "doc_b")
+          .select($"doc_a", $"doc_b", $"rank_gap",
+            ($"n_inter".cast("double") /
+              ($"n_a" + $"n_b" - $"n_inter").cast("double")).as("jaccard"))
+          .where($"jaccard" >= 0.5)
+      },
+      Some(s"""WITH $shingleCte,
+        |hsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
+        |d AS (
+        |  SELECT doc_id, lower(trim(text)) AS k,
+        |    substr(lower(trim(text)), 1, 4) AS blk
+        |  FROM documents),
+        |nbr AS (
+        |  SELECT doc_id,
+        |    LEAD(doc_id, 1) OVER (PARTITION BY blk
+        |      ORDER BY k ASC, doc_id ASC) AS n1,
+        |    LEAD(doc_id, 2) OVER (PARTITION BY blk
+        |      ORDER BY k ASC, doc_id ASC) AS n2
+        |  FROM d),
+        |cand AS (
+        |  SELECT doc_id AS doc_a, n1 AS doc_b, 1 AS rank_gap
+        |  FROM nbr WHERE n1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id AS doc_a, n2 AS doc_b, 2 AS rank_gap
+        |  FROM nbr WHERE n2 IS NOT NULL),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, c.rank_gap, COUNT(*) AS ni
+        |  FROM cand c
+        |  JOIN hsh a ON a.doc_id = c.doc_a
+        |  JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
+        |  GROUP BY 1, 2, 3)
+        |SELECT i.doc_a, i.doc_b, i.rank_gap,
+        |  CAST(i.ni AS DOUBLE)
+        |    / CAST(sa.n + sb.n - i.ni AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.doc_a
+        |JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(i.ni AS DOUBLE)
+        |    / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= 0.5""".stripMargin))
   )
 }

@@ -718,7 +718,45 @@ object ProfilingQueries {
         |    ROW_NUMBER() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents)
-        |WHERE rn <= 5""".stripMargin))
+        |WHERE rn <= 5""".stripMargin)),
+
+    // ── Deterministic per-group uniform sample via BOTTOM-k of a salted
+    //    md5 hash — the KMV (k-minimum-values) posture: the k smallest
+    //    hashes of a group are a mergeable uniform sample (any partition
+    //    split of the group yields partial bottom-k sets whose merge is
+    //    the global bottom-k, the same argument q254 proves for top-k —
+    //    this IS q254's native bounded-heap aggregate, fed the NEGATED
+    //    hash). Three properties a random()-based sample can't give:
+    //    reproducible across runs/engines, mergeable map-side (k ids per
+    //    group per task, no shuffle of the corpus), and consistent under
+    //    appends (a new doc evicts at most one sample member). The same
+    //    state doubles as a distinct-count estimator (KMV) and rides
+    //    Complete-mode streaming unchanged (EventStream.topKStream).
+    //    Hash-compared directly against the window oracle.
+    QueryDef(
+      "q260_bottomk_sample",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val h = graft.ext.TextAnalysis.hash60Fast(s,
+          concat(lit("samp:"), $"doc_id".cast("string")))
+        Tables.documents(s, dir)
+          .select($"source", $"doc_id", h.as("h"))
+          .groupBy($"source")
+          .agg(call_function("top_k", -$"h", $"doc_id", lit(8)).as("tk"))
+          .select($"source", posexplode($"tk"))
+          .select($"source", ($"pos" + 1).cast("int").as("rnk"),
+            (-$"col.key").as("h"), $"col.id".as("doc_id"))
+      },
+      Some("""SELECT source, CAST(rn AS INT) AS rnk, h, doc_id
+        |FROM (
+        |  SELECT source, h, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY h ASC, doc_id ASC) AS rn
+        |  FROM (SELECT source, doc_id,
+        |    ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |    FROM documents))
+        |WHERE rn <= 8""".stripMargin))
   )
 
   /** Benford expected first-digit frequencies log10(1 + 1/d), d = 1..9,

@@ -847,4 +847,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.take(1600))
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
+
+  test("q256 rolling hll: register window is keyed by bucket, no cartesian") {
+    val p = planOf("q256_rolling_hll")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    // the rolling MAX-merge runs over the (days x 64) register table,
+    // partitioned by bucket — never a single-partition global window
+    assert(!"Window.*SinglePartition".r.findFirstIn(p).isDefined, p.take(1600))
+  }
+
+  test("q257 small-qty: per-part agg joins back keyed; part dim broadcasts") {
+    val p = planOf("q257_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(!p.contains("WindowExec"), p.take(1600))
+  }
+
+  test("q258 custdist: two keyed aggs, zero-order customers kept by LEFT OUTER") {
+    val p = planOf("q258_custdist")
+    assert(p.contains("LeftOuter"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(!p.contains("Window"), p.take(1600))
+  }
+
+  test("q259 snm: neighborhood window is keyed by block, never global") {
+    val p = planOf("q259_sorted_neighborhood")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    // the lead() window partitions on blk — a global-sort SNM would show
+    // an Exchange SinglePartition under the WindowExec
+    assert(!p.contains("SinglePartition"), p.take(1600))
+  }
+
+  test("q260 bottom-k sample: partial-heap ObjectHashAggregate, zero window") {
+    val p = planOf("q260_bottomk_sample")
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(p.contains("top_k"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
 }
