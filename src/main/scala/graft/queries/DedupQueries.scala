@@ -1246,6 +1246,98 @@ object DedupQueries {
         |JOIN sz sa ON sa.doc_id = i.doc_a
         |JOIN sz sb ON sb.doc_id = i.doc_b
         |WHERE CAST(i.ni AS DOUBLE)
-        |    / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= 0.5""".stripMargin))
+        |    / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // ── Source-level MinHash signature UNION — the mergeability story
+    //    for similarity sketches, q227's HLL-union argument applied to
+    //    MinHash: a source's signature is the elementwise MIN of its
+    //    docs' signatures (min-fold is order-independent and
+    //    duplicate-insensitive, so per-shard partials merge exactly),
+    //    and the cross-source similarity matrix costs 32 longs per
+    //    source — the corpus is never re-paired. est = agreeing
+    //    components / 32 is the unbiased Jaccard estimator; the EXACT
+    //    source-pair Jaccard (shingle-hash sets, h-keyed join) rides
+    //    alongside so the estimator's error is inspectable per pair.
+    //    Everything is hash-compared bit-for-bit: both engines replay
+    //    the same 32 (a·h+b) mod P permutations over the same md5
+    //    hashes (the q36 oracle machinery, aggregated per source).
+    //    At 100 TB: signatures live as 32-long rows per (source,
+    //    shard), any source subset is unionable without data contact.
+    QueryDef(
+      "q261_source_signature",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Tables.documents(s, dir)
+          .select($"source", TextAnalysis.tokens($"text").as("_w"))
+          .select($"source",
+            explode(TextAnalysis.shinglesFromTokens($"_w")).as("shingle"))
+          .select($"source", TextAnalysis.hash60Fast(s, $"shingle").as("h"))
+          .distinct()
+          .localCheckpoint()
+        val perm = s.createDataFrame(
+          (0 until Dedup.NumHashes).map(i => (Dedup.permA(i), Dedup.permB(i), i)))
+          .toDF("a", "b", "i")
+        val mh = sh.select($"source", ($"h" % Dedup.MinhashP).as("_h"))
+          .crossJoin(broadcast(perm))
+          .groupBy($"source", $"i")
+          .agg(min(($"a" * $"_h" + $"b") % Dedup.MinhashP).as("mh"))
+        val agree = mh.as("x").join(mh.as("y"),
+            $"x.i" === $"y.i" && $"x.source" < $"y.source")
+          .groupBy($"x.source".as("source_a"), $"y.source".as("source_b"))
+          .agg(sum(when($"x.mh" === $"y.mh", 1L).otherwise(0L)).as("n_agree"))
+        val sizes = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+        val inter = sh.as("p").join(sh.as("q"),
+            $"p.h" === $"q.h" && $"p.source" < $"q.source")
+          .groupBy($"p.source".as("source_a"), $"q.source".as("source_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        agree
+          .join(inter, Seq("source_a", "source_b"), "left")
+          .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("n_a"))),
+            "source_a")
+          .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("n_b"))),
+            "source_b")
+          .select($"source_a", $"source_b", $"n_agree",
+            expr(s"n_agree * 1000000000 div ${Dedup.NumHashes}").as("est_1e9"),
+            coalesce($"n_inter", lit(0L)).as("n_inter"),
+            expr("coalesce(n_inter, 0) * 1000000000"
+              + " div (n_a + n_b - coalesce(n_inter, 0))").as("jaccard_1e9"))
+      },
+      Some {
+        val perms = (0 until Dedup.NumHashes).map { i =>
+          s"(${Dedup.permA(i)}, ${Dedup.permB(i)}, $i)"
+        }.mkString(", ")
+        s"""WITH $shingleCte,
+        |hsrc AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |perm(a, b, i) AS (VALUES $perms),
+        |mh AS (
+        |  SELECT source, i,
+        |    MIN((a * (h % ${Dedup.MinhashP}) + b) % ${Dedup.MinhashP}) AS mh
+        |  FROM hsrc CROSS JOIN perm GROUP BY 1, 2),
+        |agree AS (
+        |  SELECT x.source AS source_a, y.source AS source_b,
+        |    CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM mh x JOIN mh y ON x.i = y.i AND x.source < y.source
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT source, COUNT(*) AS n FROM hsrc GROUP BY 1),
+        |inter AS (
+        |  SELECT p.source AS source_a, q.source AS source_b,
+        |    COUNT(*) AS ni
+        |  FROM hsrc p JOIN hsrc q ON p.h = q.h AND p.source < q.source
+        |  GROUP BY 1, 2)
+        |SELECT a.source_a, a.source_b, a.n_agree,
+        |  a.n_agree * 1000000000 // ${Dedup.NumHashes} AS est_1e9,
+        |  CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_inter,
+        |  COALESCE(i.ni, 0) * 1000000000
+        |    // (sa.n + sb.n - COALESCE(i.ni, 0)) AS jaccard_1e9
+        |FROM agree a
+        |LEFT JOIN inter i
+        |  ON a.source_a = i.source_a AND a.source_b = i.source_b
+        |JOIN sz sa ON sa.source = a.source_a
+        |JOIN sz sb ON sb.source = a.source_b""".stripMargin
+      })
   )
 }

@@ -1473,6 +1473,54 @@ object OpsQueries {
         |SELECT tok_a, tok_b, hamming, CAST(c_total AS BIGINT) AS c_total
         |FROM ver WHERE hamming BETWEEN 1 AND 2
         |ORDER BY c_total DESC, tok_a ASC, tok_b ASC LIMIT 20"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ── Exponentially time-decayed popularity, EXACT in fixed point —
+    //    the recency weighting a freshness-aware mixer or trending
+    //    dashboard needs, with none of the cross-engine pow() risk: a
+    //    1-day half-life makes the weight of a lag-L event exactly
+    //    2^(-L), so the decayed count Σ2^(-L) scaled by 2^20 is the
+    //    exact BIGINT Σ shiftleft(1, 20-L) — sum-mergeable (per-shard
+    //    partials add; a streaming maintainer ages state by one
+    //    shiftright per day), order-independent, and clipped to zero
+    //    past lag 20 where the true weight underflows the scale anyway
+    //    (2^-21 < 1/2^20; the 2^20 scale also keeps dec_w × 1e6 far
+    //    from BIGINT overflow at any corpus size). dec_score_1e6 reads
+    //    as "today-equivalent events × 1e6". One scan, one keyed agg,
+    //    a 1-row broadcast max.
+    QueryDef(
+      "q262_decayed_counts",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"event_type",
+            unix_date($"ts".cast("date")).cast("long").as("d"))
+        val mx = ev.agg(max($"d").as("maxd"))
+        ev.crossJoin(broadcast(mx))
+          .select($"event_type", ($"maxd" - $"d").as("lag"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"lag" <= 20L,
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - lag AS INT))"))
+              .otherwise(0L)).as("dec_w"))
+          .withColumn("dec_score_1e6",
+            expr("dec_w * 1000000 div shiftleft(CAST(1 AS BIGINT), 20)"))
+      },
+      Some("""WITH e AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |mx AS (SELECT MAX(d) AS maxd FROM e),
+        |w AS (
+        |  SELECT event_type,
+        |    CASE WHEN maxd - d <= 20
+        |      THEN 1::BIGINT << CAST(20 - (maxd - d) AS INT)
+        |      ELSE 0 END AS wgt
+        |  FROM e, mx)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(wgt) AS BIGINT) AS dec_w,
+        |  CAST(SUM(wgt) AS BIGINT) * 1000000 // (1::BIGINT << 20)
+        |    AS dec_score_1e6
+        |FROM w GROUP BY event_type""".stripMargin))
   )
 }

@@ -884,4 +884,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("top_k"), p.take(1200))
     assert(!p.contains("Window"), p.take(1200))
   }
+
+  test("q261 source signatures: perm dim broadcasts, pair joins keyed, no cartesian") {
+    val p = planOf("q261_source_signature")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    // signature agreement and exact intersection are keyed hash joins
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1600))
+  }
+
+  test("q262 decayed counts: one keyed agg, broadcast scalar max, no window") {
+    val p = planOf("q262_decayed_counts")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(!p.contains("WindowExec"), p.take(1600))
+  }
+
+  test("q263 theil-sen: pairwise join runs on the bounded daily substrate") {
+    val p = planOf("q263_theilsen")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    // the pair build reads the checkpointed <=120-row daily table, not parquet
+    assert(!"Scan parquet .*orders.*Scan parquet .*orders".r
+      .findFirstIn(p.replaceAll("\n", " ")).isDefined, p.take(1600))
+  }
 }
