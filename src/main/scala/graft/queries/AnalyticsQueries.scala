@@ -387,7 +387,15 @@ object AnalyticsQueries {
     dowProfileDef,
     rollingHllDef,
     smallQtyRevenueDef,
-    custDistDef
+    custDistDef,
+    coPurchaseDef,
+    shipPriorityDef,
+    nationVolumeDef,
+    returnedItemDef,
+    productProfitDef,
+    largeOrdersDef,
+    disjunctiveRevenueDef,
+    forecastRevenueDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -1787,4 +1795,349 @@ object AnalyticsQueries {
       |  GROUP BY c_custkey)
       |SELECT c_count, COUNT(*) AS custdist
       |FROM pc GROUP BY c_count""".stripMargin))
+
+  // ── Item-item collaborative filtering from co-purchase co-occurrence —
+  //    the "customers who bought X also bought" recommender primitive:
+  //    parts sharing an order are co-occurrence pairs, similarity is
+  //    cosine over order-membership vectors, top-3 neighbors per part.
+  //    Pairwise work is bounded by ORDER SIZE (the pairs-within-small-
+  //    groups pattern — Σ|order|² with |order| ≤ a few lineitems), never
+  //    by part² — the same bucket-bounding rule as the dedup families.
+  //    cosine² = co²/(n_p·n_q) keeps everything in exact integer
+  //    arithmetic (co²·1e9 div n_p·n_q; monotone in cosine, so ranking
+  //    is unchanged and no sqrt ever runs). The per-part top-3 rides the
+  //    native bounded-heap `top_k` aggregate — k pairs per part per task
+  //    map-side, zero window sort.
+  private def coPurchaseDef: QueryDef = QueryDef(
+    "q264_copurchase_sim",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
+        .localCheckpoint()
+      val sz = li.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+      val co = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+        .agg(count(lit(1)).as("co"))
+      val sym = co.select($"pa".as("p"), $"pb".as("q"), $"co")
+        .unionByName(co.select($"pb".as("p"), $"pa".as("q"), $"co"))
+      val scored = sym
+        .join(sz.select($"l_partkey".as("p"), $"n".as("n_p")), "p")
+        .join(sz.select($"l_partkey".as("q"), $"n".as("n_q")), "q")
+        .select($"p", $"q",
+          expr("co * co * 1000000000 div (n_p * n_q)").as("cos2_1e9"))
+      scored.groupBy($"p")
+        .agg(call_function("top_k", $"cos2_1e9", $"q", lit(3)).as("tk"))
+        .select($"p", posexplode($"tk"))
+        .select($"p".as("part"), ($"pos" + 1).cast("int").as("rnk"),
+          $"col.key".as("cos2_1e9"), $"col.id".as("co_part"))
+    },
+    Some("""WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sz AS (SELECT l_partkey, COUNT(*) AS n FROM li GROUP BY 1),
+      |co AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS co
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT pa AS p, pb AS q, co FROM co
+      |  UNION ALL
+      |  SELECT pb AS p, pa AS q, co FROM co),
+      |sc AS (
+      |  SELECT s.p, s.q,
+      |    s.co * s.co * 1000000000 // (np.n * nq.n) AS cos2_1e9
+      |  FROM sym s
+      |  JOIN sz np ON np.l_partkey = s.p
+      |  JOIN sz nq ON nq.l_partkey = s.q),
+      |r AS (
+      |  SELECT p, q, cos2_1e9,
+      |    ROW_NUMBER() OVER (PARTITION BY p
+      |      ORDER BY cos2_1e9 DESC, q ASC) AS rn
+      |  FROM sc)
+      |SELECT p AS part, CAST(rn AS INT) AS rnk, cos2_1e9, q AS co_part
+      |FROM r WHERE rn <= 3""".stripMargin))
+
+  // ── TPC-H Q3 shape — shipping-priority top-10: revenue still in flight
+  //    (ordered before the cutoff, shipped after it) for one market
+  //    segment, ranked. Scale shape: both date filters prune their scans
+  //    map-side BEFORE the fact-fact join on l_orderkey; the segment
+  //    filter rides a keys-only broadcast semi; the top-10 is
+  //    TakeOrderedAndProject (per-partition heaps + single 10-row
+  //    reduction — never a global sort). Deterministic selection: strict
+  //    (revenue DESC, o_orderkey ASC) total order, and revenue itself is
+  //    the exact decimal sum so both engines rank identically.
+  private def shipPriorityDef: QueryDef = QueryDef(
+    "q266_ship_priority",
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables.customer(s, dir)
+        .where($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val ord = Tables.orders(s, dir)
+        .where($"o_orderdate" < "1998-01-01")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey", "left_semi")
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      Tables.lineitem(s, dir)
+        .where($"l_shipdate" > "1998-01-01")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey".asc)
+        .limit(10)
+    },
+    Some(s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin))
+
+  // ── TPC-H Q7 shape — cross-border shipping volume between two nations
+  //    by direction and year. Scale shape: the nation filter is applied
+  //    to the TINY dims (supplier, customer) BEFORE they touch a fact —
+  //    both fact joins then run against nation-pruned broadcast sides,
+  //    and the directional pair filter is a residual on two broadcast
+  //    columns, so the lineitem scan is the only big input and it is
+  //    date-pruned map-side. One keyed shuffle (l_orderkey ⋈ orders).
+  private def nationVolumeDef: QueryDef = QueryDef(
+    "q267_nation_volume",
+    (s, dir) => {
+      import s.implicits._
+      val nat = Tables.nation(s, dir)
+        .where($"n_name".isin("NATION_1", "NATION_2"))
+      val sup = Tables.supplier(s, dir)
+        .join(nat, $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val cus = Tables.customer(s, dir)
+        .join(nat, $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name".as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .where($"l_shipdate".between("1996-01-01", "1997-12-31"))
+        .select($"l_orderkey", $"l_suppkey",
+          year($"l_shipdate").as("l_year"),
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("vol"))
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cus), $"o_custkey" === $"c_custkey")
+        .where($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation", $"l_year")
+        .agg(dsum($"vol").as("revenue"))
+    },
+    Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND sn.n_name <> cn.n_name
+      |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+      |    AND TIMESTAMP '1997-12-31'
+      |GROUP BY 1, 2, 3""".stripMargin))
+
+  // ── TPC-H Q10 shape — returned-item revenue loss: top-20 customers by
+  //    revenue of items returned from one quarter's orders. Scale shape:
+  //    the quarter filter prunes orders map-side and the returnflag
+  //    filter prunes lineitem map-side before their keyed join; customer
+  //    attributes join AFTER the per-customer rollup (agg first, widen
+  //    later — the join-back touches ≤|customers| rows, not |lineitem|);
+  //    nation is broadcast; top-20 is TakeOrderedAndProject with the
+  //    strict (revenue DESC, c_custkey ASC) order.
+  private def returnedItemDef: QueryDef = QueryDef(
+    "q268_returned_items",
+    (s, dir) => {
+      import s.implicits._
+      val ord = Tables.orders(s, dir)
+        .where($"o_orderdate" >= "1997-01-01" &&
+          $"o_orderdate" < "1997-04-01")
+        .select($"o_orderkey", $"o_custkey")
+      val perCust = Tables.lineitem(s, dir)
+        .where($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+      perCust
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"c_name", $"c_acctbal",
+          $"n_name", $"revenue")
+        .orderBy($"revenue".desc, $"c_custkey".asc)
+        .limit(20)
+    },
+    Some(s"""WITH pc AS (
+      |  SELECT o_custkey,
+      |    ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT c_custkey, c_name, c_acctbal, n_name, revenue
+      |FROM pc
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin))
+
+  // ── TPC-H Q9 shape — product-line profit by supplier nation × order
+  //    year. The fixtures carry no partsupp, so supply cost is proxied
+  //    as a fixed fraction of retail price — the JOIN/AGG shape (two
+  //    fact joins + three broadcast dims + two-level group) is the
+  //    point. Exactness: retailprice has 1 decimal and quantity is
+  //    integral, so 0.4·retail·qty is exactly a 2-decimal value and
+  //    profit is exactly 4-decimal — the DECIMAL(18,4) cast recovers it
+  //    bit-for-bit in both engines (the q240 argument). The name filter
+  //    prunes part BEFORE broadcast.
+  private def productProfitDef: QueryDef = QueryDef(
+    "q269_product_profit",
+    (s, dir) => {
+      import s.implicits._
+      val prt = Tables.part(s, dir)
+        .where($"p_name".contains("gear"))
+        .select($"p_partkey", $"p_retailprice")
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+          $"l_quantity", $"l_extendedprice", $"l_discount")
+        .join(broadcast(prt), $"l_partkey" === $"p_partkey")
+        .join(broadcast(Tables.supplier(s, dir)
+          .select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, dir)
+          .select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(Tables.orders(s, dir)
+          .select($"o_orderkey", year($"o_orderdate").as("o_year")),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name".as("nation"), $"o_year")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+          lit(0.4) * $"p_retailprice" * $"l_quantity").as("sum_profit"))
+    },
+    Some(s"""SELECT n_name AS nation,
+      |  CAST(year(o_orderdate) AS INT) AS o_year,
+      |  ${dsumSql("l_extendedprice * (1.0 - l_discount)" +
+           " - 0.4 * p_retailprice * l_quantity")} AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2""".stripMargin))
+
+  // ── TPC-H Q18 shape — large-volume orders: orders whose total
+  //    quantity clears a threshold, widened with customer identity and
+  //    ranked by order value. Scale shape: the HAVING runs FIRST as a
+  //    keyed lineitem rollup (map-side partial sums; the threshold
+  //    prunes before anything wide joins), then orders and customer
+  //    attach to the tiny survivor set — broadcast-joinable by
+  //    construction since survivors ≪ facts. Top-100 via
+  //    TakeOrderedAndProject on (o_totalprice DESC, o_orderkey ASC).
+  private def largeOrdersDef: QueryDef = QueryDef(
+    "q270_large_orders",
+    (s, dir) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast("long")).as("sum_qty"))
+        .where($"sum_qty" > 250L)
+      big.join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, dir).select($"c_custkey", $"c_name"),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", $"sum_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(100)
+    },
+    Some("""WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY 1 HAVING sum_qty > 250)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |  o_totalprice, sum_qty
+      |FROM big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin))
+
+  // ── TPC-H Q19 shape — disjunctive multi-arm predicate revenue: three
+  //    (brand, size-range, quantity-range) arms OR'd into one residual
+  //    on a single lineitem⋈part join. The point at scale: Catalyst
+  //    keeps this ONE scan + ONE broadcast join — the OR collapses into
+  //    a codegen'd residual instead of three unioned passes, and the
+  //    common `l_quantity <= 30` hull is pushable. One-row output.
+  private def disjunctiveRevenueDef: QueryDef = QueryDef(
+    "q271_disjunctive_arms",
+    (s, dir) => {
+      import s.implicits._
+      val arm = ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#14" && $"p_size".between(1, 35) &&
+          $"l_quantity".between(20, 30))
+      Tables.lineitem(s, dir)
+        .select($"l_partkey", $"l_quantity",
+          $"l_extendedprice", $"l_discount")
+        .join(broadcast(Tables.part(s, dir)
+          .select($"p_partkey", $"p_brand", $"p_size")),
+          $"l_partkey" === $"p_partkey")
+        .where(arm)
+        .agg(count(lit(1)).as("n_li"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("revenue"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_li,
+      |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity BETWEEN 1 AND 11)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |    AND l_quantity BETWEEN 10 AND 20)
+      |  OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+      |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+
+  // ── TPC-H Q6 shape — the pure pushdown gate: one-year window, narrow
+  //    discount band, quantity cap, no join at all. Every predicate and
+  //    both columns must reach the parquet scan (PlanShapeSpec pins
+  //    PushedFilters + a 4-column ReadSchema); the aggregate is a
+  //    single exact decimal sum. The simplest query in the suite and
+  //    the purest measure of scan efficiency at 100 TB.
+  private def forecastRevenueDef: QueryDef = QueryDef(
+    "q272_forecast_revenue",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .where($"l_shipdate" >= "1997-01-01" &&
+          $"l_shipdate" < "1998-01-01" &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
+        .agg(count(lit(1)).as("n_li"),
+          dsum($"l_extendedprice" * $"l_discount").as("revenue"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_li,
+      |  ${dsumSql("l_extendedprice * l_discount")} AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24.0""".stripMargin))
 }

@@ -1274,13 +1274,13 @@ object DedupQueries {
           .select($"source", TextAnalysis.hash60Fast(s, $"shingle").as("h"))
           .distinct()
           .localCheckpoint()
-        val perm = s.createDataFrame(
-          (0 until Dedup.NumHashes).map(i => (Dedup.permA(i), Dedup.permB(i), i)))
-          .toDF("a", "b", "i")
-        val mh = sh.select($"source", ($"h" % Dedup.MinhashP).as("_h"))
-          .crossJoin(broadcast(perm))
-          .groupBy($"source", $"i")
-          .agg(min(($"a" * $"_h" + $"b") % Dedup.MinhashP).as("mh"))
+        // ONE pass via the native MinHashSig aggregate (K mulmods per row
+        // in a single JVM loop; bit-equal to the 32-min-columns relational
+        // form, MinHashSigSpec) — the oracle keeps the relational replay
+        graft.functions.GraftFunctions.register(s)
+        val mh = sh.groupBy($"source")
+          .agg(call_function("minhash_sig", $"h").as("_sig"))
+          .select($"source", posexplode($"_sig").as(Seq("i", "mh")))
         val agree = mh.as("x").join(mh.as("y"),
             $"x.i" === $"y.i" && $"x.source" < $"y.source")
           .groupBy($"x.source".as("source_a"), $"y.source".as("source_b"))
@@ -1338,6 +1338,113 @@ object DedupQueries {
         |  ON a.source_a = i.source_a AND a.source_b = i.source_b
         |JOIN sz sa ON sa.source = a.source_a
         |JOIN sz sb ON sb.source = a.source_b""".stripMargin
-      })
+      }),
+
+    // ── SNM blocking-recall evaluation — q191's measured-recall posture
+    //    applied to q259's sorted-neighborhood family: how many of the
+    //    TRUE near-dup pairs (q35's exact within-source Jaccard ≥ 0.5
+    //    ground truth) does the blocked SNM candidate generator reach?
+    //    Every blocking family in the repo now carries a measured recall
+    //    gate (LSH: q191, SimHash multiprobe: q117, SNM: here) — the
+    //    number a curation team needs before trusting a cheaper blocker.
+    //    Candidates are order-normalized (least/greatest) before the
+    //    membership probe; the probe is a keyed LEFT SEMI, counts are
+    //    exact integers, recall in fixed point with the q250 zero guard
+    //    so degenerate fixtures fail identically in both engines.
+    QueryDef(
+      "q265_snm_recall",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", lower(trim($"text")).as("k"))
+          .withColumn("blk", substring($"k", 1, 4))
+        val w = Window.partitionBy($"blk").orderBy($"k".asc, $"doc_id".asc)
+        val nbr = d
+          .withColumn("n1", lead($"doc_id", 1).over(w))
+          .withColumn("n2", lead($"doc_id", 2).over(w))
+        val cand = nbr.where($"n1".isNotNull)
+          .select($"doc_id".as("x"), $"n1".as("y"))
+          .unionByName(nbr.where($"n2".isNotNull)
+            .select($"doc_id".as("x"), $"n2".as("y")))
+          .select(least($"x", $"y").as("pa"), greatest($"x", $"y").as("pb"))
+          .distinct()
+          .localCheckpoint()
+        val sh = Tables.documents(s, dir)
+          .select($"doc_id", $"source", TextAnalysis.tokens($"text").as("_w"))
+          .select($"doc_id", $"source",
+            explode(TextAnalysis.shinglesFromTokens($"_w")).as("shingle"))
+          .select($"doc_id", $"source",
+            TextAnalysis.hash60Fast(s, $"shingle").as("h"))
+          .distinct()
+          .localCheckpoint()
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val truth = sh.as("a").join(sh.as("b"),
+            $"a.source" === $"b.source" && $"a.h" === $"b.h" &&
+              $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("pa"), $"b.doc_id".as("pb"))
+          .agg(count(lit(1)).as("ni"))
+          .join(broadcast(sizes.select($"doc_id".as("pa"), $"n".as("n_a"))),
+            "pa")
+          .join(broadcast(sizes.select($"doc_id".as("pb"), $"n".as("n_b"))),
+            "pb")
+          .where($"ni".cast("double") /
+            ($"n_a" + $"n_b" - $"ni").cast("double") >= 0.5)
+          .select($"pa", $"pb")
+          .localCheckpoint()
+        val hits = truth.join(cand, Seq("pa", "pb"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .withColumn("recall_1e9",
+            expr("n_hits * 1000000000 div greatest(1, n_truth)"))
+      },
+      Some(s"""WITH $shingleCte,
+        |hsh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS ni
+        |  FROM hsh a JOIN hsh b ON a.source = b.source AND a.h = b.h
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT i.pa, i.pb
+        |  FROM inter i
+        |  JOIN sz sa ON sa.doc_id = i.pa
+        |  JOIN sz sb ON sb.doc_id = i.pb
+        |  WHERE CAST(i.ni AS DOUBLE)
+        |      / CAST(sa.n + sb.n - i.ni AS DOUBLE) >= 0.5),
+        |d AS (
+        |  SELECT doc_id, lower(trim(text)) AS k,
+        |    substr(lower(trim(text)), 1, 4) AS blk
+        |  FROM documents),
+        |nbr AS (
+        |  SELECT doc_id,
+        |    LEAD(doc_id, 1) OVER (PARTITION BY blk
+        |      ORDER BY k ASC, doc_id ASC) AS n1,
+        |    LEAD(doc_id, 2) OVER (PARTITION BY blk
+        |      ORDER BY k ASC, doc_id ASC) AS n2
+        |  FROM d),
+        |cand AS (
+        |  SELECT DISTINCT least(x, y) AS pa, greatest(x, y) AS pb
+        |  FROM (
+        |    SELECT doc_id AS x, n1 AS y FROM nbr WHERE n1 IS NOT NULL
+        |    UNION ALL
+        |    SELECT doc_id AS x, n2 AS y FROM nbr WHERE n2 IS NOT NULL)),
+        |hit AS (
+        |  SELECT t.pa, t.pb FROM truth t
+        |  WHERE EXISTS (SELECT 1 FROM cand c
+        |    WHERE c.pa = t.pa AND c.pb = t.pb)),
+        |m AS (
+        |  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+        |    (SELECT COUNT(*) FROM cand) AS n_cand,
+        |    (SELECT COUNT(*) FROM hit) AS n_hits)
+        |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+        |  CAST(n_cand AS BIGINT) AS n_cand,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  n_hits * 1000000000 // greatest(1, n_truth) AS recall_1e9
+        |FROM m""".stripMargin))
   )
 }

@@ -1481,9 +1481,12 @@ object OpsQueries {
     //    1-day half-life makes the weight of a lag-L event exactly
     //    2^(-L), so the decayed count Σ2^(-L) scaled by 2^20 is the
     //    exact BIGINT Σ shiftleft(1, 20-L) — sum-mergeable (per-shard
-    //    partials add; a streaming maintainer ages state by one
-    //    shiftright per day), order-independent, and clipped to zero
-    //    past lag 20 where the true weight underflows the scale anyway
+    //    partials add; a streaming maintainer keeps per-(type, day)
+    //    COUNT partials and derives the score on read — each day-bucket
+    //    is a single power of two, so aging is exact per bucket, where
+    //    shiftright on the summed dec_w would floor mixed low bits and
+    //    drift from the batch recompute), order-independent, clipped to
+    //    zero past lag 20 where the true weight underflows the scale anyway
     //    (2^-21 < 1/2^20; the 2^20 scale also keeps dec_w × 1e6 far
     //    from BIGINT overflow at any corpus size). dec_score_1e6 reads
     //    as "today-equivalent events × 1e6". One scan, one keyed agg,

@@ -379,6 +379,69 @@ object EventStream {
     spark.read.parquet(statePath)
   }
 
+  /** Streaming exponential-decay counter maintenance via foreachBatch —
+    * q262's fixed-point recency score run as a stream. State is the
+    * per-(event_type, day) COUNT partial table — NOT the decayed sum:
+    * each day-bucket's weight is the single power of two 2^(20−lag), so
+    * deriving the score at READ time ages every bucket exactly, where a
+    * shiftright on a pre-summed dec_w would floor away mixed low bits
+    * and drift from the batch recompute (the q262 scaladoc's argument,
+    * here made executable). Counts are sum-merged ⇒ not replay-
+    * idempotent ⇒ the batch-id ledger rides along ([[ledgeredIngest]]'s
+    * contract, like [[kmeansMaintain]] and unlike the MAX-merged
+    * [[hllMaintain]]). State is #types × #days rows forever; buckets
+    * past the 20-day clip contribute zero weight and could be compacted
+    * to one row per type without changing any output. Returns exactly
+    * q262's (event_type, n_events, dec_w, dec_score_1e6).
+    */
+  def decayedMaintain(spark: SparkSession, events: DataFrame,
+      statePath: String): DataFrame = {
+    val cellsP = statePath + "/cells"
+    val ledgerP = statePath + "/ledger"
+    val q = events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val done: Set[Long] =
+          if (stateExists(spark, ledgerP))
+            spark.read.parquet(ledgerP).select(col("batch_id"))
+              .collect().map(_.getLong(0)).toSet
+          else Set.empty
+        if (!done.contains(batchId)) {
+          val incoming = batch
+            .select(col("event_type"),
+              unix_date(col("ts").cast("date")).cast("long").as("d"))
+            .groupBy(col("event_type"), col("d"))
+            .agg(count(lit(1)).as("n"))
+          val merged =
+            if (stateExists(spark, cellsP))
+              spark.read.parquet(cellsP).unionByName(incoming)
+                .groupBy(col("event_type"), col("d"))
+                .agg(sum(col("n")).as("n"))
+            else incoming
+          swapWrite(spark, merged, cellsP)
+          val s = batch.sparkSession
+          import s.implicits._
+          Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerP)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    val cells = spark.read.parquet(cellsP)
+    val mx = cells.agg(max(col("d")).as("maxd"))
+    cells.crossJoin(org.apache.spark.sql.functions.broadcast(mx))
+      .select(col("event_type"), col("n"),
+        (col("maxd") - col("d")).as("lag"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(when(col("lag") <= 20L, col("n") *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - lag AS INT))"))
+          .otherwise(0L)).as("dec_w"))
+      .withColumn("dec_score_1e6",
+        expr("dec_w * 1000000 div shiftleft(CAST(1 AS BIGINT), 20)"))
+  }
+
   /** Streaming incremental near-dup dedup via foreachBatch — q88's
     * daily-crawl contract run continuously: each micro-batch (the
     * "delta") is LSH-banded, candidate-paired against the ACCUMULATED

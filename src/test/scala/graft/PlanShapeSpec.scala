@@ -898,6 +898,67 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p.take(1600))
   }
 
+  test("q264 co-purchase: order-bounded pair join, native top-k, no window") {
+    val p = planOf("q264_copurchase_sim")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(p.contains("ObjectHashAggregate") && p.contains("top_k"),
+      p.take(1600))
+    assert(!p.contains("WindowExec"), p.take(1600))
+  }
+
+  test("q265 snm recall: membership probe is a keyed LEFT SEMI, no cartesian") {
+    val p = planOf("q265_snm_recall")
+    assert(p.contains("LeftSemi"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q266/q268 TPC-H top-N: heap-based TakeOrdered, never a global sort") {
+    Seq("q266_ship_priority", "q268_returned_items").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"), q + "\n" + p.take(1600))
+      assert(!p.contains("CartesianProduct"), q + "\n" + p.take(1600))
+    }
+    // Q3's segment filter rides a keys-only semi join, not a wide inner
+    assert(planOf("q266_ship_priority").contains("LeftSemi"))
+  }
+
+  test("q270 Q18 shape: threshold rollup first, no window anywhere") {
+    val p = planOf("q270_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+    assert(!p.contains("WindowExec"), p.take(1600))
+  }
+
+  test("q271 Q19 shape: one scan + one broadcast join, OR stays a residual") {
+    val p = planOf("q271_disjunctive_arms")
+    assert(!p.contains("Union"), p.take(1600))
+    // exactly one join: the three arms share the single lineitem⋈part pass
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 1, p.take(1600))
+    // ...and the shared quantity hull is derived and pushed to the scan
+    assert(p.contains("l_quantity"), p.take(1600))
+  }
+
+  test("q272 Q6 shape: every predicate and only 4 columns reach the scan") {
+    // toString truncates scan metadata at 100 chars, so pin the full
+    // filter set through the scan node's dataFilters instead
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides the leaves
+    val exec = SparkEntry.queries("q272_forecast_revenue")(spark, dir)
+      .queryExecution.sparkPlan
+    val scans = exec.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount,0.05)",
+      "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24.0)")
+      .foreach(f => assert(pushed.contains(f), pushed))
+    // column pruning: exactly the 4 referenced columns reach the reader
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"))
+    val p = planOf("q272_forecast_revenue")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
   test("q263 theil-sen: pairwise join runs on the bounded daily substrate") {
     val p = planOf("q263_theilsen")
     assert(!p.contains("CartesianProduct"), p.take(1600))

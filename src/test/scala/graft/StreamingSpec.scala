@@ -608,4 +608,28 @@ class StreamingSpec extends SparkSpec {
     val fin2 = EventStream.hllMaintain(spark, stream, statePath)
     assert(fin2.exceptAll(batch).isEmpty && batch.exceptAll(fin2).isEmpty)
   }
+
+  test("streaming decayed counters equal batch q262 and survive replay") {
+    val ddir = Files.createTempDirectory("graft_decay_ev").toString
+    // multiple files = multiple micro-batches, so counts merge ACROSS
+    // batches and the read-time aging runs over multi-batch state
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .repartition(4).write.mode("overwrite").parquet(ddir)
+    val schema = spark.read.parquet(ddir).schema
+    val statePath = Files.createTempDirectory("graft_decay").toString + "/state"
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val fin = EventStream.decayedMaintain(spark, stream, statePath)
+    // batch twin IS the gated query — same fixture rows, so outputs are
+    // bit-identical (integer weights; no float enters either side)
+    val batch = SparkEntry.queries("q262_decayed_counts")(
+      spark, "/root/testdata/sf0.001")
+    assert(fin.count() > 0)
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+    // exactly-once: replaying the whole stream re-presents batch ids the
+    // ledger already holds — sum-merged counts must not double
+    val fin2 = EventStream.decayedMaintain(spark, stream, statePath)
+    assert(fin2.exceptAll(batch).isEmpty && batch.exceptAll(fin2).isEmpty)
+  }
 }
