@@ -1446,5 +1446,165 @@ object DedupQueries {
         |  CAST(n_hits AS BIGINT) AS n_hits,
         |  n_hits * 1000000000 // greatest(1, n_truth) AS recall_1e9
         |FROM m""".stripMargin))
+      ,
+
+    // ── Fellegi–Sunter record linkage over blocked candidates — the
+    //    probabilistic-matching frame the dedup families score inside:
+    //    q259's prefix-block candidates get a 4-field AGREEMENT VECTOR
+    //    (same source, same lang, length within 20%, exact shingle
+    //    Jaccard ≥ 0.5 — the division-free 3·∩ ≥ |A|+|B| form), each
+    //    field contributes its log2(m/u) / log2((1−m)/(1−u)) weight as
+    //    a precomputed MILLI-BIT INTEGER literal (the NDCG/Benford
+    //    pattern — no runtime log in either engine), and pairs classify
+    //    by the two FS thresholds. Output is the agreement-PATTERN
+    //    table (≤ 2⁴ rows: pattern, pair count, weight, class) — exactly
+    //    the sufficient statistic the EM step of a real FS pipeline
+    //    consumes. Scale: candidates are block-bounded (≤ 2n), the
+    //    Jaccard verify touches candidates only, patterns aggregate to
+    //    16 rows — nothing is ever pair-quadratic.
+    QueryDef(
+      "q277_fs_linkage",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"source", $"lang", $"n_chars",
+            lower(trim($"text")).as("k"))
+          .withColumn("blk", substring($"k", 1, 4))
+        val w = Window.partitionBy($"blk").orderBy($"k".asc, $"doc_id".asc)
+        val nbr = d
+          .withColumn("n1", lead($"doc_id", 1).over(w))
+          .withColumn("n2", lead($"doc_id", 2).over(w))
+        val cand = nbr.where($"n1".isNotNull)
+          .select($"doc_id".as("x"), $"n1".as("y"))
+          .unionByName(nbr.where($"n2".isNotNull)
+            .select($"doc_id".as("x"), $"n2".as("y")))
+          .select(least($"x", $"y").as("pa"), greatest($"x", $"y").as("pb"))
+          .distinct()
+          .localCheckpoint()
+        val sh = Tables.documents(s, dir)
+          .select($"doc_id", TextAnalysis.tokens($"text").as("_w"))
+          .select($"doc_id",
+            explode(TextAnalysis.shinglesFromTokens($"_w")).as("shingle"))
+          .select($"doc_id", TextAnalysis.hash60Fast(s, $"shingle").as("h"))
+          .distinct()
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.select($"doc_id".as("pa"), $"h"), "pa")
+          .join(sh.select($"doc_id".as("pb"), $"h"), Seq("pb", "h"))
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("ni"))
+        val attrs = d.select($"doc_id", $"source", $"lang", $"n_chars")
+        val scored = cand
+          .join(attrs.select($"doc_id".as("pa"), $"source".as("src_a"),
+            $"lang".as("lang_a"), $"n_chars".as("len_a")), "pa")
+          .join(attrs.select($"doc_id".as("pb"), $"source".as("src_b"),
+            $"lang".as("lang_b"), $"n_chars".as("len_b")), "pb")
+          .join(sizes.select($"doc_id".as("pa"), $"n".as("na")),
+            Seq("pa"), "left")
+          .join(sizes.select($"doc_id".as("pb"), $"n".as("nb")),
+            Seq("pb"), "left")
+          .join(inter, Seq("pa", "pb"), "left")
+          .na.fill(0L, Seq("na", "nb", "ni"))
+          .select(
+            ($"src_a" === $"src_b").cast("int").as("a_src"),
+            ($"lang_a" === $"lang_b").cast("int").as("a_lang"),
+            (abs($"len_a" - $"len_b") * 5 <= least($"len_a", $"len_b"))
+              .cast("int").as("a_len"),
+            (($"na" + $"nb" > 0L) && ($"ni" * 3 >= $"na" + $"nb"))
+              .cast("int").as("a_sim"))
+          .withColumn("weight_milli", expr(
+            s"CASE WHEN a_src = 1 THEN ${FsSrcA}L ELSE ${FsSrcD}L END + " +
+              s"CASE WHEN a_lang = 1 THEN ${FsLangA}L ELSE ${FsLangD}L END + " +
+              s"CASE WHEN a_len = 1 THEN ${FsLenA}L ELSE ${FsLenD}L END + " +
+              s"CASE WHEN a_sim = 1 THEN ${FsSimA}L ELSE ${FsSimD}L END"))
+          .withColumn("fs_class",
+            when($"weight_milli" >= FsMatchMilli, "match")
+              .when($"weight_milli" >= 0L, "possible")
+              .otherwise("non_match"))
+        scored
+          .groupBy($"a_src", $"a_lang", $"a_len", $"a_sim",
+            $"weight_milli", $"fs_class")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH $shingleCte,
+        |hsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM hsh GROUP BY 1),
+        |d AS (
+        |  SELECT doc_id, source, lang, n_chars, lower(trim(text)) AS k,
+        |    substr(lower(trim(text)), 1, 4) AS blk
+        |  FROM documents),
+        |nbr AS (
+        |  SELECT doc_id,
+        |    LEAD(doc_id, 1) OVER (PARTITION BY blk
+        |      ORDER BY k ASC, doc_id ASC) AS n1,
+        |    LEAD(doc_id, 2) OVER (PARTITION BY blk
+        |      ORDER BY k ASC, doc_id ASC) AS n2
+        |  FROM d),
+        |cand AS (
+        |  SELECT DISTINCT least(x, y) AS pa, greatest(x, y) AS pb
+        |  FROM (
+        |    SELECT doc_id AS x, n1 AS y FROM nbr WHERE n1 IS NOT NULL
+        |    UNION ALL
+        |    SELECT doc_id AS x, n2 AS y FROM nbr WHERE n2 IS NOT NULL)),
+        |inter AS (
+        |  SELECT c.pa, c.pb, CAST(COUNT(*) AS BIGINT) AS ni
+        |  FROM cand c
+        |  JOIN hsh a ON a.doc_id = c.pa
+        |  JOIN hsh b ON b.doc_id = c.pb AND b.h = a.h
+        |  GROUP BY 1, 2),
+        |vec AS (
+        |  SELECT
+        |    CAST(da.source = db.source AS INT) AS a_src,
+        |    CAST(da.lang = db.lang AS INT) AS a_lang,
+        |    CAST(abs(da.n_chars - db.n_chars) * 5
+        |      <= least(da.n_chars, db.n_chars) AS INT) AS a_len,
+        |    CAST(COALESCE(sa.n, 0) + COALESCE(sb.n, 0) > 0
+        |      AND COALESCE(i.ni, 0) * 3
+        |        >= COALESCE(sa.n, 0) + COALESCE(sb.n, 0) AS INT) AS a_sim
+        |  FROM cand c
+        |  JOIN d da ON da.doc_id = c.pa
+        |  JOIN d db ON db.doc_id = c.pb
+        |  LEFT JOIN sz sa ON sa.doc_id = c.pa
+        |  LEFT JOIN sz sb ON sb.doc_id = c.pb
+        |  LEFT JOIN inter i ON i.pa = c.pa AND i.pb = c.pb),
+        |sc AS (
+        |  SELECT *,
+        |    (CASE WHEN a_src = 1 THEN $FsSrcA ELSE $FsSrcD END
+        |     + CASE WHEN a_lang = 1 THEN $FsLangA ELSE $FsLangD END
+        |     + CASE WHEN a_len = 1 THEN $FsLenA ELSE $FsLenD END
+        |     + CASE WHEN a_sim = 1 THEN $FsSimA ELSE $FsSimD END)::BIGINT
+        |      AS weight_milli
+        |  FROM vec)
+        |SELECT a_src, a_lang, a_len, a_sim, weight_milli,
+        |  CASE WHEN weight_milli >= $FsMatchMilli THEN 'match'
+        |       WHEN weight_milli >= 0 THEN 'possible'
+        |       ELSE 'non_match' END AS fs_class,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM sc GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin))
   )
+
+  /** Fellegi–Sunter field weights in MILLI-BITS: agreement log2(m/u),
+    * disagreement log2((1−m)/(1−u)), for (m, u) priors chosen per field
+    * — computed once here so both engines consume identical integer
+    * literals and no runtime log ever runs (the NDCG/Benford pattern). */
+  private def fsW(m: Double, u: Double): (Long, Long) = (
+    math.round(math.log(m / u) / math.log(2.0) * 1000.0),
+    math.round(math.log((1.0 - m) / (1.0 - u)) / math.log(2.0) * 1000.0))
+  val (fsSrcPair, fsLangPair, fsLenPair, fsSimPair) =
+    (fsW(0.90, 0.25), fsW(0.95, 0.50), fsW(0.80, 0.30), fsW(0.85, 0.05))
+  val FsSrcA: Long = fsSrcPair._1
+  val FsSrcD: Long = fsSrcPair._2
+  val FsLangA: Long = fsLangPair._1
+  val FsLangD: Long = fsLangPair._2
+  val FsLenA: Long = fsLenPair._1
+  val FsLenD: Long = fsLenPair._2
+  val FsSimA: Long = fsSimPair._1
+  val FsSimD: Long = fsSimPair._2
+
+  /** Upper FS threshold (milli-bits): total weight ≥ this ⇒ 'match';
+    * ≥ 0 ⇒ 'possible' (clerical-review band); else 'non_match'. */
+  val FsMatchMilli: Long = 4000L
 }

@@ -1524,6 +1524,115 @@ object OpsQueries {
         |  CAST(SUM(wgt) AS BIGINT) AS dec_w,
         |  CAST(SUM(wgt) AS BIGINT) * 1000000 // (1::BIGINT << 20)
         |    AS dec_score_1e6
-        |FROM w GROUP BY event_type""".stripMargin))
+        |FROM w GROUP BY event_type""".stripMargin)),
+
+    // ── Benford first-digit audit of order totals — the classic fraud /
+    //    data-fabrication screen: the observed first-significant-digit
+    //    distribution vs Benford's log10(1+1/d) expectation. The digit
+    //    is extracted EXACTLY (floor to BIGINT, first character of the
+    //    decimal rendering) — no log10/pow floats, whose boundary
+    //    behavior differs across engines; the nine irrational expected
+    //    shares enter both engines as the SAME precomputed 1e9 integer
+    //    literals (the NDCG-weights pattern). Output: per digit the
+    //    exact count, fixed-point observed and expected shares, and the
+    //    signed deviation. One scan, 9-row output, trivially mergeable.
+    QueryDef(
+      "q275_benford",
+      (s, dir) => {
+        import s.implicits._
+        val bexp = BenfordExp1e9.zipWithIndex
+          .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}L" }
+          .mkString("CASE digit ", " ", " END")
+        Tables.orders(s, dir)
+          .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice)" +
+            " AS BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(
+            Tables.orders(s, dir).agg(count(lit(1)).as("total"))))
+          .select($"digit", $"n",
+            expr("n * 1000000000 div total").as("obs_1e9"),
+            expr(bexp).as("exp_1e9"))
+          .withColumn("dev_1e9", $"obs_1e9" - $"exp_1e9")
+      },
+      Some {
+        val bexp = BenfordExp1e9.zipWithIndex
+          .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }
+          .mkString("CASE digit ", " ", " END")
+        s"""WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+        |SELECT digit, n,
+        |  n * 1000000000 // total AS obs_1e9,
+        |  CAST($bexp AS BIGINT) AS exp_1e9,
+        |  n * 1000000000 // total - $bexp AS dev_1e9
+        |FROM obs, tot""".stripMargin
+      }),
+
+    // ── Seasonal-naive forecast error (MASE): per event type, the mean
+    //    absolute error of the lag-7 ("same weekday last week") forecast
+    //    scaled by the lag-1 naive baseline — the scale-free forecast
+    //    quality number (< 1e6 fixed point ⇒ weekly seasonality beats
+    //    plain persistence). Daily counts are EXACT integers, so both
+    //    error sums are integer sums of |Δcount| and the ratio is one
+    //    fixed-point division with cross-multiplied means (no float
+    //    anywhere). Lags are ROW lags over each type's observed-day
+    //    series (gap days are absent rows, stated in the name ordering
+    //    both engines replay). Scale: one keyed rollup to #types×#days,
+    //    windows over the bounded daily spine only.
+    QueryDef(
+      "q276_mase",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .select($"event_type",
+            unix_date($"ts".cast("date")).cast("long").as("d"))
+          .groupBy($"event_type", $"d").agg(count(lit(1)).as("y"))
+        val w = Window.partitionBy($"event_type").orderBy($"d".asc)
+        daily
+          .withColumn("y1", lag($"y", 1).over(w))
+          .withColumn("y7", lag($"y", 7).over(w))
+          .groupBy($"event_type")
+          .agg(
+            sum(when($"y7".isNotNull, abs($"y" - $"y7"))).as("e7"),
+            count($"y7").as("n7"),
+            sum(when($"y1".isNotNull, abs($"y" - $"y1"))).as("e1"),
+            count($"y1").as("n1"))
+          .where($"n7" > 0L && $"n1" > 0L && $"e1" > 0L)
+          .withColumn("mase_1e6",
+            expr("e7 * n1 * 1000000 div (n7 * e1)"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, y,
+        |    LAG(y, 1) OVER (PARTITION BY event_type ORDER BY d ASC) AS y1,
+        |    LAG(y, 7) OVER (PARTITION BY event_type ORDER BY d ASC) AS y7
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN y7 IS NOT NULL
+        |      THEN abs(y - y7) END) AS BIGINT) AS e7,
+        |    CAST(COUNT(y7) AS BIGINT) AS n7,
+        |    CAST(SUM(CASE WHEN y1 IS NOT NULL
+        |      THEN abs(y - y1) END) AS BIGINT) AS e1,
+        |    CAST(COUNT(y1) AS BIGINT) AS n1
+        |  FROM lagged GROUP BY 1)
+        |SELECT event_type, e7, n7, e1, n1,
+        |  e7 * n1 * 1000000 // (n7 * e1) AS mase_1e6
+        |FROM m WHERE n7 > 0 AND n1 > 0 AND e1 > 0""".stripMargin))
   )
+
+  /** Benford's-law expected first-digit shares, floor(log10(1+1/d)·1e9):
+    * irrational constants precomputed ONCE here so both engines consume
+    * identical integer literals (the NDCG-weights pattern) and no
+    * runtime log10 ever runs in either plan. */
+  val BenfordExp1e9: Seq[Long] =
+    (1 to 9).map(d => (math.log10(1.0 + 1.0 / d) * 1e9).toLong)
 }

@@ -1899,6 +1899,71 @@ object SimilarityQueries {
         |  COALESCE(c.cut, 0) * 1000000000
         |    // greatest(1, least(v.vol, tv.tv - v.vol)) AS phi_1e9
         |FROM vol v LEFT JOIN cut c ON v.label = c.label, tv"""
+        .stripMargin)),
+
+    // ── Newman modularity of the label partition on the kNN graph —
+    //    conductance's (q250) global sibling: per label c,
+    //    Q_c = e_c/m − (d_c/2m)², where e_c = intra-label edges, d_c =
+    //    degree volume, m = total undirected edges. Positive Q_c = the
+    //    label holds MORE of its edge mass than a degree-preserving
+    //    random graph would give it — the standard community-quality
+    //    score, and with conductance the pair every clustering eval
+    //    needs. Fixed-point shape chosen for OVERFLOW SAFETY, not just
+    //    determinism: the share d_c·1e6 div 2m is truncated BEFORE
+    //    squaring, so every intermediate stays ≤ 1e12 regardless of
+    //    graph size (the naive d_c²·1e6 blows past BIGINT at m ≈ 1.5e6).
+    //    Same und/vol substrate as q250; one extra keyed agg for e_c.
+    QueryDef(
+      "q273_modularity",
+      (s, dir) => {
+        import s.implicits._
+        val lab = Tables.embeddings(s, dir).select($"vec_id", $"label")
+        val und = knnEdgesCached(s, dir)
+          .select(least($"src", $"dst").as("u"),
+            greatest($"src", $"dst").as("v"))
+          .distinct()
+          .join(lab.select($"vec_id".as("u"), $"label".as("lu")), "u")
+          .join(lab.select($"vec_id".as("v"), $"label".as("lv")), "v")
+          .localCheckpoint()
+        val m = und.agg(count(lit(1)).as("m"))
+        val intra = und.where($"lu" === $"lv")
+          .groupBy($"lu".as("label")).agg(count(lit(1)).as("e_in"))
+        val vol = und.select($"lu".as("label"))
+          .unionByName(und.select($"lv".as("label")))
+          .groupBy($"label").agg(count(lit(1)).as("d_sum"))
+        vol.join(intra, Seq("label"), "left")
+          .crossJoin(broadcast(m))
+          .select($"label",
+            coalesce($"e_in", lit(0L)).as("e_in"), $"d_sum", $"m")
+          .withColumn("q_1e6",
+            expr("e_in * 1000000 div m - " +
+              "((d_sum * 1000000 div (2 * m)) * " +
+              "(d_sum * 1000000 div (2 * m))) div 1000000"))
+      },
+      Some(knnEdgesCtesSql + """,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |und AS MATERIALIZED (
+        |  SELECT e.u, e.v, a.label AS lu, b.label AS lv
+        |  FROM (SELECT DISTINCT least(src, dst) AS u,
+        |      greatest(src, dst) AS v FROM edges) e
+        |  JOIN lab a ON a.vec_id = e.u
+        |  JOIN lab b ON b.vec_id = e.v),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+        |intra AS (
+        |  SELECT lu AS label, CAST(COUNT(*) AS BIGINT) AS e_in
+        |  FROM und WHERE lu = lv GROUP BY 1),
+        |vol AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS d_sum FROM (
+        |    SELECT lu AS label FROM und
+        |    UNION ALL SELECT lv FROM und)
+        |  GROUP BY 1)
+        |SELECT v.label,
+        |  CAST(COALESCE(i.e_in, 0) AS BIGINT) AS e_in,
+        |  v.d_sum, m.m,
+        |  COALESCE(i.e_in, 0) * 1000000 // m.m
+        |    - ((v.d_sum * 1000000 // (2 * m.m))
+        |       * (v.d_sum * 1000000 // (2 * m.m))) // 1000000 AS q_1e6
+        |FROM vol v LEFT JOIN intra i ON v.label = i.label, m"""
         .stripMargin))
   )
 

@@ -937,6 +937,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("l_quantity"), p.take(1600))
   }
 
+  test("q273 modularity: edge-keyed rollups, scalar m broadcast, no cartesian") {
+    val p = planOf("q273_modularity")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q274 chi2: the R×C grid is dim×dim, windows and cartesians absent") {
+    val p = planOf("q274_chi2_independence")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(!p.contains("WindowExec"), p.take(1600))
+  }
+
+  test("q276 mase: lag windows are keyed by event_type, never global") {
+    val p = planOf("q276_mase")
+    assert(!p.contains("SinglePartition, ENSURE"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q277 fs linkage: block-keyed candidates, keyed verify, no cartesian") {
+    val p = planOf("q277_fs_linkage")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    // the SNM window partitions on blk; the Jaccard verify joins on keys
+    assert(!p.contains("SinglePartition, ENSURE"), p.take(1600))
+  }
+
   test("q272 Q6 shape: every predicate and only 4 columns reach the scan") {
     // toString truncates scan metadata at 100 chars, so pin the full
     // filter set through the scan node's dataFilters instead
