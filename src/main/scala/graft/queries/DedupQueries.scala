@@ -1466,125 +1466,207 @@ object DedupQueries {
       "q277_fs_linkage",
       (s, dir) => {
         import s.implicits._
-        val d = Tables.documents(s, dir)
-          .select($"doc_id", $"source", $"lang", $"n_chars",
-            lower(trim($"text")).as("k"))
-          .withColumn("blk", substring($"k", 1, 4))
-        val w = Window.partitionBy($"blk").orderBy($"k".asc, $"doc_id".asc)
-        val nbr = d
-          .withColumn("n1", lead($"doc_id", 1).over(w))
-          .withColumn("n2", lead($"doc_id", 2).over(w))
-        val cand = nbr.where($"n1".isNotNull)
-          .select($"doc_id".as("x"), $"n1".as("y"))
-          .unionByName(nbr.where($"n2".isNotNull)
-            .select($"doc_id".as("x"), $"n2".as("y")))
-          .select(least($"x", $"y").as("pa"), greatest($"x", $"y").as("pb"))
-          .distinct()
-          .localCheckpoint()
-        val sh = Tables.documents(s, dir)
-          .select($"doc_id", TextAnalysis.tokens($"text").as("_w"))
-          .select($"doc_id",
-            explode(TextAnalysis.shinglesFromTokens($"_w")).as("shingle"))
-          .select($"doc_id", TextAnalysis.hash60Fast(s, $"shingle").as("h"))
-          .distinct()
-        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(sh.select($"doc_id".as("pa"), $"h"), "pa")
-          .join(sh.select($"doc_id".as("pb"), $"h"), Seq("pb", "h"))
-          .groupBy($"pa", $"pb").agg(count(lit(1)).as("ni"))
-        val attrs = d.select($"doc_id", $"source", $"lang", $"n_chars")
-        val scored = cand
-          .join(attrs.select($"doc_id".as("pa"), $"source".as("src_a"),
-            $"lang".as("lang_a"), $"n_chars".as("len_a")), "pa")
-          .join(attrs.select($"doc_id".as("pb"), $"source".as("src_b"),
-            $"lang".as("lang_b"), $"n_chars".as("len_b")), "pb")
-          .join(sizes.select($"doc_id".as("pa"), $"n".as("na")),
-            Seq("pa"), "left")
-          .join(sizes.select($"doc_id".as("pb"), $"n".as("nb")),
-            Seq("pb"), "left")
-          .join(inter, Seq("pa", "pb"), "left")
-          .na.fill(0L, Seq("na", "nb", "ni"))
-          .select(
-            ($"src_a" === $"src_b").cast("int").as("a_src"),
-            ($"lang_a" === $"lang_b").cast("int").as("a_lang"),
-            (abs($"len_a" - $"len_b") * 5 <= least($"len_a", $"len_b"))
-              .cast("int").as("a_len"),
-            (($"na" + $"nb" > 0L) && ($"ni" * 3 >= $"na" + $"nb"))
-              .cast("int").as("a_sim"))
-          .withColumn("weight_milli", expr(
-            s"CASE WHEN a_src = 1 THEN ${FsSrcA}L ELSE ${FsSrcD}L END + " +
-              s"CASE WHEN a_lang = 1 THEN ${FsLangA}L ELSE ${FsLangD}L END + " +
-              s"CASE WHEN a_len = 1 THEN ${FsLenA}L ELSE ${FsLenD}L END + " +
-              s"CASE WHEN a_sim = 1 THEN ${FsSimA}L ELSE ${FsSimD}L END"))
+        fsScoredPairs(s, dir)
           .withColumn("fs_class",
             when($"weight_milli" >= FsMatchMilli, "match")
               .when($"weight_milli" >= 0L, "possible")
               .otherwise("non_match"))
-        scored
           .groupBy($"a_src", $"a_lang", $"a_len", $"a_sim",
             $"weight_milli", $"fs_class")
           .agg(count(lit(1)).as("n_pairs"))
       },
-      Some(s"""WITH $shingleCte,
-        |hsh AS (
-        |  SELECT DISTINCT doc_id,
-        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
-        |  FROM sh),
-        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM hsh GROUP BY 1),
-        |d AS (
-        |  SELECT doc_id, source, lang, n_chars, lower(trim(text)) AS k,
-        |    substr(lower(trim(text)), 1, 4) AS blk
-        |  FROM documents),
-        |nbr AS (
-        |  SELECT doc_id,
-        |    LEAD(doc_id, 1) OVER (PARTITION BY blk
-        |      ORDER BY k ASC, doc_id ASC) AS n1,
-        |    LEAD(doc_id, 2) OVER (PARTITION BY blk
-        |      ORDER BY k ASC, doc_id ASC) AS n2
-        |  FROM d),
-        |cand AS (
-        |  SELECT DISTINCT least(x, y) AS pa, greatest(x, y) AS pb
-        |  FROM (
-        |    SELECT doc_id AS x, n1 AS y FROM nbr WHERE n1 IS NOT NULL
-        |    UNION ALL
-        |    SELECT doc_id AS x, n2 AS y FROM nbr WHERE n2 IS NOT NULL)),
-        |inter AS (
-        |  SELECT c.pa, c.pb, CAST(COUNT(*) AS BIGINT) AS ni
-        |  FROM cand c
-        |  JOIN hsh a ON a.doc_id = c.pa
-        |  JOIN hsh b ON b.doc_id = c.pb AND b.h = a.h
-        |  GROUP BY 1, 2),
-        |vec AS (
-        |  SELECT
-        |    CAST(da.source = db.source AS INT) AS a_src,
-        |    CAST(da.lang = db.lang AS INT) AS a_lang,
-        |    CAST(abs(da.n_chars - db.n_chars) * 5
-        |      <= least(da.n_chars, db.n_chars) AS INT) AS a_len,
-        |    CAST(COALESCE(sa.n, 0) + COALESCE(sb.n, 0) > 0
-        |      AND COALESCE(i.ni, 0) * 3
-        |        >= COALESCE(sa.n, 0) + COALESCE(sb.n, 0) AS INT) AS a_sim
-        |  FROM cand c
-        |  JOIN d da ON da.doc_id = c.pa
-        |  JOIN d db ON db.doc_id = c.pb
-        |  LEFT JOIN sz sa ON sa.doc_id = c.pa
-        |  LEFT JOIN sz sb ON sb.doc_id = c.pb
-        |  LEFT JOIN inter i ON i.pa = c.pa AND i.pb = c.pb),
-        |sc AS (
-        |  SELECT *,
-        |    (CASE WHEN a_src = 1 THEN $FsSrcA ELSE $FsSrcD END
-        |     + CASE WHEN a_lang = 1 THEN $FsLangA ELSE $FsLangD END
-        |     + CASE WHEN a_len = 1 THEN $FsLenA ELSE $FsLenD END
-        |     + CASE WHEN a_sim = 1 THEN $FsSimA ELSE $FsSimD END)::BIGINT
-        |      AS weight_milli
-        |  FROM vec)
+      Some(s"""WITH $fsPairCtes
         |SELECT a_src, a_lang, a_len, a_sim, weight_milli,
         |  CASE WHEN weight_milli >= $FsMatchMilli THEN 'match'
         |       WHEN weight_milli >= 0 THEN 'possible'
         |       ELSE 'non_match' END AS fs_class,
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
-        |FROM sc GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin))
+        |FROM sc GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin)),
+
+    // ── Golden-record assembly — the entity-resolution CAPSTONE: the FS
+    //    'match' pairs (q277's scorer at the upper threshold) close into
+    //    entities via connected components, every entity elects its
+    //    canonical survivor (longest text, ties to smallest id), and the
+    //    golden row carries the merged lineage a master-data table needs
+    //    (member count, distinct sources, lexicographic lang set). The
+    //    chain q277 → CC → election is exactly how production MDM
+    //    pipelines stack; every stage is a component already gated on
+    //    its own (FS weights, q49's label-prop CC, q255's max_by
+    //    election), composed here into one plan. Scale: match edges ≪
+    //    candidates, CC runs on the match-edge list only, the election
+    //    and rollup are one keyed agg each.
+    QueryDef(
+      "q279_golden_record",
+      (s, dir) => {
+        import s.implicits._
+        val matches = fsScoredPairs(s, dir)
+          .where($"weight_milli" >= FsMatchMilli)
+          .select($"pa", $"pb")
+        val cc = Dedup.connectedComponents(matches, "pa", "pb")
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"source", $"lang", $"n_chars")
+        val members = d
+          .join(cc.select($"id".as("doc_id"), $"cluster_id"),
+            Seq("doc_id"), "left")
+          .withColumn("entity_id", coalesce($"cluster_id", $"doc_id"))
+        members.groupBy($"entity_id")
+          .agg(
+            max_by($"doc_id", struct($"n_chars", -$"doc_id"))
+              .as("canonical_doc_id"),
+            count(lit(1)).as("n_members"),
+            countDistinct($"source").as("n_sources"),
+            array_join(array_sort(collect_set($"lang")), ",").as("langs"),
+            max($"n_chars").as("max_chars"))
+          .where($"n_members" > 1L)
+      },
+      Some(s"""WITH RECURSIVE $fsPairCtes,
+        |mp AS (
+        |  SELECT pa, pb FROM sc WHERE weight_milli >= $FsMatchMilli),
+        |edges AS (
+        |  SELECT pa AS src, pb AS dst FROM mp
+        |  UNION SELECT pb, pa FROM mp),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT r.src, g.dst FROM reach r
+        |    JOIN edges g ON r.dst = g.src),
+        |cc AS (
+        |  SELECT id, LEAST(id, MIN(dst)) AS cluster_id
+        |  FROM (SELECT src AS id, dst FROM reach) GROUP BY id),
+        |mem AS (
+        |  SELECT doc.doc_id, doc.source, doc.lang, doc.n_chars,
+        |    COALESCE(cc.cluster_id, doc.doc_id) AS entity_id
+        |  FROM documents doc LEFT JOIN cc ON doc.doc_id = cc.id)
+        |SELECT entity_id,
+        |  FIRST(doc_id ORDER BY n_chars DESC, doc_id ASC)
+        |    AS canonical_doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  array_to_string(list_sort(list_distinct(list(lang))), ',')
+        |    AS langs,
+        |  MAX(n_chars) AS max_chars
+        |FROM mem GROUP BY entity_id
+        |HAVING COUNT(*) > 1""".stripMargin))
   )
+
+  /** FS pair scorer shared by q277 (pattern table) and q279 (golden
+    * record): q259's block-bounded candidates → 4-field agreement
+    * vector → milli-bit log-odds weight. Returns (pa, pb, a_src,
+    * a_lang, a_len, a_sim, weight_milli); candidate generation is
+    * lead-window-bounded (≤ 2n pairs), the Jaccard arm touches
+    * candidates only, nothing is pair-quadratic.
+    */
+  private def fsScoredPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"lang", $"n_chars",
+        lower(trim($"text")).as("k"))
+      .withColumn("blk", substring($"k", 1, 4))
+    val w = Window.partitionBy($"blk").orderBy($"k".asc, $"doc_id".asc)
+    val nbr = d
+      .withColumn("n1", lead($"doc_id", 1).over(w))
+      .withColumn("n2", lead($"doc_id", 2).over(w))
+    val cand = nbr.where($"n1".isNotNull)
+      .select($"doc_id".as("x"), $"n1".as("y"))
+      .unionByName(nbr.where($"n2".isNotNull)
+        .select($"doc_id".as("x"), $"n2".as("y")))
+      .select(least($"x", $"y").as("pa"), greatest($"x", $"y").as("pb"))
+      .distinct()
+      .localCheckpoint()
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("_w"))
+      .select($"doc_id",
+        explode(TextAnalysis.shinglesFromTokens($"_w")).as("shingle"))
+      .select($"doc_id", TextAnalysis.hash60Fast(s, $"shingle").as("h"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select($"doc_id".as("pa"), $"h"), "pa")
+      .join(sh.select($"doc_id".as("pb"), $"h"), Seq("pb", "h"))
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("ni"))
+    val attrs = d.select($"doc_id", $"source", $"lang", $"n_chars")
+    cand
+      .join(attrs.select($"doc_id".as("pa"), $"source".as("src_a"),
+        $"lang".as("lang_a"), $"n_chars".as("len_a")), "pa")
+      .join(attrs.select($"doc_id".as("pb"), $"source".as("src_b"),
+        $"lang".as("lang_b"), $"n_chars".as("len_b")), "pb")
+      .join(sizes.select($"doc_id".as("pa"), $"n".as("na")),
+        Seq("pa"), "left")
+      .join(sizes.select($"doc_id".as("pb"), $"n".as("nb")),
+        Seq("pb"), "left")
+      .join(inter, Seq("pa", "pb"), "left")
+      .na.fill(0L, Seq("na", "nb", "ni"))
+      .select($"pa", $"pb",
+        ($"src_a" === $"src_b").cast("int").as("a_src"),
+        ($"lang_a" === $"lang_b").cast("int").as("a_lang"),
+        (abs($"len_a" - $"len_b") * 5 <= least($"len_a", $"len_b"))
+          .cast("int").as("a_len"),
+        (($"na" + $"nb" > 0L) && ($"ni" * 3 >= $"na" + $"nb"))
+          .cast("int").as("a_sim"))
+      .withColumn("weight_milli", expr(
+        s"CASE WHEN a_src = 1 THEN ${FsSrcA}L ELSE ${FsSrcD}L END + " +
+          s"CASE WHEN a_lang = 1 THEN ${FsLangA}L ELSE ${FsLangD}L END + " +
+          s"CASE WHEN a_len = 1 THEN ${FsLenA}L ELSE ${FsLenD}L END + " +
+          s"CASE WHEN a_sim = 1 THEN ${FsSimA}L ELSE ${FsSimD}L END"))
+  }
+
+  /** Oracle CTE chain for [[fsScoredPairs]] — ends at `sc` = per-pair
+    * (pa, pb, agreement vector, weight_milli). q277 appends the pattern
+    * rollup; q279 appends the recursive-CC golden-record assembly. */
+  private def fsPairCtes: String =
+    s"""$shingleCte,
+    |hsh AS (
+    |  SELECT DISTINCT doc_id,
+    |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+    |  FROM sh),
+    |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+    |  FROM hsh GROUP BY 1),
+    |d AS (
+    |  SELECT doc_id, source, lang, n_chars, lower(trim(text)) AS k,
+    |    substr(lower(trim(text)), 1, 4) AS blk
+    |  FROM documents),
+    |nbr AS (
+    |  SELECT doc_id,
+    |    LEAD(doc_id, 1) OVER (PARTITION BY blk
+    |      ORDER BY k ASC, doc_id ASC) AS n1,
+    |    LEAD(doc_id, 2) OVER (PARTITION BY blk
+    |      ORDER BY k ASC, doc_id ASC) AS n2
+    |  FROM d),
+    |cand AS (
+    |  SELECT DISTINCT least(x, y) AS pa, greatest(x, y) AS pb
+    |  FROM (
+    |    SELECT doc_id AS x, n1 AS y FROM nbr WHERE n1 IS NOT NULL
+    |    UNION ALL
+    |    SELECT doc_id AS x, n2 AS y FROM nbr WHERE n2 IS NOT NULL)),
+    |inter AS (
+    |  SELECT c.pa, c.pb, CAST(COUNT(*) AS BIGINT) AS ni
+    |  FROM cand c
+    |  JOIN hsh a ON a.doc_id = c.pa
+    |  JOIN hsh b ON b.doc_id = c.pb AND b.h = a.h
+    |  GROUP BY 1, 2),
+    |vec AS (
+    |  SELECT c.pa, c.pb,
+    |    CAST(da.source = db.source AS INT) AS a_src,
+    |    CAST(da.lang = db.lang AS INT) AS a_lang,
+    |    CAST(abs(da.n_chars - db.n_chars) * 5
+    |      <= least(da.n_chars, db.n_chars) AS INT) AS a_len,
+    |    CAST(COALESCE(sa.n, 0) + COALESCE(sb.n, 0) > 0
+    |      AND COALESCE(i.ni, 0) * 3
+    |        >= COALESCE(sa.n, 0) + COALESCE(sb.n, 0) AS INT) AS a_sim
+    |  FROM cand c
+    |  JOIN d da ON da.doc_id = c.pa
+    |  JOIN d db ON db.doc_id = c.pb
+    |  LEFT JOIN sz sa ON sa.doc_id = c.pa
+    |  LEFT JOIN sz sb ON sb.doc_id = c.pb
+    |  LEFT JOIN inter i ON i.pa = c.pa AND i.pb = c.pb),
+    |sc AS (
+    |  SELECT *,
+    |    (CASE WHEN a_src = 1 THEN $FsSrcA ELSE $FsSrcD END
+    |     + CASE WHEN a_lang = 1 THEN $FsLangA ELSE $FsLangD END
+    |     + CASE WHEN a_len = 1 THEN $FsLenA ELSE $FsLenD END
+    |     + CASE WHEN a_sim = 1 THEN $FsSimA ELSE $FsSimD END)::BIGINT
+    |      AS weight_milli
+    |  FROM vec)""".stripMargin
 
   /** Fellegi–Sunter field weights in MILLI-BITS: agreement log2(m/u),
     * disagreement log2((1−m)/(1−u)), for (m, u) priors chosen per field

@@ -1526,52 +1526,6 @@ object OpsQueries {
         |    AS dec_score_1e6
         |FROM w GROUP BY event_type""".stripMargin)),
 
-    // ── Benford first-digit audit of order totals — the classic fraud /
-    //    data-fabrication screen: the observed first-significant-digit
-    //    distribution vs Benford's log10(1+1/d) expectation. The digit
-    //    is extracted EXACTLY (floor to BIGINT, first character of the
-    //    decimal rendering) — no log10/pow floats, whose boundary
-    //    behavior differs across engines; the nine irrational expected
-    //    shares enter both engines as the SAME precomputed 1e9 integer
-    //    literals (the NDCG-weights pattern). Output: per digit the
-    //    exact count, fixed-point observed and expected shares, and the
-    //    signed deviation. One scan, 9-row output, trivially mergeable.
-    QueryDef(
-      "q275_benford",
-      (s, dir) => {
-        import s.implicits._
-        val bexp = BenfordExp1e9.zipWithIndex
-          .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}L" }
-          .mkString("CASE digit ", " ", " END")
-        Tables.orders(s, dir)
-          .select(expr("CAST(substring(CAST(CAST(floor(o_totalprice)" +
-            " AS BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
-          .groupBy($"digit").agg(count(lit(1)).as("n"))
-          .crossJoin(broadcast(
-            Tables.orders(s, dir).agg(count(lit(1)).as("total"))))
-          .select($"digit", $"n",
-            expr("n * 1000000000 div total").as("obs_1e9"),
-            expr(bexp).as("exp_1e9"))
-          .withColumn("dev_1e9", $"obs_1e9" - $"exp_1e9")
-      },
-      Some {
-        val bexp = BenfordExp1e9.zipWithIndex
-          .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }
-          .mkString("CASE digit ", " ", " END")
-        s"""WITH d AS (
-        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
-        |    AS VARCHAR), 1, 1) AS INT) AS digit
-        |  FROM orders),
-        |obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM d GROUP BY 1),
-        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
-        |SELECT digit, n,
-        |  n * 1000000000 // total AS obs_1e9,
-        |  CAST($bexp AS BIGINT) AS exp_1e9,
-        |  n * 1000000000 // total - $bexp AS dev_1e9
-        |FROM obs, tot""".stripMargin
-      }),
-
     // ── Seasonal-naive forecast error (MASE): per event type, the mean
     //    absolute error of the lag-7 ("same weekday last week") forecast
     //    scaled by the lag-1 naive baseline — the scale-free forecast
@@ -1629,10 +1583,4 @@ object OpsQueries {
         |FROM m WHERE n7 > 0 AND n1 > 0 AND e1 > 0""".stripMargin))
   )
 
-  /** Benford's-law expected first-digit shares, floor(log10(1+1/d)·1e9):
-    * irrational constants precomputed ONCE here so both engines consume
-    * identical integer literals (the NDCG-weights pattern) and no
-    * runtime log10 ever runs in either plan. */
-  val BenfordExp1e9: Seq[Long] =
-    (1 to 9).map(d => (math.log10(1.0 + 1.0 / d) * 1e9).toLong)
 }

@@ -23,6 +23,73 @@ object ProfilingQueries {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // ── Approximate functional-dependency audit (g3 measure) — the
+    //    schema-discovery profiler: for each candidate A→B, the MINIMUM
+    //    number of rows to delete for the dependency to hold exactly is
+    //    n − Σ_a max_b count(a,b) (Kivinen–Mannila g3). Everything is a
+    //    pair of keyed aggs per candidate — count per (A,B), then
+    //    max/sum per A — so each audit costs one shuffle on A and
+    //    reports exact integers: total rows, distinct keys, violating
+    //    rows/keys, and g3 in 1e6 fixed point. Four candidates across
+    //    four tables ride one plan via unionByName; a real profiler
+    //    would fan the same shape across every column pair. Scale: no
+    //    windows, no distinct-on-fact, partial aggs do the heavy
+    //    lifting map-side.
+    QueryDef(
+      "q275_fd_audit",
+      (s, dir) => {
+        import s.implicits._
+        def g3(df: org.apache.spark.sql.DataFrame, tbl: String,
+            lhs: String, rhs: String) = {
+          val cnt = df.select(col(lhs).as("a"), col(rhs).as("b"))
+            .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+          cnt.groupBy($"a")
+            .agg(sum($"c").as("tot"), max($"c").as("mx"),
+              count(lit(1)).as("n_rhs"))
+            .agg(sum($"tot").as("n_rows"),
+              count(lit(1)).as("n_keys"),
+              sum($"tot" - $"mx").as("violations"),
+              sum(when($"n_rhs" > 1, 1L).otherwise(0L))
+                .as("violating_keys"))
+            .select(lit(tbl).as("tbl"), lit(lhs).as("lhs"),
+              lit(rhs).as("rhs"), $"n_rows", $"n_keys", $"violations",
+              $"violating_keys")
+            .withColumn("g3_1e6", expr("violations * 1000000 div n_rows"))
+        }
+        g3(Tables.part(s, dir), "part", "p_brand", "p_type")
+          .unionByName(g3(Tables.orders(s, dir), "orders",
+            "o_custkey", "o_orderpriority"))
+          .unionByName(g3(Tables.documents(s, dir), "documents",
+            "source", "lang"))
+          .unionByName(g3(Tables.lineitem(s, dir), "lineitem",
+            "l_partkey", "l_suppkey"))
+      },
+      Some {
+        def g3(tbl: String, lhs: String, rhs: String) =
+          s"""SELECT '$tbl' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs,
+          |  CAST(SUM(tot) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+          |  CAST(SUM(tot - mx) AS BIGINT) AS violations,
+          |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS violating_keys
+          |FROM (
+          |  SELECT a, SUM(c) AS tot, MAX(c) AS mx, COUNT(*) AS n_rhs
+          |  FROM (SELECT $lhs AS a, $rhs AS b, COUNT(*) AS c
+          |        FROM $tbl GROUP BY 1, 2)
+          |  GROUP BY a)""".stripMargin
+        s"""SELECT tbl, lhs, rhs, n_rows, n_keys, violations,
+        |  violating_keys,
+        |  violations * 1000000 // n_rows AS g3_1e6
+        |FROM (
+        |${g3("part", "p_brand", "p_type")}
+        |UNION ALL
+        |${g3("orders", "o_custkey", "o_orderpriority")}
+        |UNION ALL
+        |${g3("documents", "source", "lang")}
+        |UNION ALL
+        |${g3("lineitem", "l_partkey", "l_suppkey")})""".stripMargin
+      }),
+
     // ── Frequent-items (heavy-hitters) profiling via the native
     //    Misra-Gries TypedImperativeAggregate ([[graft.functions
     //    .HeavyHitters]]): a capacity-bounded summary whose partials are

@@ -961,6 +961,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition, ENSURE"), p.take(1600))
   }
 
+  test("q275 fd audit: keyed aggs only — no window, no fact distinct") {
+    val p = planOf("q275_fd_audit")
+    assert(!p.contains("WindowExec"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q279 golden record: CC on match edges, keyed election, no cartesian") {
+    val p = planOf("q279_golden_record")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q272 Q6 shape: every predicate and only 4 columns reach the scan") {
     // toString truncates scan metadata at 100 chars, so pin the full
     // filter set through the scan node's dataFilters instead
