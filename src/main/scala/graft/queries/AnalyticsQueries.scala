@@ -395,7 +395,8 @@ object AnalyticsQueries {
     productProfitDef,
     largeOrdersDef,
     disjunctiveRevenueDef,
-    forecastRevenueDef
+    forecastRevenueDef,
+    cupedDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -2140,4 +2141,76 @@ object AnalyticsQueries {
       |  AND l_shipdate < TIMESTAMP '1998-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24.0""".stripMargin))
+
+  // ── CUPED-adjusted A/B readout — the experimentation-platform
+  //    primitive: users assign to arms by SALTED HASH (q63's
+  //    reproducible-split contract — no RNG state, stable under
+  //    re-partitioning), the metric is the post-period engagement count,
+  //    and pre-period counts drive the CUPED variance reduction
+  //    Y_adj = Y − θ(X − X̄) with θ = cov(X,Y)/var(X). Every moment
+  //    (Σx, Σy, Σxy, Σx²) is an EXACT BIGINT over per-user integer
+  //    counts — no float accumulation anywhere — and θ/X̄/the adjusted
+  //    means are IEEE divisions of identical integer cross-terms in
+  //    both engines. Scale: one events scan, one shuffle on user_id,
+  //    a 1-row pooled frame broadcast onto the 2-row arm rollup.
+  private def cupedDef: QueryDef = QueryDef(
+    "q278_cuped",
+    (s, dir) => {
+      import s.implicits._
+      val per = Tables.events(s, dir)
+        .select($"user_id",
+          ($"ts" < "2024-01-16").cast("long").as("pre"))
+        .groupBy($"user_id")
+        .agg(sum($"pre").as("x"), sum(lit(1L) - $"pre").as("y"))
+        .withColumn("arm", pmod(graft.ext.TextAnalysis.hash60(
+          concat(lit("ab:"), $"user_id".cast("string"))), lit(2))
+          .cast("int"))
+      val pooled = per
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+          sum($"x" * $"y").as("sxy"))
+        .select(
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("theta"),
+          ($"sx".cast("double") / $"n".cast("double")).as("xbar"))
+      per.groupBy($"arm")
+        .agg(count(lit(1)).as("n_users"), sum($"x").as("sum_x"),
+          sum($"y").as("sum_y"))
+        .crossJoin(broadcast(pooled))
+        .select($"arm", $"n_users", $"sum_x", $"sum_y", $"theta",
+          ($"sum_y".cast("double") / $"n_users".cast("double"))
+            .as("mean_y"),
+          (($"sum_y".cast("double") - $"theta" *
+            ($"sum_x".cast("double") -
+              $"n_users".cast("double") * $"xbar")) /
+            $"n_users".cast("double")).as("mean_y_adj"))
+    },
+    Some("""WITH per AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS y,
+      |    CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+      |      1, 15))::BIGINT % 2 AS INT) AS arm
+      |  FROM events GROUP BY user_id),
+      |pooled AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM per),
+      |th AS (
+      |  SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+      |  FROM pooled)
+      |SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(x) AS BIGINT) AS sum_x,
+      |  CAST(SUM(y) AS BIGINT) AS sum_y, theta,
+      |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_y,
+      |  (CAST(SUM(y) AS DOUBLE) - theta * (CAST(SUM(x) AS DOUBLE)
+      |    - CAST(COUNT(*) AS DOUBLE) * xbar))
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_y_adj
+      |FROM per, th GROUP BY arm, theta, xbar""".stripMargin))
 }

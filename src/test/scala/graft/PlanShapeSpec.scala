@@ -972,6 +972,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q278 cuped: one user_id shuffle, 1-row pooled broadcast, no window") {
+    val p = planOf("q278_cuped")
+    assert(!p.contains("WindowExec"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1600))
+  }
+
   test("q272 Q6 shape: every predicate and only 4 columns reach the scan") {
     // toString truncates scan metadata at 100 chars, so pin the full
     // filter set through the scan node's dataFilters instead
