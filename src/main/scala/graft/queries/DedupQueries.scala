@@ -1555,7 +1555,20 @@ object DedupQueries {
     * lead-window-bounded (≤ 2n pairs), the Jaccard arm touches
     * candidates only, nothing is pair-quadratic.
     */
+  private val fsPairsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), org.apache.spark.sql.DataFrame]
+
   private def fsScoredPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    // session-scoped shared substrate (the knnEdges posture): q277 and
+    // q279 consume the same scored pairs; the first consumer in numeric
+    // order pays the build, keyed on applicationId so a fresh session
+    // (or another fixture dir) rebuilds
+    fsPairsCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      fsScoredPairsBuild(s, dir).localCheckpoint())
+
+  private def fsScoredPairsBuild(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val d = Tables.documents(s, dir)
