@@ -396,7 +396,8 @@ object AnalyticsQueries {
     largeOrdersDef,
     disjunctiveRevenueDef,
     forecastRevenueDef,
-    cupedDef
+    cupedDef,
+    dppDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -2213,4 +2214,44 @@ object AnalyticsQueries {
       |    - CAST(COUNT(*) AS DOUBLE) * xbar))
       |    / CAST(COUNT(*) AS DOUBLE) AS mean_y_adj
       |FROM per, th GROUP BY arm, theta, xbar""".stripMargin))
+
+  // ── DYNAMIC partition pruning gate — q130 pins the static case (a
+  //    literal IN-list reaches PartitionFilters); this pins the runtime
+  //    case: the fact is the source=… partitioned layout, the dim is the
+  //    refresh shard — sources whose NEWEST doc id lands in modulus
+  //    class 0 (the incremental-refresh rotation: knowable only by
+  //    aggregating the corpus at RUN time, never foldable to a literal
+  //    IN-list) — and Catalyst must plant a dynamicpruning subquery on
+  //    the fact scan so only that shard's partitions are listed and
+  //    read. At 100 TB this is the star-join scan killer: without DPP
+  //    the fact scan reads every partition and the join discards most
+  //    of it. PlanShapeSpec pins `dynamicpruning` inside the scan's
+  //    PartitionFilters. Results are bit-equal to the unpartitioned
+  //    replay the oracle runs.
+  private def dppDef: QueryDef = QueryDef(
+    "q280_dynamic_pruning",
+    (s, dir) => {
+      import s.implicits._
+      val path = partitionedDocs(s, dir)
+      val hot = Tables.documents(s, dir)
+        .groupBy($"source").agg(count(lit(1)).as("sn"),
+          max($"doc_id").as("newest"))
+        .where(pmod($"newest", lit(3L)) === 0L)
+        .select($"source", $"sn")
+      s.read.parquet(path)
+        .join(broadcast(hot), Seq("source"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          max($"sn").as("sn"))
+    },
+    Some("""WITH hot AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sn
+      |  FROM documents GROUP BY 1
+      |  HAVING MAX(doc_id) % 3 = 0)
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MAX(h.sn) AS sn
+      |FROM documents d JOIN hot h ON d.source = h.source
+      |GROUP BY 1""".stripMargin))
 }

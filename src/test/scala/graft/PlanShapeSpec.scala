@@ -972,6 +972,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q280 dpp: the fact scan carries a dynamicpruning PartitionFilter") {
+    val p = planOf("q280_dynamic_pruning")
+    assert(p.contains("dynamicpruning"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q278 cuped: one user_id shuffle, 1-row pooled broadcast, no window") {
     val p = planOf("q278_cuped")
     assert(!p.contains("WindowExec"), p.take(1600))
