@@ -972,6 +972,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q281 loo valuation: one source shuffle, 1-row total broadcast") {
+    val p = planOf("q281_loo_source_value")
+    assert(!p.contains("WindowExec"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q280 dpp: the fact scan carries a dynamicpruning PartitionFilter") {
     val p = planOf("q280_dynamic_pruning")
     assert(p.contains("dynamicpruning"), p.take(2000))

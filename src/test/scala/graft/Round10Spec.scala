@@ -73,6 +73,31 @@ class Round10Spec extends SparkSpec {
     assert(math.abs(adjTotal - sumY.toDouble) < 1e-6 * sumY.toDouble, adjTotal)
   }
 
+  test("q281 loo slope equals an actual refit with the source dropped") {
+    import graft.ext.TextAnalysis
+    val rows = SparkEntry.queries("q281_loo_source_value")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.size > 1)
+    // brute-force refit for two sources: filter the corpus, recompute the
+    // normal-equation slope — must be BIT-equal (same integer sums, same
+    // single division) to the subtract-from-total closed form
+    rows.keys.toSeq.sorted.take(2).foreach { src =>
+      val toks = TextAnalysis.tokens($"text")
+      val d = Tables.documents(spark, dir)
+        .where($"source" =!= src)
+        .select(size(toks).cast("long").as("x"),
+          size(filter(toks, t => t.isin(TextAnalysis.stopwords: _*)))
+            .cast("long").as("y"))
+      val m = d.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+        sum($"x" * $"y").as("sxy")).collect()(0)
+      val (n, sx, sy, sxx, sxy) = (m.getLong(0), m.getLong(1),
+        m.getLong(2), m.getLong(3), m.getLong(4))
+      val refit = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(rows(src).getAs[Double]("slope_loo") == refit, src)
+    }
+  }
+
   test("q279 golden record: canonical member really is the longest doc") {
     val rows = SparkEntry.queries("q279_golden_record")(spark, dir).collect()
     assert(rows.nonEmpty)
