@@ -823,8 +823,148 @@ object ProfilingQueries {
         |  FROM (SELECT source, doc_id,
         |    ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
         |    FROM documents))
-        |WHERE rn <= 8""".stripMargin))
+        |WHERE rn <= 8""".stripMargin)),
+
+    // ── KMV set-operation estimation — the sketch operation HLL cannot
+    //    give: per-source vocabularies as bottom-64 hash sketches, and
+    //    per pair the INTERSECTION estimate from the union's bottom-k
+    //    (count members of both sketches inside it), side by side with
+    //    the exact intersection/union/Jaccard. Everything is integer and
+    //    hash-replayable, so the ESTIMATES hash-compare directly — no
+    //    error-bound booleans needed (the stronger form of the q68
+    //    posture). Distinct-union estimate (k−1)·2⁶⁰/h_k divides 2⁶⁰ by
+    //    h_k FIRST so no intermediate overflows BIGINT. Scale: sketches
+    //    are 64 longs per source forever and MERGEABLE (union = bottom-k
+    //    of concatenation — q260's append argument); the pair window
+    //    runs over ≤ 2k rows per source pair, never over vocabularies;
+    //    only the EXACT side (the gate's truth) touches the full
+    //    h-keyed vocab join, and a production run would drop it.
+    QueryDef(
+      "q282_kmv_intersect",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val vocab = Tables.documents(s, dir)
+          .select($"source", TextAnalysis.tokens($"text").as("_w"))
+          .select($"source",
+            explode(TextAnalysis.shinglesFromTokens($"_w")).as("shingle"))
+          .select($"source",
+            TextAnalysis.hash60Fast(s, $"shingle").as("h"))
+          .distinct()
+          .localCheckpoint()
+        val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("n"))
+        val kmv = vocab.groupBy($"source")
+          .agg(call_function("top_k", -$"h", $"h", lit(KmvK)).as("tk"))
+          .select($"source", explode($"tk").as("e"))
+          .select($"source", $"e.id".as("h"))
+        val pairs = sizes.select($"source".as("sa"), $"n".as("n_a"))
+          .join(broadcast(sizes.select($"source".as("sb"), $"n".as("n_b"))),
+            $"sa" < $"sb")
+        val pool = pairs.select($"sa", $"sb")
+          .join(kmv.select($"source".as("sa"), $"h"), Seq("sa"))
+          .withColumn("ina", lit(1L)).withColumn("inb", lit(0L))
+          .unionByName(pairs.select($"sa", $"sb")
+            .join(kmv.select($"source".as("sb"), $"h"), Seq("sb"))
+            .withColumn("ina", lit(0L)).withColumn("inb", lit(1L)))
+          .groupBy($"sa", $"sb", $"h")
+          .agg(max($"ina").as("ina"), max($"inb").as("inb"))
+        val w = Window.partitionBy($"sa", $"sb").orderBy($"h".asc)
+        val est = pool
+          .withColumn("rn", row_number().over(w))
+          .where($"rn" <= KmvK)
+          .groupBy($"sa", $"sb")
+          .agg(count(lit(1)).as("k_used"),
+            sum($"ina" * $"inb").as("est_inter_k"),
+            max($"h").as("h_k"))
+          .withColumn("est_j_1e6",
+            expr("est_inter_k * 1000000 div k_used"))
+          .withColumn("est_union",
+            when($"k_used" < KmvK, $"k_used")
+              .otherwise(expr(
+                s"(${KmvK - 1}) * (1152921504606846976 div h_k)")))
+          .drop("h_k")
+        val inter = vocab.as("a")
+          .join(vocab.as("b"),
+            $"a.h" === $"b.h" && $"a.source" < $"b.source")
+          .groupBy($"a.source".as("sa"), $"b.source".as("sb"))
+          .agg(count(lit(1)).as("exact_inter"))
+        pairs
+          .join(inter, Seq("sa", "sb"), "left")
+          .na.fill(0L, Seq("exact_inter"))
+          .withColumn("exact_union", $"n_a" + $"n_b" - $"exact_inter")
+          .withColumn("j_1e6",
+            expr("exact_inter * 1000000 div exact_union"))
+          .join(est, Seq("sa", "sb"))
+          .withColumnRenamed("sa", "source_a")
+          .withColumnRenamed("sb", "source_b")
+      },
+      Some(s"""WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END
+        |      AS w
+        |  FROM documents),
+        |v AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM (
+        |    SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |    FROM (SELECT source, w,
+        |          unnest(generate_series(1, len(w) - 2)) AS i FROM t))),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM v GROUP BY 1),
+        |kmv AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+        |    FROM v)
+        |  WHERE rn <= $KmvK),
+        |pr AS (
+        |  SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b
+        |  FROM sz a JOIN sz b ON a.source < b.source),
+        |pool AS (
+        |  SELECT sa, sb, h,
+        |    CAST(MAX(ina) AS BIGINT) AS ina, CAST(MAX(inb) AS BIGINT) AS inb
+        |  FROM (
+        |    SELECT p.sa, p.sb, k.h, 1 AS ina, 0 AS inb
+        |    FROM pr p JOIN kmv k ON k.source = p.sa
+        |    UNION ALL
+        |    SELECT p.sa, p.sb, k.h, 0, 1
+        |    FROM pr p JOIN kmv k ON k.source = p.sb)
+        |  GROUP BY 1, 2, 3),
+        |est AS (
+        |  SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS k_used,
+        |    CAST(SUM(ina * inb) AS BIGINT) AS est_inter_k,
+        |    MAX(h) AS h_k
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb
+        |      ORDER BY h ASC) AS rn
+        |    FROM pool)
+        |  WHERE rn <= $KmvK GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+        |  FROM v a JOIN v b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.sa AS source_a, p.sb AS source_b, p.n_a, p.n_b,
+        |  COALESCE(ex.exact_inter, 0) AS exact_inter,
+        |  p.n_a + p.n_b - COALESCE(ex.exact_inter, 0) AS exact_union,
+        |  COALESCE(ex.exact_inter, 0) * 1000000
+        |    // (p.n_a + p.n_b - COALESCE(ex.exact_inter, 0)) AS j_1e6,
+        |  e.k_used, e.est_inter_k,
+        |  e.est_inter_k * 1000000 // e.k_used AS est_j_1e6,
+        |  CASE WHEN e.k_used < $KmvK THEN e.k_used
+        |       ELSE (${KmvK - 1}) * (1152921504606846976 // e.h_k)
+        |       END AS est_union
+        |FROM pr p
+        |LEFT JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb
+        |JOIN est e ON e.sa = p.sa AND e.sb = p.sb""".stripMargin))
   )
+
+  /** KMV sketch size: bottom-64 hashes per source — fixed-size,
+    * mergeable, and shared by the intersection estimator and the
+    * distinct-union estimator ((k−1)·2⁶⁰/h_k). */
+  val KmvK = 64
 
   /** Benford expected first-digit frequencies log10(1 + 1/d), d = 1..9,
     * floor-scaled to 1e9 — irrational, so both engines consume these same

@@ -972,6 +972,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q282 kmv: bottom-k via the bounded-heap agg, pair windows keyed") {
+    val p = planOf("q282_kmv_intersect")
+    assert(p.contains("top_k"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(!p.contains("SinglePartition, ENSURE"), p.take(1600))
+  }
+
   test("q281 loo valuation: one source shuffle, 1-row total broadcast") {
     val p = planOf("q281_loo_source_value")
     assert(!p.contains("WindowExec"), p.take(1600))
