@@ -958,8 +958,72 @@ object ProfilingQueries {
         |       END AS est_union
         |FROM pr p
         |LEFT JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb
-        |JOIN est e ON e.sa = p.sa AND e.sb = p.sb""".stripMargin))
+        |JOIN est e ON e.sa = p.sa AND e.sb = p.sb""".stripMargin)),
+
+    // ── Subsampling confidence interval (Politis–Romano) with ZERO
+    //    randomness: 32 deterministic half-samples by salted hash (the
+    //    q63 membership contract — resample b keeps doc d iff
+    //    hash('bs:'b':'d) is even), each half-sample's mean document
+    //    length from exact BIGINT sums, and the CI is the 2nd/31st
+    //    order statistic of the 32 resample means. The uncertainty
+    //    number every profiling report should carry, reproducible on
+    //    any cluster at any parallelism. Scale: ONE corpus scan fans
+    //    out ×32 map-side (explode of a literal sequence — no shuffle
+    //    until the 32-row rollup), the rank window runs over 32
+    //    post-agg rows (bounded by construction, the W3 argument).
+    QueryDef(
+      "q283_subsample_ci",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+        val means = d
+          .select($"doc_id", $"n_chars",
+            explode(sequence(lit(0), lit(SubsampleB - 1))).as("b"))
+          .where(pmod(TextAnalysis.hash60(concat(lit("bs:"),
+            $"b".cast("string"), lit(":"), $"doc_id".cast("string"))),
+            lit(2L)) === 0L)
+          .groupBy($"b")
+          .agg(count(lit(1)).as("nb"), sum($"n_chars").as("sb"))
+          .select($"b",
+            ($"sb".cast("double") / $"nb".cast("double")).as("mb"))
+        val w = Window.orderBy($"mb".asc, $"b".asc)
+        val ranked = means.withColumn("rn", row_number().over(w))
+        d.agg(count(lit(1)).as("n_docs"),
+            (sum($"n_chars").cast("double") /
+              count(lit(1)).cast("double")).as("mean_chars"))
+          .crossJoin(broadcast(ranked.where($"rn" === 2)
+            .select($"mb".as("lo_mean"))))
+          .crossJoin(broadcast(ranked.where($"rn" === SubsampleB - 1)
+            .select($"mb".as("hi_mean"))))
+          .withColumn("n_resamples", lit(SubsampleB).cast("long"))
+      },
+      Some(s"""WITH r AS (
+        |  SELECT b, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sb
+        |  FROM documents,
+        |    (SELECT unnest(generate_series(0, ${SubsampleB - 1})) AS b)
+        |  WHERE ('0x' || substr(md5('bs:' || CAST(b AS VARCHAR) || ':'
+        |      || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |  GROUP BY b),
+        |m AS (SELECT b, CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb
+        |  FROM r),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY mb ASC, b ASC) AS rn
+        |  FROM m),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_chars
+        |  FROM documents)
+        |SELECT f.n_docs, f.mean_chars, lo.mb AS lo_mean, hi.mb AS hi_mean,
+        |  CAST($SubsampleB AS BIGINT) AS n_resamples
+        |FROM f,
+        |  (SELECT mb FROM rk WHERE rn = 2) lo,
+        |  (SELECT mb FROM rk WHERE rn = ${SubsampleB - 1}) hi"""
+        .stripMargin))
   )
+
+  /** Subsampling-CI resample count: 32 deterministic half-samples; the
+    * CI reads the 2nd and 31st order statistics (≈ the 5/95 band). */
+  val SubsampleB = 32
 
   /** KMV sketch size: bottom-64 hashes per source — fixed-size,
     * mergeable, and shared by the intersection estimator and the

@@ -379,6 +379,52 @@ object EventStream {
     spark.read.parquet(statePath)
   }
 
+  /** Streaming KMV sketch maintenance via foreachBatch — q282's
+    * bottom-k vocabulary sketches run as a stream: each micro-batch's
+    * per-source shingle-hash bottom-64 folds into the state table by
+    * re-sketching the union (bottom-k of a union = bottom-k of the
+    * concatenation of bottom-k's — the KMV merge law), so state is ≤ 64
+    * rows per source forever and every downstream estimate (distinct
+    * union, pair intersection) reads off the table without touching
+    * data. Like [[hllMaintain]] and unlike the sum-merged maintainers,
+    * the merge is MIN-idempotent: a replayed batch cannot move the
+    * sketch, so no batch-id ledger is needed — at-least-once delivery
+    * is already exactly-once for this state.
+    */
+  def kmvMaintain(spark: SparkSession, docs: DataFrame,
+      statePath: String, k: Int = 64): DataFrame = {
+    import graft.ext.TextAnalysis
+    graft.functions.GraftFunctions.register(spark)
+    def bottomK(rows: DataFrame): DataFrame = rows
+      .distinct()
+      .groupBy(col("source"))
+      .agg(call_function("top_k", -col("h"), col("h"), lit(k)).as("tk"))
+      .select(col("source"), explode(col("tk")).as("e"))
+      .select(col("source"), col("e.id").as("h"))
+    def sketch(df: DataFrame): DataFrame = bottomK(df
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("_w"))
+      .select(col("source"),
+        explode(TextAnalysis.shinglesFromTokens(col("_w"))).as("shingle"))
+      .select(col("source"),
+        TextAnalysis.hash60Fast(spark, col("shingle")).as("h")))
+    val q = docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val incoming = sketch(batch)
+        val merged =
+          if (stateExists(spark, statePath))
+            bottomK(spark.read.parquet(statePath).unionByName(incoming))
+          else incoming
+        swapWrite(spark, merged, statePath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(statePath)
+  }
+
   /** Streaming exponential-decay counter maintenance via foreachBatch —
     * q262's fixed-point recency score run as a stream. State is the
     * per-(event_type, day) COUNT partial table — NOT the decayed sum:

@@ -609,6 +609,36 @@ class StreamingSpec extends SparkSpec {
     assert(fin2.exceptAll(batch).isEmpty && batch.exceptAll(fin2).isEmpty)
   }
 
+  test("streaming kmv sketches equal batch bottom-k and survive full replay") {
+    import graft.ext.TextAnalysis
+    val ddir = Files.createTempDirectory("graft_docs_kmv").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(4).write.mode("overwrite").parquet(ddir)
+    val schema = spark.read.parquet(ddir).schema
+    val statePath = Files.createTempDirectory("graft_kmv").toString + "/state"
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val fin = EventStream.kmvMaintain(spark, stream, statePath)
+    // batch twin: bottom-64 per source over the whole corpus at once —
+    // the KMV merge law says incremental == monolithic exactly
+    graft.functions.GraftFunctions.register(spark)
+    val batch = spark.read.parquet(ddir)
+      .select($"source", TextAnalysis.tokens($"text").as("_w"))
+      .select($"source",
+        explode(TextAnalysis.shinglesFromTokens($"_w")).as("shingle"))
+      .select($"source", TextAnalysis.hash60Fast(spark, $"shingle").as("h"))
+      .distinct()
+      .groupBy($"source")
+      .agg(call_function("top_k", -$"h", $"h", lit(64)).as("tk"))
+      .select($"source", explode($"tk").as("e"))
+      .select($"source", $"e.id".as("h"))
+    assert(fin.count() > 0)
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+    // MIN-idempotent merge: replaying the whole corpus cannot move it
+    val fin2 = EventStream.kmvMaintain(spark, stream, statePath)
+    assert(fin2.exceptAll(batch).isEmpty && batch.exceptAll(fin2).isEmpty)
+  }
+
   test("streaming decayed counters equal batch q262 and survive replay") {
     val ddir = Files.createTempDirectory("graft_decay_ev").toString
     // multiple files = multiple micro-batches, so counts merge ACROSS
