@@ -200,9 +200,12 @@ object Dedup {
       .withColumn("cluster_id", col("id")).localCheckpoint()
     // decimal sum: long-sum overflow on billion-scale node ids could alias
     // two different label states and end the loop early
+    // Option guard: SUM over an EMPTY label table is NULL (legitimate —
+    // a caller's pair set can be empty, e.g. no rare-part links at tiny
+    // scale); treat it as zero so the loop converges to an empty result
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
-        .head().getDecimal(0)
+      Option(df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var lastSum = labelSum(labels)
     var round = 0
     var converged = false

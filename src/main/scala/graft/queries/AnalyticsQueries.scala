@@ -397,7 +397,8 @@ object AnalyticsQueries {
     disjunctiveRevenueDef,
     forecastRevenueDef,
     cupedDef,
-    dppDef
+    dppDef,
+    ringsDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -2254,4 +2255,90 @@ object AnalyticsQueries {
       |  MAX(h.sn) AS sn
       |FROM documents d JOIN hot h ON d.source = h.source
       |GROUP BY 1""".stripMargin))
+
+  // ── Co-purchase affinity rings — the collusion/segment-discovery
+  //    screen: customer pairs scored by how many DISTINCT parts they
+  //    share, the top-100 strongest affinities (strict (n_parts DESC,
+  //    ua, ub) order — deterministic under ties) become links, and
+  //    links close into rings via connected components, each ring
+  //    summarized (size, link count, total shared-part mass). Scale
+  //    bounds: pair generation is pairs-within-per-part-buyer-groups
+  //    (the nb ≤ 64 guard caps any part at ≤ 2016 pairs — popular
+  //    parts carry no affinity signal and would otherwise be the
+  //    quadratic risk), the top-100 is TakeOrderedAndProject, and CC
+  //    runs on exactly 100 edges. Oracle replays CC as a recursive CTE.
+  private def ringsDef: QueryDef = QueryDef(
+    "q284_affinity_rings",
+    (s, dir) => {
+      import s.implicits._
+      val buyers = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_partkey", $"o_custkey").distinct()
+      val bounded = buyers.join(
+        buyers.groupBy($"l_partkey").agg(count(lit(1)).as("nb"))
+          .where($"nb" <= RingGroupCap).select($"l_partkey"),
+        "l_partkey")
+      val links = bounded.as("a").join(bounded.as("b"),
+          $"a.l_partkey" === $"b.l_partkey" &&
+            $"a.o_custkey" < $"b.o_custkey")
+        .groupBy($"a.o_custkey".as("ua"), $"b.o_custkey".as("ub"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy($"n_parts".desc, $"ua".asc, $"ub".asc)
+        .limit(RingTopLinks)
+        .localCheckpoint()
+      val cc = graft.ext.Dedup.connectedComponents(
+        links.select($"ua", $"ub"), "ua", "ub")
+      cc.groupBy($"cluster_id".as("ring_id"))
+        .agg(count(lit(1)).as("n_users"))
+        .join(cc.select($"id".as("ua"), $"cluster_id".as("ring_id")),
+          Seq("ring_id"))
+        .join(links, Seq("ua"))
+        .groupBy($"ring_id")
+        .agg(max($"n_users").as("n_users"),
+          count(lit(1)).as("n_links"),
+          sum($"n_parts").as("n_part_links"))
+    },
+    Some(s"""WITH RECURSIVE buyers AS (
+      |  SELECT DISTINCT l_partkey, o_custkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |bounded AS (
+      |  SELECT b.* FROM buyers b JOIN (
+      |    SELECT l_partkey FROM buyers GROUP BY 1
+      |    HAVING COUNT(*) <= $RingGroupCap) g USING (l_partkey)),
+      |links AS (
+      |  SELECT ua, ub, n_parts FROM (
+      |    SELECT a.o_custkey AS ua, b.o_custkey AS ub,
+      |      CAST(COUNT(*) AS BIGINT) AS n_parts
+      |    FROM bounded a JOIN bounded b ON a.l_partkey = b.l_partkey
+      |      AND a.o_custkey < b.o_custkey
+      |    GROUP BY 1, 2)
+      |  ORDER BY n_parts DESC, ua ASC, ub ASC
+      |  LIMIT $RingTopLinks),
+      |edges AS (
+      |  SELECT ua AS src, ub AS dst FROM links
+      |  UNION SELECT ub, ua FROM links),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION SELECT r.src, g.dst FROM reach r
+      |    JOIN edges g ON r.dst = g.src),
+      |cc AS (
+      |  SELECT id, LEAST(id, MIN(dst)) AS cluster_id
+      |  FROM (SELECT src AS id, dst FROM reach) GROUP BY id),
+      |rings AS (
+      |  SELECT cluster_id AS ring_id, CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM cc GROUP BY 1)
+      |SELECT r.ring_id, MAX(r.n_users) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_links,
+      |  CAST(SUM(l.n_parts) AS BIGINT) AS n_part_links
+      |FROM rings r
+      |JOIN cc ON cc.cluster_id = r.ring_id
+      |JOIN links l ON l.ua = cc.id
+      |GROUP BY r.ring_id""".stripMargin))
+
+  /** Affinity-ring knobs: per-part buyer-group cap (quadratic guard; a
+    * part with more buyers carries no collusion signal) and the number
+    * of strongest links that close into rings. */
+  val RingGroupCap = 64L
+  val RingTopLinks = 100
 }

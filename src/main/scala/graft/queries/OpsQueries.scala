@@ -1580,7 +1580,72 @@ object OpsQueries {
         |  FROM lagged GROUP BY 1)
         |SELECT event_type, e7, n7, e1, n1,
         |  e7 * n1 * 1000000 // (n7 * e1) AS mase_1e6
-        |FROM m WHERE n7 > 0 AND n1 > 0 AND e1 > 0""".stripMargin))
+        |FROM m WHERE n7 > 0 AND n1 > 0 AND e1 > 0""".stripMargin)),
+
+    // ── Additive seasonal decomposition (classical, weekly period) —
+    //    the time-series triptych's third panel next to q263's robust
+    //    trend and q276's forecast error: trend = CENTERED 7-day moving
+    //    average of the daily counts, detrended = y − trend, seasonal
+    //    index = per-weekday mean of the detrended series. Everything
+    //    until the final per-dow mean is EXACT fixed point: daily
+    //    counts are integers, the centered MA over exactly 7 rows is
+    //    (Σy·1e6 div 7) — integer — and det_1e6 is an integer
+    //    difference; the per-dow mean is the ONE IEEE division, written
+    //    identically in both engines (integer `div` is avoided on the
+    //    possibly-NEGATIVE detrended sums, where Spark truncates toward
+    //    zero but DuckDB floors — the cross-engine trap this query
+    //    steps around explicitly). Incomplete window edges (first/last
+    //    3 days) are excluded by the exact 7-row count guard, not by
+    //    NULL arithmetic. Scale: windows run per type over the daily
+    //    spine (#days rows), never over raw events.
+    QueryDef(
+      "q285_seasonal_decompose",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .select($"event_type",
+            unix_date($"ts".cast("date")).cast("long").as("d"))
+          .groupBy($"event_type", $"d").agg(count(lit(1)).as("y"))
+        val w7 = Window.partitionBy($"event_type").orderBy($"d".asc)
+          .rowsBetween(-3, 3)
+        val det = daily
+          .withColumn("n_win", count(lit(1)).over(w7))
+          .withColumn("sum7", sum($"y").over(w7))
+          .where($"n_win" === 7L)
+          .select($"event_type", $"d", $"y",
+            expr("sum7 * 1000000 div 7").as("ma_1e6"))
+          .withColumn("det_1e6", $"y" * lit(1000000L) - $"ma_1e6")
+          .withColumn("dow_iso", expr("(d + 3) % 7 + 1"))
+        det.groupBy($"event_type", $"dow_iso")
+          .agg(count(lit(1)).as("n_days"),
+            sum($"det_1e6").as("sum_det_1e6"))
+          .withColumn("seasonal",
+            $"sum_det_1e6".cast("double") / lit(1e6) /
+              $"n_days".cast("double"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, d, y,
+        |    COUNT(*) OVER w AS n_win,
+        |    CAST(SUM(y) OVER w AS BIGINT) AS sum7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d ASC
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT event_type, d, y,
+        |    y * 1000000 - sum7 * 1000000 // 7 AS det_1e6,
+        |    (d + 3) % 7 + 1 AS dow_iso
+        |  FROM win WHERE n_win = 7)
+        |SELECT event_type, CAST(dow_iso AS BIGINT) AS dow_iso,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(det_1e6) AS BIGINT) AS sum_det_1e6,
+        |  CAST(SUM(det_1e6) AS DOUBLE) / 1e6
+        |    / CAST(COUNT(*) AS DOUBLE) AS seasonal
+        |FROM det GROUP BY 1, 2""".stripMargin))
   )
 
 }

@@ -972,6 +972,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q284 rings: top-100 links via TakeOrdered, no cartesian") {
+    val p = planOf("q284_affinity_rings")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q285 seasonal: MA and detrend windows are keyed by type") {
+    val p = planOf("q285_seasonal_decompose")
+    assert(!p.contains("SinglePartition, ENSURE"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q282 kmv: bottom-k via the bounded-heap agg, pair windows keyed") {
     val p = planOf("q282_kmv_intersect")
     assert(p.contains("top_k"), p.take(1600))
