@@ -1645,7 +1645,60 @@ object OpsQueries {
         |  CAST(SUM(det_1e6) AS BIGINT) AS sum_det_1e6,
         |  CAST(SUM(det_1e6) AS DOUBLE) / 1e6
         |    / CAST(COUNT(*) AS DOUBLE) AS seasonal
-        |FROM det GROUP BY 1, 2""".stripMargin))
+        |FROM det GROUP BY 1, 2""".stripMargin)),
+
+    // ── Activity BITMAPS — the roaring-bitmap posture in one BIGINT:
+    //    each user's month of activity is a 31-bit word (bit d = active
+    //    on day d), built by ONE bit_or aggregation. bit_or is
+    //    associative, commutative, AND idempotent — the bitmap joins
+    //    the MAX-merge family (HLL registers, KMV sketches): shards
+    //    combine with another bit_or, replays cannot corrupt state, and
+    //    every downstream retention stat (active-day counts, weekday
+    //    coverage, longest streak posture) reads off #users 8-byte
+    //    words WITHOUT touching events again. The gate reports the
+    //    active-day histogram and weekend/weekday coverage from the
+    //    bitmaps alone — popcounts of masked words, exact integers.
+    //    Scale: one shuffle on user_id to 1-row-per-user state; the
+    //    histogram is a ≤31-row rollup.
+    QueryDef(
+      "q286_activity_bitmap",
+      (s, dir) => {
+        import s.implicits._
+        // Jan 2024 fixture window: day-of-month 1..31 → bits 0..30.
+        // weekend mask: Jan 2024 Saturdays/Sundays = 6,7,13,14,20,21,27,28
+        val weekendMask = Seq(6, 7, 13, 14, 20, 21, 27, 28)
+          .map(d => 1L << (d - 1)).sum
+        val bm = Tables.events(s, dir)
+          .select($"user_id",
+            expr("shiftleft(CAST(1 AS BIGINT)," +
+              " CAST(day(CAST(ts AS DATE)) - 1 AS INT))").as("bit"))
+          .groupBy($"user_id")
+          .agg(bit_or($"bit").as("bitmap"))
+        bm.select($"user_id",
+            bit_count($"bitmap").cast("long").as("active_days"),
+            bit_count($"bitmap".bitwiseAND(lit(weekendMask))).cast("long")
+              .as("weekend_days"))
+          .groupBy($"active_days")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"weekend_days").as("weekend_day_sum"))
+      },
+      Some {
+        val weekendMask = Seq(6, 7, 13, 14, 20, 21, 27, 28)
+          .map(d => 1L << (d - 1)).sum
+        s"""WITH bm AS (
+        |  SELECT user_id,
+        |    bit_or(1::BIGINT << (day(CAST(ts AS DATE)) - 1)) AS bitmap
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT user_id,
+        |    CAST(bit_count(bitmap) AS BIGINT) AS active_days,
+        |    CAST(bit_count(bitmap & $weekendMask) AS BIGINT)
+        |      AS weekend_days
+        |  FROM bm)
+        |SELECT active_days, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(weekend_days) AS BIGINT) AS weekend_day_sum
+        |FROM d GROUP BY 1""".stripMargin
+      })
   )
 
 }

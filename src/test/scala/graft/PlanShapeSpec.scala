@@ -972,6 +972,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q286 bitmap: one keyed bit_or shuffle, no window, no distinct") {
+    val p = planOf("q286_activity_bitmap")
+    assert(p.contains("bit_or"), p.take(1600))
+    assert(!p.contains("WindowExec"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q284 rings: top-100 links via TakeOrdered, no cartesian") {
     val p = planOf("q284_affinity_rings")
     assert(!p.contains("CartesianProduct"), p.take(1600))
