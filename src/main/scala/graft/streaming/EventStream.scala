@@ -857,6 +857,37 @@ object EventStream {
         col("r_ts"))
   }
 
+  /** LEFT-OUTER stream-stream interval join — [[followedBy]] keeping the
+    * "never followed" rows: an event with NO successor inside the
+    * interval emits exactly once, with null partner columns, after the
+    * watermark passes l_ts + interval (outer results cannot be emitted
+    * earlier — a matching right row could still arrive, so the emission
+    * moment IS the state-expiry moment). This is the funnel-drop-off
+    * detector: matched rows say "followed by", null rows say "abandoned
+    * here". Same bounded-state argument as the inner form. CONTRACT: a
+    * terminating run only emits outer results whose join window CLOSED
+    * under the final watermark — rows within (lateness + interval) of
+    * the stream's end stay pending, so batch parity holds on the
+    * closable region (the parity test states it exactly).
+    */
+  def followedByOuter(events: DataFrame,
+      withinMinutes: Int = 5): DataFrame = {
+    val l = events.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = events.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("l_id"), col("l_ts"), col("r_id"),
+        col("r_ts"))
+      .withColumn("followed", col("r_id").isNotNull)
+  }
+
   /** Stream-static enrichment join — the standard streaming dimension
     * join: each micro-batch equi-joins a STATIC (batch) dimension frame
     * with no state at all (the dimension is re-planned per batch, so a

@@ -311,6 +311,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join: parity on the closable region") {
+    val streamed = EventStream.runToBatch(spark,
+      EventStream.followedByOuter(EventStream.readStream(spark, dir)),
+      "followedby_outer_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = EventStream.followedByOuter(spark.read.parquet(dir))
+    // rows whose join window closed under the final watermark: the
+    // contract region where a terminating stream must equal batch
+    val maxTs = spark.read.parquet(dir).agg(max($"ts")).collect()(0)
+      .getTimestamp(0)
+    val horizon = new java.sql.Timestamp(
+      maxTs.getTime - (2 * 60 + 5 + 1) * 60 * 1000L)
+    val sC = streamed.where($"l_ts" <= horizon)
+    val bC = batch.where($"l_ts" <= horizon)
+    assert(sC.count() > 0 && sC.count() == bC.count())
+    assert(sC.exceptAll(bC).isEmpty && bC.exceptAll(sC).isEmpty)
+    // the outer semantics actually exercise: drop-off rows exist and
+    // carry null partners in BOTH engines' closable regions
+    assert(sC.where(!$"followed").count() > 0)
+    assert(sC.where(!$"followed" && $"r_id".isNotNull).count() == 0)
+    // the stream never emits a row batch wouldn't (no phantom matches)
+    assert(streamed.exceptAll(batch).isEmpty)
+  }
+
   test("streaming curation with watermarked keeper dedup matches batch q62") {
     // the originals land as micro-batch 1; byte-identical duplicate docs
     // (new ids, same text → same fingerprint) arrive an hour later as
