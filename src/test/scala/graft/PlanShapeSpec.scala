@@ -972,6 +972,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q287 stump: argmax via TakeOrdered over the value axis, no cartesian") {
+    val p = planOf("q287_decision_stump")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q286 bitmap: one keyed bit_or shuffle, no window, no distinct") {
     val p = planOf("q286_activity_bitmap")
     assert(p.contains("bit_or"), p.take(1600))
