@@ -1777,7 +1777,161 @@ object TextQueries {
         |    AS hll_union_est,
         |  abs(CAST(floor($HllNumLit / CAST(z.z AS DOUBLE)) AS BIGINT)
         |    - ex.n_exact_union) * 1000000000 // ex.n_exact_union AS err_1e9
-        |FROM z, ex""".stripMargin))
+        |FROM z, ex""".stripMargin)),
+
+    // ── Calibration curve + ECE for the marker lang-ID score — the
+    //    model-eval step after q32/q206: treat scaled marker density
+    //    min(5·score_en, 1) as the predicted P(lang='en'), bucket into
+    //    10 FIXED-WIDTH confidence bins (no global sort — the q101
+    //    histogram posture), and compare mean confidence to observed
+    //    rate per bin; ECE is the n-weighted |gap| sum. Fixed point
+    //    throughout: confidences floor to 1e6 (the tavg argument —
+    //    floor has no rounding-mode ties), per-bin rates are
+    //    NONNEGATIVE integer divisions (the div-vs-floor trap only
+    //    bites signed values), the |gap| is an integer, and ECE does
+    //    integer cross-multiplied weighting. One scan, ≤10-row output.
+    QueryDef(
+      "q288_calibration",
+      (s, dir) => {
+        import s.implicits._
+        val scoreEn = TextAnalysis.langIdColumns($"text").toMap
+          .apply("score_en")
+        val d = Tables.documents(s, dir)
+          .select(least(scoreEn * 5.0, lit(1.0)).as("conf"),
+            ($"lang" === "en").cast("long").as("pos"))
+          .select(least(floor($"conf" * 10).cast("long"), lit(9L)).as("bin"),
+            floor($"conf" * lit(1e6)).cast("long").as("conf_1e6"), $"pos")
+        val bins = d.groupBy($"bin")
+          .agg(count(lit(1)).as("n_b"), sum($"pos").as("pos_b"),
+            sum($"conf_1e6").as("sum_conf_1e6"))
+          .withColumn("obs_1e6", expr("pos_b * 1000000 div n_b"))
+          .withColumn("mean_conf_1e6", expr("sum_conf_1e6 div n_b"))
+          .withColumn("gap_1e6", abs($"obs_1e6" - $"mean_conf_1e6"))
+        val tot = bins.agg(sum($"n_b").as("n"),
+          sum($"gap_1e6" * $"n_b").as("wgap"))
+        bins.crossJoin(broadcast(tot))
+          .select($"bin", $"n_b", $"pos_b", $"obs_1e6", $"mean_conf_1e6",
+            $"gap_1e6", expr("wgap div n").as("ece_1e6"))
+      },
+      Some {
+        val lst = TextAnalysis.langMarkers.toMap.apply("en")
+          .map(m => s"'$m'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END
+        |      AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |    least(5.0 * (CASE WHEN len(toks) > 0
+        |      THEN CAST(len(list_filter(toks, t -> list_contains($lst, t)))
+        |        AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |      ELSE 0.0 END), 1.0) AS conf
+        |  FROM t),
+        |d AS (
+        |  SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin,
+        |    CAST(floor(conf * 1e6) AS BIGINT) AS conf_1e6,
+        |    CAST(lang = 'en' AS BIGINT) AS pos
+        |  FROM c),
+        |bins AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(pos) AS BIGINT) AS pos_b,
+        |    CAST(SUM(conf_1e6) AS BIGINT) AS sum_conf_1e6
+        |  FROM d GROUP BY 1),
+        |g AS (
+        |  SELECT *, pos_b * 1000000 // n_b AS obs_1e6,
+        |    sum_conf_1e6 // n_b AS mean_conf_1e6,
+        |    abs(pos_b * 1000000 // n_b - sum_conf_1e6 // n_b) AS gap_1e6
+        |  FROM bins),
+        |tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+        |  CAST(SUM(gap_1e6 * n_b) AS BIGINT) AS wgap FROM g)
+        |SELECT bin, n_b, pos_b, obs_1e6, mean_conf_1e6, gap_1e6,
+        |  wgap // n AS ece_1e6
+        |FROM g, tot""".stripMargin
+      }),
+
+    // ── Cohen's kappa between the marker lang-ID and the labels — the
+    //    chance-corrected agreement number a confusion matrix alone
+    //    doesn't give (a degenerate predictor can score high raw
+    //    accuracy on a skewed label mix; kappa can't be fooled that
+    //    way). po and pe come from exact integer marginals (diagonal
+    //    count, Σ row_k·col_k via a class-keyed FULL OUTER marginal
+    //    join — classes predicted-but-never-labeled and vice versa
+    //    contribute zero exactly); kappa's numerator can be NEGATIVE,
+    //    so the final step is the identical IEEE division, never an
+    //    integer div (truncate-vs-floor diverges on signs). ≤6 classes
+    //    ⇒ every frame after the one scan is dim-sized.
+    QueryDef(
+      "q289_cohens_kappa",
+      (s, dir) => {
+        import s.implicits._
+        val pred = TextAnalysis.langIdColumns($"text").toMap
+          .apply("pred_lang")
+        val d = Tables.documents(s, dir)
+          .select($"lang", pred.as("pred"))
+          .localCheckpoint()
+        val m = d.agg(count(lit(1)).as("n"),
+          sum(when($"lang" === $"pred", 1L).otherwise(0L)).as("diag"))
+        val rows = d.groupBy($"lang".as("cls")).agg(count(lit(1)).as("r"))
+        val cols = d.groupBy($"pred".as("cls")).agg(count(lit(1)).as("c"))
+        val s2 = rows.join(cols, Seq("cls"), "full_outer")
+          .na.fill(0L, Seq("r", "c"))
+          .agg(sum($"r" * $"c").as("s_rowcol"))
+        m.crossJoin(broadcast(s2))
+          .select($"n", $"diag", $"s_rowcol",
+            ($"diag".cast("double") / $"n".cast("double")).as("po"),
+            ($"s_rowcol".cast("double") /
+              ($"n" * $"n").cast("double")).as("pe"),
+            (($"diag" * $"n" - $"s_rowcol").cast("double") /
+              ($"n" * $"n" - $"s_rowcol").cast("double")).as("kappa"))
+      },
+      Some {
+        val markerSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+          s"CASE WHEN n_tok > 0 THEN CAST(len(list_filter(toks, t -> list_contains($lst, t))) AS DOUBLE) / n_tok ELSE 0.0 END AS score_$lang"
+        }.mkString(",\n    ")
+        s"""WITH t AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END
+        |      AS toks
+        |  FROM documents),
+        |nn AS (SELECT lang, toks, CAST(len(toks) AS DOUBLE) AS n_tok
+        |  FROM t),
+        |sc AS (SELECT lang, $markerSql FROM nn),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(score_en, score_de, score_fr, score_es)
+        |        <= 0.0 THEN 'und'
+        |      WHEN score_en = greatest(score_en, score_de, score_fr,
+        |        score_es) THEN 'en'
+        |      WHEN score_de = greatest(score_en, score_de, score_fr,
+        |        score_es) THEN 'de'
+        |      WHEN score_fr = greatest(score_en, score_de, score_fr,
+        |        score_es) THEN 'fr'
+        |      ELSE 'es' END AS pred
+        |  FROM sc),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS diag
+        |  FROM p),
+        |rws AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS r
+        |  FROM p GROUP BY 1),
+        |cls AS (SELECT pred AS cls, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM p GROUP BY 1),
+        |s2 AS (
+        |  SELECT CAST(SUM(COALESCE(r, 0) * COALESCE(c, 0)) AS BIGINT)
+        |    AS s_rowcol
+        |  FROM rws FULL OUTER JOIN cls USING (cls))
+        |SELECT m.n, m.diag, s2.s_rowcol,
+        |  CAST(m.diag AS DOUBLE) / CAST(m.n AS DOUBLE) AS po,
+        |  CAST(s2.s_rowcol AS DOUBLE) / CAST(m.n * m.n AS DOUBLE) AS pe,
+        |  CAST(m.diag * m.n - s2.s_rowcol AS DOUBLE)
+        |    / CAST(m.n * m.n - s2.s_rowcol AS DOUBLE) AS kappa
+        |FROM m, s2""".stripMargin
+      })
   )
 
   /** Distinct (source, token) pairs — the hashed-item stream both HLL

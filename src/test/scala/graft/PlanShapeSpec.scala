@@ -972,6 +972,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q288 calibration: fixed-width bins, no window, no cartesian") {
+    val p = planOf("q288_calibration")
+    assert(!p.contains("WindowExec"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q289 kappa: dim-sized marginal join, no window after the scan") {
+    val p = planOf("q289_cohens_kappa")
+    assert(!p.contains("WindowExec"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q287 stump: argmax via TakeOrdered over the value axis, no cartesian") {
     val p = planOf("q287_decision_stump")
     assert(p.contains("TakeOrderedAndProject"), p.take(1600))
