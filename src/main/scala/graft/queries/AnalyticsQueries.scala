@@ -398,7 +398,8 @@ object AnalyticsQueries {
     forecastRevenueDef,
     cupedDef,
     dppDef,
-    ringsDef
+    ringsDef,
+    healthDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -2341,4 +2342,108 @@ object AnalyticsQueries {
     * of strongest links that close into rings. */
   val RingGroupCap = 64L
   val RingTopLinks = 100
+
+  // ── Daily business-health report — the monitoring CAPSTONE in one
+  //    plan: exact-cents daily revenue spine → trailing-28-day moments
+  //    (integer sums; the window runs over the ≤#days post-agg spine,
+  //    never over orders — the W3/q263 bounded-axis argument) →
+  //    z-score as identical IEEE arithmetic → |z| ≥ 2 anomaly flags →
+  //    and ONLY the flagged days join back to lineitem⋈part for their
+  //    top-mover brand (the fact join is pruned by the tiny flagged-day
+  //    set — the agg-first/widen-late rule applied to anomaly
+  //    attribution, so 100 TB of lineitems are touched only for the
+  //    handful of days that matter). Deterministic argmax: max_by on
+  //    (cents, brand) with the DuckDB FIRST(… ORDER BY … DESC, … DESC)
+  //    twin. Composes four gated families — exact-decimal rollup,
+  //    bounded-spine windows, anomaly scoring, argmax attribution —
+  //    the report a revenue-ops team actually pages on.
+  private def healthDef: QueryDef = QueryDef(
+    "q290_health_report",
+    (s, dir) => {
+      import s.implicits._
+      // moments run on DOLLARS, not cents: the 28-day s1² cross-term
+      // must stay inside BIGINT (cents overflow at this very fixture's
+      // sf0.1 volume: (28·Σcents)² ≈ 4e21); revenue itself reports in
+      // exact cents. At 1000× daily volume the moment sums graduate to
+      // DECIMAL(38) — shape unchanged.
+      val daily = Tables.orders(s, dir)
+        .select($"o_orderdate".cast("date").as("d"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"),
+          expr("CAST(floor(o_totalprice) AS BIGINT)").as("u"))
+        .groupBy($"d").agg(sum($"c").as("cents"), sum($"u").as("usd"))
+      val w = Window.orderBy($"d".asc).rowsBetween(-28, -1)
+      val flagged = daily
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("s1", sum($"usd").over(w))
+        .withColumn("s2", sum($"usd" * $"usd").over(w))
+        .where($"n_win" === 28L)
+        .withColumn("mean_usd", $"s1".cast("double") / lit(28.0))
+        .withColumn("var_usd",
+          (lit(28L) * $"s2" - $"s1" * $"s1").cast("double") /
+            lit(28.0 * 27.0))
+        .withColumn("z",
+          ($"usd".cast("double") - $"mean_usd") / sqrt($"var_usd"))
+        .where(abs($"z") >= 2.0)
+        .select($"d", $"cents", $"mean_usd", $"z")
+        .localCheckpoint()
+      val mover = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderdate".cast("date").as("d"))
+        .join(broadcast(flagged.select($"d")), "d")
+        .join(Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_partkey",
+            expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+              .as("lc")),
+          $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(Tables.part(s, dir)
+          .select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"d", $"p_brand").agg(sum($"lc").as("bc"))
+        .groupBy($"d")
+        .agg(max_by(struct($"p_brand", $"bc"),
+          struct($"bc", $"p_brand")).as("top"))
+        .select($"d", $"top.p_brand".as("top_brand"),
+          $"top.bc".as("brand_cents"))
+      flagged.join(mover, Seq("d"), "left")
+        .select($"d", $"cents", $"mean_usd", $"z",
+          $"top_brand", $"brand_cents")
+    },
+    Some("""WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents,
+      |    CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+      |      AS usd
+      |  FROM orders GROUP BY 1),
+      |win AS (
+      |  SELECT d, cents, usd,
+      |    COUNT(*) OVER w AS n_win,
+      |    CAST(SUM(usd) OVER w AS BIGINT) AS s1,
+      |    CAST(SUM(usd * usd) OVER w AS BIGINT) AS s2
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY d ASC
+      |    ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+      |fl AS (
+      |  SELECT d, cents,
+      |    CAST(s1 AS DOUBLE) / 28.0 AS mean_usd,
+      |    (CAST(usd AS DOUBLE) - CAST(s1 AS DOUBLE) / 28.0)
+      |      / sqrt(CAST(28 * s2 - s1 * s1 AS DOUBLE) / (28.0 * 27.0))
+      |      AS z
+      |  FROM win WHERE n_win = 28),
+      |flagged AS (SELECT * FROM fl WHERE abs(z) >= 2.0),
+      |mover AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, p_brand,
+      |    CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS bc
+      |  FROM orders
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE CAST(o_orderdate AS DATE) IN (SELECT d FROM flagged)
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT d, FIRST(p_brand ORDER BY bc DESC, p_brand DESC)
+      |      AS top_brand,
+      |    MAX(bc) AS brand_cents
+      |  FROM mover GROUP BY 1)
+      |SELECT f.d, f.cents, f.mean_usd, f.z, t.top_brand, t.brand_cents
+      |FROM flagged f LEFT JOIN top t ON f.d = t.d""".stripMargin))
 }
