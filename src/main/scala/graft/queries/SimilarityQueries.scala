@@ -1964,7 +1964,68 @@ object SimilarityQueries {
         |    - ((v.d_sum * 1000000 // (2 * m.m))
         |       * (v.d_sum * 1000000 // (2 * m.m))) // 1000000 AS q_1e6
         |FROM vol v LEFT JOIN intra i ON v.label = i.label, m"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ── Per-seed hop-bounded harmonic centrality — q220's frontier BFS
+    //    generalized to LABELED multi-source: the frontier carries its
+    //    seed, so ten ego-BFS runs ride ONE sequence of keyed joins
+    //    (state = (seed, vec_id, dist), anti-join per seed), and each
+    //    seed reports Σ 1/d over what it reached — the coverage number
+    //    that ranks index entry points ("which seed reaches the corpus
+    //    cheapest"). Exact: 1e9 div d is the same integer in both
+    //    engines for every d ≥ 1, so the harmonic sum never sees a
+    //    float. O(hops) rounds; per-round work ∝ frontier × degree,
+    //    never corpus × corpus.
+    QueryDef(
+      "q291_harmonic_seeds",
+      (s, dir) => {
+        import s.implicits._
+        val ed = knnEdgesCached(s, dir).select($"src", $"dst")
+        val und = ed
+          .unionByName(ed.select($"dst".as("src"), $"src".as("dst")))
+          .distinct().localCheckpoint()
+        var visited = Tables.embeddings(s, dir)
+          .select($"vec_id").where($"vec_id" < 10)
+          .select($"vec_id".as("seed"), $"vec_id", lit(0).as("dist"))
+          .localCheckpoint()
+        for (r <- 1 to BfsHops) {
+          val frontier = visited.where($"dist" === r - 1)
+            .select($"seed", $"vec_id".as("src"))
+          val next = und.join(frontier, "src")
+            .select($"seed", $"dst".as("vec_id")).distinct()
+            .join(visited.select($"seed", $"vec_id"),
+              Seq("seed", "vec_id"), "left_anti")
+            .withColumn("dist", lit(r))
+          visited = visited.unionByName(next).localCheckpoint()
+        }
+        visited.where($"dist" > 0)
+          .groupBy($"seed")
+          .agg(count(lit(1)).as("n_reached"),
+            sum(expr("1000000000 div dist")).as("harmonic_1e9"))
+      },
+      Some {
+        def round(r: Int) = s"""v$r AS MATERIALIZED (
+        |  SELECT seed, vec_id, MIN(dist) AS dist FROM (
+        |    SELECT seed, vec_id, dist FROM v${r - 1}
+        |    UNION ALL
+        |    SELECT v.seed, e.dst AS vec_id, $r AS dist
+        |    FROM ed e JOIN v${r - 1} v
+        |      ON e.src = v.vec_id AND v.dist = ${r - 1})
+        |  GROUP BY 1, 2)"""
+        s"""$knnEdgesCtesSql,
+        |ed AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM edges
+        |    UNION ALL SELECT dst, src FROM edges)),
+        |v0 AS MATERIALIZED (
+        |  SELECT vec_id AS seed, vec_id, 0 AS dist
+        |  FROM embeddings WHERE vec_id < 10),
+        |${(1 to BfsHops).map(round).mkString(",\n")}
+        |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(SUM(1000000000 // dist) AS BIGINT) AS harmonic_1e9
+        |FROM v$BfsHops WHERE dist > 0
+        |GROUP BY 1""".stripMargin
+      })
   )
 
   /** BFS hop budget for q220 (and the unrolled depth of its oracle). */

@@ -972,6 +972,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q291 harmonic: labeled frontier joins keyed, no cartesian") {
+    val p = planOf("q291_harmonic_seeds")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(!p.contains("WindowExec"), p.take(1600))
+  }
+
   test("q290 health: mover fact join is pruned by the flagged-day broadcast") {
     val p = planOf("q290_health_report")
     assert(p.contains("BroadcastHashJoin"), p.take(1600))
