@@ -399,7 +399,8 @@ object AnalyticsQueries {
     cupedDef,
     dppDef,
     ringsDef,
-    healthDef
+    healthDef,
+    contributionDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -2446,4 +2447,58 @@ object AnalyticsQueries {
       |  FROM mover GROUP BY 1)
       |SELECT f.d, f.cents, f.mean_usd, f.z, t.top_brand, t.brand_cents
       |FROM flagged f LEFT JOIN top t ON f.d = t.d""".stripMargin))
+
+  // ── Hierarchical contribution report (percent-of-parent, two levels)
+  //    WITHOUT windows: nation revenue as share of its region and of
+  //    the world, from ONE fact rollup re-aggregated upward — parent
+  //    totals are dim-sized frames that join BACK (broadcast), where
+  //    the naive plan computes the same numbers with partition-less
+  //    `sum() over ()` windows that funnel the report through one
+  //    task. Exact cents end to end; shares in basis points via
+  //    nonnegative integer division. The "who moved the number"
+  //    drill-down every exec dashboard starts from.
+  private def contributionDef: QueryDef = QueryDef(
+    "q292_contribution",
+    (s, dir) => {
+      import s.implicits._
+      val byNation = Tables.orders(s, dir)
+        .select($"o_custkey",
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+        .join(Tables.customer(s, dir)
+          .select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)
+          .select($"n_nationkey", $"n_name", $"n_regionkey")),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)
+          .select($"r_regionkey", $"r_name")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum($"c").as("cents"))
+      val byRegion = byNation.groupBy($"r_name")
+        .agg(sum($"cents").as("r_cents"))
+      val world = byRegion.agg(sum($"r_cents").as("w_cents"))
+      byNation
+        .join(broadcast(byRegion), "r_name")
+        .crossJoin(broadcast(world))
+        .select($"r_name", $"n_name", $"cents", $"r_cents", $"w_cents",
+          expr("cents * 10000 div r_cents").as("share_of_region_bp"),
+          expr("cents * 10000 div w_cents").as("share_of_world_bp"))
+    },
+    Some("""WITH bn AS (
+      |  SELECT r_name, n_name,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |br AS (SELECT r_name, CAST(SUM(cents) AS BIGINT) AS r_cents
+      |  FROM bn GROUP BY 1),
+      |w AS (SELECT CAST(SUM(r_cents) AS BIGINT) AS w_cents FROM br)
+      |SELECT bn.r_name, bn.n_name, bn.cents, br.r_cents, w.w_cents,
+      |  bn.cents * 10000 // br.r_cents AS share_of_region_bp,
+      |  bn.cents * 10000 // w.w_cents AS share_of_world_bp
+      |FROM bn JOIN br ON bn.r_name = br.r_name, w""".stripMargin))
 }

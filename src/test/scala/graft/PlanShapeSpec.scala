@@ -972,6 +972,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q292 contribution: window-free percent-of-parent, broadcast parents") {
+    val p = planOf("q292_contribution")
+    assert(!p.contains("WindowExec"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q291 harmonic: labeled frontier joins keyed, no cartesian") {
     val p = planOf("q291_harmonic_seeds")
     assert(!p.contains("CartesianProduct"), p.take(1600))
