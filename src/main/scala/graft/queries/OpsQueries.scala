@@ -1698,7 +1698,51 @@ object OpsQueries {
         |SELECT active_days, CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST(SUM(weekend_days) AS BIGINT) AS weekend_day_sum
         |FROM d GROUP BY 1""".stripMargin
-      })
+      }),
+
+    // ── Longest consecutive-day activity streak per user — the islands
+    //    method (gaps-and-islands without self-joins): within each user,
+    //    rank distinct active days; day − rank is CONSTANT exactly along
+    //    a consecutive run, so one keyed (user, day−rank) rollup finds
+    //    every island and a max per user finds the longest. All windows
+    //    and aggs are keyed by user_id — the classic interview puzzle
+    //    stated in its scale-correct form (the naive LEFT JOIN
+    //    day-chaining is O(days²) per user and serial). Output is the
+    //    streak histogram: how many users peaked at k consecutive days.
+    QueryDef(
+      "q293_longest_streak",
+      (s, dir) => {
+        import s.implicits._
+        val days = Tables.events(s, dir)
+          .select($"user_id",
+            unix_date($"ts".cast("date")).cast("long").as("d"))
+          .distinct()
+        val w = Window.partitionBy($"user_id").orderBy($"d".asc)
+        val streaks = days
+          .withColumn("grp", $"d" - row_number().over(w))
+          .groupBy($"user_id", $"grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy($"user_id")
+          .agg(max($"len").as("longest"))
+        streaks.groupBy($"longest")
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |grp AS (
+        |  SELECT user_id,
+        |    d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d ASC)
+        |      AS grp
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM grp GROUP BY 1, 2),
+        |longest AS (
+        |  SELECT user_id, MAX(len) AS longest FROM runs GROUP BY 1)
+        |SELECT longest, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM longest GROUP BY 1""".stripMargin))
   )
 
 }

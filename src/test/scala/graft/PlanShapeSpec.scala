@@ -972,6 +972,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q293 streak: islands windows keyed by user, never global") {
+    val p = planOf("q293_longest_streak")
+    assert(!p.contains("SinglePartition, ENSURE"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q292 contribution: window-free percent-of-parent, broadcast parents") {
     val p = planOf("q292_contribution")
     assert(!p.contains("WindowExec"), p.take(1600))
