@@ -400,7 +400,8 @@ object AnalyticsQueries {
     dppDef,
     ringsDef,
     healthDef,
-    contributionDef
+    contributionDef,
+    discountResponseDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -2501,4 +2502,62 @@ object AnalyticsQueries {
       |  bn.cents * 10000 // br.r_cents AS share_of_region_bp,
       |  bn.cents * 10000 // w.w_cents AS share_of_world_bp
       |FROM bn JOIN br ON bn.r_name = br.r_name, w""".stripMargin))
+
+  // ── Discount-response monotonicity per brand — the pricing question
+  //    ("do deeper discounts move volume?") WITHOUT a float mean ever
+  //    being compared: quantities roll up per (brand, discount band
+  //    = round(disc·100)), and adjacent bands compare mean quantities
+  //    by EXACT CROSS-MULTIPLICATION (Σq₂·n₁ > Σq₁·n₂ ⇔ mean₂ > mean₁
+  //    — integer, no division, no tie ambiguity). Output per brand:
+  //    band count, up/down transition counts, and the net direction —
+  //    a distribution-free trend verdict on the bounded band axis
+  //    (≤ 11 bands per brand; the lag window runs there, never on
+  //    lineitems).
+  private def discountResponseDef: QueryDef = QueryDef(
+    "q294_discount_response",
+    (s, dir) => {
+      import s.implicits._
+      val bands = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .select($"p_brand",
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("band"),
+          $"l_quantity".cast("long").as("q"))
+        .groupBy($"p_brand", $"band")
+        .agg(count(lit(1)).as("n"), sum($"q").as("sq"))
+      val w = Window.partitionBy($"p_brand").orderBy($"band".asc)
+      bands
+        .withColumn("pn", lag($"n", 1).over(w))
+        .withColumn("psq", lag($"sq", 1).over(w))
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_bands"),
+          sum(when($"pn".isNotNull &&
+            $"sq" * $"pn" > $"psq" * $"n", 1L).otherwise(0L)).as("n_up"),
+          sum(when($"pn".isNotNull &&
+            $"sq" * $"pn" < $"psq" * $"n", 1L).otherwise(0L)).as("n_down"))
+        .withColumn("direction", $"n_up" - $"n_down")
+    },
+    Some("""WITH b AS (
+      |  SELECT p_brand,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS band,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |lg AS (
+      |  SELECT p_brand, n, sq,
+      |    LAG(n, 1) OVER (PARTITION BY p_brand ORDER BY band ASC) AS pn,
+      |    LAG(sq, 1) OVER (PARTITION BY p_brand ORDER BY band ASC) AS psq
+      |  FROM b)
+      |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_bands,
+      |  CAST(SUM(CASE WHEN pn IS NOT NULL AND sq * pn > psq * n
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+      |  CAST(SUM(CASE WHEN pn IS NOT NULL AND sq * pn < psq * n
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+      |  CAST(SUM(CASE WHEN pn IS NOT NULL AND sq * pn > psq * n
+      |    THEN 1 ELSE 0 END) AS BIGINT)
+      |  - CAST(SUM(CASE WHEN pn IS NOT NULL AND sq * pn < psq * n
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS direction
+      |FROM lg GROUP BY 1""".stripMargin))
 }

@@ -972,6 +972,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q294 discount response: band lag keyed by brand, broadcast part dim") {
+    val p = planOf("q294_discount_response")
+    assert(!p.contains("SinglePartition, ENSURE"), p.take(1600))
+    assert(p.contains("BroadcastHashJoin"), p.take(1600))
+  }
+
   test("q293 streak: islands windows keyed by user, never global") {
     val p = planOf("q293_longest_streak")
     assert(!p.contains("SinglePartition, ENSURE"), p.take(1600))
