@@ -1743,6 +1743,51 @@ object OpsQueries {
         |  SELECT user_id, MAX(len) AS longest FROM runs GROUP BY 1)
         |SELECT longest, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM longest GROUP BY 1""".stripMargin))
+      ,
+
+    // ── Overdispersion index (variance-to-mean ratio) of daily event
+    //    counts per type — the Poisson sanity check behind every rate
+    //    alert: D ≈ 1 means the q244/q166 rate-spike thresholds are
+    //    calibrated; D ≫ 1 (bursty) means they under-alarm and the
+    //    monitors should widen. Moments are exact BIGINT sums over the
+    //    per-(type, day) integer rollup (n·Σy² − (Σy)² — magnitudes
+    //    bounded by the DAILY axis, not by events), and D is the one
+    //    identically-written IEEE division. One keyed rollup, ≤ #types
+    //    output rows.
+    QueryDef(
+      "q295_dispersion",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .select($"event_type",
+            unix_date($"ts".cast("date")).cast("long").as("d"))
+          .groupBy($"event_type", $"d").agg(count(lit(1)).as("y"))
+        daily.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_days"), sum($"y").as("sy"),
+            sum($"y" * $"y").as("syy"))
+          .where($"n_days" > 1L && $"sy" > 0L)
+          .withColumn("mean_y",
+            $"sy".cast("double") / $"n_days".cast("double"))
+          .withColumn("dispersion",
+            (($"n_days" * $"syy" - $"sy" * $"sy").cast("double") /
+              ($"n_days" - 1L).cast("double")) / $"sy".cast("double"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, sy, syy,
+        |  CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_y,
+        |  (CAST(n_days * syy - sy * sy AS DOUBLE)
+        |    / CAST(n_days - 1 AS DOUBLE)) / CAST(sy AS DOUBLE)
+        |    AS dispersion
+        |FROM m WHERE n_days > 1 AND sy > 0""".stripMargin))
   )
 
 }
