@@ -70,18 +70,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // compact total-only line FIRST: the driver's tail-capture window can
-    // truncate the long per-query line (BENCH_r03 shipped "parsed": null;
-    // BENCH_r05 kept only the last ~72 per-query entries), so the short
-    // guaranteed-parsable record must precede the detail, and the full
-    // per-query map additionally lands in bench_queries.json so no timing
-    // is ever lost to line truncation.
+    // compact total-only line LAST: the driver captures the TAIL of the
+    // output, so truncation removes the head — BENCH_r06 shipped
+    // "parsed": null because the compact line printed first fell off the
+    // front of the window while the ~10 KB per-query line was cut
+    // mid-JSON. With the short guaranteed-parsable record printed after
+    // the detail it always survives tail capture; the full per-query map
+    // additionally lands in bench_queries.json so no timing is ever lost
+    // to line truncation.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

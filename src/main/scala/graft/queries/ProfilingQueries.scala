@@ -832,8 +832,13 @@ object ProfilingQueries {
     //    the exact intersection/union/Jaccard. Everything is integer and
     //    hash-replayable, so the ESTIMATES hash-compare directly — no
     //    error-bound booleans needed (the stronger form of the q68
-    //    posture). Distinct-union estimate (k−1)·2⁶⁰/h_k divides 2⁶⁰ by
-    //    h_k FIRST so no intermediate overflows BIGINT. Scale: sketches
+    //    posture). Distinct-union estimate (k−1)·2⁶⁰/h_k computes the
+    //    product in 38-digit decimal (HUGEINT on the oracle side) and
+    //    divides ONCE — dividing 2⁶⁰ by h_k first would truncate the
+    //    ratio to an integer and collapse unions just above k to ~k−1
+    //    (up to ~50% bias); the widened single division is exact, and
+    //    the result fits BIGINT because h_k ≥ k−1 whenever the
+    //    full-sketch branch fires (64 distinct hashes ≤ h_k). Scale: sketches
     //    are 64 longs per source forever and MERGEABLE (union = bottom-k
     //    of concatenation — q260's append argument); the pair window
     //    runs over ≤ 2k rows per source pair, never over vocabularies;
@@ -881,7 +886,8 @@ object ProfilingQueries {
           .withColumn("est_union",
             when($"k_used" < KmvK, $"k_used")
               .otherwise(expr(
-                s"(${KmvK - 1}) * (1152921504606846976 div h_k)")))
+                s"CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) * " +
+                  "1152921504606846976) div h_k AS BIGINT)")))
           .drop("h_k")
         val inter = vocab.as("a")
           .join(vocab.as("b"),
@@ -954,7 +960,8 @@ object ProfilingQueries {
         |  e.k_used, e.est_inter_k,
         |  e.est_inter_k * 1000000 // e.k_used AS est_j_1e6,
         |  CASE WHEN e.k_used < $KmvK THEN e.k_used
-        |       ELSE (${KmvK - 1}) * (1152921504606846976 // e.h_k)
+        |       ELSE CAST((CAST(${KmvK - 1} AS HUGEINT)
+        |                  * 1152921504606846976) // e.h_k AS BIGINT)
         |       END AS est_union
         |FROM pr p
         |LEFT JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb

@@ -288,6 +288,50 @@ object EventStream {
     ()
   }
 
+  /** Atomic state+ledger commit for the SUM-merged maintainers
+    * ([[decayedMaintain]], [[kmeansMaintain]]): the merged cell table and
+    * the FULL applied-batch ledger are both written under one `_tmp`
+    * commit directory (cells first, ledger last), then the whole
+    * directory swaps into place with a single rename. A crash anywhere
+    * inside the batch leaves either the previous commit (state AND ledger
+    * both say "batch not applied" → replay re-merges once) or the new one
+    * (both say "applied" → replay skips) — the state-written-but-ledger-
+    * missing window that would double-merge sum state under replay cannot
+    * exist, because the two tables are never visible in different
+    * versions. The ledger is a handful of longs, so rewriting it whole
+    * per commit is free; the appends-based [[dedupMaintain]] gets its
+    * exactly-once from per-batch overwrite partitions instead (see its
+    * scaladoc). Same single-maintainer caveat as [[swapWrite]].
+    */
+  private def swapCommit(spark: SparkSession, cells: DataFrame,
+      commitP: String, applied: Set[Long], batchId: Long): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(commitP)
+    val tmp = new org.apache.hadoop.fs.Path(commitP + "_tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    cells.write.mode("overwrite").parquet(commitP + "_tmp/cells")
+    import spark.implicits._
+    (applied + batchId).toSeq.sorted.toDF("batch_id").coalesce(1)
+      .write.mode("overwrite").parquet(commitP + "_tmp/ledger")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+    ()
+  }
+
+  /** Crash recovery for [[swapCommit]]: the only window where the commit
+    * directory is missing is between its delete and the rename of an
+    * already-COMPLETE `_tmp` (the tmp is fully written before the old
+    * commit is touched), so promoting the orphan is always safe. A `_tmp`
+    * sitting NEXT TO a live commit is a half-written attempt that died
+    * mid-write; it is ignored here and clobbered by the next commit.
+    */
+  private def recoverCommit(spark: SparkSession, commitP: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(commitP)
+    val tmp = new org.apache.hadoop.fs.Path(commitP + "_tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst) && fs.exists(tmp)) { fs.rename(tmp, dst); () }
+  }
+
   /** Incremental materialized-view maintenance via foreachBatch — q165's
     * merge contract run as a stream: each micro-batch is rolled up to
     * per-type partials (count / exact-decimal sum / max / min) and merged
@@ -433,20 +477,23 @@ object EventStream {
     * shiftright on a pre-summed dec_w would floor away mixed low bits
     * and drift from the batch recompute (the q262 scaladoc's argument,
     * here made executable). Counts are sum-merged ⇒ not replay-
-    * idempotent ⇒ the batch-id ledger rides along ([[ledgeredIngest]]'s
-    * contract, like [[kmeansMaintain]] and unlike the MAX-merged
-    * [[hllMaintain]]). State is #types × #days rows forever; buckets
+    * idempotent ⇒ the batch-id ledger rides along, committed ATOMICALLY
+    * with the cells via [[swapCommit]]'s single rename (like
+    * [[kmeansMaintain]]; the MAX-merged [[hllMaintain]] needs no ledger
+    * at all). State is #types × #days rows forever; buckets
     * past the 20-day clip contribute zero weight and could be compacted
     * to one row per type without changing any output. Returns exactly
     * q262's (event_type, n_events, dec_w, dec_score_1e6).
     */
   def decayedMaintain(spark: SparkSession, events: DataFrame,
       statePath: String): DataFrame = {
-    val cellsP = statePath + "/cells"
-    val ledgerP = statePath + "/ledger"
+    val commitP = statePath + "/commit"
+    val cellsP = commitP + "/cells"
+    val ledgerP = commitP + "/ledger"
     val q = events.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recoverCommit(spark, commitP)
         val done: Set[Long] =
           if (stateExists(spark, ledgerP))
             spark.read.parquet(ledgerP).select(col("batch_id"))
@@ -464,10 +511,7 @@ object EventStream {
                 .groupBy(col("event_type"), col("d"))
                 .agg(sum(col("n")).as("n"))
             else incoming
-          swapWrite(spark, merged, cellsP)
-          val s = batch.sparkSession
-          import s.implicits._
-          Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerP)
+          swapCommit(spark, merged, commitP, done, batchId)
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -495,17 +539,22 @@ object EventStream {
     * oriented `doc_b < doc_a`, exactly q88's delta convention),
     * Jaccard-verified on the hashed-shingle store, and then APPENDED to
     * the index — candidate cost per batch is ∝ |delta| and the old×old
-    * pair space is never re-examined. State = three append-only tables
-    * (band index, shingle store, per-doc verdicts) plus a batch-id
-    * ledger: parquet appends are NOT idempotent, so exactly-once under
-    * replay rests on the ledger skip — the same contract as
-    * [[ledgeredIngest]], and the reason this maintainer (unlike the
-    * MAX-merged [[hllMaintain]]) needs one. The skew cap is q36's:
+    * pair space is never re-examined. State = three grow-only tables
+    * (band index, shingle store, per-doc verdicts), each PARTITIONED BY
+    * BATCH and written as an overwrite of its own batch=<id> partition,
+    * plus a batch-id ledger: a crash anywhere before the ledger row
+    * makes the replayed batch recompute the identical deterministic rows
+    * (index reads exclude the batch's own partition, so a half-landed
+    * attempt cannot pollute its replay) and clobber its stale
+    * partitions, so exactly-once holds through ANY crash point — the
+    * ledger skip saves work; it is not the correctness guard the
+    * sum-merged maintainers need ([[swapCommit]] serves those). The
+    * skew cap is q36's:
     * bucket counts over ALL band rows (index + delta) partial-agg'd, so
     * a degenerate band key cannot go quadratic in any batch. At 100 TB
     * the band index and shingle store are bucketed tables keyed on
-    * (band_id, band_key) / doc_id, appended per batch; here plain
-    * parquet directories with a single maintaining process
+    * (band_id, band_key) / doc_id, one partition appended per batch;
+    * here plain parquet directories with a single maintaining process
     * ([[swapWrite]]'s caveat applies to the layout, not the appends).
     * Returns the accumulated verdicts table: one row per ingested doc
     * with its dup flag and best earlier match (ties to the smallest doc
@@ -534,11 +583,17 @@ object EventStream {
           val bands = Dedup.bandRows(
             Dedup.minhashSignatures(sh, "doc_id"), "doc_id")
             .localCheckpoint()
+          // index reads EXCLUDE this batch's own partition: a crashed
+          // attempt may have landed batch=<id> rows before the ledger
+          // said so, and pairing the delta against its own stale copy
+          // would break the `doc_b < doc_a` same-batch orientation
           val haveIdx = stateExists(spark, bandsP)
           val allBands = bands.withColumn("_delta", lit(true))
             .unionByName(
               if (haveIdx)
-                spark.read.parquet(bandsP).withColumn("_delta", lit(false))
+                spark.read.parquet(bandsP)
+                  .where(col("batch") =!= batchId).drop("batch")
+                  .withColumn("_delta", lit(false))
               else bands.withColumn("_delta", lit(true)).limit(0))
           val keep = allBands.groupBy(col("band_id"), col("band_key"))
             .agg(count(lit(1)).as("bucket_n"))
@@ -557,7 +612,8 @@ object EventStream {
             .localCheckpoint()
           val allSh =
             if (stateExists(spark, shP))
-              sh.unionByName(spark.read.parquet(shP))
+              sh.unionByName(spark.read.parquet(shP)
+                .where(col("batch") =!= batchId).drop("batch"))
             else sh
           val best = Dedup.jaccardFor(cands, allSh, "doc_id")
             .where(col("jaccard") >= threshold)
@@ -571,12 +627,16 @@ object EventStream {
             .select(col("doc_id"), lit(batchId).as("batch_id"),
               col("best_match").isNotNull.as("is_dup"),
               col("best_match"), col("best_jaccard"))
-          // verdicts computed BEFORE the index grows; appends follow,
-          // ledger row LAST so a crash mid-append replays the whole batch
-          // (at-least-once within the batch, exactly-once across batches)
-          verdicts.write.mode("append").parquet(verdictsP)
-          bands.write.mode("append").parquet(bandsP)
-          sh.write.mode("append").parquet(shP)
+          // verdicts computed BEFORE the index grows; each table's batch
+          // contribution lands as an OVERWRITE of its own batch=<id>
+          // partition — a replayed batch (crash before the ledger row)
+          // recomputes the identical deterministic rows and clobbers the
+          // stale partition instead of doubling it, so the ledger-last
+          // append only ever skips work, never guards correctness:
+          // exactly-once across batches holds through any crash point
+          verdicts.write.mode("overwrite").parquet(s"$verdictsP/batch=$batchId")
+          bands.write.mode("overwrite").parquet(s"$bandsP/batch=$batchId")
+          sh.write.mode("overwrite").parquet(s"$shP/batch=$batchId")
           val s = batch.sparkSession
           import s.implicits._
           Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerP)
@@ -586,7 +646,7 @@ object EventStream {
       .start()
     q.awaitTermination()
     q.stop()
-    spark.read.parquet(verdictsP)
+    spark.read.parquet(verdictsP).drop("batch")
   }
 
   /** Online anomaly scoring with an offline-trained model — the
@@ -726,20 +786,24 @@ object EventStream {
     * sequential mini-batch: batch i is assigned under the centroids
     * after batches 0..i−1 (arrival order matters, as in every online
     * k-means; counts conserve exactly). Init: the k smallest vec_ids of
-    * the FIRST batch (deterministic, the batch trainer's rule) — at
+    * the FIRST batch (deterministic; an actual orderBy+limit, so a first
+    * batch whose ids don't start at 0 still seeds k centroids) — at
     * scale you would train the init offline (k-means‖,
     * `trainCodebookParallel`) and let the stream only refresh. Sum-merged
     * state is NOT replay-idempotent, so this maintainer carries the
-    * batch-id ledger ([[ledgeredIngest]]'s contract), like
-    * [[dedupMaintain]] and unlike the MAX-merged [[hllMaintain]].
+    * batch-id ledger, committed ATOMICALLY with the cell table via
+    * [[swapCommit]] (one directory rename covers both) — a crash between
+    * state write and ledger write cannot double-merge the sums under
+    * replay, unlike a ledger appended after the swap would allow.
     * Returns the centroid table (cid, ce, cn2, n_vectors).
     */
   def kmeansMaintain(spark: SparkSession, vecs: DataFrame,
       statePath: String, k: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.dotExact
-    val cellsP = statePath + "/cells"
-    val ledgerP = statePath + "/ledger"
+    val commitP = statePath + "/commit"
+    val cellsP = commitP + "/cells"
+    val ledgerP = commitP + "/ledger"
     def centroidsOf(cells: DataFrame): DataFrame = cells
       .select(col("cid"), col("dim"),
         ((col("s1e9").cast("double") / lit(1e9)) /
@@ -755,6 +819,7 @@ object EventStream {
     val q = vecs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recoverCommit(spark, commitP)
         val done: Set[Long] =
           if (stateExists(spark, ledgerP))
             spark.read.parquet(ledgerP).select(col("batch_id"))
@@ -767,12 +832,26 @@ object EventStream {
                 .as("embedding"))
             .withColumn("n2", dotExact(col("embedding"), col("embedding")))
             .localCheckpoint()
+          // init = the ACTUAL k smallest vec_ids of the first batch (an
+          // orderBy+limit, k rows) — the batch trainer's `vec_id < k`
+          // shortcut assumes ids start at 0 and would leave the centroid
+          // set EMPTY on a first batch whose ids all exceed k (ranged
+          // arrival), silently assigning nothing forever. Identical to
+          // the shortcut whenever ids 0..k−1 are present (the parity
+          // fixture), robust when they aren't; fail loudly on an empty
+          // first batch rather than persist degenerate state.
           val cents =
             if (stateExists(spark, cellsP))
               centroidsOf(spark.read.parquet(cellsP))
-            else e.where(col("vec_id") < k)
-              .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-                col("n2").as("cn2"))
+            else {
+              val c0 = e.orderBy(col("vec_id")).limit(k)
+                .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+                  col("n2").as("cn2"))
+                .localCheckpoint()
+              require(c0.count() > 0,
+                s"kmeansMaintain: empty first batch cannot seed centroids")
+              c0
+            }
           val scored = e.join(broadcast(
               cents.select(col("cid"), col("ce"), col("cn2"))))
             .select(col("vec_id"), col("cid"),
@@ -794,10 +873,7 @@ object EventStream {
                 .groupBy(col("cid"), col("dim"))
                 .agg(sum(col("s1e9")).as("s1e9"), sum(col("n")).as("n"))
             else newCells
-          swapWrite(spark, merged, cellsP)
-          val s = batch.sparkSession
-          import s.implicits._
-          Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerP)
+          swapCommit(spark, merged, commitP, done, batchId)
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

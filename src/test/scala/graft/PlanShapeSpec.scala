@@ -852,8 +852,12 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q256_rolling_hll")
     assert(!p.contains("CartesianProduct"), p.take(1600))
     // the rolling MAX-merge runs over the (days x 64) register table,
-    // partitioned by bucket — never a single-partition global window
-    assert(!"Window.*SinglePartition".r.findFirstIn(p).isDefined, p.take(1600))
+    // partitioned by bucket — never a single-partition global window.
+    // A Window must be present AND no exchange in the plan may funnel to
+    // SinglePartition (the old "Window.*SinglePartition" regex never
+    // matched across the plan's newlines, making the guard vacuous)
+    assert(p.contains("Window"), p.take(1600))
+    assert(!p.contains("SinglePartition, ENSURE"), p.take(1600))
   }
 
   test("q257 small-qty: per-part agg joins back keyed; part dim broadcasts") {
