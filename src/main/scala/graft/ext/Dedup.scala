@@ -135,6 +135,57 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** The 100 TB layout for the ACCUMULATED band index that
+    * [[graft.streaming.EventStream.dedupMaintain]]'s scaladoc promises,
+    * made executable: the corpus band rows land ONCE as a table BUCKETED
+    * (and sorted) on the candidate-join key (band_id, band_key). Every
+    * subsequent delta probe ([[deltaCandidatesAgainstIndex]]) then scans
+    * the index's buckets IN PLACE — the corpus-sized side never shuffles
+    * again; only the batch-sized delta pays an Exchange. The bucket-cap
+    * agg rides the same layout for free (its group key IS the bucketing
+    * key, so the partial→final agg needs no Exchange either).
+    * PlanShapeSpec pins both properties. Returns the table name.
+    */
+  def writeBandIndexBucketed(bands: DataFrame, tag: String,
+      buckets: Int = 8): String = {
+    val s = bands.sparkSession
+    val tbl = s"graft_band_idx_$tag"
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    bands.write.mode("overwrite")
+      .bucketBy(buckets, "band_id", "band_key")
+      .sortBy("band_id", "band_key")
+      .option("path", s"$wh/graft_bucketed/$tbl")
+      .saveAsTable(tbl)
+    tbl
+  }
+
+  /** Delta-vs-index candidate generation over a
+    * [[writeBandIndexBucketed]] table: the incremental-dedup read path
+    * (new crawl batch against the accumulated corpus) with
+    * [[candidatePairs]]'s skew cap applied to the INDEX side's bucket
+    * counts. The index is scanned twice (cap agg + probe join), both
+    * times through its bucketed layout with zero Exchange; the merge
+    * hint keeps the fixture-scale plan the same SMJ shape the 100 TB
+    * plan has (a broadcast delta would be fine too — the pinned property
+    * is that the INDEX side never shuffles). Returns (doc_a = delta id,
+    * doc_b = index id) distinct candidate pairs.
+    */
+  def deltaCandidatesAgainstIndex(indexTable: String, deltaBands: DataFrame,
+      idCol: String, maxBandBucket: Int = 100000): DataFrame = {
+    val s = deltaBands.sparkSession
+    val idx = s.table(indexTable)
+    val keep = idx.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= maxBandBucket)
+      .select(col("band_id"), col("band_key"))
+    val capped = idx.join(keep, Seq("band_id", "band_key")).hint("merge")
+      .select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
+    deltaBands.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
+      .join(capped, Seq("band_id", "band_key"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   /** Exact Jaccard for given (doc_a, doc_b) pairs over the hashed-shingle
     * substrate. Pairs-first join order: broadcast the (tiny) candidate set
     * onto the a-side shingles, then equi-join the b-side on (doc_b, h).

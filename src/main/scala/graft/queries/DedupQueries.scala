@@ -1351,6 +1351,17 @@ object DedupQueries {
     //    membership probe; the probe is a keyed LEFT SEMI, counts are
     //    exact integers, recall in fixed point with the q250 zero guard
     //    so degenerate fixtures fail identically in both engines.
+    //    The GROUND TRUTH itself is bucket-capped: truth Jaccard is
+    //    computed over DISCRIMINATIVE shingles only — hashes carried by
+    //    more than 64 docs within a source (boilerplate) are dropped
+    //    from the universe before sizes AND intersections, so every
+    //    (source, h) self-join bucket is ≤ 64 rows and the truth pair
+    //    space is ≤ C·|buckets| instead of Σ m² over boilerplate
+    //    multiplicities — the same skew cap candidatePairs applies to
+    //    the LSH path, here applied symmetrically (sizes and inters see
+    //    the same filtered universe, so the capped Jaccard is a real
+    //    Jaccard, just over the discriminative shingle set). Mirrored
+    //    verbatim in the oracle.
     QueryDef(
       "q265_snm_recall",
       (s, dir) => {
@@ -1377,8 +1388,12 @@ object DedupQueries {
             TextAnalysis.hash60Fast(s, $"shingle").as("h"))
           .distinct()
           .localCheckpoint()
-        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val truth = sh.as("a").join(sh.as("b"),
+        val keepH = sh.groupBy($"source", $"h")
+          .agg(count(lit(1)).as("bn"))
+          .where($"bn" <= 64).select($"source", $"h")
+        val shd = sh.join(keepH, Seq("source", "h")).localCheckpoint()
+        val sizes = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val truth = shd.as("a").join(shd.as("b"),
             $"a.source" === $"b.source" && $"a.h" === $"b.h" &&
               $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("pa"), $"b.doc_id".as("pb"))
@@ -1403,10 +1418,15 @@ object DedupQueries {
         |  SELECT DISTINCT doc_id, source,
         |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
         |  FROM sh),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
+        |keep AS (
+        |  SELECT source, h FROM hsh GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+        |hd AS (
+        |  SELECT hsh.doc_id, hsh.source, hsh.h
+        |  FROM hsh JOIN keep ON hsh.source = keep.source AND hsh.h = keep.h),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS ni
-        |  FROM hsh a JOIN hsh b ON a.source = b.source AND a.h = b.h
+        |  FROM hd a JOIN hd b ON a.source = b.source AND a.h = b.h
         |    AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |truth AS (

@@ -318,19 +318,78 @@ object EventStream {
     ()
   }
 
-  /** Crash recovery for [[swapCommit]]: the only window where the commit
-    * directory is missing is between its delete and the rename of an
-    * already-COMPLETE `_tmp` (the tmp is fully written before the old
-    * commit is touched), so promoting the orphan is always safe. A `_tmp`
-    * sitting NEXT TO a live commit is a half-written attempt that died
-    * mid-write; it is ignored here and clobbered by the next commit.
+  /** Crash recovery for [[swapCommit]]: a missing commit directory next
+    * to a `_tmp` is EITHER the delete→rename window of a COMPLETE tmp
+    * (every commit after the first — the tmp is fully written before the
+    * old commit is touched) OR a first-ever commit that died mid-tmp-write
+    * (no dst has ever existed, so the tmp may be half-written). The two
+    * are told apart by the tmp's own completeness marker: [[swapCommit]]
+    * writes the ledger LAST, so `_tmp/ledger/_SUCCESS` present proves the
+    * whole tmp is complete and promoting it is safe; absent, the tmp is
+    * garbage from a dead first attempt and is DELETED — promoting it
+    * would replay the first batch against state that already holds it
+    * (double-merged sums) or leave unreadable half-written cells wedging
+    * every restart. A `_tmp` sitting NEXT TO a live commit is a
+    * half-written attempt that died mid-write; it is ignored here and
+    * clobbered by the next commit. Exercised by StreamingSpec's
+    * crash-injection cases (orphan promotion, incomplete-first-tmp
+    * deletion, garbage-tmp-beside-live-commit).
     */
   private def recoverCommit(spark: SparkSession, commitP: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(commitP)
     val tmp = new org.apache.hadoop.fs.Path(commitP + "_tmp")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dst) && fs.exists(tmp)) { fs.rename(tmp, dst); () }
+    if (!fs.exists(dst) && fs.exists(tmp)) {
+      val done = new org.apache.hadoop.fs.Path(
+        commitP + "_tmp/ledger/_SUCCESS")
+      if (fs.exists(done)) fs.rename(tmp, dst) else fs.delete(tmp, true)
+      ()
+    }
   }
+
+  /** Applied-batch ledger for the REPLAY-IDEMPOTENT maintainers
+    * ([[dedupMaintain]]'s partition-overwrite replay, [[ccMaintain]]'s
+    * idempotent min-merge): there the ledger only SKIPS work — a batch
+    * replayed because its ledger row is missing or unreadable recomputes
+    * identical state — so reads tolerate a corrupt ledger by treating it
+    * as empty rather than wedging every restart on a half-landed file,
+    * and writes rewrite the whole ledger (a handful of longs) through
+    * [[swapWrite]]'s tmp-then-rename instead of `mode("append")`, whose
+    * task-commit/job-commit crash window can leave a visible partial
+    * parquet file. The SUM-merged maintainers must NOT use this pair:
+    * for them a lost ledger row means a double-merge, which is exactly
+    * why their ledger rides inside [[swapCommit]]'s atomic directory.
+    */
+  private def readLedger(spark: SparkSession, ledgerP: String): Set[Long] =
+    if (!stateExists(spark, ledgerP)) Set.empty
+    else
+      try spark.read.parquet(ledgerP).select(col("batch_id"))
+        .collect().map(_.getLong(0)).toSet
+      catch { case scala.util.control.NonFatal(_) => Set.empty }
+
+  private def ledgerCommit(spark: SparkSession, ledgerP: String,
+      done: Set[Long], batchId: Long): Unit = {
+    import spark.implicits._
+    swapWrite(spark,
+      (done + batchId).toSeq.sorted.toDF("batch_id").coalesce(1), ledgerP)
+  }
+
+  /** The r7 atomic-commit redesign moved sum-merged state from
+    * `statePath/{cells,ledger}` to `statePath/commit/{cells,ledger}`
+    * with no migration path: a stream restarted over a pre-redesign
+    * state directory would silently start from EMPTY state (and an
+    * external source checkpoint would prevent re-reading the consumed
+    * data), losing the accumulated sums without any error. Fail loudly
+    * instead — the operator moves the two tables under `commit/` by
+    * hand (they are layout-identical) or starts fresh deliberately.
+    */
+  private def guardOldLayout(spark: SparkSession, statePath: String,
+      commitP: String, who: String): Unit =
+    require(!(stateExists(spark, statePath + "/cells") &&
+        !stateExists(spark, commitP) && !stateExists(spark, commitP + "_tmp")),
+      s"$who: pre-atomic-commit state layout at $statePath (cells/ outside " +
+        "commit/) — move cells/ and ledger/ under commit/ or start a fresh " +
+        "state path; continuing would silently drop the accumulated sums")
 
   /** Incremental materialized-view maintenance via foreachBatch — q165's
     * merge contract run as a stream: each micro-batch is rolled up to
@@ -490,6 +549,7 @@ object EventStream {
     val commitP = statePath + "/commit"
     val cellsP = commitP + "/cells"
     val ledgerP = commitP + "/ledger"
+    guardOldLayout(spark, statePath, commitP, "decayedMaintain")
     val q = events.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -518,6 +578,10 @@ object EventStream {
       .start()
     q.awaitTermination()
     q.stop()
+    // a restarted run that fires ZERO batches (no new files) never enters
+    // foreachBatch, so a crash left in the delete→rename window would
+    // otherwise still be unrecovered at this read
+    recoverCommit(spark, commitP)
     val cells = spark.read.parquet(cellsP)
     val mx = cells.agg(max(col("d")).as("maxd"))
     cells.crossJoin(org.apache.spark.sql.functions.broadcast(mx))
@@ -570,11 +634,7 @@ object EventStream {
     val q = docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val done: Set[Long] =
-          if (stateExists(spark, ledgerP))
-            spark.read.parquet(ledgerP).select(col("batch_id"))
-              .collect().map(_.getLong(0)).toSet
-          else Set.empty
+        val done: Set[Long] = readLedger(spark, ledgerP)
         if (!done.contains(batchId)) {
           // delta substrate: checkpointed once (delta-sized), consumed by
           // candidate generation, verification, and the index append
@@ -632,14 +692,12 @@ object EventStream {
           // partition — a replayed batch (crash before the ledger row)
           // recomputes the identical deterministic rows and clobbers the
           // stale partition instead of doubling it, so the ledger-last
-          // append only ever skips work, never guards correctness:
+          // rewrite only ever skips work, never guards correctness:
           // exactly-once across batches holds through any crash point
           verdicts.write.mode("overwrite").parquet(s"$verdictsP/batch=$batchId")
           bands.write.mode("overwrite").parquet(s"$bandsP/batch=$batchId")
           sh.write.mode("overwrite").parquet(s"$shP/batch=$batchId")
-          val s = batch.sparkSession
-          import s.implicits._
-          Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerP)
+          ledgerCommit(spark, ledgerP, done, batchId)
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -719,11 +777,7 @@ object EventStream {
     val q = edges.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val done: Set[Long] =
-          if (stateExists(spark, ledgerP))
-            spark.read.parquet(ledgerP).select(col("batch_id"))
-              .collect().map(_.getLong(0)).toSet
-          else Set.empty
+        val done: Set[Long] = readLedger(spark, ledgerP)
         if (!done.contains(batchId)) {
           val eb = batch.select(col("a"), col("b")).localCheckpoint()
           val nodesB = eb.select(col("a").as("id"))
@@ -760,9 +814,7 @@ object EventStream {
                   coalesce(col("cluster_id"), col("root")).as("root"))
             }
           swapWrite(spark, merged, rootsP)
-          val s = batch.sparkSession
-          import s.implicits._
-          Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerP)
+          ledgerCommit(spark, ledgerP, done, batchId)
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -804,6 +856,7 @@ object EventStream {
     val commitP = statePath + "/commit"
     val cellsP = commitP + "/cells"
     val ledgerP = commitP + "/ledger"
+    guardOldLayout(spark, statePath, commitP, "kmeansMaintain")
     def centroidsOf(cells: DataFrame): DataFrame = cells
       .select(col("cid"), col("dim"),
         ((col("s1e9").cast("double") / lit(1e9)) /
@@ -880,6 +933,8 @@ object EventStream {
       .start()
     q.awaitTermination()
     q.stop()
+    // zero-batch restart: recover a rename-window crash before reading
+    recoverCommit(spark, commitP)
     centroidsOf(spark.read.parquet(cellsP))
   }
 

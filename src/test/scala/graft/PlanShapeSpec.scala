@@ -854,10 +854,46 @@ class PlanShapeSpec extends SparkSpec {
     // the rolling MAX-merge runs over the (days x 64) register table,
     // partitioned by bucket — never a single-partition global window.
     // A Window must be present AND no exchange in the plan may funnel to
-    // SinglePartition (the old "Window.*SinglePartition" regex never
-    // matched across the plan's newlines, making the guard vacuous)
+    // SinglePartition under ANY shuffle origin (ENSURE_REQUIREMENTS,
+    // REPARTITION_BY_*…) — the previous ", ENSURE"-suffixed guard would
+    // have passed a global window introduced by an explicit repartition
     assert(p.contains("Window"), p.take(1600))
-    assert(!p.contains("SinglePartition, ENSURE"), p.take(1600))
+    assert(!p.contains("Exchange SinglePartition"), p.take(1600))
+  }
+
+  test("incremental-dedup read path: bucketed band index joins the delta " +
+      "with zero Exchange on the index side") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val delta = docs.where(col("doc_id") % 3 === 0)
+    def bandsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.bandRows(Dedup.minhashSignatures(
+        Dedup.hashedShingleRows(d, "doc_id", "text"), "doc_id"), "doc_id")
+    val tbl = Dedup.writeBandIndexBucketed(bandsOf(corpus), "planspec")
+    val deltaBands = bandsOf(delta).localCheckpoint()
+    val cands = Dedup.deltaCandidatesAgainstIndex(tbl, deltaBands, "doc_id")
+    val p = cands.queryExecution.executedPlan.toString
+    // the corpus-sized index is read through its bucket layout twice
+    // (cap agg + probe join) and never SHUFFLES: the only shuffle
+    // Exchanges in the plan are the batch-sized delta side and the final
+    // distinct — were the index side shuffling too there would be a
+    // third. (A BroadcastExchange of the tiny keep-list is fine.)
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert("SelectedBucketsCount".r.findAllIn(p).size == 2, p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(2000))
+    // and the layout changes nothing semantically: same candidate pairs
+    // as the plain (unbucketed) delta-vs-index join
+    val plain = deltaBands
+      .select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
+      .join(bandsOf(corpus).select(col("doc_id").as("doc_b"),
+        col("band_id"), col("band_key")), Seq("band_id", "band_key"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    assert(cands.count() == plain.count() && cands.count() > 0)
+    assert(cands.exceptAll(plain).isEmpty && plain.exceptAll(cands).isEmpty)
   }
 
   test("q257 small-qty: per-part agg joins back keyed; part dim broadcasts") {

@@ -686,4 +686,193 @@ class StreamingSpec extends SparkSpec {
     val fin2 = EventStream.decayedMaintain(spark, stream, statePath)
     assert(fin2.exceptAll(batch).isEmpty && batch.exceptAll(fin2).isEmpty)
   }
+
+  private def hfs(p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hpath(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  private def plantJunk(dir: String): Unit = {
+    val fs = hfs(dir)
+    fs.mkdirs(hpath(dir))
+    val out = fs.create(hpath(dir + "/part-00000-junk.parquet"))
+    out.write("this is not a parquet file".getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def pinNewFiles(dir: String, known: Set[java.nio.file.Path],
+      w: Int): Set[java.nio.file.Path] = {
+    val now = Files.list(java.nio.file.Paths.get(dir)).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path]).toSet
+    (now -- known).foreach { p =>
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+        .fromMillis(1000000000000L + w * 1000000L))
+    }
+    now
+  }
+
+  test("decayedMaintain crash in the rename window: orphan commit is " +
+      "promoted, on replay and on a zero-batch restart") {
+    val ddir = Files.createTempDirectory("graft_decay_crash").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .repartition(4).write.mode("overwrite").parquet(ddir)
+    val schema = spark.read.parquet(ddir).schema
+    val statePath =
+      Files.createTempDirectory("graft_decay_crash_st").toString + "/state"
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val batch = SparkEntry.queries("q262_decayed_counts")(
+      spark, "/root/testdata/sf0.001")
+    val fin = EventStream.decayedMaintain(spark, stream, statePath)
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+    // crash simulation: the maintainer died between delete(commit) and
+    // rename — the commit dir is GONE and a COMPLETE _tmp holds the state
+    // (exactly the only dst-missing window swapCommit can leave)
+    val fs = hfs(statePath)
+    assert(fs.rename(hpath(statePath + "/commit"),
+      hpath(statePath + "/commit_tmp")))
+    assert(fs.exists(hpath(statePath + "/commit_tmp/ledger/_SUCCESS")),
+      "fixture: a real commit must carry the ledger _SUCCESS marker")
+    // restart WITH batches: the first foreachBatch's recoverCommit must
+    // promote the orphan, after which the ledger skips every replayed id
+    val fin2 = EventStream.decayedMaintain(spark, stream, statePath)
+    assert(fin2.exceptAll(batch).isEmpty && batch.exceptAll(fin2).isEmpty)
+    assert(!fs.exists(hpath(statePath + "/commit_tmp")))
+    // crash again, then restart with ZERO batches (empty source dir):
+    // foreachBatch never fires, so only the post-termination recovery
+    // stands between the orphan and an unreadable final state read
+    assert(fs.rename(hpath(statePath + "/commit"),
+      hpath(statePath + "/commit_tmp")))
+    val empty = Files.createTempDirectory("graft_decay_empty").toString
+    val fin3 = EventStream.decayedMaintain(spark,
+      spark.readStream.schema(schema).parquet(empty), statePath)
+    assert(fin3.exceptAll(batch).isEmpty && batch.exceptAll(fin3).isEmpty)
+  }
+
+  test("decayedMaintain deletes an incomplete FIRST-commit _tmp instead " +
+      "of promoting it") {
+    val ddir = Files.createTempDirectory("graft_decay_first").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .repartition(4).write.mode("overwrite").parquet(ddir)
+    val schema = spark.read.parquet(ddir).schema
+    val statePath =
+      Files.createTempDirectory("graft_decay_first_st").toString + "/state"
+    // the footprint of a FIRST commit that died mid-cells-write: no commit
+    // dir has ever existed, the _tmp holds half-written cells and no
+    // ledger — promoting it would wedge every restart on unreadable
+    // parquet; recoverCommit must see the missing ledger/_SUCCESS and
+    // delete it so the batch replays against genuinely-empty state
+    plantJunk(statePath + "/commit_tmp/cells")
+    val fin = EventStream.decayedMaintain(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(ddir), statePath)
+    val batch = SparkEntry.queries("q262_decayed_counts")(
+      spark, "/root/testdata/sf0.001")
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+  }
+
+  test("decayedMaintain ignores a half-written _tmp beside a live commit " +
+      "and clobbers it at the next real commit") {
+    val ddir = Files.createTempDirectory("graft_decay_tmpjunk").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    // 4 pinned wave files now; the 5th slice arrives after the "crash"
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 4).foreach { w =>
+      ev.where($"event_id" % 5 === w).coalesce(1)
+        .write.mode("append").parquet(ddir)
+      known = pinNewFiles(ddir, known, w)
+    }
+    val schema = spark.read.parquet(ddir).schema
+    val statePath =
+      Files.createTempDirectory("graft_decay_tmpjunk_st").toString + "/state"
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    EventStream.decayedMaintain(spark, stream, statePath)
+    // a concurrent-looking attempt died mid-tmp-write NEXT TO the live
+    // commit: recoverCommit must ignore it (dst exists) and the next
+    // swapCommit must clobber it rather than trip over it
+    plantJunk(statePath + "/commit_tmp/cells")
+    ev.where($"event_id" % 5 === 4).coalesce(1)
+      .write.mode("append").parquet(ddir)
+    known = pinNewFiles(ddir, known, 4)
+    val fin = EventStream.decayedMaintain(spark, stream, statePath)
+    val batch = SparkEntry.queries("q262_decayed_counts")(
+      spark, "/root/testdata/sf0.001")
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+    assert(!hfs(statePath).exists(hpath(statePath + "/commit_tmp")),
+      "the garbage _tmp must be clobbered by the next commit")
+  }
+
+  test("dedupMaintain replays a crashed batch OVER its stale partitions: " +
+      "clobbered, not doubled, and excluded from its own index reads") {
+    def waveDocs(): String = {
+      val d = Files.createTempDirectory("graft_dedup_crash_docs").toString
+      val base = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select($"doc_id", $"text")
+      var known = Set.empty[java.nio.file.Path]
+      (0 until 3).foreach { w =>
+        base.where($"doc_id" % 3 === w).coalesce(1)
+          .write.mode("append").parquet(d)
+        known = pinNewFiles(d, known, w)
+      }
+      d
+    }
+    val ddir = waveDocs()
+    val schema = spark.read.parquet(ddir).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    // clean twin run
+    val stA = Files.createTempDirectory("graft_dedup_crash_a").toString + "/s"
+    val clean = EventStream.dedupMaintain(spark, stream, stA)
+      .localCheckpoint()
+    // state B: the footprint of an attempt at batch 0 that crashed AFTER
+    // landing its partitions but BEFORE the ledger row — worse, the
+    // landed rows are WRONG (seeded from batch 1's data), so correctness
+    // requires the replay to (a) exclude batch=0 from its index reads
+    // (stale rows must not pollute candidate pairing) and (b) overwrite
+    // the partitions rather than append beside them
+    val stB = Files.createTempDirectory("graft_dedup_crash_b").toString + "/s"
+    Seq("bands", "shingles", "verdicts").foreach { t =>
+      spark.read.parquet(s"$stA/$t/batch=1")
+        .write.mode("overwrite").parquet(s"$stB/$t/batch=0")
+    }
+    val fin = EventStream.dedupMaintain(spark, stream, stB)
+    assert(fin.count() == clean.count() && fin.count() > 0)
+    assert(fin.exceptAll(clean).isEmpty && clean.exceptAll(fin).isEmpty)
+    // the stale partition itself must now hold batch 0's true rows
+    Seq("bands", "shingles", "verdicts").foreach { t =>
+      val a = spark.read.parquet(s"$stA/$t/batch=0")
+      val b = spark.read.parquet(s"$stB/$t/batch=0")
+      assert(b.count() == a.count() && a.exceptAll(b).isEmpty &&
+        b.exceptAll(a).isEmpty, s"$t/batch=0 not clobbered to the true rows")
+    }
+  }
+
+  test("kmeansMaintain seeds k centroids from a ranged-id first batch") {
+    import graft.ext.KMeans
+    val src = "/root/testdata/sf0.001"
+    // every vec_id shifted by +1000: the old `vec_id < k` shortcut would
+    // seed ZERO centroids here; the orderBy+limit init must still pick
+    // the k smallest ids, which are the SAME vectors as the unshifted
+    // fixture's ids 0..k-1, so the whole run is the batch Lloyd round
+    // with every cid shifted by the same constant (assignment ties break
+    // on -cid, which a constant shift preserves)
+    val edir = Files.createTempDirectory("graft_km_ranged").toString
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+      .coalesce(1).write.mode("overwrite").parquet(edir)
+    val schema = spark.read.parquet(edir).schema
+    val st = Files.createTempDirectory("graft_km_ranged_st").toString + "/s"
+    val fin = EventStream.kmeansMaintain(spark,
+      spark.readStream.schema(schema).parquet(edir), st, 8)
+    assert(fin.count() == 8, "a ranged first batch must still seed k centroids")
+    val batch = KMeans.trainCodebook(Tables.embeddings(spark, src), 8, 1)
+      .withColumn("cid", $"cid" + 1000L)
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+  }
 }
