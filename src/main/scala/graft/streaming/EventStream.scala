@@ -270,10 +270,13 @@ object EventStream {
     * (the plan reads the OLD state files directly while writing NEW files
     * elsewhere — no read-vs-overwrite race, so no checkpoint whose blocks
     * could vanish with an executor), then swap with a delete + rename. A
-    * maintainer dying mid-refresh leaves either the old state or the new
-    * one, never a half-written table; the unprotected window shrinks from
-    * the whole parquet write to one metadata rename (atomic on local FS
-    * and HDFS, best-effort on object stores). Assumes a SINGLE maintaining
+    * maintainer dying mid-refresh never leaves a half-written table
+    * VISIBLE, but the delete→rename window can leave NEITHER table
+    * visible (old deleted, complete new still at `_tmp`) — a restart
+    * that read the missing path as "no state yet" would silently restart
+    * the accumulation from empty, which is why every swap-state
+    * maintainer runs [[recoverSwap]] before each state read (per batch
+    * and once after termination). Assumes a SINGLE maintaining
     * process per state path — concurrent maintainers would need a real
     * table format's commit protocol, not a directory swap.
     */
@@ -347,6 +350,28 @@ object EventStream {
     }
   }
 
+  /** [[recoverCommit]]'s twin for the single-table [[swapWrite]] states
+    * (hll/kmv sketch tables, the CC root map): a missing state dir next
+    * to a `_tmp` is either the delete→rename window of a complete swap
+    * (promote — the parquet job's own `_SUCCESS` marker proves the tmp
+    * complete) or a first-ever write that died mid-tmp (delete; the
+    * batch replays against genuinely-empty state, which the idempotent
+    * merges absorb). Without this, a crash inside the rename window
+    * silently restarted the ACCUMULATION from empty on the next run —
+    * the one data-loss hole the swap design left open. Runs before every
+    * state read: at each foreachBatch entry and once after termination.
+    */
+  private def recoverSwap(spark: SparkSession, statePath: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(statePath)
+    val tmp = new org.apache.hadoop.fs.Path(statePath + "_tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst) && fs.exists(tmp)) {
+      val done = new org.apache.hadoop.fs.Path(statePath + "_tmp/_SUCCESS")
+      if (fs.exists(done)) fs.rename(tmp, dst) else fs.delete(tmp, true)
+      ()
+    }
+  }
+
   /** Applied-batch ledger for the REPLAY-IDEMPOTENT maintainers
     * ([[dedupMaintain]]'s partition-overwrite replay, [[ccMaintain]]'s
     * idempotent min-merge): there the ledger only SKIPS work — a batch
@@ -399,11 +424,20 @@ object EventStream {
     * length, each refresh touches only the arriving batch, and decimal
     * partials make the merged sum EXACTLY the monolithic sum regardless
     * of how the stream was batched — the warehouse-upsert pattern stated
-    * as code. Returns the final state table.
+    * as code. Counts and sums are sum-merged ⇒ not replay-idempotent, so
+    * this maintainer carries the same atomically-committed batch-id
+    * ledger as [[decayedMaintain]] ([[swapCommit]], one rename covers
+    * cells + ledger) — previously it had NO replay guard at all, and a
+    * re-presented batch id would have double-counted every partial.
+    * Returns the final state table.
     */
   def rollupMaintain(spark: SparkSession, events: DataFrame,
       statePath: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    val commitP = statePath + "/commit"
+    val cellsP = commitP + "/cells"
+    val ledgerP = commitP + "/ledger"
+    guardOldLayout(spark, statePath, commitP, "rollupMaintain")
     def partials(df: DataFrame): DataFrame = df
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -412,28 +446,37 @@ object EventStream {
         max(col("value")).as("vmax"), min(col("value")).as("vmin"))
     val q = events.writeStream
       .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val incoming = partials(batch)
-        val merged =
-          if (stateExists(spark, statePath)) {
-            spark.read.parquet(statePath)
-              .withColumn("total_dec",
-                col("total_dec").cast(DecimalType(18, 4)))
-              .unionByName(incoming)
-              .groupBy(col("event_type"))
-              .agg(sum(col("n")).as("n"),
-                sum(col("total_dec")).cast(DecimalType(18, 4))
-                  .as("total_dec"),
-                max(col("vmax")).as("vmax"), min(col("vmin")).as("vmin"))
-          } else incoming
-        swapWrite(spark, merged, statePath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recoverCommit(spark, commitP)
+        val done: Set[Long] =
+          if (stateExists(spark, ledgerP))
+            spark.read.parquet(ledgerP).select(col("batch_id"))
+              .collect().map(_.getLong(0)).toSet
+          else Set.empty
+        if (!done.contains(batchId)) {
+          val incoming = partials(batch)
+          val merged =
+            if (stateExists(spark, cellsP)) {
+              spark.read.parquet(cellsP)
+                .withColumn("total_dec",
+                  col("total_dec").cast(DecimalType(18, 4)))
+                .unionByName(incoming)
+                .groupBy(col("event_type"))
+                .agg(sum(col("n")).as("n"),
+                  sum(col("total_dec")).cast(DecimalType(18, 4))
+                    .as("total_dec"),
+                  max(col("vmax")).as("vmax"), min(col("vmin")).as("vmin"))
+            } else incoming
+          swapCommit(spark, merged, commitP, done, batchId)
+        }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     q.stop()
-    spark.read.parquet(statePath)
+    // zero-batch restart: recover a rename-window crash before reading
+    recoverCommit(spark, commitP)
+    spark.read.parquet(cellsP)
       .withColumn("total", col("total_dec").cast("double"))
       .withColumn("avg_v", col("total") / col("n").cast("double"))
       .drop("total_dec")
@@ -464,6 +507,7 @@ object EventStream {
     val q = docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        recoverSwap(spark, statePath)
         val incoming = registers(batch)
         val merged =
           if (stateExists(spark, statePath))
@@ -479,6 +523,7 @@ object EventStream {
       .start()
     q.awaitTermination()
     q.stop()
+    recoverSwap(spark, statePath)
     spark.read.parquet(statePath)
   }
 
@@ -513,6 +558,7 @@ object EventStream {
     val q = docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        recoverSwap(spark, statePath)
         val incoming = sketch(batch)
         val merged =
           if (stateExists(spark, statePath))
@@ -525,6 +571,7 @@ object EventStream {
       .start()
     q.awaitTermination()
     q.stop()
+    recoverSwap(spark, statePath)
     spark.read.parquet(statePath)
   }
 
@@ -777,6 +824,7 @@ object EventStream {
     val q = edges.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recoverSwap(spark, rootsP)
         val done: Set[Long] = readLedger(spark, ledgerP)
         if (!done.contains(batchId)) {
           val eb = batch.select(col("a"), col("b")).localCheckpoint()
@@ -821,6 +869,7 @@ object EventStream {
       .start()
     q.awaitTermination()
     q.stop()
+    recoverSwap(spark, rootsP)
     spark.read.parquet(rootsP)
   }
 

@@ -853,6 +853,96 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("hllMaintain recovers a swapWrite rename-window crash: state " +
+      "promoted on replay, on zero-batch restart, junk first-tmp deleted") {
+    import graft.ext.TextAnalysis
+    val ddir = Files.createTempDirectory("graft_hll_crash").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(4).write.mode("overwrite").parquet(ddir)
+    val schema = spark.read.parquet(ddir).schema
+    val statePath =
+      Files.createTempDirectory("graft_hll_crash_st").toString + "/state"
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    // junk _tmp from a first write that died mid-parquet (no _SUCCESS):
+    // must be deleted, not promoted — the run then starts genuinely empty
+    plantJunk(statePath + "_tmp")
+    val batch = TextAnalysis.hllRegisters(spark,
+      spark.read.parquet(ddir)
+        .select($"source", explode(TextAnalysis.tokens($"text")).as("token")),
+      $"source", $"token")
+    val fin = EventStream.hllMaintain(spark, stream, statePath)
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+    // crash between delete(state) and rename: only the complete _tmp holds
+    // the registers — without recovery a restart would re-accumulate from
+    // EMPTY and (for MAX-merged state over the same corpus) happen to
+    // converge, but a zero-batch restart would throw on the missing path
+    val fs = hfs(statePath)
+    assert(fs.rename(hpath(statePath), hpath(statePath + "_tmp")))
+    val fin2 = EventStream.hllMaintain(spark, stream, statePath)
+    assert(fin2.exceptAll(batch).isEmpty && batch.exceptAll(fin2).isEmpty)
+    assert(fs.rename(hpath(statePath), hpath(statePath + "_tmp")))
+    val empty = Files.createTempDirectory("graft_hll_empty").toString
+    val fin3 = EventStream.hllMaintain(spark,
+      spark.readStream.schema(schema).parquet(empty), statePath)
+    assert(fin3.exceptAll(batch).isEmpty && batch.exceptAll(fin3).isEmpty)
+  }
+
+  test("ccMaintain recovers an orphaned root map even when the ledger " +
+      "skips every replayed batch") {
+    import graft.ext.Dedup
+    val edges = (0L until 30L).map(i => (i, i + 1))
+    val edir = Files.createTempDirectory("graft_cc_crash").toString
+    edges.toDF("a", "b").coalesce(1).write.mode("overwrite").parquet(edir)
+    val schema = spark.read.parquet(edir).schema
+    def stream = spark.readStream.schema(schema).parquet(edir)
+    val statePath =
+      Files.createTempDirectory("graft_cc_crash_st").toString + "/s"
+    val fin = EventStream.ccMaintain(spark, stream, statePath)
+    val batch = Dedup.connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+      .select($"id", $"cluster_id".as("root"))
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+    // crash in the roots swap window: the replayed batch is SKIPPED by
+    // the ledger, so nothing would rewrite the map — only the per-batch
+    // recoverSwap stands between the orphan and a missing-path crash
+    val fs = hfs(statePath)
+    assert(fs.rename(hpath(statePath + "/roots"),
+      hpath(statePath + "/roots_tmp")))
+    val fin2 = EventStream.ccMaintain(spark, stream, statePath)
+    assert(fin2.exceptAll(batch).isEmpty && batch.exceptAll(fin2).isEmpty)
+  }
+
+  test("rollupMaintain is exactly-once under full replay (atomic ledger)") {
+    import org.apache.spark.sql.types.DecimalType
+    val statePath = Files.createTempDirectory("graft_mv_replay").toString +
+      "/state"
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val cols = Seq("event_type", "n", "total", "vmax", "vmin", "avg_v")
+      .map(col)
+    val fin = EventStream.rollupMaintain(spark, stream, statePath)
+      .select(cols: _*)
+    val mono = spark.read.parquet(dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 4))).cast("double").as("total"),
+        max($"value").as("vmax"), min($"value").as("vmin"))
+      .withColumn("avg_v", $"total" / $"n".cast("double"))
+      .select(cols: _*)
+    assert(fin.count() == mono.count() && fin.count() > 0)
+    assert(fin.exceptAll(mono).isEmpty && mono.exceptAll(fin).isEmpty)
+    // replaying the whole stream re-presents ledgered batch ids: the
+    // sum-merged partials must not double (this maintainer previously
+    // had NO replay guard — this is the regression test for the fix)
+    val stream2 = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val fin2 = EventStream.rollupMaintain(spark, stream2, statePath)
+      .select(cols: _*)
+    assert(fin2.exceptAll(mono).isEmpty && mono.exceptAll(fin2).isEmpty)
+  }
+
   test("kmeansMaintain seeds k centroids from a ranged-id first batch") {
     import graft.ext.KMeans
     val src = "/root/testdata/sf0.001"
