@@ -1565,7 +1565,107 @@ object DedupQueries {
         |    AS langs,
         |  MAX(n_chars) AS max_chars
         |FROM mem GROUP BY entity_id
-        |HAVING COUNT(*) > 1""".stripMargin))
+        |HAVING COUNT(*) > 1""".stripMargin)),
+
+    // ── Cross-split memorization DEPTH — the contamination metric q114's
+    //    pair counts can't give: for every TEST-split document, the
+    //    LONGEST CONTIGUOUS run of stride-1 8-word windows whose hashes
+    //    also appear anywhere in the TRAIN split. q114 says "a test doc
+    //    has a near-dup twin in train"; this says "this many consecutive
+    //    test tokens exist verbatim in train" — the number behind
+    //    extraction-attack risk and inflated eval perplexity (a 200-token
+    //    verbatim run is memorizable; twenty scattered 8-grams are not).
+    //    Splits are recomputed from q63/q114's salted doc_id hash (a
+    //    property of the doc, no split table join); matched windows come
+    //    from ONE keyed LEFT SEMI against the distinct train-window hash
+    //    set (never doc×doc); runs are gaps-and-islands on window index
+    //    (i − row_number per doc — q293's pattern), so the window
+    //    partitions are document-sized. max_run_tokens = run + 7 (a run
+    //    of k overlapping 8-grams covers k+7 tokens). Zero-match test
+    //    docs are kept with depth 0: the AUDIT must show clean docs.
+    QueryDef(
+      "q296_memorization_depth",
+      (s, dir) => {
+        import s.implicits._
+        val spanWords = 8
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val bucket = pmod(TextAnalysis.hash60(
+            concat(lit("split:"), c.cast("string"))), lit(100)).cast("int")
+          when(bucket < 80, "train")
+            .when(bucket < 90, "validation").otherwise("test")
+        }
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+        val sh = toks.where(size($"w") >= spanWords)
+          .select($"doc_id",
+            explode(sequence(lit(1), size($"w") - (spanWords - 1), lit(1)))
+              .as("i"),
+            $"w")
+          .select($"doc_id", $"i",
+            TextAnalysis.hash60Fast(s,
+              concat_ws(" ", slice($"w", $"i", lit(spanWords)))).as("h"))
+          .withColumn("split", splitOf($"doc_id"))
+        val trainH = sh.where($"split" === "train").select($"h").distinct()
+        val hits = sh.where($"split" === "test")
+          .join(trainH, Seq("h"), "left_semi")
+          .select($"doc_id", $"i")
+        val wnd = Window.partitionBy($"doc_id").orderBy($"i".asc)
+        val per = hits
+          .withColumn("grp", $"i" - row_number().over(wnd))
+          .groupBy($"doc_id", $"grp")
+          .agg(count(lit(1)).as("rw"))
+          .groupBy($"doc_id")
+          .agg(sum($"rw").as("n_matched_windows"),
+            max($"rw").as("max_run_windows"))
+        Tables.documents(s, dir)
+          .where(splitOf($"doc_id") === "test")
+          .select($"doc_id")
+          .join(per, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_matched_windows", "max_run_windows"))
+          .select($"doc_id", $"n_matched_windows", $"max_run_windows",
+            when($"max_run_windows" > 0,
+              $"max_run_windows" + (spanWords - 1)).otherwise(0L)
+              .as("max_run_tokens"))
+      },
+      Some {
+        val splitSql = (c: String) => "CASE WHEN ('0x' || " +
+          s"substr(md5('split:' || CAST($c AS VARCHAR)), 1, 15))::BIGINT " +
+          "% 100 < 80 THEN 'train' WHEN ('0x' || " +
+          s"substr(md5('split:' || CAST($c AS VARCHAR)), 1, 15))::BIGINT " +
+          "% 100 < 90 THEN 'validation' ELSE 'test' END"
+        s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, i,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT AS h,
+        |    ${splitSql("doc_id")} AS split
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        |        FROM t WHERE len(w) >= 8)),
+        |trainh AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+        |hits AS (
+        |  SELECT doc_id, i FROM sh
+        |  WHERE split = 'test' AND h IN (SELECT h FROM trainh)),
+        |runs AS (
+        |  SELECT doc_id,
+        |    i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i ASC) AS grp
+        |  FROM hits),
+        |rg AS (SELECT doc_id, grp, COUNT(*) AS rw FROM runs GROUP BY 1, 2),
+        |per AS (
+        |  SELECT doc_id, CAST(SUM(rw) AS BIGINT) AS n_matched_windows,
+        |    CAST(MAX(rw) AS BIGINT) AS max_run_windows
+        |  FROM rg GROUP BY 1),
+        |td AS (SELECT doc_id FROM documents
+        |  WHERE ${splitSql("doc_id")} = 'test')
+        |SELECT td.doc_id,
+        |  COALESCE(per.n_matched_windows, 0) AS n_matched_windows,
+        |  COALESCE(per.max_run_windows, 0) AS max_run_windows,
+        |  CASE WHEN COALESCE(per.max_run_windows, 0) > 0
+        |    THEN per.max_run_windows + 7 ELSE 0 END AS max_run_tokens
+        |FROM td LEFT JOIN per ON td.doc_id = per.doc_id""".stripMargin
+      })
   )
 
   /** FS pair scorer shared by q277 (pattern table) and q279 (golden

@@ -1931,7 +1931,66 @@ object TextQueries {
         |  CAST(m.diag * m.n - s2.s_rowcol AS DOUBLE)
         |    / CAST(m.n * m.n - s2.s_rowcol AS DOUBLE) AS kappa
         |FROM m, s2""".stripMargin
-      })
+      }),
+
+    // ── Per-source lexical diversity, LOG-FREE: Shannon entropy is the
+    //    textbook number but runtime logs are not correctly rounded
+    //    (the q91/Fellegi-Sunter rule), so the diversity battery is built
+    //    from exact integer moments instead — inverse-Simpson EFFECTIVE
+    //    VOCABULARY N²/Σc² (the Rényi-2 "effective species count": how
+    //    many equally-frequent types would produce this concentration —
+    //    the repetition-collapse signal a corpus mixer watches), Gini-
+    //    Simpson 1−Σp² (probability two random tokens differ), type-token
+    //    ratio, and the top-type share. All in fixed point with the
+    //    products in DECIMAL(38,0)/HUGEINT (q282's rule: N and Σc² are
+    //    corpus-sized, so N²·1e6 overflows BIGINT long before 100 TB).
+    //    Scale shape: one (source, token) count — map-side partial on the
+    //    token stream — then a #types-row per-source rollup; top share
+    //    rides the same pass via max(c).
+    QueryDef(
+      "q297_token_diversity",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.documents(s, dir)
+          .select($"source", explode(TextAnalysis.tokens($"text")).as("token"))
+          .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+        counts.groupBy($"source")
+          .agg(sum($"c").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum($"c".cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(38, 0)) * $"c").as("sum_c2"),
+            max($"c").as("top_c"))
+          .select($"source", $"n_tokens", $"n_types",
+            expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens * 1000000" +
+              " div sum_c2 AS BIGINT)").as("eff_vocab_1e6"),
+            expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * n_tokens - sum_c2)" +
+              " * 1000000000 div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)" +
+              " AS BIGINT)").as("gini_simpson_1e9"),
+            expr("n_types * 1000000000 div n_tokens").as("ttr_1e9"),
+            expr("top_c * 1000000000 div n_tokens").as("top_share_1e9"))
+      },
+      Some("""WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS w
+        |  FROM documents),
+        |tok AS (SELECT source, unnest(w) AS token FROM t),
+        |cnt AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    SUM(CAST(c AS HUGEINT) * c) AS sum_c2,
+        |    CAST(MAX(c) AS BIGINT) AS top_c
+        |  FROM cnt GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  CAST(CAST(n_tokens AS HUGEINT) * n_tokens * 1000000 // sum_c2
+        |    AS BIGINT) AS eff_vocab_1e6,
+        |  CAST((CAST(n_tokens AS HUGEINT) * n_tokens - sum_c2) * 1000000000
+        |    // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+        |    AS gini_simpson_1e9,
+        |  n_types * 1000000000 // n_tokens AS ttr_1e9,
+        |  top_c * 1000000000 // n_tokens AS top_share_1e9
+        |FROM agg""".stripMargin))
   )
 
   /** Distinct (source, token) pairs — the hashed-item stream both HLL

@@ -896,6 +896,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(cands.exceptAll(plain).isEmpty && plain.exceptAll(cands).isEmpty)
   }
 
+  test("q296 memorization depth: train-hash probe is a keyed semi join, " +
+      "no cartesian, doc-keyed windows only") {
+    val p = planOf("q296_memorization_depth")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the islands row_number runs per doc, never a global funnel
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
   test("q257 small-qty: per-part agg joins back keyed; part dim broadcasts") {
     val p = planOf("q257_small_qty_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(1600))
