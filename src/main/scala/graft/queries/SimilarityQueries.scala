@@ -2025,6 +2025,60 @@ object SimilarityQueries {
         |  CAST(SUM(1000000000 // dist) AS BIGINT) AS harmonic_1e9
         |FROM v$BfsHops WHERE dist > 0
         |GROUP BY 1""".stripMargin
+      }),
+
+    // ── kNN-graph HUBNESS profile — the high-dimensional ANN pathology
+    //    check (Radovanović et al. 2010): in a healthy neighborhood graph
+    //    in-degree concentrates near k; under hubness a few vectors
+    //    become "hubs" appearing in everyone's top-k (poisoning retrieval
+    //    diversity and dedup candidate quality) while "antihubs" are
+    //    nobody's neighbor and silently unreachable. Output is the exact
+    //    in-degree histogram over the q149 edge substrate (shared cache —
+    //    this consumer rides free) with fixed-point shares and a
+    //    cumulative share over the bounded in-degree axis (≤ max-indeg
+    //    rows — the W3/q263 bounded-axis window argument; the node
+    //    universe is every vector WITH out-edges, so "indeg = 0" rows ARE
+    //    the antihub count, not missing data). At 100 TB: one keyed count
+    //    over the edge list + one left join onto the node list — never
+    //    touches embeddings.
+    QueryDef(
+      "q298_knn_hubness",
+      (s, dir) => {
+        import s.implicits._
+        val edges = knnEdgesCached(s, dir).select($"src", $"dst")
+        val nodes = edges.select($"src".as("vec_id")).distinct()
+        val indeg = nodes
+          .join(edges.groupBy($"dst".as("vec_id"))
+            .agg(count(lit(1)).as("d")), Seq("vec_id"), "left")
+          .select($"vec_id", coalesce($"d", lit(0L)).as("indeg"))
+        val hist = indeg.groupBy($"indeg").agg(count(lit(1)).as("n_nodes"))
+        val tot = hist.agg(sum($"n_nodes").as("n_total"))
+        val w = Window.orderBy($"indeg".asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        hist.crossJoin(broadcast(tot))
+          .withColumn("cum", sum($"n_nodes").over(w))
+          .select($"indeg", $"n_nodes",
+            expr("n_nodes * 1000000000 div n_total").as("share_1e9"),
+            expr("cum * 1000000000 div n_total").as("cum_share_1e9"))
+      },
+      Some {
+        s"""$knnEdgesCtesSql,
+        |nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+        |ind AS (
+        |  SELECT n.vec_id, COALESCE(d.d, 0) AS indeg
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT dst AS vec_id, COUNT(*) AS d FROM edges GROUP BY 1) d
+        |    ON n.vec_id = d.vec_id),
+        |hist AS (
+        |  SELECT indeg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |  FROM ind GROUP BY 1),
+        |tot AS (SELECT SUM(n_nodes) AS n_total FROM hist)
+        |SELECT indeg, n_nodes,
+        |  n_nodes * 1000000000 // n_total AS share_1e9,
+        |  SUM(n_nodes) OVER (ORDER BY indeg ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * 1000000000 // n_total AS cum_share_1e9
+        |FROM hist, tot""".stripMargin
       })
   )
 

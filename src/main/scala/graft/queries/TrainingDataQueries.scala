@@ -2269,6 +2269,109 @@ object TrainingDataQueries {
         |SELECT k, covered_tokens, tot.total AS total_tokens, tot.n_types,
         |  ROUND(CAST(covered_tokens AS DOUBLE) / CAST(tot.total AS DOUBLE), 9)
         |    AS coverage
-        |FROM cov CROSS JOIN tot""".stripMargin))
+        |FROM cov CROSS JOIN tot""".stripMargin)),
+
+    // ── Nearest-centroid separation MARGIN — the label-quality eval q97's
+    //    accuracy rounds off: accuracy says WHETHER a vector lands on its
+    //    own label centroid; the margin (sim-to-own − best-sim-to-other)
+    //    says BY HOW MUCH, and the per-label margin distribution is the
+    //    signal behind label-noise triage (near-zero margins = boundary
+    //    vectors worth auditing) and embedding-quality tracking across
+    //    retrains. Same broadcast-k-centroids substrate as q97 (label
+    //    cell means, exact decimal dots, 9-decimal-rounded cosines — the
+    //    margin is a DIFFERENCE OF TWO IDENTICALLY-ROUNDED doubles, so it
+    //    is itself cross-engine exact); per-label rollup: n, separated
+    //    count (margin > 0), min margin, and the tavg fixed-point mean
+    //    (no float-order risk). One corpus scan, k² centroid pairs never
+    //    materialize — the "other" side is max_by over the same broadcast.
+    QueryDef(
+      "q299_centroid_margin",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        import graft.functions.GraftFunctions.dotExact
+        val emb = Tables.embeddings(s, dir)
+        val cells = emb
+          .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+          .groupBy($"label", $"dim")
+          .agg(QueryDef.tavg($"v".cast("double")).as("cv"))
+        val cents = cells.groupBy($"label")
+          .agg(transform(array_sort(collect_list(struct($"dim", $"cv"))),
+            _.getField("cv")).as("ce"))
+          .withColumn("cn2", dotExact($"ce", $"ce"))
+          .select($"label".as("clabel"), $"ce", $"cn2")
+        val e = emb
+          .select($"vec_id", $"label",
+            transform($"embedding", x => x.cast("double")).as("emb"))
+          .withColumn("n2", dotExact($"emb", $"emb"))
+        val margins = e.join(broadcast(cents))
+          .select($"vec_id", $"label", $"clabel",
+            Similarity.cosine(dotExact($"emb", $"ce"), $"n2", $"cn2")
+              .as("sim"))
+          .groupBy($"vec_id")
+          .agg(min($"label").as("label"),
+            max(when($"clabel" === $"label", $"sim")).as("own_sim"),
+            max(when($"clabel" =!= $"label", $"sim")).as("other_sim"))
+          .select($"vec_id", $"label",
+            ($"own_sim" - $"other_sim").as("margin"))
+        margins.groupBy($"label")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"margin" > 0.0, 1L).otherwise(0L)).as("n_separated"),
+            min($"margin").as("margin_min"),
+            QueryDef.tavg($"margin").as("margin_avg"))
+          .withColumn("sep_frac",
+            round($"n_separated".cast("double") / $"n".cast("double"), 9))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT label, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS dim,
+        |    ${QueryDef.tavgSql("CAST(embedding[i] AS DOUBLE)")} AS cv
+        |  FROM t GROUP BY 1, 2),
+        |cents AS MATERIALIZED (
+        |  SELECT label AS clabel, list(cv ORDER BY dim) AS ce
+        |  FROM cells GROUP BY 1),
+        |cn AS (
+        |  SELECT clabel, ${dotSql("ce", "ce")} AS cn2
+        |  FROM (SELECT clabel, ce, unnest(generate_series(1, len(ce))) AS i
+        |    FROM cents)
+        |  GROUP BY clabel, ce),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |n2 AS (
+        |  SELECT vec_id, ${dotSql("emb", "emb")} AS n2
+        |  FROM (SELECT vec_id, emb,
+        |      unnest(generate_series(1, len(emb))) AS i FROM e)
+        |  GROUP BY vec_id, emb),
+        |dots AS (
+        |  SELECT vec_id, clabel, ${dotSql("emb", "ce")} AS dot
+        |  FROM (SELECT e.vec_id, e.emb, c.clabel, c.ce,
+        |      unnest(generate_series(1, len(e.emb))) AS i
+        |    FROM e CROSS JOIN cents c)
+        |  GROUP BY vec_id, emb, clabel, ce),
+        |scored AS (
+        |  SELECT d.vec_id, d.clabel,
+        |    ROUND(CASE WHEN v.n2 > 0 AND c.cn2 > 0
+        |      THEN d.dot / (sqrt(v.n2) * sqrt(c.cn2)) ELSE 0.0 END, 9) AS sim
+        |  FROM dots d JOIN n2 v ON d.vec_id = v.vec_id
+        |    JOIN cn c ON d.clabel = c.clabel),
+        |mg AS (
+        |  SELECT s.vec_id, e.label,
+        |    MAX(CASE WHEN s.clabel = e.label THEN s.sim END)
+        |      - MAX(CASE WHEN s.clabel <> e.label THEN s.sim END) AS margin
+        |  FROM scored s JOIN e ON s.vec_id = e.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN margin > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_separated,
+        |  MIN(margin) AS margin_min,
+        |  ${QueryDef.tavgSql("margin")} AS margin_avg,
+        |  ROUND(CAST(SUM(CASE WHEN margin > 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS sep_frac
+        |FROM mg GROUP BY 1""".stripMargin))
   )
 }
