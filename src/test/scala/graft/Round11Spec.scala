@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the round-8 additions beyond the oracle gate:
+  * memorization-depth bounds against the document substrate, the
+  * diversity-index algebra, hubness-histogram conservation laws, and the
+  * margin/accuracy consistency between q299 and q97.
+  */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q296 memorization depth: bounds, split purity, and a planted " +
+      "verbatim run is measured exactly") {
+    val rows = SparkEntry.queries("q296_memorization_depth")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    // every audited doc is a test-split doc, kept even at depth 0
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        graft.ext.TextAnalysis.tokenCount($"text").as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nTok = docs(id)
+      val run = r.getAs[Long]("max_run_tokens")
+      val mw = r.getAs[Long]("max_run_windows")
+      val nm = r.getAs[Long]("n_matched_windows")
+      // a run of k overlapping 8-grams covers k+7 tokens, within the doc
+      assert(run <= nTok, s"doc $id: run $run > $nTok tokens")
+      assert(if (mw > 0) run == mw + 7 else run == 0, r)
+      assert(mw <= nm, r)
+      // a doc under 8 tokens has no windows at all
+      if (nTok < 8) assert(nm == 0 && run == 0, r)
+    }
+    // planted contamination: one train doc and one test doc sharing a
+    // verbatim 12-token run must yield max_run_windows = 5 (12−8+1) for
+    // the test doc. Split membership is the salted doc_id hash, so pick
+    // ids by probing the same hash the query uses.
+    def split(id: Long): String = {
+      val b = graft.ext.TextAnalysis.hash60Java(s"split:$id") % 100
+      if (b < 80) "train" else if (b < 90) "validation" else "test"
+    }
+    val trainId = (0L to 500L).find(split(_) == "train").get
+    val testId = (0L to 500L).find(split(_) == "test").get
+    val run12 = (1 to 12).map(i => s"planted$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    Seq(
+      (trainId, s"aaa bbb $run12 ccc ddd eee fff ggg hhh"),
+      (testId, s"xxx yyy zzz $run12 qqq www rrr ttt uuu"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = SparkEntry.queries("q296_memorization_depth")(spark, tmp)
+      .collect()
+    assert(planted.length == 1 && planted.head.getAs[Long]("doc_id") == testId)
+    assert(planted.head.getAs[Long]("max_run_windows") == 5L, planted.head)
+    assert(planted.head.getAs[Long]("max_run_tokens") == 12L, planted.head)
+  }
+
+  test("q297 token diversity: index algebra holds on the fixture and on " +
+      "a hand-computed corpus") {
+    val rows = SparkEntry.queries("q297_token_diversity")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val v = r.getAs[Long]("n_types")
+      val eff = r.getAs[Long]("eff_vocab_1e6")
+      val gini = r.getAs[Long]("gini_simpson_1e9")
+      val ttr = r.getAs[Long]("ttr_1e9")
+      val top = r.getAs[Long]("top_share_1e9")
+      // effective vocabulary is between 1 and the true type count
+      assert(eff >= 1000000L && eff <= v * 1000000L, r)
+      assert(gini >= 0L && gini < 1000000000L, r)
+      assert(ttr >= 0L && ttr <= 1000000000L, r)
+      // the top type alone bounds concentration: Σc² ≥ top² ⇒
+      // eff ≤ (N/top)² · 1e6, and top share is at least 1/V
+      assert(top * v >= 1000000000L - v, r)
+      assert(n >= v, r)
+    }
+    // hand-computed: "a a a b" → N=4, V=2, Σc²=10, eff=1.6, gini=0.375,
+    // ttr=0.5, top=0.75
+    val tmp = java.nio.file.Files.createTempDirectory("graft_div").toString
+    Seq((0L, "src0", "a a a b"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val one = SparkEntry.queries("q297_token_diversity")(spark, tmp).head()
+    assert(one.getAs[Long]("n_tokens") == 4L)
+    assert(one.getAs[Long]("n_types") == 2L)
+    assert(one.getAs[Long]("eff_vocab_1e6") == 1600000L)
+    assert(one.getAs[Long]("gini_simpson_1e9") == 375000000L)
+    assert(one.getAs[Long]("ttr_1e9") == 500000000L)
+    assert(one.getAs[Long]("top_share_1e9") == 750000000L)
+  }
+
+  test("q298 hubness: histogram conserves nodes and edges; cumulative " +
+      "share is monotone to 1") {
+    val rows = SparkEntry.queries("q298_knn_hubness")(spark, dir)
+      .sort($"indeg").collect()
+    assert(rows.nonEmpty)
+    val nNodes = rows.map(_.getAs[Long]("n_nodes")).sum
+    // Σ indeg·n_nodes = |edges| (every edge lands on exactly one dst)
+    val edgeMass = rows.map(r =>
+      r.getAs[Long]("indeg") * r.getAs[Long]("n_nodes")).sum
+    val edges = SparkEntry.queries("q149_knn_graph")(spark, dir).count()
+    assert(edgeMass == edges, s"$edgeMass != $edges")
+    // shares sum to ~1 (integer-floor division loses < #rows units)
+    val shareSum = rows.map(_.getAs[Long]("share_1e9")).sum
+    assert(shareSum <= 1000000000L && shareSum > 1000000000L - rows.length)
+    val cums = rows.map(_.getAs[Long]("cum_share_1e9"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last == nNodes * 1000000000L / nNodes) // floor(1) exactly
+  }
+
+  test("q299 centroid margin agrees with q97 accuracy: separated ⇔ " +
+      "nearest-centroid-correct up to rounding ties") {
+    val margin = SparkEntry.queries("q299_centroid_margin")(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_separated"))).toMap
+    val acc = SparkEntry.queries("q97_centroid_probe")(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_correct"))).toMap
+    assert(margin.keySet == acc.keySet && margin.nonEmpty)
+    margin.foreach { case (label, (n, sep)) =>
+      val (n2, correct) = acc(label)
+      assert(n == n2, s"label $label: $n != $n2")
+      // margin > 0 implies the own centroid ranks first, so separated ≤
+      // correct; ties (margin == 0) are broken toward the smaller label
+      // by q97, so the gap is exactly the tied vectors
+      assert(sep <= correct, s"label $label: sep $sep > correct $correct")
+    }
+    val sepTotal = margin.values.map(_._2).sum
+    assert(sepTotal > 0, "fixture must have separable labels")
+  }
+}
