@@ -754,6 +754,68 @@ object EventStream {
     spark.read.parquet(verdictsP).drop("batch")
   }
 
+  /** Incremental equi-JOIN view maintenance via foreachBatch — the
+    * classic IVM delta rule (ΔJ = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB) for a
+    * materialized join over two UNBOUNDED growing sides, the view family
+    * the other maintainers don't cover (rollup/decay = aggregation, hll/
+    * kmv = sketches, dedup/cc = similarity state; this is the join). The
+    * input stream carries both sides tagged by a `side` column ('a'/'b')
+    * with (k, id) rows; the maintained view is every (k, id_a, id_b)
+    * pair. Per batch only delta-proportional work runs — the old×old
+    * pair space is never re-joined — and the emitted pairs are complete
+    * because a pair (i∈batch p, j∈batch q) is produced exactly once, in
+    * batch max(p, q) (same-batch pairs via the ΔA⋈ΔB term). Exactly-once
+    * is [[dedupMaintain]]'s grow-only posture: both side stores and the
+    * output land as per-batch OVERWRITE partitions, reads exclude the
+    * batch's own partition, so a replayed crash recomputes identical
+    * deterministic rows and clobbers the stale attempt; the
+    * corrupt-tolerant whole-rewrite ledger only skips work. At 100 TB
+    * both side stores are tables bucketed on k (the
+    * [[graft.ext.Dedup.writeBandIndexBucketed]] layout), so each delta
+    * probe shuffles only the batch; a hot key is the join's own
+    * semantics — AQE skew-split applies, not a cap. Returns the
+    * accumulated joined view.
+    */
+  def joinMaintain(spark: SparkSession, rows: DataFrame,
+      statePath: String): DataFrame = {
+    val aP = statePath + "/a"
+    val bP = statePath + "/b"
+    val outP = statePath + "/out"
+    val ledgerP = statePath + "/ledger"
+    val q = rows.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val done: Set[Long] = readLedger(spark, ledgerP)
+        if (!done.contains(batchId)) {
+          val da = batch.where(col("side") === "a")
+            .select(col("k"), col("id")).localCheckpoint()
+          val db = batch.where(col("side") === "b")
+            .select(col("k"), col("id")).localCheckpoint()
+          def old(p: String): DataFrame =
+            if (stateExists(spark, p))
+              spark.read.parquet(p).where(col("batch") =!= batchId)
+                .select(col("k"), col("id"))
+            else da.limit(0)
+          val aSide = da.unionByName(old(aP))
+          val delta = aSide
+            .join(db.select(col("k"), col("id").as("id_b")), Seq("k"))
+            .select(col("k"), col("id").as("id_a"), col("id_b"))
+            .unionByName(da
+              .join(old(bP).select(col("k"), col("id").as("id_b")), Seq("k"))
+              .select(col("k"), col("id").as("id_a"), col("id_b")))
+          delta.write.mode("overwrite").parquet(s"$outP/batch=$batchId")
+          da.write.mode("overwrite").parquet(s"$aP/batch=$batchId")
+          db.write.mode("overwrite").parquet(s"$bP/batch=$batchId")
+          ledgerCommit(spark, ledgerP, done, batchId)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.read.parquet(outP).drop("batch")
+  }
+
   /** Online anomaly scoring with an offline-trained model — the
     * batch-train / stream-score split every production monitor runs:
     * `stats` is the (event_type, mean, std) table the BATCH q108 pipeline

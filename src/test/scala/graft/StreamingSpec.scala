@@ -943,6 +943,49 @@ class StreamingSpec extends SparkSpec {
     assert(fin2.exceptAll(mono).isEmpty && mono.exceptAll(fin2).isEmpty)
   }
 
+  test("joinMaintain: incremental equi-join equals the batch join under " +
+      "interleaved waves, replay, and a stale crashed partition") {
+    // two tagged sides interleaved across three waves: pairs are forced
+    // to form across batches in both directions (a-then-b and b-then-a)
+    // as well as within one batch (the ΔA⋈ΔB term)
+    val all = (0L until 600L).map(i =>
+      (if (i % 2 == 0) "a" else "b", i % 7, i))
+    val ddir = Files.createTempDirectory("graft_join_stream").toString
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 3).foreach { w =>
+      all.filter(_._3 % 3 == w).toDF("side", "k", "id").coalesce(1)
+        .write.mode("append").parquet(ddir)
+      known = pinNewFiles(ddir, known, w)
+    }
+    val schema = spark.read.parquet(ddir).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val stA = Files.createTempDirectory("graft_join_a").toString + "/s"
+    val fin = EventStream.joinMaintain(spark, stream, stA)
+    val af = all.filter(_._1 == "a").map(t => (t._2, t._3))
+      .toDF("k", "id_a")
+    val bf = all.filter(_._1 == "b").map(t => (t._2, t._3))
+      .toDF("k", "id_b")
+    val batch = af.join(bf, Seq("k")).select($"k", $"id_a", $"id_b")
+    assert(fin.count() == batch.count() && fin.count() > 0)
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+    // full replay: every batch id is ledgered, nothing doubles
+    val fin2 = EventStream.joinMaintain(spark, stream, stA)
+    assert(fin2.count() == batch.count())
+    assert(fin2.exceptAll(batch).isEmpty && batch.exceptAll(fin2).isEmpty)
+    // crashed-attempt footprint: batch 0's partitions hold WRONG rows
+    // (batch 1's data) and no ledger — replay must exclude the stale
+    // partition from its side reads and clobber it
+    val stB = Files.createTempDirectory("graft_join_b").toString + "/s"
+    Seq("a", "b", "out").foreach { t =>
+      spark.read.parquet(s"$stA/$t/batch=1")
+        .write.mode("overwrite").parquet(s"$stB/$t/batch=0")
+    }
+    val fin3 = EventStream.joinMaintain(spark, stream, stB)
+    assert(fin3.count() == batch.count())
+    assert(fin3.exceptAll(batch).isEmpty && batch.exceptAll(fin3).isEmpty)
+  }
+
   test("kmeansMaintain seeds k centroids from a ranged-id first batch") {
     import graft.ext.KMeans
     val src = "/root/testdata/sf0.001"
