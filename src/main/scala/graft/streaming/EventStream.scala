@@ -754,6 +754,75 @@ object EventStream {
     spark.read.parquet(verdictsP).drop("batch")
   }
 
+  /** Retraction-capable streaming rollup — the CDC twin of
+    * [[rollupMaintain]] and the one input class no other maintainer
+    * handles: rows carry `op` ∈ {+1, −1} (insert / delete — a Flink-style
+    * retract stream, e.g. the change feed of an upstream table), and the
+    * per-type state keeps SIGNED sum-merged partials (count Σop, exact
+    * decimal Σop·value), so a delete retracts exactly what its insert
+    * added and the view converges to the rollup over the NET rows for
+    * any interleaving of inserts and deletes across batches. MIN/MAX are
+    * deliberately absent: extrema are not retractable from partials (a
+    * deleted max needs the full value multiset — the reason retract
+    * aggregates in stream processors keep per-key heaps); avg derives at
+    * read time. Fully-retracted types (n = 0) drop from the view.
+    * Signed sums are sum-merged ⇒ NOT replay-idempotent ⇒ the
+    * atomically-committed [[swapCommit]] ledger rides along, same as
+    * [[decayedMaintain]]. State is #types rows forever.
+    */
+  def cdcRollupMaintain(spark: SparkSession, changes: DataFrame,
+      statePath: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val commitP = statePath + "/commit"
+    val cellsP = commitP + "/cells"
+    val ledgerP = commitP + "/ledger"
+    guardOldLayout(spark, statePath, commitP, "cdcRollupMaintain")
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"))
+      .agg(sum(col("op").cast("long")).as("n"),
+        sum((col("op") * col("value")).cast(DecimalType(18, 4)))
+          .cast(DecimalType(18, 4)).as("total_dec"))
+    val q = changes.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recoverCommit(spark, commitP)
+        // STRICT ledger read (not the corrupt-tolerant readLedger): for
+        // sum-merged state a swallowed ledger row means a double-merge;
+        // inside the atomic commit dir a partial ledger cannot exist, so
+        // a read failure here is real corruption and must surface
+        val done: Set[Long] =
+          if (stateExists(spark, ledgerP))
+            spark.read.parquet(ledgerP).select(col("batch_id"))
+              .collect().map(_.getLong(0)).toSet
+          else Set.empty
+        if (!done.contains(batchId)) {
+          val incoming = partials(batch)
+          val merged =
+            if (stateExists(spark, cellsP))
+              spark.read.parquet(cellsP)
+                .withColumn("total_dec",
+                  col("total_dec").cast(DecimalType(18, 4)))
+                .unionByName(incoming)
+                .groupBy(col("event_type"))
+                .agg(sum(col("n")).as("n"),
+                  sum(col("total_dec")).cast(DecimalType(18, 4))
+                    .as("total_dec"))
+            else incoming
+          swapCommit(spark, merged, commitP, done, batchId)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    recoverCommit(spark, commitP)
+    spark.read.parquet(cellsP)
+      .where(col("n") > 0L)
+      .withColumn("total", col("total_dec").cast("double"))
+      .withColumn("avg_v", col("total") / col("n").cast("double"))
+      .drop("total_dec")
+  }
+
   /** Incremental equi-JOIN view maintenance via foreachBatch — the
     * classic IVM delta rule (ΔJ = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB) for a
     * materialized join over two UNBOUNDED growing sides, the view family

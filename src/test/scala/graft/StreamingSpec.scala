@@ -943,6 +943,55 @@ class StreamingSpec extends SparkSpec {
     assert(fin2.exceptAll(mono).isEmpty && mono.exceptAll(fin2).isEmpty)
   }
 
+  test("cdcRollupMaintain: retract stream converges to the net rollup " +
+      "and survives replay") {
+    import org.apache.spark.sql.types.DecimalType
+    // inserts in waves 0-1; wave 2 deletes every 5th insert and one type
+    // ENTIRELY (t9 appears only in retracted rows → must drop from the
+    // view); values exercise the signed decimal partials
+    val ins = (0L until 600L).map(i =>
+      (s"t${i % 10}", (i % 37).toDouble / 4.0, 1, i))
+    val dels = ins.filter { case (_, _, _, i) => i % 5 == 0 && i % 10 != 9 }
+      .map { case (t, v, _, i) => (t, v, -1, i) } ++
+      ins.filter(_._4 % 10 == 9).map { case (t, v, _, i) => (t, v, -1, i) }
+    val ddir = Files.createTempDirectory("graft_cdc_stream").toString
+    var known = Set.empty[java.nio.file.Path]
+    Seq(
+      ins.filter(_._4 % 2 == 0),
+      ins.filter(_._4 % 2 == 1),
+      dels).zipWithIndex.foreach { case (wave, w) =>
+      wave.map { case (t, v, op, _) => (t, v, op) }
+        .toDF("event_type", "value", "op").coalesce(1)
+        .write.mode("append").parquet(ddir)
+      known = pinNewFiles(ddir, known, w)
+    }
+    val schema = spark.read.parquet(ddir).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val statePath =
+      Files.createTempDirectory("graft_cdc_state").toString + "/state"
+    val cols = Seq("event_type", "n", "total", "avg_v").map(col)
+    val fin = EventStream.cdcRollupMaintain(spark, stream, statePath)
+      .select(cols: _*)
+    // batch twin: rollup over the NET rows (inserts minus deletes)
+    val deleted = dels.map(_._4).toSet
+    val net = ins.filter(r => !deleted.contains(r._4))
+      .map { case (t, v, _, _) => (t, v) }.toDF("event_type", "value")
+    val mono = net.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 4))).cast("double").as("total"))
+      .withColumn("avg_v", $"total" / $"n".cast("double"))
+      .select(cols: _*)
+    assert(fin.count() == mono.count() && fin.count() > 0)
+    assert(fin.exceptAll(mono).isEmpty && mono.exceptAll(fin).isEmpty)
+    // the fully-retracted type is gone from the view
+    assert(fin.where($"event_type" === "t9").isEmpty)
+    // replaying every ledgered batch must not double the signed sums
+    val fin2 = EventStream.cdcRollupMaintain(spark, stream, statePath)
+      .select(cols: _*)
+    assert(fin2.exceptAll(mono).isEmpty && mono.exceptAll(fin2).isEmpty)
+  }
+
   test("joinMaintain: incremental equi-join equals the batch join under " +
       "interleaved waves, replay, and a stale crashed partition") {
     // two tagged sides interleaved across three waves: pairs are forced
