@@ -376,6 +376,7 @@ object AnalyticsQueries {
     scd2LookupDef,
     attributionDef,
     joinSkewDef,
+    joinCardDef,
     eventDebounceDef,
     rfmDef,
     marketShareDef,
@@ -833,6 +834,69 @@ object AnalyticsQueries {
       |    (CAST(n_rows_total AS DOUBLE) / CAST(n_keys_total AS DOUBLE)), 9)
       |    AS skew_ratio
       |FROM hist CROSS JOIN tot""".stripMargin))
+
+  // ── Join-output cardinality estimation with measured error — the
+  //    optimizer primitive q138's one-sided profile feeds: BEFORE running
+  //    an all-pairs/self-join on a key, predict its output size
+  //    |A⋈A on k| = Σ c(k)² from a BOUNDED sketch (top-100 heaviest keys
+  //    exact + uniform-remainder assumption — the classic histogram
+  //    estimate every cost-based optimizer uses), and report the exact
+  //    value next to the estimate with fixed-point relative error. This
+  //    is the "should q264's pair space even be attempted" number: the
+  //    sketch costs one keyed count + a TakeOrderedAndProject(100), the
+  //    exact Σc² rides the same count — at 100 TB you'd persist the
+  //    sketch and skip the exact side, and the measured error on the
+  //    fixture is the evidence for trusting it. Σc² and the remainder
+  //    square run in DECIMAL(38,0)/HUGEINT (q282/q297's overflow rule —
+  //    row counts are corpus-sized, their squares overflow BIGINT).
+  private def joinCardDef: QueryDef = QueryDef(
+    "q300_selfjoin_card",
+    (s, dir) => {
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val per = Tables.lineitem(s, dir)
+        .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = per.agg(count(lit(1)).as("n_keys"),
+        sum($"c").as("n_rows"),
+        sum($"c".cast(dec) * $"c").as("exact_c2"))
+      val topAgg = per.orderBy($"c".desc, $"l_partkey".asc).limit(100)
+        .agg(count(lit(1)).as("top_keys"), sum($"c").as("top_rows"),
+          sum($"c".cast(dec) * $"c").as("top_c2"))
+      tot.crossJoin(broadcast(topAgg))
+        .select($"n_keys", $"n_rows",
+          expr("CAST(exact_c2 AS BIGINT)").as("exact_card"),
+          expr("CAST(top_c2 + " +
+            "CAST(n_rows - top_rows AS DECIMAL(38,0)) * (n_rows - top_rows)" +
+            " div greatest(n_keys - top_keys, CAST(1 AS BIGINT))" +
+            " AS BIGINT)").as("est_card"))
+        .withColumn("err_1e9",
+          expr("abs(est_card - exact_card) * 1000000000 div exact_card"))
+    },
+    Some("""WITH per AS (
+      |  SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(c) AS BIGINT) AS n_rows,
+      |    SUM(CAST(c AS HUGEINT) * c) AS exact_c2
+      |  FROM per),
+      |tk AS (
+      |  SELECT c FROM per ORDER BY c DESC, l_partkey ASC LIMIT 100),
+      |ta AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS top_keys,
+      |    CAST(SUM(c) AS BIGINT) AS top_rows,
+      |    SUM(CAST(c AS HUGEINT) * c) AS top_c2
+      |  FROM tk),
+      |m AS (
+      |  SELECT n_keys, n_rows,
+      |    CAST(exact_c2 AS BIGINT) AS exact_card,
+      |    CAST(top_c2 +
+      |      CAST(n_rows - top_rows AS HUGEINT) * (n_rows - top_rows)
+      |      // greatest(n_keys - top_keys, 1) AS BIGINT) AS est_card
+      |  FROM tot CROSS JOIN ta)
+      |SELECT n_keys, n_rows, exact_card, est_card,
+      |  abs(est_card - exact_card) * 1000000000 // exact_card AS err_1e9
+      |FROM m""".stripMargin))
 
   // ── First/last-touch attribution: every purchase credits the user's
   //    FIRST and LAST non-purchase touch inside the preceding 24 h, and
