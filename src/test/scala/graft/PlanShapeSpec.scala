@@ -906,6 +906,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(2000))
   }
 
+  test("q297 token diversity: two keyed agg shuffles, nothing else") {
+    val p = planOf("q297_token_diversity")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(!p.contains("Window"), p.take(1600))
+    // (source, token) count + per-source rollup = exactly two exchanges;
+    // a third would mean the moments stopped riding the count's partials
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(1600))
+  }
+
+  test("q300 cardinality estimate: top-100 heavy keys are a heap, not a " +
+      "global sort; one keyed shuffle total") {
+    val p = planOf("q300_selfjoin_card")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    // the keyed count is the only shuffle — both the exact Σc² and the
+    // sketch ride its checkpointed result (the tot side broadcasts)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(1600))
+  }
+
   test("q257 small-qty: per-part agg joins back keyed; part dim broadcasts") {
     val p = planOf("q257_small_qty_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(1600))
