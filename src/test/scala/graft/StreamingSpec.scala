@@ -992,6 +992,69 @@ class StreamingSpec extends SparkSpec {
     assert(fin2.exceptAll(mono).isEmpty && mono.exceptAll(fin2).isEmpty)
   }
 
+  test("cdcRollupMaintain: out-of-order feed (delete before its insert) " +
+      "still converges to the net rollup") {
+    import org.apache.spark.sql.types.DecimalType
+    // wave 0 carries the DELETES for inserts that only arrive in wave 1 —
+    // the change-feed reordering a log-compacted upstream can produce.
+    // Signed partials go transiently negative and must converge anyway.
+    val ins = (0L until 200L).map(i => (s"t${i % 5}", (i % 11).toDouble, i))
+    val outOfOrderDels = ins.filter(_._3 % 4 == 0)
+    val ddir = Files.createTempDirectory("graft_cdc_ooo").toString
+    var known = Set.empty[java.nio.file.Path]
+    Seq(
+      outOfOrderDels.map { case (t, v, _) => (t, v, -1) },
+      ins.map { case (t, v, _) => (t, v, 1) }).zipWithIndex
+      .foreach { case (wave, w) =>
+        wave.toDF("event_type", "value", "op").coalesce(1)
+          .write.mode("append").parquet(ddir)
+        known = pinNewFiles(ddir, known, w)
+      }
+    val schema = spark.read.parquet(ddir).schema
+    val statePath =
+      Files.createTempDirectory("graft_cdc_ooo_st").toString + "/state"
+    val cols = Seq("event_type", "n", "total", "avg_v").map(col)
+    val fin = EventStream.cdcRollupMaintain(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(ddir), statePath)
+      .select(cols: _*)
+    val net = ins.filter(_._3 % 4 != 0)
+      .map { case (t, v, _) => (t, v) }.toDF("event_type", "value")
+    val mono = net.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 4))).cast("double").as("total"))
+      .withColumn("avg_v", $"total" / $"n".cast("double"))
+      .select(cols: _*)
+    assert(fin.count() == mono.count() && fin.count() > 0)
+    assert(fin.exceptAll(mono).isEmpty && mono.exceptAll(fin).isEmpty)
+  }
+
+  test("joinMaintain: view is batching-invariant (one batch vs five)") {
+    val all = (0L until 400L).map(i =>
+      (if (i % 2 == 0) "a" else "b", i % 5, i))
+    val af = all.filter(_._1 == "a").map(t => (t._2, t._3)).toDF("k", "id_a")
+    val bf = all.filter(_._1 == "b").map(t => (t._2, t._3)).toDF("k", "id_b")
+    val batch = af.join(bf, Seq("k")).select($"k", $"id_a", $"id_b")
+      .localCheckpoint()
+    Seq(1, 5).foreach { waves =>
+      val ddir = Files.createTempDirectory(s"graft_join_w$waves").toString
+      var known = Set.empty[java.nio.file.Path]
+      (0 until waves).foreach { w =>
+        all.filter(_._3 % waves == w).toDF("side", "k", "id").coalesce(1)
+          .write.mode("append").parquet(ddir)
+        known = pinNewFiles(ddir, known, w)
+      }
+      val schema = spark.read.parquet(ddir).schema
+      val st = Files.createTempDirectory(s"graft_join_st$waves").toString + "/s"
+      val fin = EventStream.joinMaintain(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(ddir), st)
+      assert(fin.count() == batch.count(), s"waves=$waves")
+      assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty,
+        s"waves=$waves")
+    }
+  }
+
   test("joinMaintain: incremental equi-join equals the batch join under " +
       "interleaved waves, replay, and a stale crashed partition") {
     // two tagged sides interleaved across three waves: pairs are forced
