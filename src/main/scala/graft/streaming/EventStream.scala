@@ -681,6 +681,9 @@ object EventStream {
     val q = docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // recover a compaction that died in its rename window before any
+        // store read ([[compactState]]'s contract)
+        Seq(bandsP, shP, verdictsP).foreach(recoverSwap(spark, _))
         val done: Set[Long] = readLedger(spark, ledgerP)
         if (!done.contains(batchId)) {
           // delta substrate: checkpointed once (delta-sized), consumed by
@@ -751,7 +754,46 @@ object EventStream {
       .start()
     q.awaitTermination()
     q.stop()
+    recoverSwap(spark, verdictsP)
     spark.read.parquet(verdictsP).drop("batch")
+  }
+
+  /** Crash-safe compaction for the grow-only per-batch partition stores
+    * ([[dedupMaintain]]'s bands/shingles/verdicts, [[joinMaintain]]'s
+    * sides and output): after thousands of micro-batches the stores hold
+    * thousands of tiny `batch=<id>` partitions — a listing and
+    * small-files problem at 100 TB. Compaction rewrites the WHOLE table
+    * into a single reserved `batch=-1` partition via the swap protocol
+    * (write to `_tmp` with the parquet job's `_SUCCESS` at its root,
+    * delete + rename — [[recoverSwap]]'s contract, which the maintainers
+    * now run on these stores before every read, so a crash in the rename
+    * window is recovered and a half-written `_tmp` beside the live store
+    * is ignored). Correctness under replay is preserved by construction:
+    * only LEDGERED batches get compacted (run this between stream runs —
+    * the single-maintainer caveat), a ledgered batch id is skipped on
+    * replay so its now-merged partition is never recomputed, and the
+    * reserved id −1 can never equal a live non-negative batchId, so the
+    * "exclude own batch" index reads keep the compacted rows visible.
+    */
+  def compactState(spark: SparkSession, tablePath: String): Unit = {
+    recoverSwap(spark, tablePath)
+    if (stateExists(spark, tablePath)) {
+      val dst = new org.apache.hadoop.fs.Path(tablePath)
+      val tmp = new org.apache.hadoop.fs.Path(tablePath + "_tmp")
+      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      spark.read.parquet(tablePath).drop("batch")
+        .write.mode("overwrite").parquet(tmp.toString + "/batch=-1")
+      // the tmp-root completeness marker recoverSwap keys on is written
+      // EXPLICITLY and LAST (the swapCommit ledger-last contract) — a
+      // partitionBy write's own root marker placement depends on the
+      // session's partitionOverwriteMode committer (dynamic mode stages
+      // partitions and leaves no root _SUCCESS), and an absent marker
+      // makes recovery DELETE the renamed store as a half-written orphan
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+      fs.delete(dst, true)
+      fs.rename(tmp, dst)
+      ()
+    }
   }
 
   /** Retraction-capable streaming rollup — the CDC twin of
@@ -854,6 +896,7 @@ object EventStream {
     val q = rows.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Seq(aP, bP, outP).foreach(recoverSwap(spark, _))
         val done: Set[Long] = readLedger(spark, ledgerP)
         if (!done.contains(batchId)) {
           val da = batch.where(col("side") === "a")
@@ -882,6 +925,7 @@ object EventStream {
       .start()
     q.awaitTermination()
     q.stop()
+    recoverSwap(spark, outP)
     spark.read.parquet(outP).drop("batch")
   }
 

@@ -992,6 +992,59 @@ class StreamingSpec extends SparkSpec {
     assert(fin2.exceptAll(mono).isEmpty && mono.exceptAll(fin2).isEmpty)
   }
 
+  test("compactState: stores collapse to batch=-1 with results unchanged, " +
+      "the stream continues over the compacted index, and a compaction " +
+      "crash in the rename window recovers") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    def waveDir(waves: Int): String = {
+      val d = Files.createTempDirectory(s"graft_cmp_docs$waves").toString
+      var known = Set.empty[java.nio.file.Path]
+      (0 until waves).foreach { w =>
+        base.where($"doc_id" % 4 === w).coalesce(1)
+          .write.mode("append").parquet(d)
+        known = pinNewFiles(d, known, w)
+      }
+      d
+    }
+    def stream(d: String) = spark.readStream
+      .schema(spark.read.parquet(d).schema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    // clean 4-wave reference
+    val stA = Files.createTempDirectory("graft_cmp_a").toString + "/s"
+    val clean = EventStream.dedupMaintain(spark, stream(waveDir(4)), stA)
+      .localCheckpoint()
+    // 3 waves, then compact all three stores
+    val dirB = waveDir(3)
+    val stB = Files.createTempDirectory("graft_cmp_b").toString + "/s"
+    val pre = EventStream.dedupMaintain(spark, stream(dirB), stB)
+      .localCheckpoint()
+    Seq("bands", "shingles", "verdicts").foreach { t =>
+      EventStream.compactState(spark, s"$stB/$t")
+      val parts = Files.list(java.nio.file.Paths.get(s"$stB/$t")).toArray
+        .map(_.toString).filter(_.contains("batch="))
+      assert(parts.length == 1 && parts.head.endsWith("batch=-1"),
+        s"$t: ${parts.mkString(",")}")
+    }
+    val post = spark.read.parquet(s"$stB/verdicts").drop("batch")
+    assert(post.count() == pre.count() &&
+      post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty)
+    // crash a SECOND compaction in its delete->rename window: the live
+    // bands store vanishes, only the complete _tmp remains
+    val fs = hfs(stB)
+    assert(fs.rename(hpath(s"$stB/bands"), hpath(s"$stB/bands_tmp")))
+    // wave 3 arrives; the replayed batches 0-2 are ledger-skipped, batch 3
+    // must recover the bands orphan and pair against the compacted index
+    val knownB = Files.list(java.nio.file.Paths.get(dirB)).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path]).toSet
+    base.where($"doc_id" % 4 === 3).coalesce(1)
+      .write.mode("append").parquet(dirB)
+    pinNewFiles(dirB, knownB, 3)
+    val fin = EventStream.dedupMaintain(spark, stream(dirB), stB)
+    assert(fin.count() == clean.count() && fin.count() > 0)
+    assert(fin.exceptAll(clean).isEmpty && clean.exceptAll(fin).isEmpty)
+  }
+
   test("cdcRollupMaintain: out-of-order feed (delete before its insert) " +
       "still converges to the net rollup") {
     import org.apache.spark.sql.types.DecimalType
