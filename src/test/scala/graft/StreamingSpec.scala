@@ -1108,6 +1108,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("joinMaintain continues correctly over compacted side stores") {
+    val all = (0L until 300L).map(i =>
+      (if (i % 2 == 0) "a" else "b", i % 5, i))
+    val ddir = Files.createTempDirectory("graft_join_cmp").toString
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 2).foreach { w =>
+      all.filter(_._3 % 3 == w).toDF("side", "k", "id").coalesce(1)
+        .write.mode("append").parquet(ddir)
+      known = pinNewFiles(ddir, known, w)
+    }
+    val schema = spark.read.parquet(ddir).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val st = Files.createTempDirectory("graft_join_cmp_st").toString + "/s"
+    EventStream.joinMaintain(spark, stream, st)
+    Seq("a", "b", "out").foreach(t =>
+      EventStream.compactState(spark, s"$st/$t"))
+    // the third wave pairs against the compacted sides; the final view
+    // must equal the batch join over everything
+    all.filter(_._3 % 3 == 2).toDF("side", "k", "id").coalesce(1)
+      .write.mode("append").parquet(ddir)
+    known = pinNewFiles(ddir, known, 2)
+    val fin = EventStream.joinMaintain(spark, stream, st)
+    val af = all.filter(_._1 == "a").map(t => (t._2, t._3)).toDF("k", "id_a")
+    val bf = all.filter(_._1 == "b").map(t => (t._2, t._3)).toDF("k", "id_b")
+    val batch = af.join(bf, Seq("k")).select($"k", $"id_a", $"id_b")
+    assert(fin.count() == batch.count() && fin.count() > 0)
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+  }
+
   test("joinMaintain: incremental equi-join equals the batch join under " +
       "interleaved waves, replay, and a stale crashed partition") {
     // two tagged sides interleaved across three waves: pairs are forced
