@@ -43,8 +43,66 @@ object Multimodal {
     "header_hex" -> hex(substring(payload, 1, 4)),
     "media_type" -> sniffType(payload))
 
-  /** ??? — real decoder goes here (libjpeg/ffmpeg via JNI, or a Python
-    * worker via a Pandas-UDF-equivalent). The stub derives deterministic
+  /** REAL image decoding through the JDK's own bundled codecs
+    * (`javax.imageio`: PNG, JPEG, BMP, GIF, WBMP — zero external
+    * dependencies): the decode seam made executable for every format the
+    * JVM itself ships. Partition-wise with bounded memory — one image in
+    * flight per task, payloads never shuffle; a real pipeline swaps the
+    * JDK reader for libjpeg-turbo/ffmpeg behind the same signature. Per
+    * payload: a decodable flag (corrupt or non-image bytes are DATA, not
+    * errors — the audit must show them), exact pixel dimensions, and a
+    * 4×4 block-averaged grayscale thumbnail as 16 exact integer luma
+    * cells (0-255; sums and counts in integer arithmetic, so tests pin
+    * the values bit-for-bit) — the real visual feature the byte-histogram
+    * stub stands in for (near-dup blocking, brightness screens).
+    * Video/audio stay behind [[decodeStub]]: the JDK ships no codecs for
+    * them.
+    */
+  def decodeImages(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) (id, false, 0, 0, Array.empty[Long])
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val sums = new Array[Long](16)
+            val cnts = new Array[Long](16)
+            var y = 0
+            while (y < h) {
+              val cy = math.min(y * 4 / h, 3)
+              var x = 0
+              while (x < w) {
+                val cx = math.min(x * 4 / w, 3)
+                val rgb = img.getRGB(x, y)
+                val c = cy * 4 + cx
+                sums(c) +=
+                  ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                cnts(c) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            val g = Array.tabulate(16)(i =>
+              if (cnts(i) == 0L) 0L else sums(i) / (3L * cnts(i)))
+            (id, true, w, h, g)
+          }
+        }
+      }
+      .toDF(idCol, "decodable", "width", "height", "gray4x4")
+  }
+
+  /** ??? — real decoder for NON-IMAGE media goes here (ffmpeg via JNI, or
+    * a Python worker via a Pandas-UDF-equivalent); images already decode
+    * for real through [[decodeImages]]. The stub derives deterministic
     * fake dimensions/duration from the payload hash so downstream plumbing
     * (schema, joins, aggregations) is fully exercisable in tests.
     */

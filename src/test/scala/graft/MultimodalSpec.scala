@@ -59,4 +59,70 @@ class MultimodalSpec extends SparkSpec {
     assert(chunks.length == 5) // indices 0,2,4,6,8
     assert(chunks.forall(_.getAs[Array[Byte]]("chunk").length == 10))
   }
+
+  /** Encode a w×h image whose pixel (x, y) has the given gray level,
+    * through the JDK's own codec — REAL bytes, not magic-byte fakes. */
+  private def encode(w: Int, h: Int, fmt: String,
+      gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray(x, y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("decodeImages really decodes PNG: exact dims and exact 4x4 " +
+      "grayscale thumbnail; JPEG decodes; junk is flagged, not an error") {
+    // 8x8 PNG, pixel gray = 32*cy + 8*cx within each 2x2 thumbnail cell
+    // (constant per cell) -> every cell average is EXACTLY its gray value
+    val pngBytes = encode(8, 8, "png",
+      (x, y) => 32 * (y * 4 / 8) + 8 * (x * 4 / 8))
+    val jpegBytes = encode(16, 12, "jpeg", (_, _) => 128)
+    val rows = Seq((1L, pngBytes), (2L, jpegBytes), (3L, junk), (4L, pdf))
+    val out = Multimodal.decodeImages(
+      rows.toDF("media_id", "payload"), "media_id", "payload")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    // the synthesized bytes are REAL containers: the sniffer agrees
+    val sniffed = rows.toDF("media_id", "payload")
+      .select(Multimodal.sniffType($"payload").as("t")).as[String].collect()
+    assert(sniffed.toSeq == Seq("png", "jpeg", "unknown", "pdf"))
+    val p = out(1L)
+    assert(p.getAs[Boolean]("decodable"))
+    assert(p.getAs[Int]("width") == 8 && p.getAs[Int]("height") == 8)
+    val expected = (0 until 16).map(c => (32 * (c / 4) + 8 * (c % 4)).toLong)
+    assert(p.getAs[scala.collection.Seq[Long]]("gray4x4").toSeq == expected)
+    // JPEG: lossy, so pin dims + near-flat luma rather than exact cells
+    val j = out(2L)
+    assert(j.getAs[Boolean]("decodable"))
+    assert(j.getAs[Int]("width") == 16 && j.getAs[Int]("height") == 12)
+    assert(j.getAs[scala.collection.Seq[Long]]("gray4x4").toSeq.forall(v => (v - 128).abs <= 4))
+    // non-image payloads are flagged rows the audit can count, not errors
+    Seq(3L, 4L).foreach { id =>
+      assert(!out(id).getAs[Boolean]("decodable"))
+      assert(out(id).getAs[scala.collection.Seq[Long]]("gray4x4").toSeq.isEmpty)
+    }
+  }
+
+  test("decodeImages thumbnail averages exactly on non-aligned dims") {
+    // 6x5 image, gray = x*7 + y*11: cells have ragged pixel counts, the
+    // expected integer averages are computed here by the same block rule
+    val w = 6; val h = 5
+    val bytes = encode(w, h, "png", (x, y) => x * 7 + y * 11)
+    val sums = new Array[Long](16); val cnts = new Array[Long](16)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = math.min(y * 4 / h, 3) * 4 + math.min(x * 4 / w, 3)
+      sums(c) += 3L * (x * 7 + y * 11); cnts(c) += 1
+    }
+    val expected = (0 until 16).map(i =>
+      if (cnts(i) == 0) 0L else sums(i) / (3L * cnts(i)))
+    val r = Multimodal.decodeImages(
+      Seq((1L, bytes)).toDF("media_id", "payload"), "media_id", "payload")
+      .head()
+    assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+    assert(r.getAs[scala.collection.Seq[Long]]("gray4x4").toSeq == expected)
+  }
 }
