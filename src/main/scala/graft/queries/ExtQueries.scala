@@ -242,6 +242,63 @@ object ExtQueries {
         |SELECT doc_id, ROUND(duration_s, 9) AS duration_s, frame_idx,
         |  ROUND((CAST(frame_idx AS DOUBLE) + CAST(0.5 AS DOUBLE))
         |    * duration_s / CAST(4.0 AS DOUBLE), 9) AS sample_ts
-        |FROM m CROSS JOIN f""".stripMargin))
+        |FROM m CROSS JOIN f""".stripMargin)),
+
+    // ── REAL image decoding inside the correctness gate: per document an
+    //    8×8 PNG is synthesized whose pixel gray is the CLOSED FORM
+    //    (doc_id·13 + 7x + 11y) mod 256, encoded and then DECODED through
+    //    the JDK's actual PNG codec ([[graft.ext.Multimodal.decodeImages]]
+    //    — javax.imageio, no external library), and the 4×4 integer-exact
+    //    thumbnail comes out the other side. The oracle never touches a
+    //    codec: PNG is lossless, so the decoded thumbnail equals the
+    //    algebraic block average of the same closed form, which DuckDB
+    //    computes directly — the hash compare therefore verifies the
+    //    ENCODE→DECODE→FEATURE round trip of a real binary codec against
+    //    pure arithmetic (cell luma = floor(Σ₄ g / 4): the decoder's
+    //    floor(3Σg/12) reduces to the same rational). Scale shape: both
+    //    encode and decode run partition-wise via mapPartitions, payloads
+    //    never shuffle, one 16-cell explode per doc.
+    QueryDef(
+      "q301_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val img = new java.awt.image.BufferedImage(
+                8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val g = ((id * 13L + 7L * x + 11L * y) % 256L).toInt
+                  img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", out)
+              (id, out.toByteArray)
+            }
+          }
+          .toDF("media_id", "payload")
+        graft.ext.Multimodal.decodeImages(payloads, "media_id", "payload")
+          .select($"media_id".as("doc_id"), $"width", $"height",
+            posexplode($"gray4x4").as(Seq("cell", "luma")))
+          .select($"doc_id", $"width", $"height",
+            $"cell".cast("int").as("cell"), $"luma")
+      },
+      Some("""WITH px AS (
+        |  SELECT doc_id,
+        |    CAST((y // 2) * 4 + (x // 2) AS INT) AS cell,
+        |    (doc_id * 13 + 7 * x + 11 * y) % 256 AS g
+        |  FROM (SELECT doc_id FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y))
+        |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  cell, CAST(SUM(g) // 4 AS BIGINT) AS luma
+        |FROM px GROUP BY 1, 4""".stripMargin))
   )
 }
