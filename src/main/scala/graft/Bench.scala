@@ -73,6 +73,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibStart = calibrate()
+    // Regression tripwire: bench_queries.json in the working dir still
+    // holds the PREVIOUS round's per-query times when this run starts
+    // (it's committed each round; this run overwrites it at the end).
+    // Any query >2x slower AND >0.5s absolute lands in a "regressions"
+    // key of the artifact — r8's q289 (1.77s -> 7.53s with zero code
+    // delta) would have been flagged automatically. Cross-read against
+    // calib_start/calib_end: if the canary inflated too, it's host load.
+    val prevTimes: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_queries.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val parts = txt.split("\"queries\":\\{", 2)
+        if (parts.length < 2) Map.empty
+        else "\"(q[^\"]+)\":([0-9.]+)".r
+          .findAllMatchIn(parts(1).takeWhile(_ != '}'))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val trainersFirst = Seq("q56_kmeans_codebook", "q57_bpe_merges")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     def qnum(name: String): Int = name.drop(1).takeWhile(_.isDigit).toInt
@@ -100,8 +118,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val regs = results.collect {
+      case (name, t) if prevTimes.get(name)
+          .exists(p => t > 2 * p && t - p > 0.5) =>
+        s"""\"$name\":{\"prev\":${f3(prevTimes(name))},\"now\":${f3(t)}}"""
+    }.mkString("{", ",", "}")
     val calib =
-      s""""calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)}"""
+      s""""calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)},"regressions":$regs"""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"sf":"$sfDir"}""")
     java.nio.file.Files.write(

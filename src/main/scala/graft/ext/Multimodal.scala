@@ -8,8 +8,10 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus the decode / feature-extract seams a training
   * pipeline needs.
   *
-  * The actual media decoding is STUBBED (this environment ships no image or
-  * audio codecs): [[decodeStub]] produces a deterministic fake decode and is
+  * Image decoding is REAL ([[decodeImages]] — the JDK's javax.imageio
+  * codecs) and so is audio ([[decodeAudio]] — javax.sound.sampled's WAV/PCM
+  * codec); only VIDEO decoding is STUBBED (the JDK ships no video codec):
+  * [[decodeStub]] produces a deterministic fake decode and is
   * clearly marked as the plug-in point. Everything around the stub — the
   * schema, the partition-wise batch shape, the expression-level metadata
   * extraction — is real Spark plumbing and is what matters at 100 TB:
@@ -100,9 +102,69 @@ object Multimodal {
       .toDF(idCol, "decodable", "width", "height", "gray4x4")
   }
 
-  /** ??? — real decoder for NON-IMAGE media goes here (ffmpeg via JNI, or
-    * a Python worker via a Pandas-UDF-equivalent); images already decode
-    * for real through [[decodeImages]]. The stub derives deterministic
+  /** REAL audio decoding through the JDK's own bundled codec
+    * (`javax.sound.sampled`: WAV / AIFF / AU containers, PCM payloads —
+    * zero external dependencies, same posture as [[decodeImages]]).
+    * Partition-wise, bounded memory, payloads never shuffle. Per payload:
+    * a decodable flag (non-audio or unsupported encodings are DATA, not
+    * errors), the container-declared sample rate, and EXACT integer sample
+    * statistics over the decoded 16-bit signed PCM stream (count, min,
+    * max, sum) — integer arithmetic end to end, so the correctness gate
+    * (q302) verifies the encode→decode→stat round trip of the real codec
+    * against a closed form computed codec-free by the oracle. Payloads
+    * that decode to anything other than 16-bit signed PCM mono report
+    * decodable=false (the supported-profile contract is explicit; a real
+    * pipeline swaps in ffmpeg behind the same signature for the rest).
+    */
+  def decodeAudio(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val decoded =
+            try {
+              val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val f = ain.getFormat
+              if (f.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  f.getSampleSizeInBits != 16 || f.getChannels != 1) null
+              else {
+                val raw = ain.readAllBytes()
+                val n = raw.length / 2
+                var i = 0
+                var mn = Long.MaxValue
+                var mx = Long.MinValue
+                var sm = 0L
+                while (i < n) {
+                  val lo = java.lang.Byte.toUnsignedInt(raw(2 * i))
+                  val hi = java.lang.Byte.toUnsignedInt(raw(2 * i + 1))
+                  val s: Long =
+                    if (f.isBigEndian) ((lo << 8) | hi).toShort.toLong
+                    else ((hi << 8) | lo).toShort.toLong
+                  if (s < mn) mn = s
+                  if (s > mx) mx = s
+                  sm += s
+                  i += 1
+                }
+                if (n == 0) (id, true, f.getSampleRate.toInt, 0L, 0L, 0L, 0L)
+                else (id, true, f.getSampleRate.toInt, n.toLong, mn, mx, sm)
+              }
+            } catch { case scala.util.control.NonFatal(_) => null }
+          if (decoded == null) (id, false, 0, 0L, 0L, 0L, 0L) else decoded
+        }
+      }
+      .toDF(idCol, "decodable", "sample_rate", "n_samples",
+        "s_min", "s_max", "s_sum")
+  }
+
+  /** ??? — real decoder for VIDEO goes here (ffmpeg via JNI, or a Python
+    * worker via a Pandas-UDF-equivalent); images decode for real through
+    * [[decodeImages]] and audio through [[decodeAudio]] — video is the one
+    * modality the JDK ships no codec for. The stub derives deterministic
     * fake dimensions/duration from the payload hash so downstream plumbing
     * (schema, joins, aggregations) is fully exercisable in tests.
     */

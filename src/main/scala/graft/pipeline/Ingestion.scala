@@ -75,10 +75,15 @@ final class Ingestion(catalog: Catalog) {
             else col(f.name)
           }: _*)
       case "JSON" =>
-        // whole-document-per-file VARIANT landing (ingestion_logic.py:78-80):
-        // keep the raw text; downstream parses with parse_json (variant).
+        // whole-document-per-file VARIANT landing (ingestion_logic.py:78-80,
+        // reset_schemas.sql:127-133): the document lands as a REAL Spark 4
+        // VariantType column (parse_json at load time), so Bronze stores
+        // the encoded variant binary — path reads downstream
+        // (TimelineFlatten's variant_get) skip re-parsing the 16 MB text
+        // per consumer, and parquet's variant annotation keeps the column
+        // self-describing for other engines.
         spark.read.option("wholetext", "true").text(file)
-          .select($"value".as("raw_data"))
+          .select(parse_json($"value").as("raw_data"))
       case other =>
         throw new IllegalArgumentException(s"unsupported format $other")
     }

@@ -42,10 +42,17 @@ object TimelineFlatten {
     val spark = bronze.sparkSession
     import spark.implicits._
 
+    // Bronze lands raw_data as a true VariantType column (Ingestion's JSON
+    // case); a pre-variant Bronze table (raw text) still flattens — parse
+    // here only when the column isn't already variant.
+    val rawIsVariant = bronze.schema("raw_data").dataType ==
+      org.apache.spark.sql.types.VariantType
+    val doc = if (rawIsVariant) $"raw_data" else parse_json($"raw_data")
     val segs = bronze
+      .withColumn("_doc", doc)
       .select($"load_id", $"_source_file",
         explode(expr(
-          "cast(variant_get(parse_json(raw_data), '$.semanticSegments') as array<variant>)"))
+          "cast(variant_get(_doc, '$.semanticSegments') as array<variant>)"))
           .as("seg"))
 
     def vs(path: String): Column =

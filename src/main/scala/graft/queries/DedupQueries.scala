@@ -94,9 +94,14 @@ object DedupQueries {
               $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
           .agg(count(lit(1)).as("n_inter"))
+        // NO broadcast hint on `sizes`: it is one row PER DOCUMENT, i.e.
+        // corpus-proportional — at 100 TB it cannot live on the driver, and
+        // a forced hint would defeat AQE's size check. These are keyed
+        // equi-joins; AQE broadcasts when the candidate-restricted side is
+        // actually small and shuffles gracefully when it isn't.
         inter
-          .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a"))), "doc_a")
-          .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b"))), "doc_b")
+          .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+          .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
           .select($"doc_a", $"doc_b",
             ($"n_inter".cast("double") /
               ($"n_a" + $"n_b" - $"n_inter").cast("double")).as("jaccard"))
@@ -1200,10 +1205,12 @@ object DedupQueries {
           .join(sh.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
           .groupBy($"doc_a", $"doc_b", $"rank_gap")
           .agg(count(lit(1)).as("n_inter"))
+        // per-doc `sizes` is corpus-proportional — no broadcast hint (AQE
+        // decides; see q35's note)
         inter
-          .join(broadcast(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a"))),
+          .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")),
             "doc_a")
-          .join(broadcast(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b"))),
+          .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")),
             "doc_b")
           .select($"doc_a", $"doc_b", $"rank_gap",
             ($"n_inter".cast("double") /
@@ -1398,9 +1405,10 @@ object DedupQueries {
               $"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("pa"), $"b.doc_id".as("pb"))
           .agg(count(lit(1)).as("ni"))
-          .join(broadcast(sizes.select($"doc_id".as("pa"), $"n".as("n_a"))),
+          // per-doc `sizes` — no broadcast hint (AQE decides; q35's note)
+          .join(sizes.select($"doc_id".as("pa"), $"n".as("n_a")),
             "pa")
-          .join(broadcast(sizes.select($"doc_id".as("pb"), $"n".as("n_b"))),
+          .join(sizes.select($"doc_id".as("pb"), $"n".as("n_b")),
             "pb")
           .where($"ni".cast("double") /
             ($"n_a" + $"n_b" - $"ni").cast("double") >= 0.5)

@@ -70,7 +70,7 @@ object ExtQueries {
         |  FROM idx)
         |SELECT doc_id, COUNT(*) AS n_sampled,
         |  CAST(SUM(chunk_bytes) AS BIGINT) AS sampled_bytes,
-        |  MAX(chunk_index) AS last_chunk_index
+        |  CAST(MAX(chunk_index) AS INT) AS last_chunk_index
         |FROM chunks GROUP BY doc_id""".stripMargin)),
 
     // ── Multimodal feature extraction through the partition-wise encoder
@@ -299,6 +299,111 @@ object ExtQueries {
         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y))
         |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
         |  cell, CAST(SUM(g) // 4 AS BIGINT) AS luma
-        |FROM px GROUP BY 1, 4""".stripMargin))
+        |FROM px GROUP BY 1, 4""".stripMargin)),
+
+    // ── REAL audio decoding inside the correctness gate — q301's pattern
+    //    for the second JDK-codec modality: per document a 64-sample
+    //    16-bit signed PCM mono WAV at 8 kHz is synthesized whose sample
+    //    values are the CLOSED FORM ((doc_id·31 + 17i) mod 65536) − 32768,
+    //    ENCODED through the JDK's actual WAV writer
+    //    (javax.sound.sampled.AudioSystem.write) and DECODED back through
+    //    [[graft.ext.Multimodal.decodeAudio]] (AudioSystem's real parser),
+    //    with exact integer sample stats coming out the other side. PCM is
+    //    lossless, so the oracle never touches a codec: DuckDB evaluates
+    //    the same closed form over generate_series(0,63) and aggregates —
+    //    the hash compare verifies the container encode→decode→stat round
+    //    trip against pure arithmetic. Scale shape: encode and decode both
+    //    run partition-wise via mapPartitions, payloads never shuffle,
+    //    output is one row per doc.
+    QueryDef(
+      "q302_audio_decode",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = 64
+              val pcm = new Array[Byte](2 * n)
+              var i = 0
+              while (i < n) {
+                val v = (((id * 31L + 17L * i) % 65536L) - 32768L).toInt
+                pcm(2 * i) = (v & 0xFF).toByte          // little-endian lo
+                pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+                i += 1
+              }
+              val fmt = new javax.sound.sampled.AudioFormat(
+                8000f, 16, 1, true, false)
+              val ain = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+              val out = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(ain,
+                javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+              (id, out.toByteArray)
+            }
+          }
+          .toDF("media_id", "payload")
+        graft.ext.Multimodal.decodeAudio(payloads, "media_id", "payload")
+          .select($"media_id".as("doc_id"), $"decodable", $"sample_rate",
+            $"n_samples", $"s_min", $"s_max", $"s_sum")
+      },
+      Some("""WITH smp AS (
+        |  SELECT doc_id, (doc_id * 31 + 17 * i) % 65536 - 32768 AS s
+        |  FROM (SELECT doc_id FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i))
+        |SELECT doc_id, TRUE AS decodable, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(MIN(s) AS BIGINT) AS s_min,
+        |  CAST(MAX(s) AS BIGINT) AS s_max,
+        |  CAST(SUM(s) AS BIGINT) AS s_sum,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples
+        |FROM smp GROUP BY 1""".stripMargin)),
+
+    // ── Spark 4 VariantType path extraction inside the correctness gate:
+    //    each event row is serialized to a NESTED JSON document in-engine
+    //    (to_json over a struct with an inner object and an array), parsed
+    //    back through parse_json into a true VARIANT column, and read out
+    //    with typed variant_get paths — an object path ($.u.uid), a
+    //    two-level path ($.u.k), and an array-index path ($.vals[1]).
+    //    The oracle never touches JSON for the derived values: it computes
+    //    the same aggregates straight from the base columns, so the hash
+    //    compare verifies the to_json → parse_json → variant_get round
+    //    trip (encoding, path navigation, and type coercion) against pure
+    //    relational arithmetic. This is the typed path-read pattern the
+    //    GOOGLE_TIMELINE landing uses (Ingestion lands raw_data AS
+    //    VariantType; TimelineFlatten navigates it) — reference
+    //    reset_schemas.sql:127-133,345-427. Scale shape: one narrow
+    //    codegen'd projection + one keyed agg; the variant binary never
+    //    shuffles (paths project before the groupBy).
+    QueryDef(
+      "q303_variant_path",
+      (s, dir) => {
+        import s.implicits._
+        val k = get_json_object($"props", "$.k").cast("long")
+        val doc = to_json(struct(
+          $"event_type".as("t"),
+          struct($"user_id".as("uid"), k.as("k")).as("u"),
+          array(k, k * 2).as("vals")))
+        Tables.events(s, dir)
+          .select(parse_json(doc).as("v"))
+          .select(
+            expr("variant_get(v, '$.t', 'string')").as("event_type"),
+            expr("variant_get(v, '$.u.uid', 'long')").as("uid"),
+            expr("variant_get(v, '$.u.k', 'long')").as("k"),
+            expr("variant_get(v, '$.vals[1]', 'long')").as("k2"))
+          .where($"k".isNotNull)
+          .groupBy($"event_type")
+          .agg(sum($"uid").as("sum_uid"), sum($"k").as("sum_k"),
+            sum($"k2").as("sum_k2"), count(lit(1)).as("n"))
+      },
+      Some("""WITH e AS (
+        |  SELECT event_type, user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(2 * k) AS BIGINT) AS sum_k2,
+        |  COUNT(*) AS n
+        |FROM e WHERE k IS NOT NULL GROUP BY 1""".stripMargin))
   )
 }

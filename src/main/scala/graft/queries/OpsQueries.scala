@@ -248,7 +248,7 @@ object OpsQueries {
         |  FROM p QUALIFY rnk <= 101),
         |tau AS (SELECT MAX(CASE WHEN rnk = 101 THEN priority END) AS tau
         |  FROM r)
-        |SELECT rnk, doc_id, w,
+        |SELECT CAST(rnk AS INT) AS rnk, doc_id, w,
         |  GREATEST(CAST(w AS DOUBLE), COALESCE(tau.tau, 0.0)) AS est_w
         |FROM r CROSS JOIN tau WHERE rnk <= 100""".stripMargin)),
 
@@ -745,7 +745,7 @@ object OpsQueries {
           .withColumn("promo_share_fp",
             expr("cast(floor(promo_revenue / total_revenue * 1e9) as bigint)"))
       },
-      Some("""SELECT month(l_shipdate) AS m,
+      Some("""SELECT CAST(month(l_shipdate) AS INT) AS m,
         |  CAST(SUM(CASE WHEN p_type = 'PROMO'
         |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
         |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,

@@ -862,6 +862,11 @@ object ProfilingQueries {
           .agg(call_function("top_k", -$"h", $"h", lit(KmvK)).as("tk"))
           .select($"source", explode($"tk").as("e"))
           .select($"source", $"e.id".as("h"))
+        // `sizes` here is one row per SOURCE (the catalog of corpora), not
+        // per document — a dim-bounded frame, unlike the per-doc sizes
+        // frames the dedup verify joins must never hint. The hint is load-
+        // bearing: sa<sb is a theta-join, so the broadcast nested loop IS
+        // the plan (the pair enumeration is O(S²) by design — KMV pairwise).
         val pairs = sizes.select($"source".as("sa"), $"n".as("n_a"))
           .join(broadcast(sizes.select($"source".as("sb"), $"n".as("n_b"))),
             $"sa" < $"sb")

@@ -2055,11 +2055,17 @@ object SimilarityQueries {
         val tot = hist.agg(sum($"n_nodes").as("n_total"))
         val w = Window.orderBy($"indeg".asc)
           .rowsBetween(Window.unboundedPreceding, 0)
+        // linear 1e9 terms route through DECIMAL(38,0) (the q297/q282
+        // overflow rule: n_nodes is corpus-sized, so n_nodes*1e9 overflows
+        // BIGINT past ~9.2e9 nodes); div on decimals yields LongType, the
+        // CAST pins the gate schema to int64 either way.
         hist.crossJoin(broadcast(tot))
           .withColumn("cum", sum($"n_nodes").over(w))
           .select($"indeg", $"n_nodes",
-            expr("n_nodes * 1000000000 div n_total").as("share_1e9"),
-            expr("cum * 1000000000 div n_total").as("cum_share_1e9"))
+            expr("CAST(CAST(n_nodes AS DECIMAL(38,0)) * 1000000000" +
+              " div n_total AS BIGINT)").as("share_1e9"),
+            expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000000" +
+              " div n_total AS BIGINT)").as("cum_share_1e9"))
       },
       Some {
         s"""$knnEdgesCtesSql,
@@ -2072,12 +2078,13 @@ object SimilarityQueries {
         |hist AS (
         |  SELECT indeg, CAST(COUNT(*) AS BIGINT) AS n_nodes
         |  FROM ind GROUP BY 1),
-        |tot AS (SELECT SUM(n_nodes) AS n_total FROM hist)
+        |tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n_total FROM hist)
         |SELECT indeg, n_nodes,
-        |  n_nodes * 1000000000 // n_total AS share_1e9,
-        |  SUM(n_nodes) OVER (ORDER BY indeg ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    * 1000000000 // n_total AS cum_share_1e9
+        |  CAST(CAST(n_nodes AS HUGEINT) * 1000000000 // n_total
+        |    AS BIGINT) AS share_1e9,
+        |  CAST(CAST(SUM(n_nodes) OVER (ORDER BY indeg ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+        |    * 1000000000 // n_total AS BIGINT) AS cum_share_1e9
         |FROM hist, tot""".stripMargin
       })
   )

@@ -1796,7 +1796,7 @@ object TrainingDataQueries {
         |  FROM sig CROSS JOIN
         |    (SELECT unnest(generate_series(0, ${Dedup.SimhashBits - 1})) AS bit)
         |  GROUP BY 1)
-        |SELECT bit, n_ones,
+        |SELECT CAST(bit AS INT) AS bit, n_ones,
         |  ROUND(CAST(n_ones AS DOUBLE) / CAST(n AS DOUBLE), 9) AS freq,
         |  ABS(ROUND(CAST(n_ones AS DOUBLE) / CAST(n AS DOUBLE), 9)
         |    - CAST(0.5 AS DOUBLE)) > CAST(0.1 AS DOUBLE) AS biased

@@ -409,12 +409,25 @@ object EventStream {
     * hand (they are layout-identical) or starts fresh deliberately.
     */
   private def guardOldLayout(spark: SparkSession, statePath: String,
-      commitP: String, who: String): Unit =
-    require(!(stateExists(spark, statePath + "/cells") &&
-        !stateExists(spark, commitP) && !stateExists(spark, commitP + "_tmp")),
+      commitP: String, who: String, flatLegacy: Boolean = false): Unit = {
+    val noCommit =
+      !stateExists(spark, commitP) && !stateExists(spark, commitP + "_tmp")
+    require(!(stateExists(spark, statePath + "/cells") && noCommit),
       s"$who: pre-atomic-commit state layout at $statePath (cells/ outside " +
         "commit/) — move cells/ and ledger/ under commit/ or start a fresh " +
         "state path; continuing would silently drop the accumulated sums")
+    // rollupMaintain's pre-r8 layout was FLAT: swapWrite landed the state
+    // parquet at statePath itself (statePath/_SUCCESS + part files), not
+    // statePath/cells — the cells/ check above never sees it. Restarting
+    // over such a directory would silently restart accumulation from
+    // empty, so fail loudly on a flat parquet table with no commit/ dir.
+    if (flatLegacy)
+      require(!(stateExists(spark, statePath + "/_SUCCESS") && noCommit),
+        s"$who: pre-atomic-commit FLAT state layout at $statePath (parquet " +
+          "state at the state root, no commit/) — move the table to " +
+          "commit/cells (and its ledger to commit/ledger) or start a fresh " +
+          "state path; continuing would silently drop the accumulated sums")
+  }
 
   /** Incremental materialized-view maintenance via foreachBatch — q165's
     * merge contract run as a stream: each micro-batch is rolled up to
@@ -437,7 +450,8 @@ object EventStream {
     val commitP = statePath + "/commit"
     val cellsP = commitP + "/cells"
     val ledgerP = commitP + "/ledger"
-    guardOldLayout(spark, statePath, commitP, "rollupMaintain")
+    guardOldLayout(spark, statePath, commitP, "rollupMaintain",
+      flatLegacy = true)
     def partials(df: DataFrame): DataFrame = df
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -683,7 +697,12 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // recover a compaction that died in its rename window before any
         // store read ([[compactState]]'s contract)
-        Seq(bandsP, shP, verdictsP).foreach(recoverSwap(spark, _))
+        // ledgerP included: the ledger itself is swapWrite-rewritten, so a
+        // crash in its delete→rename window would otherwise read as an
+        // EMPTY ledger — every ledgered batch would replay, and after
+        // compactState folded them into batch=-1 the replay would re-land
+        // per-batch partitions beside the compacted copy (duplicate rows).
+        Seq(bandsP, shP, verdictsP, ledgerP).foreach(recoverSwap(spark, _))
         val done: Set[Long] = readLedger(spark, ledgerP)
         if (!done.contains(batchId)) {
           // delta substrate: checkpointed once (delta-sized), consumed by
@@ -896,7 +915,8 @@ object EventStream {
     val q = rows.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Seq(aP, bP, outP).foreach(recoverSwap(spark, _))
+        // ledgerP: same rename-window recovery as dedupMaintain's list
+        Seq(aP, bP, outP, ledgerP).foreach(recoverSwap(spark, _))
         val done: Set[Long] = readLedger(spark, ledgerP)
         if (!done.contains(batchId)) {
           val da = batch.where(col("side") === "a")
@@ -999,7 +1019,8 @@ object EventStream {
     val q = edges.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        recoverSwap(spark, rootsP)
+        // ledgerP: same rename-window recovery as dedupMaintain's list
+        Seq(rootsP, ledgerP).foreach(recoverSwap(spark, _))
         val done: Set[Long] = readLedger(spark, ledgerP)
         if (!done.contains(batchId)) {
           val eb = batch.select(col("a"), col("b")).localCheckpoint()

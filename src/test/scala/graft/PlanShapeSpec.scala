@@ -1163,4 +1163,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!"Scan parquet .*orders.*Scan parquet .*orders".r
       .findFirstIn(p.replaceAll("\n", " ")).isDefined, p.take(1600))
   }
+
+  test("q301/q302 codec round trips: payloads never shuffle — zero Exchange") {
+    Seq("q301_image_decode", "q302_audio_decode").foreach { q =>
+      val p = planOf(q)
+      // encode and decode are both mapPartitions over the doc_id scan; the
+      // binary payload column must never enter an exchange of any kind
+      assert(!p.contains("Exchange"), s"$q: " + p.take(1600))
+    }
+  }
+
+  test("q303 variant paths: extraction projects below the single keyed agg " +
+      "exchange — the variant binary never shuffles") {
+    val p = planOf("q303_variant_path")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+    // the shuffle carries the agg partials keyed by the extracted string,
+    // not the variant column itself
+    assert(!"Exchange hashpartitioning\\([^)]*variant".r
+      .findFirstIn(p).isDefined, p.take(1600))
+  }
+
+  test("dedup verify joins: NO broadcast hint on the per-doc sizes frame " +
+      "(corpus-proportional at 100 TB — AQE decides, a hint never backs off)") {
+    Seq("q35_ngram_jaccard", "q259_sorted_neighborhood", "q265_snm_recall")
+      .foreach { q =>
+        val a = SparkEntry.queries(q)(spark, dir)
+          .queryExecution.analyzed.toString
+        assert(!a.contains("ResolvedHint"), s"$q: " + a.take(1600))
+      }
+  }
 }

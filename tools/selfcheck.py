@@ -31,6 +31,13 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame):
         return f"COLS spark={list(a.columns)} oracle={list(b.columns)}"
     if len(a) != len(b):
         return f"ROWS spark={len(a)} oracle={len(b)}"
+    # the driver's gate hashes VALUE BYTES, so a dtype skew (e.g. DuckDB
+    # SUM->HUGEINT->float64 vs Spark int64) fails there even when values
+    # compare equal here — treat dtype mismatch as a failure locally too
+    for c in a.columns:
+        da, db = str(a[c].dtype), str(b[c].dtype)
+        if da != db:
+            return f"DTYPE col={c}: spark={da} oracle={db}"
     for c in a.columns:
         av, bv = a[c].values, b[c].values
         for i in range(len(av)):
