@@ -1181,6 +1181,160 @@ class StreamingSpec extends SparkSpec {
     assert(fin3.exceptAll(batch).isEmpty && batch.exceptAll(fin3).isEmpty)
   }
 
+  test("rollupMaintain fails loudly on the pre-r8 FLAT state layout " +
+      "instead of silently restarting accumulation from empty") {
+    val statePath =
+      Files.createTempDirectory("graft_rollup_flat").toString + "/state"
+    // the footprint the pre-r8 rollupMaintain left behind: swapWrite landed
+    // the state parquet AT the state root (_SUCCESS + part files), no
+    // commit/ directory — the cells/-based guard never saw this layout
+    spark.range(1).selectExpr("'A' AS event_type", "CAST(1 AS BIGINT) AS n",
+      "CAST(1.0 AS DECIMAL(18,4)) AS total_dec",
+      "CAST(1.0 AS DOUBLE) AS vmax", "CAST(1.0 AS DOUBLE) AS vmin")
+      .coalesce(1).write.parquet(statePath)
+    val emptySrc = Files.createTempDirectory("graft_rollup_flat_src").toString
+    val stream = spark.readStream
+      .schema("event_type STRING, value DOUBLE").parquet(emptySrc)
+    val e = intercept[IllegalArgumentException] {
+      EventStream.rollupMaintain(spark, stream, statePath)
+    }
+    assert(e.getMessage.contains("FLAT state layout"), e.getMessage)
+  }
+
+  test("dedupMaintain recovers a ledger rename-window crash: ledgered " +
+      "batches stay skipped and never re-land beside compacted state") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val ddir = Files.createTempDirectory("graft_ledger_crash_docs").toString
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 2).foreach { w =>
+      base.where($"doc_id" % 3 === w).coalesce(1)
+        .write.mode("append").parquet(ddir)
+      known = pinNewFiles(ddir, known, w)
+    }
+    def stream = spark.readStream
+      .schema(spark.read.parquet(ddir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val st = Files.createTempDirectory("graft_ledger_crash_st").toString + "/s"
+    EventStream.dedupMaintain(spark, stream, st)
+    Seq("bands", "shingles", "verdicts").foreach(t =>
+      EventStream.compactState(spark, s"$st/$t"))
+    // crash simulation: ledgerCommit died between delete(ledger) and
+    // rename — the ledger is GONE and a COMPLETE _tmp holds it. Without
+    // recovery the restart reads an EMPTY ledger, replays batches 0-1,
+    // and re-lands their partitions BESIDE the compacted batch=-1 copy,
+    // duplicating every row.
+    val fs = hfs(st)
+    assert(fs.rename(hpath(s"$st/ledger"), hpath(s"$st/ledger_tmp")))
+    assert(fs.exists(hpath(s"$st/ledger_tmp/_SUCCESS")))
+    base.where($"doc_id" % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(ddir)
+    known = pinNewFiles(ddir, known, 2)
+    val fin = EventStream.dedupMaintain(spark, stream, st)
+    // clean twin over the same 3 waves
+    val st2 = Files.createTempDirectory("graft_ledger_clean_st").toString + "/s"
+    val clean = EventStream.dedupMaintain(spark, stream, st2)
+    assert(fin.count() == clean.count() && fin.count() > 0)
+    assert(fin.exceptAll(clean).isEmpty && clean.exceptAll(fin).isEmpty)
+    // the ledgered batches must NOT have re-landed partitions beside the
+    // compacted copy: batch=-1 plus batch=2 only
+    val parts = Files.list(java.nio.file.Paths.get(s"$st/bands")).toArray
+      .map(_.toString).filter(_.contains("batch=")).sorted
+    assert(parts.map(_.split("batch=").last).toSeq == Seq("-1", "2"),
+      parts.mkString(","))
+  }
+
+  test("soak: 200 micro-batches through dedupMaintain with mid-stream " +
+      "compaction — file counts stay bounded, ledger exact, verdicts " +
+      "match the closed form") {
+    val nDocs = 200
+    val ddir = Files.createTempDirectory("graft_soak_docs").toString
+    // doc 2g and 2g+1 share identical text (near-dup pairs by
+    // construction); groups are token-disjoint so cross-group similarity
+    // is zero. One partitionBy write = one file per doc; mtimes pinned to
+    // doc order so the file source's batching is identical across the two
+    // runs (the ledger skip in run B must map batch ids to the same files
+    // run A processed).
+    def writeDocs(ids: Seq[Int]): Unit = {
+      ids.map { i =>
+        val g = i / 2
+        (i.toLong,
+          s"a$g b$g c$g d$g e$g f$g h$g i$g j$g k$g l$g m$g")
+      }.toDF("doc_id", "text")
+        .write.mode("append").partitionBy("doc_id").parquet(ddir)
+      Files.list(java.nio.file.Paths.get(ddir)).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("doc_id="))
+        .foreach { d =>
+          val id = d.getFileName.toString.stripPrefix("doc_id=").toLong
+          Files.list(d).toArray.toSeq
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.getFileName.toString.startsWith("part-"))
+            .foreach(f => Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime
+                .fromMillis(1000000000000L + id * 1000L)))
+        }
+    }
+    def stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val st = Files.createTempDirectory("graft_soak_st").toString + "/s"
+    def partitionsOf(t: String): Seq[String] =
+      Files.list(java.nio.file.Paths.get(s"$st/$t")).toArray
+        .map(_.toString).filter(_.contains("batch="))
+        .map(_.split("batch=").last).sorted.toSeq
+    // run A: 120 one-doc micro-batches, then compact all three stores
+    writeDocs(0 until 120)
+    EventStream.dedupMaintain(spark, stream, st)
+    assert(partitionsOf("bands").length == 120)
+    Seq("bands", "shingles", "verdicts").foreach(t =>
+      EventStream.compactState(spark, s"$st/$t"))
+    Seq("bands", "shingles", "verdicts").foreach(t =>
+      assert(partitionsOf(t) == Seq("-1"), s"$t: ${partitionsOf(t)}"))
+    // run B: the remaining 80 docs arrive; the re-listed batches 0-119
+    // are ledger-skipped (same files, same order), 120-199 process
+    // against the compacted index
+    writeDocs(120 until nDocs)
+    val fin = EventStream.dedupMaintain(spark, stream, st).localCheckpoint()
+    // ledger saw every batch exactly once
+    val ledger = spark.read.parquet(s"$st/ledger")
+      .select($"batch_id").as[Long].collect().sorted
+    assert(ledger.toSeq == (0L until nDocs.toLong),
+      s"ledger: ${ledger.take(10).mkString(",")}... n=${ledger.length}")
+    // ledger-skipped replays must NOT have re-landed partitions beside
+    // the compacted copy: batch=-1 plus exactly 120..199
+    assert(partitionsOf("bands") ==
+      ("-1" +: (120 until nDocs).map(_.toString)).sorted,
+      partitionsOf("bands").take(10).mkString(","))
+    // closed-form verdict contract: one row per doc; in every pair-group
+    // exactly one member is the dup, its best match is its partner at
+    // jaccard exactly 1.0; nothing matches across groups
+    assert(fin.count() == nDocs.toLong)
+    val rows = fin.select($"doc_id", $"is_dup",
+      $"best_match", $"best_jaccard").collect()
+    assert(rows.count(_.getBoolean(1)) == nDocs / 2)
+    rows.filter(_.getBoolean(1)).foreach { r =>
+      val id = r.getLong(0)
+      val partner = if (id % 2 == 0) id + 1 else id - 1
+      assert(r.getLong(2) == partner, s"doc $id matched ${r.getLong(2)}")
+      assert(r.getDouble(3) == 1.0, s"doc $id jaccard ${r.getDouble(3)}")
+    }
+    val dupGroups = rows.filter(_.getBoolean(1)).map(_.getLong(0) / 2).toSet
+    assert(dupGroups.size == nDocs / 2, "exactly one dup per pair-group")
+    // final compaction: the whole soak collapses to one partition per
+    // store with a small bounded file count, results unchanged
+    Seq("bands", "shingles", "verdicts").foreach(t =>
+      EventStream.compactState(spark, s"$st/$t"))
+    Seq("bands", "shingles", "verdicts").foreach { t =>
+      assert(partitionsOf(t) == Seq("-1"), s"$t: ${partitionsOf(t)}")
+      val nFiles = Files.walk(java.nio.file.Paths.get(s"$st/$t")).toArray.length
+      assert(nFiles < 20, s"$t holds $nFiles paths after compaction")
+    }
+    val post = spark.read.parquet(s"$st/verdicts").drop("batch")
+    assert(post.count() == nDocs.toLong &&
+      post.exceptAll(fin).isEmpty && fin.exceptAll(post).isEmpty)
+  }
+
   test("kmeansMaintain seeds k centroids from a ranged-id first batch") {
     import graft.ext.KMeans
     val src = "/root/testdata/sf0.001"
