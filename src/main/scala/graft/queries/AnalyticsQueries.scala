@@ -2360,14 +2360,20 @@ object AnalyticsQueries {
       // rides q264's distinct (order, part) substrate: widening through
       // orders first and distinct-ing after is row-identical (distinct of
       // a projection of a key join commutes with the inner distinct)
+      // materialized ONCE: the (part, customer) substrate feeds the nb-cap
+      // agg and BOTH self-join sides — without the checkpoint each consumer
+      // replays the join+distinct lineage (exchange reuse across the
+      // aliased sides is not guaranteed), tripling the dominant cost
       val buyers = orderPartCached(s, dir)
         .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
           $"l_orderkey" === $"o_orderkey")
         .select($"l_partkey", $"o_custkey").distinct()
+        .localCheckpoint()
       val bounded = buyers.join(
         buyers.groupBy($"l_partkey").agg(count(lit(1)).as("nb"))
           .where($"nb" <= RingGroupCap).select($"l_partkey"),
         "l_partkey")
+        .localCheckpoint()
       val links = bounded.as("a").join(bounded.as("b"),
           $"a.l_partkey" === $"b.l_partkey" &&
             $"a.o_custkey" < $"b.o_custkey")
