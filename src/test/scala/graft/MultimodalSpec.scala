@@ -107,6 +107,71 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Encode 16-bit signed PCM samples through the JDK's own audio writer
+    * into the given container — REAL bytes via the real codec. */
+  private def encodeAudio(samples: Array[Short], rate: Float,
+      container: javax.sound.sampled.AudioFileFormat.Type,
+      bigEndian: Boolean): Array[Byte] = {
+    val raw = new Array[Byte](2 * samples.length)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      if (bigEndian) {
+        raw(2 * i) = ((s >> 8) & 0xFF).toByte; raw(2 * i + 1) = (s & 0xFF).toByte
+      } else {
+        raw(2 * i) = (s & 0xFF).toByte; raw(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, bigEndian)
+    val ain = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ain, container, out)
+    out.toByteArray
+  }
+
+  test("decodeAudio really decodes: WAV (little-endian) and AIFF " +
+      "(big-endian) round-trip IDENTICAL exact stats; corrupt, truncated " +
+      "and stereo payloads are flagged data, not errors") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    val samples = Array.tabulate(96)(i =>
+      (((i * 2731 + 17) % 65536) - 32768).toShort)
+    val n = samples.length.toLong
+    val mn = samples.map(_.toLong).min
+    val mx = samples.map(_.toLong).max
+    val sm = samples.map(_.toLong).sum
+    val wav = encodeAudio(samples, 8000f, Type.WAVE, bigEndian = false)
+    val aiff = encodeAudio(samples, 8000f, Type.AIFF, bigEndian = true)
+    // stereo WAV: outside the 16-bit-mono profile -> decodable=false
+    val stereoFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val stereoIn = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](64)), stereoFmt, 16L)
+    val stereoOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stereoIn, Type.WAVE, stereoOut)
+    val rows = Seq(
+      (1L, wav), (2L, aiff), (3L, junk),
+      (4L, wav.take(10)), // truncated header
+      (5L, stereoOut.toByteArray))
+    val out = Multimodal.decodeAudio(
+      rows.toDF("media_id", "payload"), "media_id", "payload")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Boolean]("decodable"), s"media $id")
+      assert(r.getAs[Int]("sample_rate") == 8000, s"media $id")
+      assert(r.getAs[Long]("n_samples") == n, s"media $id")
+      assert(r.getAs[Long]("s_min") == mn && r.getAs[Long]("s_max") == mx &&
+        r.getAs[Long]("s_sum") == sm,
+        s"media $id: ${r.getAs[Long]("s_min")}/${r.getAs[Long]("s_max")}/" +
+          s"${r.getAs[Long]("s_sum")} vs $mn/$mx/$sm")
+    }
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(!out(id).getAs[Boolean]("decodable"), s"media $id")
+    }
+    // the RIFF container is sniffable by the magic-byte pass too
+    val sniffed = Seq((1L, wav)).toDF("media_id", "payload")
+      .select(Multimodal.sniffType($"payload").as("t")).as[String].head()
+    assert(sniffed == "riff")
+  }
+
   test("decodeImages thumbnail averages exactly on non-aligned dims") {
     // 6x5 image, gray = x*7 + y*11: cells have ragged pixel counts, the
     // expected integer averages are computed here by the same block rule
