@@ -1183,6 +1183,112 @@ object EventStream {
     centroidsOf(spark.read.parquet(cellsP))
   }
 
+  /** Streaming ANN-INDEX maintenance — IVF ingest under a FIXED codebook
+    * (the serving-side complement of [[kmeansMaintain]], which TRAINS:
+    * serving pins the codebook because retraining moves cell boundaries
+    * and would force a full re-index, so the two are separate
+    * maintainers). Each arriving micro-batch of vectors is coarse-
+    * quantized to its nearest centroid — the q45 assignment kernel:
+    * broadcast k-row codebook join + `max_by` partial agg, one shuffled
+    * row per vector, exact-decimal cosine with ties to the smallest cid —
+    * and landed in the postings store as an OVERWRITE of its own
+    * `batch=<id>` partition with the swapWrite batch-id ledger.
+    * Assignment under a fixed codebook is deterministic and batching-
+    * invariant, so a replayed batch recomputes identical rows and
+    * clobbers its stale partition ([[dedupMaintain]]'s exactly-once
+    * posture); [[compactState]] applies unchanged. At 100 TB the
+    * postings store is a cell-bucketed table (probe joins prune to the
+    * nprobe cells — [[graft.ext.Dedup.writeBandIndexBucketed]]'s analog
+    * for IVF); here it is a per-batch parquet directory carrying the
+    * cell id as a column. Returns the accumulated postings
+    * (vec_id, cid, c_sim, n2, embedding).
+    */
+  def ivfMaintain(spark: SparkSession, vectors: DataFrame,
+      statePath: String, codebook: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.dotExact
+    val postP = statePath + "/postings"
+    val ledgerP = statePath + "/ledger"
+    // k rows by construction — materialized once for every batch's join
+    val cb = codebook.select(col("cid"), col("ce"), col("cn2"))
+      .localCheckpoint()
+    val q = vectors.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Seq(postP, ledgerP).foreach(recoverSwap(spark, _))
+        val done: Set[Long] = readLedger(spark, ledgerP)
+        if (!done.contains(batchId)) {
+          val e = batch
+            .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double"))
+                .as("embedding"))
+            .withColumn("n2", dotExact(col("embedding"), col("embedding")))
+          val scored = e.join(broadcast(cb))
+            .select(col("vec_id"), col("embedding"), col("n2"), col("cid"),
+              graft.ext.Similarity.cosine(
+                dotExact(col("embedding"), col("ce")),
+                col("n2"), col("cn2")).as("c_sim"))
+          val assign = scored.groupBy(col("vec_id"))
+            .agg(
+              max_by(struct(col("cid"), col("c_sim")),
+                struct(col("c_sim"), -col("cid"))).as("bm"),
+              first(col("embedding")).as("embedding"),
+              first(col("n2")).as("n2"))
+            .select(col("vec_id"), col("bm.cid").as("cid"),
+              col("bm.c_sim").as("c_sim"), col("n2"), col("embedding"))
+          assign.write.mode("overwrite").parquet(s"$postP/batch=$batchId")
+          ledgerCommit(spark, ledgerP, done, batchId)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    recoverSwap(spark, postP)
+    spark.read.parquet(postP).drop("batch")
+  }
+
+  /** Query the postings [[ivfMaintain]] accumulated: rank cells per query
+    * by centroid similarity, probe the best `nprobe`, exact-rescore ONLY
+    * inside probed cells, return the top `k` per query — q45's serving
+    * shape against the continuously-maintained index. The probe join is
+    * equi on the cell id (partition/bucket-prunable at scale); queries are
+    * assumed a small frame and broadcast onto the postings.
+    */
+  def ivfProbe(spark: SparkSession, statePath: String, codebook: DataFrame,
+      queries: DataFrame, nprobe: Int = 2, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.dotExact
+    val postP = statePath + "/postings"
+    recoverSwap(spark, postP)
+    val postings = spark.read.parquet(postP).drop("batch")
+    val cb = codebook.select(col("cid"), col("ce"), col("cn2"))
+    val qe = queries
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("q_emb"))
+      .withColumn("q_n2", dotExact(col("q_emb"), col("q_emb")))
+    val bySim = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("cid").asc)
+    val probes = qe.join(broadcast(cb))
+      .select(col("query_id"), col("q_emb"), col("q_n2"), col("cid"),
+        graft.ext.Similarity.cosine(dotExact(col("q_emb"), col("ce")),
+          col("q_n2"), col("cn2")).as("c_sim"))
+      .withColumn("rn", row_number().over(bySim))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_n2"), col("cid"))
+    val topk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("cand_id").asc)
+    postings.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        graft.ext.Similarity.cosine(dotExact(col("q_emb"), col("embedding")),
+          col("q_n2"), col("n2")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(topk).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   /** Streaming grouped top-k: the native bounded-heap aggregate
     * ([[graft.functions.TopKAgg]]) as a Complete-mode streaming agg —
     * per (group) key the state-store buffer holds at most k (key, id)

@@ -1335,6 +1335,84 @@ class StreamingSpec extends SparkSpec {
       post.exceptAll(fin).isEmpty && fin.exceptAll(post).isEmpty)
   }
 
+  test("ivfMaintain: streamed postings equal the batch assignment under " +
+      "any batching, survive full replay and compaction; ivfProbe matches " +
+      "the independently-computed probe-and-rescore") {
+    import graft.ext.KMeans
+    import graft.functions.GraftFunctions.dotExact
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val src = "/root/testdata/sf0.001"
+    val cb = KMeans.trainCodebook(Tables.embeddings(spark, src), 8, 2)
+      .localCheckpoint()
+    // three arrival waves of the embedding corpus
+    val edir = Files.createTempDirectory("graft_ivf_docs").toString
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 3).foreach { w =>
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .where($"vec_id" % 3 === w).coalesce(1)
+        .write.mode("append").parquet(edir)
+      known = pinNewFiles(edir, known, w)
+    }
+    def stream = spark.readStream
+      .schema(spark.read.parquet(edir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(edir)
+    val st = Files.createTempDirectory("graft_ivf_st").toString + "/s"
+    val fin = EventStream.ivfMaintain(spark, stream, st, cb)
+    // batch twin, expressed INDEPENDENTLY (window rank, not max_by)
+    val e = Tables.embeddings(spark, src)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("embedding"))
+      .withColumn("n2", dotExact($"embedding", $"embedding"))
+      .localCheckpoint()
+    val scored = e.join(broadcast(cb.select($"cid", $"ce", $"cn2")))
+      .select($"vec_id", $"cid", $"n2", $"embedding",
+        graft.ext.Similarity.cosine(dotExact($"embedding", $"ce"),
+          $"n2", $"cn2").as("c_sim"))
+      .localCheckpoint()
+    val byQ = Window.partitionBy($"vec_id")
+      .orderBy($"c_sim".desc, $"cid".asc)
+    val batchAssign = scored
+      .withColumn("rn", row_number().over(byQ)).where($"rn" === 1)
+      .select($"vec_id", $"cid", $"c_sim")
+    val got = fin.select($"vec_id", $"cid", $"c_sim")
+    assert(got.count() == batchAssign.count() && got.count() > 0)
+    assert(got.exceptAll(batchAssign).isEmpty &&
+      batchAssign.exceptAll(got).isEmpty)
+    // full replay: every batch id ledgered, nothing doubles
+    val fin2 = EventStream.ivfMaintain(spark, stream, st, cb)
+    assert(fin2.count() == batchAssign.count())
+    // compaction collapses the per-batch partitions; the index still serves
+    EventStream.compactState(spark, s"$st/postings")
+    val parts = Files.list(java.nio.file.Paths.get(s"$st/postings")).toArray
+      .map(_.toString).filter(_.contains("batch="))
+    assert(parts.length == 1 && parts.head.endsWith("batch=-1"))
+    val queries = Tables.embeddings(spark, src)
+      .where($"vec_id" >= 100 && $"vec_id" < 105)
+    val served = EventStream.ivfProbe(spark, st, cb, queries,
+      nprobe = 2, k = 10)
+    // independent expectation: probed cells via the window rank, exact
+    // rescore inside them, top-10
+    val probes = scored.where($"vec_id" >= 100 && $"vec_id" < 105)
+      .withColumn("rn", row_number().over(byQ)).where($"rn" <= 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"n2".as("q_n2"), $"cid")
+    val topk = Window.partitionBy($"query_id")
+      .orderBy($"cosine_sim".desc, $"cand_id".asc)
+    val expected = batchAssign.select($"vec_id".as("cand_id"), $"cid")
+      .join(e.select($"vec_id".as("cand_id"), $"embedding", $"n2"), "cand_id")
+      .join(probes, Seq("cid"))
+      .where($"cand_id" =!= $"query_id")
+      .select($"query_id", $"cand_id",
+        graft.ext.Similarity.cosine(dotExact($"q_emb", $"embedding"),
+          $"q_n2", $"n2").as("cosine_sim"))
+      .withColumn("rank", row_number().over(topk).cast("int"))
+      .where($"rank" <= 10)
+    assert(served.count() == expected.count() && served.count() > 0)
+    assert(served.exceptAll(expected).isEmpty &&
+      expected.exceptAll(served).isEmpty)
+  }
+
   test("kmeansMaintain seeds k centroids from a ranged-id first batch") {
     import graft.ext.KMeans
     val src = "/root/testdata/sf0.001"
