@@ -317,6 +317,45 @@ object AnalyticsQueries {
       },
       Some(AnalyticsQueries.SqlReportText)),
 
+    // ── LATERAL correlated subquery through the SQL front door — q89's
+    //    one-text-both-engines posture for the per-group-top-N idiom
+    //    ("for each nation, that nation's 3 highest-value orders"). The
+    //    interesting part is the PLAN: Catalyst DECORRELATES the
+    //    correlated LIMIT subquery into a window rank over the join and
+    //    then pushes a WindowGroupLimit bounded heap below the shuffle —
+    //    the naive per-outer-row re-execution (nations × full orders
+    //    scan) never exists. At 100 TB the lateral is therefore one
+    //    keyed join + one group-limit, identical to the hand-written
+    //    q254 shape; PlanShapeSpec pins the WindowGroupLimit and the
+    //    absence of any cartesian. Ordering is total (price DESC, key
+    //    ASC), so LIMIT ties cannot diverge across engines; o_totalprice
+    //    is compared as stored (no arithmetic).
+    QueryDef(
+      "q304_lateral_topk",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(AnalyticsQueries.LateralTopkText)
+      },
+      Some(AnalyticsQueries.LateralTopkText)),
+
+    // ── RECURSIVE CTE through the SQL front door (Spark 4 WITH
+    //    RECURSIVE): the date-spine + left-join scaffold (q09's J4
+    //    pattern) stated as ONE dialect-neutral recursive query both
+    //    engines execute verbatim. The recursion generates a 91-day
+    //    spine (bounded, driver-side-free — each step is a plan
+    //    iteration, not a collect), then a keyed LEFT JOIN lands the
+    //    daily order counts with zero-filled gaps. Recursion depth is
+    //    bounded by the date window (91 < Spark's recursion-level
+    //    limit); the scaffold never touches the fact table inside the
+    //    recursive arm — growth is O(days), the rollup is one keyed agg.
+    QueryDef(
+      "q305_recursive_spine",
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(AnalyticsQueries.RecursiveSpineText)
+      },
+      Some(AnalyticsQueries.RecursiveSpineText)),
+
     // ── Winsorized robust statistics per event type: exact p05/p95
     //    thresholds (rounded at 1e-6, the q29 cross-engine percentile
     //    posture), clip counts, and the floor-fixed-point means of the raw
@@ -1692,6 +1731,36 @@ object AnalyticsQueries {
       |JOIN nation ON c_nationkey = n_nationkey
       |WHERE o_orderstatus = 'F'
       |GROUP BY n_name""".stripMargin
+
+  /** Dialect-neutral LATERAL top-N text (q304) — identical in Spark SQL
+    * and DuckDB; Catalyst decorrelates it to a WindowGroupLimit.
+    */
+  val LateralTopkText: String =
+    """SELECT n_name, o_orderkey, o_totalprice
+      |FROM nation, LATERAL (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC
+      |  LIMIT 3
+      |) t""".stripMargin
+
+  /** Dialect-neutral WITH RECURSIVE date-spine text (q305) — identical in
+    * Spark SQL (4.x recursive CTEs) and DuckDB. DATE + integer is day
+    * arithmetic in both dialects.
+    */
+  val RecursiveSpineText: String =
+    """WITH RECURSIVE days(d) AS (
+      |  SELECT CAST('1995-01-01' AS DATE) AS d
+      |  UNION ALL
+      |  SELECT d + 1 FROM days WHERE d < CAST('1995-03-31' AS DATE)
+      |),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT days.d, COALESCE(daily.n_orders, 0) AS n_orders
+      |FROM days LEFT JOIN daily ON days.d = daily.d""".stripMargin
 
   // ── SLIDING-WINDOW distinct counting from mergeable daily sketch
   //    partials — the dashboard op ("distinct active users, trailing 7

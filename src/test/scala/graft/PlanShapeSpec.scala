@@ -1184,6 +1184,20 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p.take(1600))
   }
 
+  test("q304 lateral top-N decorrelates to a WindowGroupLimit heap — " +
+      "no per-outer-row re-execution, no cartesian") {
+    val p = planOf("q304_lateral_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("q305 recursive spine: the fact rollup is one keyed agg outside " +
+      "the recursion, joined keyed — no cartesian") {
+    val p = planOf("q305_recursive_spine")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert(p.contains("HashAggregate"), p.take(1600))
+  }
+
   test("dedup verify joins: NO broadcast hint on the per-doc sizes frame " +
       "(corpus-proportional at 100 TB — AQE decides, a hint never backs off)") {
     Seq("q35_ngram_jaccard", "q259_sorted_neighborhood", "q265_snm_recall")
