@@ -422,4 +422,47 @@ class PropertySpec extends SparkSpec {
       s | (3L << (band * 8))) // two bits per band
     assert(java.lang.Long.bitCount(a ^ b) == 8 && !candidate(a, b))
   }
+
+  test("audio codec round trip: decodeAudio(encode(samples)) reproduces " +
+      "exact stats for random PCM, both endiannesses, edge values") {
+    import javax.sound.sampled._
+    def encode(samples: Array[Short], bigEndian: Boolean): Array[Byte] = {
+      val raw = new Array[Byte](2 * samples.length)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        if (bigEndian) {
+          raw(2 * i) = ((s >> 8) & 0xFF).toByte
+          raw(2 * i + 1) = (s & 0xFF).toByte
+        } else {
+          raw(2 * i) = (s & 0xFF).toByte
+          raw(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        }
+      }
+      val fmt = new AudioFormat(16000f, 16, 1, true, bigEndian)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong),
+        if (bigEndian) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE,
+        out)
+      out.toByteArray
+    }
+    // seeded random PCM plus the edge values that expose sign/endian bugs
+    val cases = (0 until 6).map { i =>
+      val n = 1 + rnd.nextInt(200)
+      val arr = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      if (i == 0) { arr(0) = Short.MinValue; arr(n - 1) = Short.MaxValue }
+      (i.toLong, arr, i % 2 == 0)
+    }
+    val rows = cases.map { case (id, arr, be) => (id, encode(arr, be)) }
+    val out = graft.ext.Multimodal.decodeAudio(
+      rows.toDF("media_id", "payload"), "media_id", "payload")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    cases.foreach { case (id, arr, _) =>
+      val r = out(id)
+      val l = arr.map(_.toLong)
+      assert(r.getAs[Boolean]("decodable"), s"case $id")
+      assert(r.getAs[Long]("n_samples") == arr.length.toLong, s"case $id")
+      assert(r.getAs[Long]("s_min") == l.min && r.getAs[Long]("s_max") == l.max
+        && r.getAs[Long]("s_sum") == l.sum, s"case $id")
+    }
+  }
 }
