@@ -1289,6 +1289,93 @@ object EventStream {
       .where(col("rank") <= k)
   }
 
+  /** Streaming SEARCH-INDEX maintenance — the inverted-index ingest for
+    * BM25 serving ([[bm25Search]]). State is two per-batch-partitioned
+    * stores: `postings` (term, doc_id, tf — the FULL vocabulary, since
+    * ingest can't know future queries) and `doclens` (doc_id, dl). Both
+    * are deterministic functions of the batch ⇒ per-batch overwrite
+    * partitions + the swapWrite batch-id ledger ([[dedupMaintain]]'s
+    * exactly-once posture), and [[compactState]] applies unchanged.
+    * The corpus statistics BM25 needs (N, Σdl, per-term df) DERIVE from
+    * the stores at query time — df re-aggregates the postings (strictly
+    * fewer rows than the token stream), so no sum-merged state exists
+    * and replay-idempotence is free; at 100 TB the stores are term- /
+    * doc-bucketed tables and the df/N rollup is a small maintained view.
+    * Returns the accumulated (doc_id, dl) table.
+    */
+  def bm25Maintain(spark: SparkSession, docs: DataFrame,
+      statePath: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val postP = statePath + "/postings"
+    val dlP = statePath + "/doclens"
+    val ledgerP = statePath + "/ledger"
+    val q = docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Seq(postP, dlP, ledgerP).foreach(recoverSwap(spark, _))
+        val done: Set[Long] = readLedger(spark, ledgerP)
+        if (!done.contains(batchId)) {
+          val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+          val tf = b
+            .select(col("doc_id"),
+              explode(TextAnalysis.tokens(col("text"))).as("term"))
+            .groupBy(col("term"), col("doc_id"))
+            .agg(count(lit(1)).as("tf"))
+          val dl = b.select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+          tf.write.mode("overwrite").parquet(s"$postP/batch=$batchId")
+          dl.write.mode("overwrite").parquet(s"$dlP/batch=$batchId")
+          ledgerCommit(spark, ledgerP, done, batchId)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    recoverSwap(spark, dlP)
+    spark.read.parquet(dlP).drop("batch")
+  }
+
+  /** BM25 ranked retrieval over the index [[bm25Maintain]] accumulated —
+    * q83's exact scoring (k1 = 1.2, b = 0.75, LINEAR idf N/df, per-term
+    * scores floor-truncated at 1e-9 so the per-doc sum is exact integer
+    * arithmetic and ranking ties are impossible to get wrong), same
+    * output schema, so the parity test compares against the batch q83
+    * plan bit-for-bit. Scale shape: the postings scan prunes to the
+    * query terms (term-bucketed at scale), df re-aggregates the pruned
+    * postings, the 1-row stats frame broadcasts, and the top-k is a
+    * TakeOrderedAndProject.
+    */
+  def bm25Search(spark: SparkSession, statePath: String,
+      terms: Seq[String], k: Int = 20): DataFrame = {
+    val postP = statePath + "/postings"
+    val dlP = statePath + "/doclens"
+    Seq(postP, dlP).foreach(recoverSwap(spark, _))
+    val dl = spark.read.parquet(dlP).drop("batch")
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
+    val tf = spark.read.parquet(postP).drop("batch")
+      .where(col("term").isin(terms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(((col("n_docs").cast("double") / col("df").cast("double")) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * (col("dl").cast("double") /
+                (col("dl_sum").cast("double") / col("n_docs").cast("double")))))))
+          * lit(1e9)).cast("long").as("s9"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(sum(col("s9")).as("s9"), count(lit(1)).as("n_terms"))
+    perDoc.orderBy(col("s9").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("s9").desc, col("doc_id").asc)).cast("int"))
+      .select(col("doc_id"), (col("s9").cast("double") / lit(1e9)).as("bm25"),
+        col("n_terms").cast("int").as("n_terms"), col("rank"))
+  }
+
   /** Streaming grouped top-k: the native bounded-heap aggregate
     * ([[graft.functions.TopKAgg]]) as a Complete-mode streaming agg —
     * per (group) key the state-store buffer holds at most k (key, id)

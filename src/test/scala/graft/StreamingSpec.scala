@@ -1413,6 +1413,40 @@ class StreamingSpec extends SparkSpec {
       expected.exceptAll(served).isEmpty)
   }
 
+  test("bm25Maintain + bm25Search: the streamed inverted index serves " +
+      "EXACTLY the batch q83 ranking, survives replay and compaction") {
+    val src = "/root/testdata/sf0.001"
+    val ddir = Files.createTempDirectory("graft_bm25_docs").toString
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 3).foreach { w =>
+      spark.read.parquet(s"$src/documents.parquet")
+        .select($"doc_id", $"text")
+        .where($"doc_id" % 3 === w).coalesce(1)
+        .write.mode("append").parquet(ddir)
+      known = pinNewFiles(ddir, known, w)
+    }
+    def stream = spark.readStream
+      .schema(spark.read.parquet(ddir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val st = Files.createTempDirectory("graft_bm25_st").toString + "/s"
+    val dl = EventStream.bm25Maintain(spark, stream, st)
+    assert(dl.count() ==
+      spark.read.parquet(s"$src/documents.parquet").count())
+    val batch = SparkEntry.queries("q83_bm25")(spark, src).localCheckpoint()
+    val terms = Seq("dup", "vector", "hash")
+    val served = EventStream.bm25Search(spark, st, terms)
+    assert(served.count() == batch.count() && served.count() > 0)
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty)
+    // full replay: ledgered batch ids are skipped, the index is unchanged
+    EventStream.bm25Maintain(spark, stream, st)
+    // compaction collapses both stores; the served ranking is unchanged
+    Seq("postings", "doclens").foreach(t =>
+      EventStream.compactState(spark, s"$st/$t"))
+    val served2 = EventStream.bm25Search(spark, st, terms)
+    assert(served2.exceptAll(batch).isEmpty &&
+      batch.exceptAll(served2).isEmpty)
+  }
+
   test("kmeansMaintain seeds k centroids from a ranged-id first batch") {
     import graft.ext.KMeans
     val src = "/root/testdata/sf0.001"
