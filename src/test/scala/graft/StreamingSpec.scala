@@ -1413,6 +1413,37 @@ class StreamingSpec extends SparkSpec {
       expected.exceptAll(served).isEmpty)
   }
 
+  test("ivfMaintain replays a crashed batch OVER its stale partition: " +
+      "clobbered, not doubled") {
+    import graft.ext.KMeans
+    val src = "/root/testdata/sf0.001"
+    val cb = KMeans.trainCodebook(Tables.embeddings(spark, src), 8, 1)
+      .localCheckpoint()
+    val edir = Files.createTempDirectory("graft_ivf_crash_docs").toString
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 2).foreach { w =>
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .where($"vec_id" % 2 === w).coalesce(1)
+        .write.mode("append").parquet(edir)
+      known = pinNewFiles(edir, known, w)
+    }
+    def stream = spark.readStream
+      .schema(spark.read.parquet(edir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(edir)
+    val stA = Files.createTempDirectory("graft_ivf_crash_a").toString + "/s"
+    val clean = EventStream.ivfMaintain(spark, stream, stA, cb)
+      .localCheckpoint()
+    // crashed-attempt footprint: batch 0's partition holds WRONG rows
+    // (batch 1's data) and no ledger row — the replay must overwrite the
+    // partition, not append beside it
+    val stB = Files.createTempDirectory("graft_ivf_crash_b").toString + "/s"
+    spark.read.parquet(s"$stA/postings/batch=1")
+      .write.mode("overwrite").parquet(s"$stB/postings/batch=0")
+    val fin = EventStream.ivfMaintain(spark, stream, stB, cb)
+    assert(fin.count() == clean.count() && fin.count() > 0)
+    assert(fin.exceptAll(clean).isEmpty && clean.exceptAll(fin).isEmpty)
+  }
+
   test("bm25Maintain + bm25Search: the streamed inverted index serves " +
       "EXACTLY the batch q83 ranking, survives replay and compaction") {
     val src = "/root/testdata/sf0.001"
