@@ -211,6 +211,44 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(j - 4.0 / 6.0) < 1e-12)
   }
 
+  test("TimelineFlatten: a VariantType bronze and a legacy raw-text bronze " +
+      "flatten to identical rows (shape variance included)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{parse_json, col}
+    val doc =
+      """{ "semanticSegments": [
+        |  { "startTime": "2026-02-19T09:00:00", "endTime": "2026-02-19T10:30:00",
+        |    "visit": { "probability": 0.93,
+        |      "topCandidate": { "placeId": "P1",
+        |        "placeLocation": { "latLng": "35.6586° , 139.7454°" } } } },
+        |  { "startTime": "2026-02-19T12:00:00", "endTime": "2026-02-19T12:10:00",
+        |    "visit": { "probability": 0.5,
+        |      "topCandidate": { "placeId": "P2",
+        |        "placeLocation": "1.5, 2.5" } } },
+        |  { "startTime": "2026-02-19T11:00:00", "endTime": "2026-02-19T11:45:00",
+        |    "activity": { "distanceMeters": 12.5,
+        |      "topCandidate": { "type": "WALKING" },
+        |      "startLocation": { "latLng": "3.5, 4.5" },
+        |      "endLocation":   { "latLng": "5.5, 6.5" } } },
+        |  { "startTime": "2026-02-19T13:00:00", "endTime": "2026-02-19T13:05:00" }
+        |] }""".stripMargin
+    val legacy = Seq((1L, "f.json", doc))
+      .toDF("load_id", "_source_file", "raw_data")
+    val variant = legacy.withColumn("raw_data", parse_json(col("raw_data")))
+    assert(variant.schema("raw_data").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    val a = graft.pipeline.TimelineFlatten.flatten(legacy)
+    val b = graft.pipeline.TimelineFlatten.flatten(variant)
+    assert(a.count() == 3 && b.count() == 3) // neither-visit-nor-activity dropped
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the bare-string placeLocation variant parsed through the same path
+    assert(b.where(col("place_id") === "P2")
+      .select(col("visit_latitude")).as[Double].head() == 1.5)
+    // alternate startLocation/endLocation naming coalesced
+    assert(b.where(col("segment_type") === "ACTIVITY")
+      .select(col("end_longitude")).as[Double].head() == 6.5)
+  }
+
   test("pq adc: identical subspace codes give identical pq_sim (q85 shape)") {
     val out = graft.SparkEntry.queries("q85_pq_ann")(
       spark, "/root/testdata/sf0.001")
