@@ -149,6 +149,98 @@ object KMeans {
     cents
   }
 
+  /** Coarse-quantize every vector to its nearest codebook centroid — the
+    * IVF assignment kernel (q45's shape) as a reusable primitive shared
+    * by the batch index builder ([[writePostingsBucketed]]) and the
+    * streaming ingest ([[graft.streaming.EventStream.ivfMaintain]]):
+    * broadcast k-row codebook join + `max_by` partial agg (one shuffled
+    * row per vector, never a sort), exact-decimal cosine, ties to the
+    * smallest cid. Returns `(vec_id, cid, c_sim, n2, embedding)`.
+    */
+  def assignPostings(emb: DataFrame, codebook: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions.dotExact
+    val e = emb
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .withColumn("n2", dotExact(col("embedding"), col("embedding")))
+    val scored = e.join(
+        broadcast(codebook.select(col("cid"), col("ce"), col("cn2"))))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cid"),
+        Similarity.cosine(dotExact(col("embedding"), col("ce")),
+          col("n2"), col("cn2")).as("c_sim"))
+    scored.groupBy(col("vec_id"))
+      .agg(
+        max_by(struct(col("cid"), col("c_sim")),
+          struct(col("c_sim"), -col("cid"))).as("bm"),
+        first(col("embedding")).as("embedding"),
+        first(col("n2")).as("n2"))
+      .select(col("vec_id"), col("bm.cid").as("cid"),
+        col("bm.c_sim").as("c_sim"), col("n2"), col("embedding"))
+  }
+
+  /** The 100 TB IVF-serving layout, made executable — the
+    * [[graft.ext.Dedup.writeBandIndexBucketed]] analog for vectors: the
+    * assigned postings land ONCE as a table BUCKETED (and sorted) on the
+    * probe-join key `cid`, so every probe ([[probePostingsBucketed]])
+    * scans the postings buckets IN PLACE — the corpus-sized side never
+    * shuffles again; only the (tiny) probe frame pays an Exchange.
+    * PlanShapeSpec pins the property. Returns the table name.
+    */
+  def writePostingsBucketed(postings: DataFrame, tag: String,
+      buckets: Int = 8): String = {
+    val s = postings.sparkSession
+    val tbl = s"graft_ivf_idx_$tag"
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    postings.write.mode("overwrite")
+      .bucketBy(buckets, "cid")
+      .sortBy("cid")
+      .option("path", s"$wh/graft_bucketed/$tbl")
+      .saveAsTable(tbl)
+    tbl
+  }
+
+  /** Probe-and-rescore against a [[writePostingsBucketed]] table: rank
+    * cells per query by centroid cosine, probe the best `nprobe` via a
+    * merge join INTO the bucketed layout (zero Exchange on the postings
+    * side — the merge hint keeps the fixture-scale plan the same SMJ
+    * shape the 100 TB plan has), exact-rescore only inside probed cells,
+    * top-k per query. Same output schema as
+    * [[graft.streaming.EventStream.ivfProbe]].
+    */
+  def probePostingsBucketed(indexTable: String, codebook: DataFrame,
+      queries: DataFrame, nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val s = codebook.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions.dotExact
+    import org.apache.spark.sql.expressions.Window
+    val idx = s.table(indexTable)
+    val qe = queries
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("q_emb"))
+      .withColumn("q_n2", dotExact(col("q_emb"), col("q_emb")))
+    val bySim = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("cid").asc)
+    val probes = qe.join(
+        broadcast(codebook.select(col("cid"), col("ce"), col("cn2"))))
+      .select(col("query_id"), col("q_emb"), col("q_n2"), col("cid"),
+        Similarity.cosine(dotExact(col("q_emb"), col("ce")),
+          col("q_n2"), col("cn2")).as("c_sim"))
+      .withColumn("rn", row_number().over(bySim))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_n2"), col("cid"))
+    val topk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("cand_id").asc)
+    idx.hint("merge").join(probes, Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        Similarity.cosine(dotExact(col("q_emb"), col("embedding")),
+          col("q_n2"), col("n2")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(topk).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   /** PRODUCTION init: deterministic k-means‖ (Bahmani et al., "Scalable
     * K-Means++", VLDB'12) followed by the same Lloyd loop. Each init round
     * scores every vector against the current candidate set (broadcast,

@@ -1205,8 +1205,6 @@ object EventStream {
     */
   def ivfMaintain(spark: SparkSession, vectors: DataFrame,
       statePath: String, codebook: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    import graft.functions.GraftFunctions.dotExact
     val postP = statePath + "/postings"
     val ledgerP = statePath + "/ledger"
     // k rows by construction — materialized once for every batch's join
@@ -1218,25 +1216,10 @@ object EventStream {
         Seq(postP, ledgerP).foreach(recoverSwap(spark, _))
         val done: Set[Long] = readLedger(spark, ledgerP)
         if (!done.contains(batchId)) {
-          val e = batch
-            .select(col("vec_id"),
-              transform(col("embedding"), x => x.cast("double"))
-                .as("embedding"))
-            .withColumn("n2", dotExact(col("embedding"), col("embedding")))
-          val scored = e.join(broadcast(cb))
-            .select(col("vec_id"), col("embedding"), col("n2"), col("cid"),
-              graft.ext.Similarity.cosine(
-                dotExact(col("embedding"), col("ce")),
-                col("n2"), col("cn2")).as("c_sim"))
-          val assign = scored.groupBy(col("vec_id"))
-            .agg(
-              max_by(struct(col("cid"), col("c_sim")),
-                struct(col("c_sim"), -col("cid"))).as("bm"),
-              first(col("embedding")).as("embedding"),
-              first(col("n2")).as("n2"))
-            .select(col("vec_id"), col("bm.cid").as("cid"),
-              col("bm.c_sim").as("c_sim"), col("n2"), col("embedding"))
-          assign.write.mode("overwrite").parquet(s"$postP/batch=$batchId")
+          // the shared q45 assignment kernel — single source of truth with
+          // the batch index builder (KMeans.writePostingsBucketed)
+          graft.ext.KMeans.assignPostings(batch, cb)
+            .write.mode("overwrite").parquet(s"$postP/batch=$batchId")
           ledgerCommit(spark, ledgerP, done, batchId)
         }
       }

@@ -896,6 +896,60 @@ class PlanShapeSpec extends SparkSpec {
     assert(cands.exceptAll(plain).isEmpty && plain.exceptAll(cands).isEmpty)
   }
 
+  test("IVF serving read path: bucketed postings join the probes with " +
+      "zero Exchange on the postings side") {
+    import graft.ext.KMeans
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cb = KMeans.trainCodebook(emb, 8, 1).localCheckpoint()
+    val postings = KMeans.assignPostings(emb, cb).localCheckpoint()
+    val tbl = KMeans.writePostingsBucketed(postings, "planspec")
+    val queries = emb.where(col("vec_id") < 5)
+    val served = KMeans.probePostingsBucketed(tbl, cb, queries, 2, 10)
+    val p = served.queryExecution.executedPlan.toString
+    // corpus-sized postings are read through the bucket layout and never
+    // SHUFFLE: the hashpartitioning Exchanges in the plan are the tiny
+    // probe frame (cell-rank window + merge-join side) and the final
+    // top-k window — were the postings side shuffling too there would be
+    // one more
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert("SelectedBucketsCount".r.findAllIn(p).size == 1, p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(2000))
+    // the layout changes nothing semantically: same top-k as the plain
+    // unbucketed probe over the identical postings
+    val plain = {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.GraftFunctions.dotExact
+      val qe = queries
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), x => x.cast("double")).as("q_emb"))
+        .withColumn("q_n2", dotExact(col("q_emb"), col("q_emb")))
+      val bySim = Window.partitionBy(col("query_id"))
+        .orderBy(col("c_sim").desc, col("cid").asc)
+      val probes = qe.join(
+          broadcast(cb.select(col("cid"), col("ce"), col("cn2"))))
+        .select(col("query_id"), col("q_emb"), col("q_n2"), col("cid"),
+          graft.ext.Similarity.cosine(dotExact(col("q_emb"), col("ce")),
+            col("q_n2"), col("cn2")).as("c_sim"))
+        .withColumn("rn", row_number().over(bySim))
+        .where(col("rn") <= 2)
+        .select(col("query_id"), col("q_emb"), col("q_n2"), col("cid"))
+      val topk = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_sim").desc, col("cand_id").asc)
+      postings.join(probes, Seq("cid"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          graft.ext.Similarity.cosine(
+            dotExact(col("q_emb"), col("embedding")),
+            col("q_n2"), col("n2")).as("cosine_sim"))
+        .withColumn("rank", row_number().over(topk).cast("int"))
+        .where(col("rank") <= 10)
+    }
+    assert(served.count() == plain.count() && served.count() > 0)
+    assert(served.exceptAll(plain).isEmpty && plain.exceptAll(served).isEmpty)
+  }
+
   test("q296 memorization depth: train-hash probe is a keyed semi join, " +
       "no cartesian, doc-keyed windows only") {
     val p = planOf("q296_memorization_depth")
