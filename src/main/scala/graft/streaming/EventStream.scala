@@ -1244,6 +1244,8 @@ object EventStream {
     import graft.functions.GraftFunctions.dotExact
     val postP = statePath + "/postings"
     recoverSwap(spark, postP)
+    require(stateExists(spark, postP),
+      s"ivfProbe: no postings at $postP — run ivfMaintain first")
     val postings = spark.read.parquet(postP).drop("batch")
     val cb = codebook.select(col("cid"), col("ce"), col("cn2"))
     val qe = queries
@@ -1334,6 +1336,8 @@ object EventStream {
     val postP = statePath + "/postings"
     val dlP = statePath + "/doclens"
     Seq(postP, dlP).foreach(recoverSwap(spark, _))
+    require(stateExists(spark, postP) && stateExists(spark, dlP),
+      s"bm25Search: no index at $statePath — run bm25Maintain first")
     val dl = spark.read.parquet(dlP).drop("batch")
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
     val tf = spark.read.parquet(postP).drop("batch")

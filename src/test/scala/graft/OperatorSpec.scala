@@ -249,6 +249,30 @@ class OperatorSpec extends SparkSpec {
       .select(col("end_longitude")).as[Double].head() == 6.5)
   }
 
+  test("variant path reads: absent keys and null fields come back NULL " +
+      "through to_json -> parse_json -> variant_get (q303's null path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // props with no k, empty object, and a present k — the first two must
+    // survive the round trip as NULLs, not errors or zeros
+    val d = Seq((1L, """{"x": 9}"""), (2L, "{}"), (3L, """{"k": 7}"""))
+      .toDF("user_id", "props")
+    val k = get_json_object($"props", "$.k").cast("long")
+    val doc = to_json(struct(lit("t").as("t"),
+      struct($"user_id".as("uid"), k.as("k")).as("u"),
+      array(k, k * 2).as("vals")))
+    val out = d.select($"user_id", parse_json(doc).as("v"))
+      .select($"user_id",
+        expr("variant_get(v, '$.u.k', 'long')").as("k"),
+        expr("variant_get(v, '$.vals[1]', 'long')").as("k2"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(1L) == ((None, None)))
+    assert(out(2L) == ((None, None)))
+    assert(out(3L) == ((Some(7L), Some(14L))))
+  }
+
   test("pq adc: identical subspace codes give identical pq_sim (q85 shape)") {
     val out = graft.SparkEntry.queries("q85_pq_ann")(
       spark, "/root/testdata/sf0.001")
