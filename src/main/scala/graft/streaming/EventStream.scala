@@ -1231,6 +1231,26 @@ object EventStream {
     spark.read.parquet(postP).drop("batch")
   }
 
+  /** Promote the postings [[ivfMaintain]] accumulated into the BUCKETED
+    * serving layout ([[graft.ext.KMeans.writePostingsBucketed]]) — the
+    * ingest→serve hand-off a production index runs on a schedule: the
+    * streamed per-batch partitions (write-optimized) are rewritten once
+    * into the cid-bucketed table (read-optimized, zero-shuffle probes via
+    * [[graft.ext.KMeans.probePostingsBucketed]]). Run between stream runs
+    * (the single-maintainer caveat); the state store itself is untouched,
+    * so ingest continues appending and a later promote refreshes the
+    * serving table. Returns the serving table name.
+    */
+  def ivfPromoteBucketed(spark: SparkSession, statePath: String,
+      tag: String, buckets: Int = 8): String = {
+    val postP = statePath + "/postings"
+    recoverSwap(spark, postP)
+    require(stateExists(spark, postP),
+      s"ivfPromoteBucketed: no postings at $postP — run ivfMaintain first")
+    graft.ext.KMeans.writePostingsBucketed(
+      spark.read.parquet(postP).drop("batch"), tag, buckets)
+  }
+
   /** Query the postings [[ivfMaintain]] accumulated: rank cells per query
     * by centroid similarity, probe the best `nprobe`, exact-rescore ONLY
     * inside probed cells, return the top `k` per query — q45's serving

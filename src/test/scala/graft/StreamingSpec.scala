@@ -1391,6 +1391,13 @@ class StreamingSpec extends SparkSpec {
       .where($"vec_id" >= 100 && $"vec_id" < 105)
     val served = EventStream.ivfProbe(spark, st, cb, queries,
       nprobe = 2, k = 10)
+    // ingest -> serve hand-off: the promoted BUCKETED serving table
+    // answers identically through the zero-shuffle probe path
+    val tbl = EventStream.ivfPromoteBucketed(spark, st, "streamspec")
+    val servedB = graft.ext.KMeans.probePostingsBucketed(
+      tbl, cb, queries, nprobe = 2, k = 10)
+    assert(servedB.exceptAll(served).isEmpty &&
+      served.exceptAll(servedB).isEmpty)
     // independent expectation: probed cells via the window rank, exact
     // rescore inside them, top-10
     val probes = scored.where($"vec_id" >= 100 && $"vec_id" < 105)
