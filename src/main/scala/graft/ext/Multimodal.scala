@@ -25,15 +25,20 @@ object Multimodal {
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("payload", BinaryType),
-    StructField("media_type", StringType), // sniffed: png | jpeg | pdf | unknown
+    StructField("media_type", StringType), // sniffed: png|jpeg|pdf|wav|avi|riff|unknown
     StructField("n_bytes", LongType)))
 
-  /** Magic-byte content sniffing as pure expressions (no decode). */
+  /** Magic-byte content sniffing as pure expressions (no decode). RIFF
+    * containers disambiguate on the form type at bytes 9-12 (WAVE / AVI).
+    */
   def sniffType(payload: Column): Column =
     when(hex(substring(payload, 1, 4)) === "89504E47", "png")
       .when(hex(substring(payload, 1, 3)) === "FFD8FF", "jpeg")
       .when(hex(substring(payload, 1, 4)) === "25504446", "pdf")
-      .when(hex(substring(payload, 1, 4)) === "52494646", "riff") // wav/avi
+      .when(hex(substring(payload, 1, 4)) === "52494646",
+        when(hex(substring(payload, 9, 4)) === "57415645", "wav")
+          .when(hex(substring(payload, 9, 4)) === "41564920", "avi")
+          .otherwise("riff"))
       .otherwise("unknown")
 
   /** Expression-level metadata: byte length, content hash, header hex.

@@ -32,7 +32,10 @@ object ExtQueries {
         |CASE WHEN substr(hex(encode(text)), 1, 8) = '89504E47' THEN 'png'
         |     WHEN substr(hex(encode(text)), 1, 6) = 'FFD8FF' THEN 'jpeg'
         |     WHEN substr(hex(encode(text)), 1, 8) = '25504446' THEN 'pdf'
-        |     WHEN substr(hex(encode(text)), 1, 8) = '52494646' THEN 'riff'
+        |     WHEN substr(hex(encode(text)), 1, 8) = '52494646' THEN
+        |       CASE WHEN substr(hex(encode(text)), 17, 8) = '57415645' THEN 'wav'
+        |            WHEN substr(hex(encode(text)), 17, 8) = '41564920' THEN 'avi'
+        |            ELSE 'riff' END
         |     ELSE 'unknown' END AS media_type
         |FROM documents""".stripMargin)),
 

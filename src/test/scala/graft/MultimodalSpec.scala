@@ -166,10 +166,16 @@ class MultimodalSpec extends SparkSpec {
     Seq(3L, 4L, 5L).foreach { id =>
       assert(!out(id).getAs[Boolean]("decodable"), s"media $id")
     }
-    // the RIFF container is sniffable by the magic-byte pass too
+    // the RIFF container sniffs down to its WAVE form type
     val sniffed = Seq((1L, wav)).toDF("media_id", "payload")
       .select(Multimodal.sniffType($"payload").as("t")).as[String].head()
-    assert(sniffed == "riff")
+    assert(sniffed == "wav")
+    // an AVI-form RIFF header sniffs as avi; a bare RIFF stays riff
+    val aviHdr = "RIFF1234AVI LIST".getBytes("US-ASCII")
+    val bareRiff = "RIFF1234XXXX".getBytes("US-ASCII")
+    val two = Seq((1L, aviHdr), (2L, bareRiff)).toDF("media_id", "payload")
+      .select(Multimodal.sniffType($"payload").as("t")).as[String].collect()
+    assert(two.toSeq == Seq("avi", "riff"))
   }
 
   test("decodeImages thumbnail averages exactly on non-aligned dims") {
