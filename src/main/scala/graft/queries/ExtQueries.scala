@@ -361,6 +361,102 @@ object ExtQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_samples
         |FROM smp GROUP BY 1""".stripMargin)),
 
+    // ── Media ROUTER — the dispatch pattern a real multimodal ingest
+    //    runs, composed in one gated query: a MIXED corpus (even doc_ids
+    //    carry q301's closed-form 8×8 PNG, odd ones q302's closed-form
+    //    64-sample WAV) is content-sniffed ([[Multimodal.sniffType]] —
+    //    including the RIFF→WAVE form-type disambiguation) and each
+    //    branch decodes through ITS real JDK codec, unioning to a
+    //    uniform (doc_id, media_type, n_units, metric) schema (pixels +
+    //    thumbnail-luma sum for images; samples + sample sum for audio).
+    //    Both codecs are lossless on these payloads, so the oracle
+    //    evaluates the two closed forms by doc-id parity — no codec, no
+    //    sniffing oracle-side. Scale shape: synthesis, sniffing, and
+    //    both decodes are narrow partition-wise stages; the union is
+    //    plan-level (no exchange anywhere — payloads never shuffle).
+    QueryDef(
+      "q306_media_router",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              if (id % 2 == 0) {
+                val img = new java.awt.image.BufferedImage(
+                  8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    val g = ((id * 13L + 7L * x + 11L * y) % 256L).toInt
+                    img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                    x += 1
+                  }
+                  y += 1
+                }
+                val out = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", out)
+                (id, out.toByteArray)
+              } else {
+                val n = 64
+                val pcm = new Array[Byte](2 * n)
+                var i = 0
+                while (i < n) {
+                  val v = (((id * 31L + 17L * i) % 65536L) - 32768L).toInt
+                  pcm(2 * i) = (v & 0xFF).toByte
+                  pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+                  i += 1
+                }
+                val fmt = new javax.sound.sampled.AudioFormat(
+                  8000f, 16, 1, true, false)
+                val ain = new javax.sound.sampled.AudioInputStream(
+                  new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+                val out = new java.io.ByteArrayOutputStream()
+                javax.sound.sampled.AudioSystem.write(ain,
+                  javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+                (id, out.toByteArray)
+              }
+            }
+          }
+          .toDF("media_id", "payload")
+          .withColumn("media_type", Multimodal.sniffType($"payload"))
+        val png = Multimodal.decodeImages(
+            payloads.where($"media_type" === "png"), "media_id", "payload")
+          .select($"media_id".as("doc_id"), lit("png").as("media_type"),
+            ($"width" * $"height").cast("long").as("n_units"),
+            aggregate($"gray4x4", lit(0L), (a, x) => a + x).as("metric"))
+        val wav = Multimodal.decodeAudio(
+            payloads.where($"media_type" === "wav"), "media_id", "payload")
+          .select($"media_id".as("doc_id"), lit("wav").as("media_type"),
+            $"n_samples".as("n_units"), $"s_sum".as("metric"))
+        png.unionByName(wav)
+      },
+      Some("""WITH px AS (
+        |  SELECT doc_id,
+        |    CAST((y // 2) * 4 + (x // 2) AS INT) AS cell,
+        |    (doc_id * 13 + 7 * x + 11 * y) % 256 AS g
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y)),
+        |cells AS (
+        |  SELECT doc_id, cell, CAST(SUM(g) // 4 AS BIGINT) AS luma
+        |  FROM px GROUP BY 1, 2),
+        |png AS (
+        |  SELECT doc_id, 'png' AS media_type, CAST(64 AS BIGINT) AS n_units,
+        |    CAST(SUM(luma) AS BIGINT) AS metric
+        |  FROM cells GROUP BY 1),
+        |smp AS (
+        |  SELECT doc_id, (doc_id * 31 + 17 * i) % 65536 - 32768 AS s
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+        |wav AS (
+        |  SELECT doc_id, 'wav' AS media_type, CAST(COUNT(*) AS BIGINT)
+        |      AS n_units,
+        |    CAST(SUM(s) AS BIGINT) AS metric
+        |  FROM smp GROUP BY 1)
+        |SELECT * FROM png UNION ALL SELECT * FROM wav""".stripMargin)),
+
     // ── Spark 4 VariantType path extraction inside the correctness gate:
     //    each event row is serialized to a NESTED JSON document in-engine
     //    (to_json over a struct with an inner object and an array), parsed

@@ -1218,13 +1218,15 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(p.replaceAll("\n", " ")).isDefined, p.take(1600))
   }
 
-  test("q301/q302 codec round trips: payloads never shuffle — zero Exchange") {
-    Seq("q301_image_decode", "q302_audio_decode").foreach { q =>
-      val p = planOf(q)
-      // encode and decode are both mapPartitions over the doc_id scan; the
-      // binary payload column must never enter an exchange of any kind
-      assert(!p.contains("Exchange"), s"$q: " + p.take(1600))
-    }
+  test("q301/q302/q306 codec round trips: payloads never shuffle — " +
+      "zero Exchange (q306 adds the sniff-dispatch union)") {
+    Seq("q301_image_decode", "q302_audio_decode", "q306_media_router")
+      .foreach { q =>
+        val p = planOf(q)
+        // encode, sniff, and decode are narrow partition-wise stages; the
+        // binary payload column must never enter an exchange of any kind
+        assert(!p.contains("Exchange"), s"$q: " + p.take(1600))
+      }
   }
 
   test("q303 variant paths: extraction projects below the single keyed agg " +
