@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   * pipeline needs.
   *
   * Image decoding is REAL ([[decodeImages]] — the JDK's javax.imageio
-  * codecs) and so is audio ([[decodeAudio]] — javax.sound.sampled's WAV/PCM
-  * codec); only VIDEO decoding is STUBBED (the JDK ships no video codec):
-  * [[decodeStub]] produces a deterministic fake decode and is
-  * clearly marked as the plug-in point. Everything around the stub — the
+  * codecs), audio is REAL ([[decodeAudio]] — javax.sound.sampled's WAV/PCM
+  * codec), and video is REAL for the uncompressed profile
+  * ([[decodeVideo]] — a byte-level RIFF/AVI walker for 24-bit DIB frames;
+  * the JDK ships no video codec, so compressed codecs remain behind
+  * [[decodeStub]], a deterministic fake decode that is
+  * clearly marked as the plug-in point). Everything around the stub — the
   * schema, the partition-wise batch shape, the expression-level metadata
   * extraction — is real Spark plumbing and is what matters at 100 TB:
   * binary payloads never pass through a shuffle here; metadata extraction is
@@ -166,12 +168,210 @@ object Multimodal {
         "s_min", "s_max", "s_sum")
   }
 
-  /** ??? — real decoder for VIDEO goes here (ffmpeg via JNI, or a Python
-    * worker via a Pandas-UDF-equivalent); images decode for real through
-    * [[decodeImages]] and audio through [[decodeAudio]] — video is the one
-    * modality the JDK ships no codec for. The stub derives deterministic
-    * fake dimensions/duration from the payload hash so downstream plumbing
-    * (schema, joins, aggregations) is fully exercisable in tests.
+  /** Hand-rolled AVI (RIFF) writer for uncompressed 24-bit DIB video —
+    * the synthesis side of the video gate. The JDK ships no video codec
+    * in either direction, so unlike [[decodeImages]]/[[decodeAudio]]
+    * (which round-trip through javax codecs) both ends of the video
+    * round trip are byte-level implementations here; the correctness
+    * gate (q307) closes the loop against a codec-free closed form in the
+    * oracle. Frames are row-major TOP-DOWN packed 0xRRGGBB ints; the
+    * writer emits the standard DIB layout — bottom-up rows (or top-down
+    * under a negative biHeight when `topDown` is set), BGR byte order,
+    * rows padded to 4-byte boundaries — inside an avih/strh/strf header
+    * set and a movi list. An odd-sized JUNK chunk is planted between
+    * hdrl and movi so readers must honor RIFF word alignment.
+    */
+  def encodeAvi(width: Int, height: Int, usPerFrame: Int,
+      frames: Seq[Array[Int]], topDown: Boolean = false): Array[Byte] = {
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(cc.getBytes("US-ASCII")); b.putInt(data.length); b.put(data)
+      b.array()
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ payload)
+    def le(words: Seq[Int]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * words.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      words.foreach(b.putInt); b.array()
+    }
+    val stride = ((3 * width + 3) / 4) * 4
+    val frameBytes = stride * height
+    val avih = le(Seq(usPerFrame, 0, 0, 0, frames.length, 0, 1, frameBytes,
+      width, height, 0, 0, 0, 0))
+    val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+      le(Seq(0, 0, 0, usPerFrame, 1000000, 0, frames.length, frameBytes,
+        0, 0, 0, 0))
+    val strf = le(Seq(40, width, if (topDown) -height else height,
+      (24 << 16) | 1, // biPlanes=1 (lo u16) | biBitCount=24 (hi u16)
+      0, frameBytes, 0, 0, 0, 0))
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++
+        chunk("strf", strf)))
+    val junk = chunk("JUNK", new Array[Byte](13)) // odd size: forces padding
+    val movi = list("movi", frames.toArray.flatMap { px =>
+      val data = new Array[Byte](frameBytes)
+      var r = 0
+      while (r < height) {
+        val y = if (topDown) r else height - 1 - r
+        var x = 0
+        var p = r * stride
+        while (x < width) {
+          val v = px(y * width + x)
+          data(p) = (v & 0xFF).toByte            // B
+          data(p + 1) = ((v >> 8) & 0xFF).toByte // G
+          data(p + 2) = ((v >> 16) & 0xFF).toByte // R
+          x += 1; p += 3
+        }
+        r += 1
+      }
+      chunk("00db", data)
+    })
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ junk ++ movi
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** RIFF/AVI parse for [[decodeVideo]]: walks the chunk tree honoring
+    * word alignment, takes the frame timing from `avih`, the geometry
+    * from the FIRST `vids` stream's `strf` (BITMAPINFOHEADER — 24-bit
+    * uncompressed only; anything else is not-decodable DATA), and
+    * decodes that stream's `XXdb`/`XXdc` movi chunks undoing the DIB
+    * layout (bottom-up rows unless biHeight<0, BGR, 4-byte row padding).
+    * Returns (width, height, usPerFrame, nFrames, pxSum, wSum) where
+    * pxSum = Σ(B+G+R) and wSum = Σ(1 + x + 2y + 3f)·(B+G+R) — the
+    * weighted sum is GEOMETRY-SENSITIVE, so a reader that misparses row
+    * order, stride, or frame order produces a different value.
+    */
+  private[graft] def parseAvi(
+      b: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long)] = {
+    def u32(off: Int): Long =
+      (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+    def cc(off: Int): String = new String(b, off, 4, "US-ASCII")
+    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    val end = math.min(b.length.toLong, 8L + u32(4)).toInt
+    var usPerFrame = -1
+    var w = -1; var h = -1; var topDown = false
+    var vidsStream = -1 // index of the first 'vids' stream
+    var streamIdx = 0 // running strh count = stream index
+    var awaitingStrf = false // the next strf belongs to the vids strl
+    var nFrames = 0L; var pxSum = 0L; var wSum = 0L
+    var ok = true
+    def decodeFrame(off: Int, size: Int): Unit = {
+      if (w <= 0 || h <= 0) { ok = false; return }
+      // Long math: w/h come from untrusted bytes — 3*w+3 and stride*h
+      // must not wrap before the size check rejects them.
+      val strideL = ((3L * w + 3L) / 4L) * 4L
+      if (size.toLong < strideL * h) { ok = false; return }
+      val stride = strideL.toInt // < size <= Int.MaxValue after the check
+      val f = nFrames
+      var r = 0
+      while (r < h) {
+        val y = if (topDown) r else h - 1 - r
+        var x = 0
+        var p = off + r * stride
+        while (x < w) {
+          val s = (b(p) & 0xFF) + (b(p + 1) & 0xFF) + (b(p + 2) & 0xFF)
+          pxSum += s
+          wSum += (1L + x + 2L * y + 3L * f) * s
+          x += 1; p += 3
+        }
+        r += 1
+      }
+      nFrames += 1
+    }
+    def walk(off0: Int, lim: Int): Unit = {
+      var off = off0
+      while (ok && off + 8 <= lim) {
+        val id = cc(off)
+        val size = u32(off + 4)
+        if (size > lim - off - 8) { ok = false; return }
+        val dataOff = off + 8
+        val sz = size.toInt
+        id match {
+          case "LIST" => // hdrl / strl / movi / rec : all recurse
+            if (sz >= 4) walk(dataOff + 4, dataOff + sz) else ok = false
+          case "avih" =>
+            if (sz >= 4) usPerFrame = u32(dataOff).toInt else ok = false
+          case "strh" =>
+            if (sz >= 4) {
+              if (cc(dataOff) == "vids" && vidsStream < 0) {
+                vidsStream = streamIdx; awaitingStrf = true
+              }
+              streamIdx += 1
+            } else ok = false
+          case "strf" if awaitingStrf =>
+            awaitingStrf = false
+            if (sz >= 40) {
+              val bw = u32(dataOff + 4).toInt
+              val bh = u32(dataOff + 8).toInt
+              val bitCount =
+                (b(dataOff + 14) & 0xFF) | ((b(dataOff + 15) & 0xFF) << 8)
+              val comp = u32(dataOff + 16)
+              if (bitCount != 24 || comp != 0L || bw <= 0 || bh == 0) ok = false
+              else { w = bw; topDown = bh < 0; h = math.abs(bh) }
+            } else ok = false
+          case fid
+              if fid.length == 4 && fid(0).isDigit && fid(1).isDigit &&
+                (fid.endsWith("db") || fid.endsWith("dc")) =>
+            if ((fid(0) - '0') * 10 + (fid(1) - '0') == vidsStream)
+              decodeFrame(dataOff, sz)
+          case _ => () // JUNK, idx1, strn, unknown — skip
+        }
+        off = dataOff + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+    }
+    try walk(12, end)
+    catch { case scala.util.control.NonFatal(_) => ok = false }
+    if (!ok || w <= 0 || usPerFrame < 0) None
+    else Some((w, h, usPerFrame, nFrames, pxSum, wSum))
+  }
+
+  /** REAL video decoding for the one profile expressible with zero
+    * external dependencies: AVI containers carrying uncompressed 24-bit
+    * DIB frames ([[parseAvi]] — a full RIFF walker, not a fixed-offset
+    * reader: word alignment, stream dispatch by fourcc index, strf
+    * geometry, bottom-up/top-down row order, row padding). Partition-wise
+    * with bounded memory, payloads never shuffle — the same posture as
+    * [[decodeImages]]/[[decodeAudio]]. Per payload: a decodable flag
+    * (non-AVI, truncated, or compressed payloads are DATA, not errors),
+    * the container geometry and frame timing, and EXACT integer pixel
+    * statistics including a geometry-weighted sum, so the correctness
+    * gate (q307) verifies the encode→decode→stat round trip against a
+    * codec-free closed form. Compressed codecs (MJPEG, H.264, …) report
+    * decodable=false — a real pipeline swaps in ffmpeg behind the same
+    * signature ([[decodeStub]] documents that seam).
+    */
+  def decodeVideo(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          parseAvi(bytes) match {
+            case Some((w, h, us, nf, px, ws)) =>
+              (id, true, w, h, us, nf, px, ws)
+            case None => (id, false, 0, 0, 0, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF(idCol, "decodable", "width", "height", "us_per_frame",
+        "n_frames", "px_sum", "w_sum")
+  }
+
+  /** Deterministic fake decode for the video profiles [[decodeVideo]]
+    * does NOT cover (compressed codecs: MJPEG, H.264, … — the JDK ships
+    * no codec; a real pipeline plugs ffmpeg via JNI or a Python worker
+    * here). The stub derives fake dimensions/duration from the payload
+    * hash so downstream plumbing (schema, joins, aggregations) is fully
+    * exercisable in tests.
     */
   def decodeStub(payload: Column): Column = {
     val h = TextAnalysis.hash60(sha2(payload, 256))

@@ -362,18 +362,21 @@ object ExtQueries {
         |FROM smp GROUP BY 1""".stripMargin)),
 
     // ── Media ROUTER — the dispatch pattern a real multimodal ingest
-    //    runs, composed in one gated query: a MIXED corpus (even doc_ids
-    //    carry q301's closed-form 8×8 PNG, odd ones q302's closed-form
-    //    64-sample WAV) is content-sniffed ([[Multimodal.sniffType]] —
-    //    including the RIFF→WAVE form-type disambiguation) and each
-    //    branch decodes through ITS real JDK codec, unioning to a
-    //    uniform (doc_id, media_type, n_units, metric) schema (pixels +
-    //    thumbnail-luma sum for images; samples + sample sum for audio).
-    //    Both codecs are lossless on these payloads, so the oracle
-    //    evaluates the two closed forms by doc-id parity — no codec, no
-    //    sniffing oracle-side. Scale shape: synthesis, sniffing, and
-    //    both decodes are narrow partition-wise stages; the union is
-    //    plan-level (no exchange anywhere — payloads never shuffle).
+    //    runs, composed in one gated query: a MIXED corpus (doc_id mod 3
+    //    selects q301's closed-form 8×8 PNG, q302's closed-form
+    //    64-sample WAV, or q307's closed-form 3-frame AVI) is
+    //    content-sniffed ([[Multimodal.sniffType]] — including the
+    //    RIFF form-type disambiguation, which must tell the two RIFF
+    //    containers WAVE and AVI apart) and each branch decodes through
+    //    ITS real codec (two JDK codecs + the byte-level DIB decoder),
+    //    unioning to a uniform (doc_id, media_type, n_units, metric)
+    //    schema (pixels + thumbnail-luma sum for images; samples +
+    //    sample sum for audio; frame-pixels + channel sum for video).
+    //    All three codecs are lossless on these payloads, so the oracle
+    //    evaluates the three closed forms by doc-id residue — no codec,
+    //    no sniffing oracle-side. Scale shape: synthesis, sniffing, and
+    //    all three decodes are narrow partition-wise stages; the union
+    //    is plan-level (no exchange anywhere — payloads never shuffle).
     QueryDef(
       "q306_media_router",
       (s, dir) => {
@@ -382,40 +385,52 @@ object ExtQueries {
           .as[Long]
           .mapPartitions { it =>
             it.map { id =>
-              if (id % 2 == 0) {
-                val img = new java.awt.image.BufferedImage(
-                  8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-                var y = 0
-                while (y < 8) {
-                  var x = 0
-                  while (x < 8) {
-                    val g = ((id * 13L + 7L * x + 11L * y) % 256L).toInt
-                    img.setRGB(x, y, (g << 16) | (g << 8) | g)
-                    x += 1
+              (id % 3) match {
+                case 0 =>
+                  val img = new java.awt.image.BufferedImage(
+                    8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  var y = 0
+                  while (y < 8) {
+                    var x = 0
+                    while (x < 8) {
+                      val g = ((id * 13L + 7L * x + 11L * y) % 256L).toInt
+                      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                      x += 1
+                    }
+                    y += 1
                   }
-                  y += 1
-                }
-                val out = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(img, "png", out)
-                (id, out.toByteArray)
-              } else {
-                val n = 64
-                val pcm = new Array[Byte](2 * n)
-                var i = 0
-                while (i < n) {
-                  val v = (((id * 31L + 17L * i) % 65536L) - 32768L).toInt
-                  pcm(2 * i) = (v & 0xFF).toByte
-                  pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
-                  i += 1
-                }
-                val fmt = new javax.sound.sampled.AudioFormat(
-                  8000f, 16, 1, true, false)
-                val ain = new javax.sound.sampled.AudioInputStream(
-                  new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-                val out = new java.io.ByteArrayOutputStream()
-                javax.sound.sampled.AudioSystem.write(ain,
-                  javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-                (id, out.toByteArray)
+                  val out = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", out)
+                  (id, out.toByteArray)
+                case 1 =>
+                  val n = 64
+                  val pcm = new Array[Byte](2 * n)
+                  var i = 0
+                  while (i < n) {
+                    val v = (((id * 31L + 17L * i) % 65536L) - 32768L).toInt
+                    pcm(2 * i) = (v & 0xFF).toByte
+                    pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+                    i += 1
+                  }
+                  val fmt = new javax.sound.sampled.AudioFormat(
+                    8000f, 16, 1, true, false)
+                  val ain = new javax.sound.sampled.AudioInputStream(
+                    new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+                  val out = new java.io.ByteArrayOutputStream()
+                  javax.sound.sampled.AudioSystem.write(ain,
+                    javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+                  (id, out.toByteArray)
+                case _ =>
+                  val frames = (0 until 3).map { f =>
+                    Array.tabulate(6 * 4) { i =>
+                      val x = i % 6
+                      val y = i / 6
+                      val g =
+                        ((id * 19L + 23L * f + 7L * x + 11L * y) % 256L).toInt
+                      (g << 16) | (g << 8) | g
+                    }
+                  }
+                  (id, Multimodal.encodeAvi(6, 4, 40000, frames))
               }
             }
           }
@@ -430,13 +445,18 @@ object ExtQueries {
             payloads.where($"media_type" === "wav"), "media_id", "payload")
           .select($"media_id".as("doc_id"), lit("wav").as("media_type"),
             $"n_samples".as("n_units"), $"s_sum".as("metric"))
-        png.unionByName(wav)
+        val avi = Multimodal.decodeVideo(
+            payloads.where($"media_type" === "avi"), "media_id", "payload")
+          .select($"media_id".as("doc_id"), lit("avi").as("media_type"),
+            ($"width" * $"height" * $"n_frames").cast("long").as("n_units"),
+            $"px_sum".as("metric"))
+        png.unionByName(wav).unionByName(avi)
       },
       Some("""WITH px AS (
         |  SELECT doc_id,
         |    CAST((y // 2) * 4 + (x // 2) AS INT) AS cell,
         |    (doc_id * 13 + 7 * x + 11 * y) % 256 AS g
-        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x)
         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y)),
         |cells AS (
@@ -448,14 +468,82 @@ object ExtQueries {
         |  FROM cells GROUP BY 1),
         |smp AS (
         |  SELECT doc_id, (doc_id * 31 + 17 * i) % 65536 - 32768 AS s
-        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 1)
         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
         |wav AS (
         |  SELECT doc_id, 'wav' AS media_type, CAST(COUNT(*) AS BIGINT)
         |      AS n_units,
         |    CAST(SUM(s) AS BIGINT) AS metric
-        |  FROM smp GROUP BY 1)
-        |SELECT * FROM png UNION ALL SELECT * FROM wav""".stripMargin)),
+        |  FROM smp GROUP BY 1),
+        |vpx AS (
+        |  SELECT doc_id, (doc_id * 19 + 23 * f + 7 * x + 11 * y) % 256 AS g
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS x)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS y)),
+        |avi AS (
+        |  SELECT doc_id, 'avi' AS media_type, CAST(72 AS BIGINT) AS n_units,
+        |    CAST(SUM(3 * g) AS BIGINT) AS metric
+        |  FROM vpx GROUP BY 1)
+        |SELECT * FROM png UNION ALL SELECT * FROM wav
+        |UNION ALL SELECT * FROM avi""".stripMargin)),
+
+    // ── REAL video decoding inside the correctness gate — the THIRD
+    //    modality, closing the seam [[Multimodal.decodeStub]] documented:
+    //    per document a 3-frame 6×4 uncompressed 24-bit AVI is
+    //    synthesized ([[Multimodal.encodeAvi]] — a hand-rolled RIFF/DIB
+    //    writer; the JDK ships no video codec in either direction) whose
+    //    gray level is the CLOSED FORM (doc_id·19 + 23f + 7x + 11y) mod
+    //    256, then DECODED back through [[Multimodal.decodeVideo]] — an
+    //    independent RIFF walker that must honor chunk word alignment
+    //    (an odd-sized JUNK chunk is planted between hdrl and movi),
+    //    locate the vids stream's strf geometry, and undo the DIB layout
+    //    (bottom-up rows, BGR, 4-byte row padding: width 6 → 18-byte
+    //    rows padded to 20). The emitted stats are geometry-SENSITIVE:
+    //    w_sum weights each pixel by (1 + x + 2y + 3f), so a decoder
+    //    that misreads row order, stride, or frame order hash-mismatches.
+    //    DIB is lossless, so the oracle evaluates the closed form over
+    //    the (f,x,y) ranges directly — no codec oracle-side. Scale
+    //    shape: encode and decode run partition-wise via mapPartitions,
+    //    payloads never shuffle, one row per doc.
+    QueryDef(
+      "q307_video_decode",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val frames = (0 until 3).map { f =>
+                Array.tabulate(6 * 4) { i =>
+                  val x = i % 6
+                  val y = i / 6
+                  val g =
+                    ((id * 19L + 23L * f + 7L * x + 11L * y) % 256L).toInt
+                  (g << 16) | (g << 8) | g
+                }
+              }
+              (id, Multimodal.encodeAvi(6, 4, 40000, frames))
+            }
+          }
+          .toDF("media_id", "payload")
+        Multimodal.decodeVideo(payloads, "media_id", "payload")
+          .select($"media_id".as("doc_id"), $"decodable", $"width",
+            $"height", $"us_per_frame", $"n_frames", $"px_sum", $"w_sum")
+      },
+      Some("""WITH px AS (
+        |  SELECT doc_id, f, x, y,
+        |    (doc_id * 19 + 23 * f + 7 * x + 11 * y) % 256 AS g
+        |  FROM (SELECT doc_id FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS x)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS y))
+        |SELECT doc_id, TRUE AS decodable, CAST(6 AS INT) AS width,
+        |  CAST(4 AS INT) AS height, CAST(40000 AS INT) AS us_per_frame,
+        |  CAST(3 AS BIGINT) AS n_frames,
+        |  CAST(SUM(3 * g) AS BIGINT) AS px_sum,
+        |  CAST(SUM((1 + x + 2 * y + 3 * f) * 3 * g) AS BIGINT) AS w_sum
+        |FROM px GROUP BY 1""".stripMargin)),
 
     // ── Spark 4 VariantType path extraction inside the correctness gate:
     //    each event row is serialized to a NESTED JSON document in-engine

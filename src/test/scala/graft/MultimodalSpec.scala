@@ -178,6 +178,72 @@ class MultimodalSpec extends SparkSpec {
     assert(two.toSeq == Seq("avi", "riff"))
   }
 
+  test("decodeVideo really parses RIFF/AVI with raw DIB frames: " +
+      "geometry-exact round trip, top-down/bottom-up parity, dc fourcc, " +
+      "zero frames, and corrupt/compressed payloads flagged as data") {
+    val rnd = new scala.util.Random(42)
+    val w = 5; val h = 3; val nf = 4 // stride 15 -> padded to 16
+    val frames = Seq.fill(nf)(Array.fill(w * h)(rnd.nextInt(1 << 24)))
+    def rgbSum(v: Int): Long =
+      ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+    var px = 0L; var ws = 0L
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+      val s = rgbSum(frames(f)(y * w + x))
+      px += s; ws += (1L + x + 2L * y + 3L * f) * s
+    }
+    val bu = Multimodal.encodeAvi(w, h, 33333, frames)
+    val td = Multimodal.encodeAvi(w, h, 33333, frames, topDown = true)
+    // both row orders decode to the SAME top-down coordinates and stats
+    assert(Multimodal.parseAvi(bu).contains((w, h, 33333, nf.toLong, px, ws)))
+    assert(Multimodal.parseAvi(td).contains((w, h, 33333, nf.toLong, px, ws)))
+    // a 'dc' frame fourcc with biCompression=0 is still raw DIB: patch
+    // the fourccs on an all-0xFF-pixel clip (no byte collisions with data)
+    val white = Seq.fill(2)(Array.fill(w * h)(0xFFFFFF))
+    val wsWhite = (for (f <- 0 until 2; y <- 0 until h; x <- 0 until w)
+      yield (1L + x + 2L * y + 3L * f) * 765L).sum
+    val dc = Multimodal.encodeAvi(w, h, 33333, white).clone()
+    var i = 0
+    var patched = 0
+    while (i + 4 <= dc.length) {
+      if (dc(i) == '0' && dc(i + 1) == '0' && dc(i + 2) == 'd' &&
+          dc(i + 3) == 'b') { dc(i + 3) = 'c'; patched += 1 }
+      i += 1
+    }
+    assert(patched == 2)
+    assert(Multimodal.parseAvi(dc)
+      .contains((w, h, 33333, 2L, 765L * 2 * w * h, wsWhite)))
+    // zero-frame clips are decodable with zeroed stats
+    assert(Multimodal.parseAvi(Multimodal.encodeAvi(w, h, 1000, Seq.empty))
+      .contains((w, h, 1000, 0L, 0L, 0L)))
+    // failure modes: non-AVI bytes, truncation (header-level and
+    // mid-movi), and a compressed biCompression are DATA, not errors
+    assert(Multimodal.parseAvi(junk).isEmpty)
+    assert(Multimodal.parseAvi(bu.take(40)).isEmpty)
+    assert(Multimodal.parseAvi(bu.dropRight(10)).isEmpty)
+    val comp = bu.clone()
+    val strfAt = comp.indexOfSlice("strf".getBytes("US-ASCII"))
+    assert(strfAt > 0)
+    comp(strfAt + 8 + 16) = 1 // biCompression != BI_RGB
+    assert(Multimodal.parseAvi(comp).isEmpty)
+    // the DataFrame decode: schema + decodable flags end to end
+    val out = Multimodal.decodeVideo(
+      Seq((1L, bu), (2L, junk)).toDF("media_id", "payload"),
+      "media_id", "payload")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("decodable"))
+    assert(out(1L).getAs[Int]("width") == w &&
+      out(1L).getAs[Int]("height") == h &&
+      out(1L).getAs[Int]("us_per_frame") == 33333 &&
+      out(1L).getAs[Long]("n_frames") == nf.toLong &&
+      out(1L).getAs[Long]("px_sum") == px &&
+      out(1L).getAs[Long]("w_sum") == ws)
+    assert(!out(2L).getAs[Boolean]("decodable"))
+    // an encoded clip sniffs as avi
+    val sniffed = Seq((1L, bu)).toDF("media_id", "payload")
+      .select(Multimodal.sniffType($"payload").as("t")).as[String].head()
+    assert(sniffed == "avi")
+  }
+
   test("decodeImages thumbnail averages exactly on non-aligned dims") {
     // 6x5 image, gray = x*7 + y*11: cells have ragged pixel counts, the
     // expected integer averages are computed here by the same block rule

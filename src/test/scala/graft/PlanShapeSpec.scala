@@ -1218,9 +1218,10 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(p.replaceAll("\n", " ")).isDefined, p.take(1600))
   }
 
-  test("q301/q302/q306 codec round trips: payloads never shuffle — " +
+  test("q301/q302/q306/q307 codec round trips: payloads never shuffle — " +
       "zero Exchange (q306 adds the sniff-dispatch union)") {
-    Seq("q301_image_decode", "q302_audio_decode", "q306_media_router")
+    Seq("q301_image_decode", "q302_audio_decode", "q306_media_router",
+      "q307_video_decode")
       .foreach { q =>
         val p = planOf(q)
         // encode, sniff, and decode are narrow partition-wise stages; the
