@@ -8,6 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The generated-class cache (static conf) defaults to 100 entries;
+      // this suite compiles 300+ distinct plans, each several codegen
+      // units, so at the default the cache thrashes and queries re-Janino
+      // + re-JIT code that was already hot — the measured signature is
+      // DISJOINT >2x per-query outlier sets hopping between same-code
+      // runs under quiet canaries (r8 {q289,q288}, then {q284,q269},
+      // then {q290,q291}). Size it to the suite so each generated class
+      // is compiled once per session; driver-memory cost only.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (executor threads, codegen, parquet footers) so the
