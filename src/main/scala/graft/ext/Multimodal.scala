@@ -109,6 +109,35 @@ object Multimodal {
       .toDF(idCol, "decodable", "width", "height", "gray4x4")
   }
 
+  /** 24-bit difference hash (dHash) over the 4×4 thumbnail emitted by
+    * [[decodeImages]] — the standard perceptual fingerprint for image
+    * near-dup detection: bit b is 1 iff the luma GRADIENT at position b
+    * is positive, so the hash captures shape (which way brightness moves
+    * cell-to-cell) and ignores absolute level — re-encoded, brightness-
+    * shifted, or mildly edited copies land within a few bits of each
+    * other while unrelated images differ in ~half the bits. Bits 0-11
+    * are the horizontal gradients (cy·3+cx: cell(cx,cy) > cell(cx+1,cy)),
+    * bits 12-23 the vertical ones (12+cy·4+cx: cell(cx,cy) >
+    * cell(cx,cy+1)). Pure comparisons and adds over the 16-element array
+    * — a narrow codegen'd projection, no UDF, no decode re-read; at
+    * 100 TB the hash travels (8 bytes) and the payload never does.
+    */
+  def dHash24(gray4x4: Column): Column = {
+    val horiz = for (cy <- 0 until 4; cx <- 0 until 3) yield {
+      val bit = cy * 3 + cx
+      val a = element_at(gray4x4, cy * 4 + cx + 1)
+      val b = element_at(gray4x4, cy * 4 + cx + 2)
+      when(a > b, lit(1L << bit)).otherwise(lit(0L))
+    }
+    val vert = for (cy <- 0 until 3; cx <- 0 until 4) yield {
+      val bit = 12 + cy * 4 + cx
+      val a = element_at(gray4x4, cy * 4 + cx + 1)
+      val b = element_at(gray4x4, (cy + 1) * 4 + cx + 1)
+      when(a > b, lit(1L << bit)).otherwise(lit(0L))
+    }
+    (horiz ++ vert).reduce(_ + _)
+  }
+
   /** REAL audio decoding through the JDK's own bundled codec
     * (`javax.sound.sampled`: WAV / AIFF / AU containers, PCM payloads —
     * zero external dependencies, same posture as [[decodeImages]]).

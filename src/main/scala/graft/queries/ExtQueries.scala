@@ -545,6 +545,116 @@ object ExtQueries {
         |  CAST(SUM((1 + x + 2 * y + 3 * f) * 3 * g) AS BIGINT) AS w_sum
         |FROM px GROUP BY 1""".stripMargin)),
 
+    // ── IMAGE near-dup via perceptual hash — the multimodal dedup op,
+    //    composing the REAL codec path with the banded-LSH shape the text
+    //    dedup family uses: per doc an 8×8 PNG is synthesized whose 2×2
+    //    blocks are flat, so the decoded 4×4 thumbnail equals the closed
+    //    form EXACTLY: cell(cx,cy) = md5("<doc_id÷4>_<cx>_<cy>")'s first
+    //    two bytes mod 200, plus 13·(doc_id mod 4) on row cy=3 — the
+    //    md5-derived-constants pattern the LSH/minhash queries already
+    //    use for both-engine randomness. The luma MUST be
+    //    pseudo-random per (group, cell): a linear closed form like the
+    //    other codec gates use correlates the gradients, and measured
+    //    pair volume exploded quadratically (1.17M pairs at sf0.1 for a
+    //    200-pattern additive form, 228k for a 38k-pattern bilinear one,
+    //    ~8k for this md5 form = in-group pairs + a thin random tail) —
+    //    the fixture itself must respect the linear-growth posture the
+    //    operator is designed for. Groups of 4 docs are
+    //    near-identical by construction (the row-3 shift is UNIFORM, so it
+    //    flips only the 4 row-2→row-3 vertical gradients: in-group dHash
+    //    distance ≤ 4 and the low 12 bits agree exactly), while different
+    //    groups differ pseudo-randomly. The decoded thumbnails hash
+    //    through [[Multimodal.dHash24]] (codegen'd gradient comparisons),
+    //    band into 2×12-bit keys, candidates come from band-bucket
+    //    equi-joins (never all-pairs — the simhash/minhash scale posture:
+    //    at 100 TB the banded self-join is one keyed shuffle of 8-byte
+    //    hashes, payloads long discarded, and production reuses the
+    //    band-index/skew-cap machinery of Dedup.candidatePairs), and
+    //    survivors verify with bit_count(xor) ≤ 4. PNG is lossless so the
+    //    oracle runs the identical algebra codec-free: same cells, same
+    //    gradient bits, same bands, same Hamming filter.
+    QueryDef(
+      "q308_image_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.map { id =>
+              val img = new java.awt.image.BufferedImage(
+                8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val cx = x / 2; val cy = y / 2
+                  val d = md.digest(
+                    s"${id / 4}_${cx}_$cy".getBytes("UTF-8"))
+                  val base = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 200
+                  val g = base + (if (cy == 3) 13 * (id % 4).toInt else 0)
+                  img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", out)
+              (id, out.toByteArray)
+            }
+          }
+          .toDF("media_id", "payload")
+        val hashes = Multimodal.decodeImages(payloads, "media_id", "payload")
+          .select($"media_id".as("doc_id"),
+            Multimodal.dHash24($"gray4x4").as("dhash"))
+        val bands = hashes.select($"doc_id", $"dhash",
+            posexplode(array(
+              ($"dhash" % 4096L).cast("long"),
+              shiftright($"dhash", 12).cast("long"))).as(Seq("band", "key")))
+        bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            bit_count($"a.dhash".bitwiseXOR($"b.dhash")).cast("int")
+              .as("hamming"))
+          .distinct()
+          .where($"hamming" <= 4)
+      },
+      Some("""WITH cells AS (
+        |  SELECT doc_id, cx, cy,
+        |    ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_'
+        |        || CAST(cx AS VARCHAR) || '_' || CAST(cy AS VARCHAR)),
+        |      1, 4))::INT % 200
+        |      + CASE WHEN cy = 3 THEN 13 * (doc_id % 4) ELSE 0 END AS luma
+        |  FROM (SELECT doc_id FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cx)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cy)),
+        |hbits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.luma > b.luma
+        |      THEN (1::BIGINT << (a.cy * 3 + a.cx)) ELSE 0 END AS term
+        |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id
+        |    AND a.cy = b.cy AND b.cx = a.cx + 1),
+        |vbits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.luma > b.luma
+        |      THEN (1::BIGINT << (12 + a.cy * 4 + a.cx)) ELSE 0 END AS term
+        |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id
+        |    AND a.cx = b.cx AND b.cy = a.cy + 1),
+        |hashes AS (
+        |  SELECT doc_id, CAST(SUM(term) AS BIGINT) AS dhash FROM (
+        |    SELECT * FROM hbits UNION ALL SELECT * FROM vbits)
+        |  GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, dhash, 0 AS band, dhash % 4096 AS key FROM hashes
+        |  UNION ALL
+        |  SELECT doc_id, dhash, 1 AS band, dhash >> 12 AS key FROM hashes)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4""".stripMargin)),
+
     // ── Spark 4 VariantType path extraction inside the correctness gate:
     //    each event row is serialized to a NESTED JSON document in-engine
     //    (to_json over a struct with an inner object and an array), parsed

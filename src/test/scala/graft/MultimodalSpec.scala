@@ -244,6 +244,37 @@ class MultimodalSpec extends SparkSpec {
     assert(sniffed == "avi")
   }
 
+  test("dHash24 computes the documented gradient bits, is brightness-" +
+      "invariant, and the q308 construction keeps in-group distance <= 4 " +
+      "with the low band identical") {
+    // hand-computed: cells row-major cy*4+cx; a strictly increasing row
+    // sets no horizontal bits (a > b is false left-to-right ascending)
+    def hashOf(cells: Seq[Long]): Long =
+      Seq(cells).toDF("g")
+        .select(Multimodal.dHash24($"g").as("h")).as[Long].head()
+    // all-equal cells: every comparison false -> hash 0
+    assert(hashOf(Seq.fill(16)(7L)) == 0L)
+    // one descending step at row 0, cx=1>cx=2: bit cy*3+cx = 0*3+1 = 1
+    val oneH = Seq(5L, 9L, 3L, 3L) ++ Seq.fill(12)(3L)
+    // cell0=5 > cell4=3 -> vertical bit 12+0; cell1=9 > cell5=3 -> 12+1
+    // cell0(5) < cell1(9): no bit 0; cell1(9) > cell2(3): bit 1;
+    // cell2(3) = cell3(3): no bit 2
+    assert(hashOf(oneH) == ((1L << 1) | (1L << 12) | (1L << 13)))
+    // brightness invariance: +40 on every cell leaves the hash unchanged
+    val rnd = new scala.util.Random(7)
+    val cells = Seq.fill(16)(rnd.nextInt(200).toLong)
+    assert(hashOf(cells) == hashOf(cells.map(_ + 40L)))
+    // q308's group construction: a uniform shift on row 3 flips only the
+    // row-2->row-3 vertical gradients (bits 20-23): distance <= 4 and
+    // the low 12 bits (band 0) agree exactly
+    val shifted = cells.zipWithIndex.map { case (v, i) =>
+      if (i / 4 == 3) v + 39L else v
+    }
+    val (h1, h2) = (hashOf(cells), hashOf(shifted))
+    assert(((h1 ^ h2) & ((1L << 20) - 1)) == 0L, s"low bits differ: $h1 $h2")
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 4)
+  }
+
   test("decodeImages thumbnail averages exactly on non-aligned dims") {
     // 6x5 image, gray = x*7 + y*11: cells have ragged pixel counts, the
     // expected integer averages are computed here by the same block rule
