@@ -197,6 +197,75 @@ object Multimodal {
         "s_min", "s_max", "s_sum")
   }
 
+  /** [[decodeAudio]]'s windowed variant — the feature layout audio
+    * fingerprinting needs: the decoded 16-bit PCM stream is cut into
+    * `nWindows` equal frames and each reports its EXACT integer energy
+    * (Σ s² — bounded by 32768²·frame, safely inside Long), so downstream
+    * hashing/banding runs on exact values both engines can reproduce.
+    * Same posture as every decoder here: partition-wise, bounded memory,
+    * payloads never shuffle; non-PCM/mono-unsupported payloads are DATA
+    * (decodable=false), not errors. Streams whose sample count doesn't
+    * divide evenly put the remainder in the last window.
+    */
+  def decodeAudioWindows(df: DataFrame, idCol: String, payloadCol: String,
+      nWindows: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val decoded =
+            try {
+              val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val f = ain.getFormat
+              if (f.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  f.getSampleSizeInBits != 16 || f.getChannels != 1) null
+              else {
+                val raw = ain.readAllBytes()
+                val n = raw.length / 2
+                val e = new Array[Long](nWindows)
+                var i = 0
+                while (i < n) {
+                  val lo = java.lang.Byte.toUnsignedInt(raw(2 * i))
+                  val hi = java.lang.Byte.toUnsignedInt(raw(2 * i + 1))
+                  val s: Long =
+                    if (f.isBigEndian) ((lo << 8) | hi).toShort.toLong
+                    else ((hi << 8) | lo).toShort.toLong
+                  val w = math.min(i * nWindows / math.max(n, 1),
+                    nWindows - 1)
+                  e(w) += s * s
+                  i += 1
+                }
+                (id, true, n.toLong, e)
+              }
+            } catch { case scala.util.control.NonFatal(_) => null }
+          if (decoded == null) (id, false, 0L, Array.empty[Long])
+          else decoded
+        }
+      }
+      .toDF(idCol, "decodable", "n_samples", "win_energy")
+  }
+
+  /** 1-D gradient fingerprint over an exact integer sequence — the audio/
+    * video counterpart of [[dHash24]]: bit i is 1 iff element i+1 >
+    * element i+2 (1-indexed arrays), i.e. the sequence FALLS at step i,
+    * so the hash captures the energy contour and ignores absolute level
+    * (gain-shifted or re-encoded copies land within a few bits). Pure
+    * comparisons and adds — a codegen'd projection, no UDF; the hash (8
+    * bytes) travels, the waveform never does. `n` bits over an
+    * (n+1)-element sequence; n ≤ 62.
+    */
+  def gradientHash(seq: Column, n: Int): Column = {
+    require(n >= 1 && n <= 62, s"gradientHash supports 1..62 bits, got $n")
+    (0 until n).map { i =>
+      when(element_at(seq, i + 1) > element_at(seq, i + 2),
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Hand-rolled AVI (RIFF) writer for uncompressed 24-bit DIB video —
     * the synthesis side of the video gate. The JDK ships no video codec
     * in either direction, so unlike [[decodeImages]]/[[decodeAudio]]

@@ -655,6 +655,101 @@ object ExtQueries {
         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4""".stripMargin)),
 
+    // ── AUDIO near-dup via energy-contour fingerprint — q308's posture
+    //    for the second modality, through the REAL JDK audio codec: per
+    //    doc a 128-sample WAV is synthesized as 32 flat 4-sample windows
+    //    whose level is md5("<doc_id÷4>_<w>") mod 16001 − 8000, plus a
+    //    uniform +500·(doc_id mod 4) gain on the TAIL windows (w ≥ 24) —
+    //    groups of 4 docs share the first 24 windows exactly, so of the
+    //    31 energy-gradient bits ([[Multimodal.gradientHash]] over
+    //    [[Multimodal.decodeAudioWindows]]' exact Σs² frames) only bits
+    //    23-30 can flip in-group: fingerprint distance ≤ 8 and the low
+    //    16-bit band agrees exactly, while unrelated groups differ in
+    //    ~half the bits. Candidates come from 2-band bucket equi-joins
+    //    (hashes shuffle — 8 bytes; waveforms never do), survivors verify
+    //    with bit_count(xor) ≤ 8. PCM is lossless so the oracle evaluates
+    //    the identical algebra codec-free. This is the audio dedup a
+    //    crawl pipeline runs (re-encoded/gain-shifted copies collapse;
+    //    the contour hash ignores absolute level by construction).
+    QueryDef(
+      "q309_audio_fingerprint_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.map { id =>
+              val n = 128
+              val pcm = new Array[Byte](2 * n)
+              var w = 0
+              while (w < 32) {
+                val d = md.digest(s"${id / 4}_$w".getBytes("UTF-8"))
+                val v = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 16001 -
+                  8000 + (if (w >= 24) 500 * (id % 4).toInt else 0)
+                var k = 0
+                while (k < 4) {
+                  val i = 4 * w + k
+                  pcm(2 * i) = (v & 0xFF).toByte
+                  pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+                  k += 1
+                }
+                w += 1
+              }
+              val fmt = new javax.sound.sampled.AudioFormat(
+                8000f, 16, 1, true, false)
+              val ain = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+              val out = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(ain,
+                javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+              (id, out.toByteArray)
+            }
+          }
+          .toDF("media_id", "payload")
+        val fps = Multimodal.decodeAudioWindows(
+            payloads, "media_id", "payload", nWindows = 32)
+          .select($"media_id".as("doc_id"),
+            Multimodal.gradientHash($"win_energy", 31).as("fp"))
+        val bands = fps.select($"doc_id", $"fp",
+          posexplode(array(
+            ($"fp" % 65536L).cast("long"),
+            shiftright($"fp", 16).cast("long"))).as(Seq("band", "key")))
+        bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            bit_count($"a.fp".bitwiseXOR($"b.fp")).cast("int").as("hamming"))
+          .distinct()
+          .where($"hamming" <= 8)
+      },
+      Some("""WITH vals AS (
+        |  SELECT doc_id, w,
+        |    ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_'
+        |        || CAST(w AS VARCHAR)), 1, 4))::INT % 16001 - 8000
+        |      + CASE WHEN w >= 24 THEN 500 * (doc_id % 4) ELSE 0 END AS v
+        |  FROM (SELECT doc_id FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS w)),
+        |energy AS (SELECT doc_id, w, 4 * CAST(v AS BIGINT) * v AS e
+        |  FROM vals),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.e > b.e THEN (1::BIGINT << a.w) ELSE 0 END AS term
+        |  FROM energy a JOIN energy b
+        |    ON a.doc_id = b.doc_id AND b.w = a.w + 1),
+        |hashes AS (
+        |  SELECT doc_id, CAST(SUM(term) AS BIGINT) AS fp FROM bits
+        |  GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, fp, 0 AS band, fp % 65536 AS key FROM hashes
+        |  UNION ALL
+        |  SELECT doc_id, fp, 1 AS band, fp >> 16 AS key FROM hashes)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin)),
+
     // ── Spark 4 VariantType path extraction inside the correctness gate:
     //    each event row is serialized to a NESTED JSON document in-engine
     //    (to_json over a struct with an inner object and an array), parsed

@@ -275,6 +275,40 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h1 ^ h2) <= 4)
   }
 
+  test("decodeAudioWindows frames the decoded PCM into exact integer " +
+      "energies; gradientHash captures the contour and ignores gain") {
+    // 8 samples, 4 windows of 2: energies are hand-computed sums of s^2
+    val samples = Array[Short](3, -4, 0, 2, 5, 5, -1, 1)
+    val pcm = new Array[Byte](16)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ain = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ain,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val row = Multimodal.decodeAudioWindows(
+      Seq((1L, out.toByteArray), (2L, junk)).toDF("media_id", "payload"),
+      "media_id", "payload", nWindows = 4)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(row(1L).getAs[Boolean]("decodable"))
+    assert(row(1L).getAs[Long]("n_samples") == 8L)
+    assert(row(1L).getAs[scala.collection.Seq[Long]]("win_energy").toSeq ==
+      Seq(25L, 4L, 50L, 2L)) // (9+16, 0+4, 25+25, 1+1)
+    assert(!row(2L).getAs[Boolean]("decodable"))
+    // contour: falls at steps 0 (25>4) and 2 (50>2), rises at 1
+    val fp = Seq(Seq(25L, 4L, 50L, 2L)).toDF("e")
+      .select(Multimodal.gradientHash($"e", 3).as("h")).as[Long].head()
+    assert(fp == ((1L << 0) | (1L << 2)))
+    // gain invariance: scaling energies by 9 (gain x3) keeps the hash
+    val fp3 = Seq(Seq(225L, 36L, 450L, 18L)).toDF("e")
+      .select(Multimodal.gradientHash($"e", 3).as("h")).as[Long].head()
+    assert(fp3 == fp)
+  }
+
   test("decodeImages thumbnail averages exactly on non-aligned dims") {
     // 6x5 image, gray = x*7 + y*11: cells have ragged pixel counts, the
     // expected integer averages are computed here by the same block rule

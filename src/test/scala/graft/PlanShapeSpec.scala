@@ -1230,15 +1230,19 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
-  test("q308 phash dedup: candidates come from a keyed band equi-join — " +
-      "no all-pairs, and the payload never enters an exchange") {
-    val p = planOf("q308_image_phash_dedup")
-    // the self-join must be keyed on (band, key), never a product
-    assert(!p.contains("CartesianProduct"), p.take(1600))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1600))
-    // what shuffles is the 8-byte hash keyed by band — the binary payload
-    // column is projected away before any exchange
-    assert(!"Exchange[^\\n]*payload".r.findFirstIn(p).isDefined, p.take(1600))
+  test("q308/q309 perceptual dedup: candidates come from keyed band " +
+      "equi-joins — no all-pairs, and the payload never enters an exchange") {
+    Seq("q308_image_phash_dedup", "q309_audio_fingerprint_dedup").foreach {
+      q =>
+        val p = planOf(q)
+        // the self-join must be keyed on (band, key), never a product
+        assert(!p.contains("CartesianProduct"), s"$q: " + p.take(1600))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: " + p.take(1600))
+        // what shuffles is the 8-byte hash keyed by band — the binary
+        // payload column is projected away before any exchange
+        assert(!"Exchange[^\\n]*payload".r.findFirstIn(p).isDefined,
+          s"$q: " + p.take(1600))
+    }
   }
 
   test("q303 variant paths: extraction projects below the single keyed agg " +
