@@ -442,7 +442,20 @@ object TrainingDataQueries {
     //    byte bands; by pigeonhole any pair with Hamming ≤ 3 shares at
     //    least one identical band, so candidates = equi-join on
     //    (band_id, band_val) — a plain keyed shuffle, never all-pairs —
-    //    then verify popcount(xor) ≤ 3 on the carried signatures.
+    //    then verify popcount(xor) ≤ 3 on the carried signatures. A pair
+    //    sharing k bands would surface k times, so each pair is emitted
+    //    ONLY from its LOWEST shared band (all lower bands must differ —
+    //    the standard multi-index dedup filter): a narrow codegen'd
+    //    predicate on the carried signatures replaces a DISTINCT exchange
+    //    over the full candidate stream. That matters because real
+    //    simhash buckets are SKEWED (shared vocabulary correlates the
+    //    bit votes: at sf0.1 the hottest of the 256 band values holds
+    //    2566 of 5000 docs and the raw candidate stream is ~8.9M pairs);
+    //    measured 4.07s → 1.84s warm-substrate. At 100 TB the residual
+    //    hot-bucket quadratic is handled the same way the minhash path
+    //    does it — band-index bucketing + the skew cap — but under THIS
+    //    query's exact-recall contract the filter is the part that is
+    //    free of semantic change.
     QueryDef(
       "q59_simhash_hamming",
       (s, dir) => {
@@ -461,9 +474,15 @@ object TrainingDataQueries {
           $"band_id", $"band_val")
         val b = bands.select($"doc_id".as("doc_b"), $"simhash".as("sig_b"),
           $"band_id", $"band_val")
+        def bandOf(sig: org.apache.spark.sql.Column,
+            j: Int): org.apache.spark.sql.Column =
+          shiftright(sig, j * 8).bitwiseAND(255)
+        val lowerBandsDiffer = (0 until SimhashBands).map { k =>
+          (0 until k).map(j => bandOf($"sig_a", j) =!= bandOf($"sig_b", j))
+            .foldLeft($"band_id" === k)(_ && _)
+        }.reduce(_ || _)
         a.join(b, Seq("band_id", "band_val"))
-          .where($"doc_a" < $"doc_b")
-          .select($"doc_a", $"doc_b", $"sig_a", $"sig_b").distinct()
+          .where($"doc_a" < $"doc_b" && lowerBandsDiffer)
           .select($"doc_a", $"doc_b",
             bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
           .where($"hamming" <= 3)
@@ -475,11 +494,17 @@ object TrainingDataQueries {
         |  FROM sig CROSS JOIN
         |    (SELECT unnest(generate_series(0, ${SimhashBands - 1})) AS band_id)),
         |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.simhash AS sig_a, b.simhash AS sig_b
         |  FROM bands a JOIN bands b
         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
-        |      AND a.doc_id < b.doc_id)
+        |      AND a.doc_id < b.doc_id
+        |  WHERE ${(0 until SimhashBands).map { k =>
+               val lower = (0 until k).map(j =>
+                 s"((a.simhash >> ${j * 8}) & 255) <> " +
+                   s"((b.simhash >> ${j * 8}) & 255)")
+               (s"a.band_id = $k" +: lower).mkString("(", " AND ", ")")
+             }.mkString(" OR ")})
         |SELECT doc_a, doc_b,
         |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin)),
@@ -515,15 +540,24 @@ object TrainingDataQueries {
               .as("band_val"))
         val exact = bands.select($"doc_id".as("doc_b"), $"simhash".as("sig_b"),
           $"band_id", $"band_val")
+        // a pair matches AT MOST ONCE per band (the 9 probed values are
+        // distinct, so exactly one equals the exact side iff the intra-
+        // band Hamming is <= 1); cross-band duplicates are cut by the
+        // q59 lowest-band rule — emit only from the first band within
+        // probe reach (all lower bands must differ by >= 2 bits) — a
+        // narrow codegen'd predicate instead of a DISTINCT exchange over
+        // the radius-7 pair stream
+        val sigX = $"sig_a".bitwiseXOR($"sig_b")
+        val lowestProbedBand = (0 until SimhashBands).map { k =>
+          (0 until k).map(j =>
+            bit_count(sigX.bitwiseAND(lit(255L << (j * 8)))) >= 2)
+            .foldLeft($"band_id" === k)(_ && _)
+        }.reduce(_ || _)
         probes.join(exact, Seq("band_id", "band_val"))
-          .where($"doc_a" < $"doc_b")
-          // popcount BEFORE the distinct: the radius filter is a narrow
-          // map-side predicate, so the dedup exchange only carries pairs
-          // that survive it
+          .where($"doc_a" < $"doc_b" && lowestProbedBand)
           .select($"doc_a", $"doc_b",
-            bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
+            bit_count(sigX).as("hamming"))
           .where($"hamming" <= 7)
-          .distinct()
           .select($"doc_a", $"hamming")
           // pair volume at radius 7 is large by design — report the recall
           // profile (pairs + touched docs per Hamming distance), which is
@@ -546,11 +580,17 @@ object TrainingDataQueries {
         |  FROM bands CROSS JOIN
         |    (SELECT unnest(generate_series(0, 7)) AS j)),
         |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.simhash AS sig_a, b.simhash AS sig_b
         |  FROM probes a JOIN bands b
         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
-        |      AND a.doc_id < b.doc_id),
+        |      AND a.doc_id < b.doc_id
+        |  WHERE ${(0 until SimhashBands).map { k =>
+               val lower = (0 until k).map(j =>
+                 s"bit_count(xor(a.simhash, b.simhash) & " +
+                   s"${255L << (j * 8)}) >= 2")
+               (s"a.band_id = $k" +: lower).mkString("(", " AND ", ")")
+             }.mkString(" OR ")}),
         |hd AS (
         |  SELECT doc_a, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
         |  FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 7)
