@@ -136,10 +136,14 @@ object Bench {
       s""""calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)},"regressions":$regs"""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"sf":"$sfDir"}""")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_queries.json"),
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // filtered local-iteration runs must NOT clobber the tripwire
+    // baseline: a partial per-query map would blind the next full run's
+    // regression diff to every query it dropped
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_queries.json"),
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -340,13 +340,15 @@ object Multimodal {
     * uncompressed only; anything else is not-decodable DATA), and
     * decodes that stream's `XXdb`/`XXdc` movi chunks undoing the DIB
     * layout (bottom-up rows unless biHeight<0, BGR, 4-byte row padding).
-    * Returns (width, height, usPerFrame, nFrames, pxSum, wSum) where
-    * pxSum = Σ(B+G+R) and wSum = Σ(1 + x + 2y + 3f)·(B+G+R) — the
-    * weighted sum is GEOMETRY-SENSITIVE, so a reader that misparses row
-    * order, stride, or frame order produces a different value.
+    * Returns (width, height, usPerFrame, nFrames, pxSum, wSum,
+    * frameSums) where pxSum = Σ(B+G+R), wSum = Σ(1 + x + 2y + 3f)·(B+G+R)
+    * — the weighted sum is GEOMETRY-SENSITIVE, so a reader that misparses
+    * row order, stride, or frame order produces a different value — and
+    * frameSums is the per-frame Σ(B+G+R) in display order (the temporal
+    * feature video fingerprinting hashes).
     */
-  private[graft] def parseAvi(
-      b: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long)] = {
+  private[graft] def parseAvi(b: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long, Long, Seq[Long])] = {
     def u32(off: Int): Long =
       (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
         ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
@@ -359,6 +361,7 @@ object Multimodal {
     var streamIdx = 0 // running strh count = stream index
     var awaitingStrf = false // the next strf belongs to the vids strl
     var nFrames = 0L; var pxSum = 0L; var wSum = 0L
+    val frameSums = scala.collection.mutable.ArrayBuffer.empty[Long]
     var ok = true
     def decodeFrame(off: Int, size: Int): Unit = {
       if (w <= 0 || h <= 0) { ok = false; return }
@@ -368,6 +371,7 @@ object Multimodal {
       if (size.toLong < strideL * h) { ok = false; return }
       val stride = strideL.toInt // < size <= Int.MaxValue after the check
       val f = nFrames
+      var fSum = 0L
       var r = 0
       while (r < h) {
         val y = if (topDown) r else h - 1 - r
@@ -375,12 +379,14 @@ object Multimodal {
         var p = off + r * stride
         while (x < w) {
           val s = (b(p) & 0xFF) + (b(p + 1) & 0xFF) + (b(p + 2) & 0xFF)
-          pxSum += s
+          fSum += s
           wSum += (1L + x + 2L * y + 3L * f) * s
           x += 1; p += 3
         }
         r += 1
       }
+      pxSum += fSum
+      frameSums += fSum
       nFrames += 1
     }
     def walk(off0: Int, lim: Int): Unit = {
@@ -427,7 +433,7 @@ object Multimodal {
     try walk(12, end)
     catch { case scala.util.control.NonFatal(_) => ok = false }
     if (!ok || w <= 0 || usPerFrame < 0) None
-    else Some((w, h, usPerFrame, nFrames, pxSum, wSum))
+    else Some((w, h, usPerFrame, nFrames, pxSum, wSum, frameSums.toSeq))
   }
 
   /** REAL video decoding for the one profile expressible with zero
@@ -454,14 +460,15 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           parseAvi(bytes) match {
-            case Some((w, h, us, nf, px, ws)) =>
-              (id, true, w, h, us, nf, px, ws)
-            case None => (id, false, 0, 0, 0, 0L, 0L, 0L)
+            case Some((w, h, us, nf, px, ws, fs)) =>
+              (id, true, w, h, us, nf, px, ws, fs)
+            case None =>
+              (id, false, 0, 0, 0, 0L, 0L, 0L, Seq.empty[Long])
           }
         }
       }
       .toDF(idCol, "decodable", "width", "height", "us_per_frame",
-        "n_frames", "px_sum", "w_sum")
+        "n_frames", "px_sum", "w_sum", "frame_sums")
   }
 
   /** Deterministic fake decode for the video profiles [[decodeVideo]]

@@ -750,6 +750,83 @@ object ExtQueries {
         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin)),
 
+    // ── VIDEO near-dup via temporal contour fingerprint — completing
+    //    the perceptual-dedup triple (q308 image, q309 audio): per doc a
+    //    32-frame 4×2 uncompressed AVI is synthesized whose frame-f gray
+    //    level is md5("<doc_id÷4>_<f>") mod 200, plus a uniform
+    //    +13·(doc_id mod 4) brightness on the TAIL frames (f ≥ 24), so
+    //    groups of 4 docs share the first 24 frames exactly. The clip
+    //    decodes through [[Multimodal.decodeVideo]]'s byte-level RIFF/DIB
+    //    walker, whose per-frame exact Σ(B+G+R) sums feed
+    //    [[Multimodal.gradientHash]] — the LUMA-TRAJECTORY hash (which
+    //    way brightness moves frame-to-frame: scene-cut structure), so
+    //    only bits 23-30 can flip in-group: distance ≤ 8 of 31 bits with
+    //    the low 16-bit band exact, while unrelated clips differ in ~half
+    //    the bits. Same banded candidate generation and bit_count(xor)
+    //    verify; payloads never shuffle, the 8-byte fingerprint does.
+    //    DIB is lossless so the oracle evaluates the identical algebra
+    //    codec-free (frame sum = 24v: 8 px × 3 equal channels).
+    QueryDef(
+      "q310_video_fingerprint_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.map { id =>
+              val frames = (0 until 32).map { f =>
+                val d = md.digest(s"${id / 4}_$f".getBytes("UTF-8"))
+                val v = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 200 +
+                  (if (f >= 24) 13 * (id % 4).toInt else 0)
+                Array.fill(4 * 2)((v << 16) | (v << 8) | v)
+              }
+              (id, Multimodal.encodeAvi(4, 2, 40000, frames))
+            }
+          }
+          .toDF("media_id", "payload")
+        val fps = Multimodal.decodeVideo(payloads, "media_id", "payload")
+          .select($"media_id".as("doc_id"),
+            Multimodal.gradientHash($"frame_sums", 31).as("fp"))
+        val bands = fps.select($"doc_id", $"fp",
+          posexplode(array(
+            ($"fp" % 65536L).cast("long"),
+            shiftright($"fp", 16).cast("long"))).as(Seq("band", "key")))
+        bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            bit_count($"a.fp".bitwiseXOR($"b.fp")).cast("int").as("hamming"))
+          .distinct()
+          .where($"hamming" <= 8)
+      },
+      Some("""WITH vals AS (
+        |  SELECT doc_id, f,
+        |    ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_'
+        |        || CAST(f AS VARCHAR)), 1, 4))::INT % 200
+        |      + CASE WHEN f >= 24 THEN 13 * (doc_id % 4) ELSE 0 END AS v
+        |  FROM (SELECT doc_id FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS f)),
+        |fsums AS (SELECT doc_id, f, 24 * CAST(v AS BIGINT) AS fs
+        |  FROM vals),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.fs > b.fs THEN (1::BIGINT << a.f) ELSE 0 END AS term
+        |  FROM fsums a JOIN fsums b
+        |    ON a.doc_id = b.doc_id AND b.f = a.f + 1),
+        |hashes AS (
+        |  SELECT doc_id, CAST(SUM(term) AS BIGINT) AS fp FROM bits
+        |  GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, fp, 0 AS band, fp % 65536 AS key FROM hashes
+        |  UNION ALL
+        |  SELECT doc_id, fp, 1 AS band, fp >> 16 AS key FROM hashes)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin)),
+
     // ── Spark 4 VariantType path extraction inside the correctness gate:
     //    each event row is serialized to a NESTED JSON document in-engine
     //    (to_json over a struct with an inner object and an array), parsed

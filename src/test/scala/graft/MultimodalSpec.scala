@@ -191,11 +191,14 @@ class MultimodalSpec extends SparkSpec {
       val s = rgbSum(frames(f)(y * w + x))
       px += s; ws += (1L + x + 2L * y + 3L * f) * s
     }
+    val fsums = (0 until nf).map(f => frames(f).map(rgbSum).sum)
     val bu = Multimodal.encodeAvi(w, h, 33333, frames)
     val td = Multimodal.encodeAvi(w, h, 33333, frames, topDown = true)
     // both row orders decode to the SAME top-down coordinates and stats
-    assert(Multimodal.parseAvi(bu).contains((w, h, 33333, nf.toLong, px, ws)))
-    assert(Multimodal.parseAvi(td).contains((w, h, 33333, nf.toLong, px, ws)))
+    assert(Multimodal.parseAvi(bu)
+      .contains((w, h, 33333, nf.toLong, px, ws, fsums)))
+    assert(Multimodal.parseAvi(td)
+      .contains((w, h, 33333, nf.toLong, px, ws, fsums)))
     // a 'dc' frame fourcc with biCompression=0 is still raw DIB: patch
     // the fourccs on an all-0xFF-pixel clip (no byte collisions with data)
     val white = Seq.fill(2)(Array.fill(w * h)(0xFFFFFF))
@@ -211,10 +214,11 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(patched == 2)
     assert(Multimodal.parseAvi(dc)
-      .contains((w, h, 33333, 2L, 765L * 2 * w * h, wsWhite)))
+      .contains((w, h, 33333, 2L, 765L * 2 * w * h, wsWhite,
+        Seq(765L * w * h, 765L * w * h))))
     // zero-frame clips are decodable with zeroed stats
     assert(Multimodal.parseAvi(Multimodal.encodeAvi(w, h, 1000, Seq.empty))
-      .contains((w, h, 1000, 0L, 0L, 0L)))
+      .contains((w, h, 1000, 0L, 0L, 0L, Seq.empty[Long])))
     // failure modes: non-AVI bytes, truncation (header-level and
     // mid-movi), and a compressed biCompression are DATA, not errors
     assert(Multimodal.parseAvi(junk).isEmpty)
