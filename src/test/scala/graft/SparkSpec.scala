@@ -11,6 +11,9 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the test run compiles hundreds of distinct plans in one JVM — size
+    // the generated-class cache to the suite (see Bench.scala)
+    .config("spark.sql.codegen.cache.maxEntries", "5000")
     .getOrCreate()
 }
 
