@@ -827,6 +827,197 @@ object ExtQueries {
         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 8""".stripMargin)),
 
+    // ── Cross-modal DEDUP ROUTER — the q306 dispatch pattern composed
+    //    with the q308/q309/q310 fingerprints into the one query a crawl
+    //    dedup pipeline actually runs over a MIXED media corpus: groups
+    //    of 4 near-identical payloads land as PNG, WAV, or AVI by
+    //    (doc_id÷4) mod 3, every payload is content-sniffed
+    //    ([[Multimodal.sniffType]] — no trusted type column), each branch
+    //    decodes through ITS real codec and hashes with ITS fingerprint
+    //    (dHash24 thumbnail gradients / Σs² energy contour / frame-sum
+    //    trajectory), and the three fingerprint streams union into ONE
+    //    banded candidate join keyed on (media_type, band, key) — so
+    //    near-dups are found within each modality by the same machinery,
+    //    with per-modality verify radii (PNG ≤ 4 of 24 bits, WAV/AVI
+    //    ≤ 8 of 31). Scale shape: synthesis, sniff, all three decodes,
+    //    and all three hashes are narrow partition-wise stages; ONE keyed
+    //    shuffle of (type, band, key, 8-byte fp) drives candidates;
+    //    payloads never shuffle. All codecs are lossless on these
+    //    payloads, so the oracle evaluates the three closed forms by
+    //    group residue — no codec, no sniffing oracle-side.
+    QueryDef(
+      "q311_dedup_router",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.map { id =>
+              val grp = id / 4
+              ((grp % 3).toInt: @unchecked) match {
+                case 0 =>
+                  val img = new java.awt.image.BufferedImage(
+                    8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  var y = 0
+                  while (y < 8) {
+                    var x = 0
+                    while (x < 8) {
+                      val d = md.digest(
+                        s"${grp}_${x / 2}_${y / 2}".getBytes("UTF-8"))
+                      val g = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 200 +
+                        (if (y / 2 == 3) 13 * (id % 4).toInt else 0)
+                      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val out = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", out)
+                  (id, out.toByteArray)
+                case 1 =>
+                  val pcm = new Array[Byte](2 * 128)
+                  var w = 0
+                  while (w < 32) {
+                    val d = md.digest(s"${grp}_$w".getBytes("UTF-8"))
+                    val v = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 16001 -
+                      8000 + (if (w >= 24) 500 * (id % 4).toInt else 0)
+                    var k = 0
+                    while (k < 4) {
+                      val i = 4 * w + k
+                      pcm(2 * i) = (v & 0xFF).toByte
+                      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+                      k += 1
+                    }
+                    w += 1
+                  }
+                  val fmt = new javax.sound.sampled.AudioFormat(
+                    8000f, 16, 1, true, false)
+                  val ain = new javax.sound.sampled.AudioInputStream(
+                    new java.io.ByteArrayInputStream(pcm), fmt, 128L)
+                  val out = new java.io.ByteArrayOutputStream()
+                  javax.sound.sampled.AudioSystem.write(ain,
+                    javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+                  (id, out.toByteArray)
+                case 2 =>
+                  val frames = (0 until 32).map { f =>
+                    val d = md.digest(s"${grp}_$f".getBytes("UTF-8"))
+                    val v = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 200 +
+                      (if (f >= 24) 13 * (id % 4).toInt else 0)
+                    Array.fill(4 * 2)((v << 16) | (v << 8) | v)
+                  }
+                  (id, Multimodal.encodeAvi(4, 2, 40000, frames))
+              }
+            }
+          }
+          .toDF("media_id", "payload")
+          .withColumn("media_type", Multimodal.sniffType($"payload"))
+        val png = Multimodal.decodeImages(
+            payloads.where($"media_type" === "png"), "media_id", "payload")
+          .select($"media_id".as("doc_id"), lit("png").as("media_type"),
+            Multimodal.dHash24($"gray4x4").as("fp"), lit(4).as("radius"))
+        val wav = Multimodal.decodeAudioWindows(
+            payloads.where($"media_type" === "wav"), "media_id", "payload",
+            nWindows = 32)
+          .select($"media_id".as("doc_id"), lit("wav").as("media_type"),
+            Multimodal.gradientHash($"win_energy", 31).as("fp"),
+            lit(8).as("radius"))
+        val avi = Multimodal.decodeVideo(
+            payloads.where($"media_type" === "avi"), "media_id", "payload")
+          .select($"media_id".as("doc_id"), lit("avi").as("media_type"),
+            Multimodal.gradientHash($"frame_sums", 31).as("fp"),
+            lit(8).as("radius"))
+        val fps = png.unionByName(wav).unionByName(avi)
+        val bands = fps.select($"doc_id", $"media_type", $"fp", $"radius",
+          posexplode(array(
+            ($"fp" % 65536L).cast("long"),
+            shiftright($"fp", 16).cast("long"))).as(Seq("band", "key")))
+        bands.as("a").join(bands.as("b"),
+            $"a.media_type" === $"b.media_type" && $"a.band" === $"b.band" &&
+              $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            $"a.media_type".as("media_type"),
+            bit_count($"a.fp".bitwiseXOR($"b.fp")).cast("int").as("hamming"),
+            $"a.radius".as("radius"))
+          .distinct()
+          .where($"hamming" <= $"radius")
+          .select($"doc_a", $"doc_b", $"media_type", $"hamming")
+      },
+      Some("""WITH icells AS (
+        |  SELECT doc_id, cx, cy,
+        |    ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_'
+        |        || CAST(cx AS VARCHAR) || '_' || CAST(cy AS VARCHAR)),
+        |      1, 4))::INT % 200
+        |      + CASE WHEN cy = 3 THEN 13 * (doc_id % 4) ELSE 0 END AS luma
+        |  FROM (SELECT doc_id FROM documents WHERE (doc_id // 4) % 3 = 0)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cx)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cy)),
+        |ibits AS (
+        |  SELECT a.doc_id, CASE WHEN a.luma > b.luma
+        |      THEN (1::BIGINT << (a.cy * 3 + a.cx)) ELSE 0 END AS term
+        |  FROM icells a JOIN icells b ON a.doc_id = b.doc_id
+        |    AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  UNION ALL
+        |  SELECT a.doc_id, CASE WHEN a.luma > b.luma
+        |      THEN (1::BIGINT << (12 + a.cy * 4 + a.cx)) ELSE 0 END
+        |  FROM icells a JOIN icells b ON a.doc_id = b.doc_id
+        |    AND a.cx = b.cx AND b.cy = a.cy + 1),
+        |ihash AS (
+        |  SELECT doc_id, 'png' AS media_type,
+        |    CAST(SUM(term) AS BIGINT) AS fp, 4 AS radius
+        |  FROM ibits GROUP BY 1),
+        |avals AS (
+        |  SELECT doc_id, w,
+        |    ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_'
+        |        || CAST(w AS VARCHAR)), 1, 4))::INT % 16001 - 8000
+        |      + CASE WHEN w >= 24 THEN 500 * (doc_id % 4) ELSE 0 END AS v
+        |  FROM (SELECT doc_id FROM documents WHERE (doc_id // 4) % 3 = 1)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS w)),
+        |aenergy AS (SELECT doc_id, w, 4 * CAST(v AS BIGINT) * v AS e
+        |  FROM avals),
+        |abits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.e > b.e THEN (1::BIGINT << a.w) ELSE 0 END AS term
+        |  FROM aenergy a JOIN aenergy b
+        |    ON a.doc_id = b.doc_id AND b.w = a.w + 1),
+        |ahash AS (
+        |  SELECT doc_id, 'wav' AS media_type,
+        |    CAST(SUM(term) AS BIGINT) AS fp, 8 AS radius
+        |  FROM abits GROUP BY 1),
+        |vvals AS (
+        |  SELECT doc_id, f,
+        |    ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_'
+        |        || CAST(f AS VARCHAR)), 1, 4))::INT % 200
+        |      + CASE WHEN f >= 24 THEN 13 * (doc_id % 4) ELSE 0 END AS v
+        |  FROM (SELECT doc_id FROM documents WHERE (doc_id // 4) % 3 = 2)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS f)),
+        |vbits2 AS (
+        |  SELECT a.doc_id, CASE WHEN 24 * CAST(a.v AS BIGINT) >
+        |      24 * CAST(b.v AS BIGINT)
+        |    THEN (1::BIGINT << a.f) ELSE 0 END AS term
+        |  FROM vvals a JOIN vvals b
+        |    ON a.doc_id = b.doc_id AND b.f = a.f + 1),
+        |vhash AS (
+        |  SELECT doc_id, 'avi' AS media_type,
+        |    CAST(SUM(term) AS BIGINT) AS fp, 8 AS radius
+        |  FROM vbits2 GROUP BY 1),
+        |hashes AS (
+        |  SELECT * FROM ihash UNION ALL SELECT * FROM ahash
+        |  UNION ALL SELECT * FROM vhash),
+        |bands AS (
+        |  SELECT doc_id, media_type, fp, radius, 0 AS band,
+        |    fp % 65536 AS key FROM hashes
+        |  UNION ALL
+        |  SELECT doc_id, media_type, fp, radius, 1 AS band,
+        |    fp >> 16 AS key FROM hashes)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.media_type,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.media_type = b.media_type AND a.band = b.band
+        |    AND a.key = b.key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= a.radius""".stripMargin)),
+
     // ── Spark 4 VariantType path extraction inside the correctness gate:
     //    each event row is serialized to a NESTED JSON document in-engine
     //    (to_json over a struct with an inner object and an array), parsed

@@ -1233,7 +1233,7 @@ class PlanShapeSpec extends SparkSpec {
   test("q308/q309 perceptual dedup: candidates come from keyed band " +
       "equi-joins — no all-pairs, and the payload never enters an exchange") {
     Seq("q308_image_phash_dedup", "q309_audio_fingerprint_dedup",
-      "q310_video_fingerprint_dedup").foreach {
+      "q310_video_fingerprint_dedup", "q311_dedup_router").foreach {
       q =>
         val p = planOf(q)
         // the self-join must be keyed on (band, key), never a product
