@@ -311,6 +311,24 @@ class MultimodalSpec extends SparkSpec {
     val fp3 = Seq(Seq(225L, 36L, 450L, 18L)).toDF("e")
       .select(Multimodal.gradientHash($"e", 3).as("h")).as[Long].head()
     assert(fp3 == fp)
+    // uneven split: 6 samples into 4 windows assigns sample i to window
+    // i*4/6 -> windows get samples {0,1},{2},{3,4},{5}
+    val six = Array[Short](1, 2, 3, 4, 5, 6)
+    val pcm6 = new Array[Byte](12)
+    six.zipWithIndex.foreach { case (s, i) =>
+      pcm6(2 * i) = (s & 0xFF).toByte
+      pcm6(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val ain6 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm6), fmt, 6L)
+    val out6 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ain6,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out6)
+    val r6 = Multimodal.decodeAudioWindows(
+      Seq((1L, out6.toByteArray)).toDF("media_id", "payload"),
+      "media_id", "payload", nWindows = 4).collect()(0)
+    assert(r6.getAs[scala.collection.Seq[Long]]("win_energy").toSeq ==
+      Seq(1L + 4L, 9L, 16L + 25L, 36L))
   }
 
   test("decodeImages thumbnail averages exactly on non-aligned dims") {
