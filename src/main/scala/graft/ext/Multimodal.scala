@@ -67,6 +67,43 @@ object Multimodal {
     * Video/audio stay behind [[decodeStub]]: the JDK ships no codecs for
     * them.
     */
+  /** JVM-side decode kernel for [[decodeImages]]/[[decodeMedia]]:
+    * (width, height, 16 exact integer 4×4-thumbnail luma cells), or
+    * None for bytes the JDK codecs reject.
+    */
+  private def imageGray16(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Long])] = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](16)
+      val cnts = new Array[Long](16)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * 4 / h, 3)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * 4 / w, 3)
+          val rgb = img.getRGB(x, y)
+          val c = cy * 4 + cx
+          sums(c) +=
+            ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          cnts(c) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      val g = Array.tabulate(16)(i =>
+        if (cnts(i) == 0L) 0L else sums(i) / (3L * cnts(i)))
+      Some((w, h, g))
+    }
+  }
+
   def decodeImages(df: DataFrame, idCol: String,
       payloadCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -75,34 +112,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
-            catch { case scala.util.control.NonFatal(_) => null }
-          if (img == null) (id, false, 0, 0, Array.empty[Long])
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            val sums = new Array[Long](16)
-            val cnts = new Array[Long](16)
-            var y = 0
-            while (y < h) {
-              val cy = math.min(y * 4 / h, 3)
-              var x = 0
-              while (x < w) {
-                val cx = math.min(x * 4 / w, 3)
-                val rgb = img.getRGB(x, y)
-                val c = cy * 4 + cx
-                sums(c) +=
-                  ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-                cnts(c) += 1L
-                x += 1
-              }
-              y += 1
-            }
-            val g = Array.tabulate(16)(i =>
-              if (cnts(i) == 0L) 0L else sums(i) / (3L * cnts(i)))
-            (id, true, w, h, g)
+          imageGray16(bytes) match {
+            case Some((w, h, g)) => (id, true, w, h, g)
+            case None            => (id, false, 0, 0, Array.empty[Long])
           }
         }
       }
@@ -207,6 +219,38 @@ object Multimodal {
     * (decodable=false), not errors. Streams whose sample count doesn't
     * divide evenly put the remainder in the last window.
     */
+  /** JVM-side decode kernel for [[decodeAudioWindows]]/[[decodeMedia]]:
+    * (sample count, nWindows exact integer Σs² energies), or None for
+    * payloads outside the 16-bit signed mono PCM profile.
+    */
+  private def audioWindowEnergies(bytes: Array[Byte],
+      nWindows: Int): Option[(Long, Array[Long])] =
+    try {
+      val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ain.getFormat
+      if (f.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+      else {
+        val raw = ain.readAllBytes()
+        val n = raw.length / 2
+        val e = new Array[Long](nWindows)
+        var i = 0
+        while (i < n) {
+          val lo = java.lang.Byte.toUnsignedInt(raw(2 * i))
+          val hi = java.lang.Byte.toUnsignedInt(raw(2 * i + 1))
+          val s: Long =
+            if (f.isBigEndian) ((lo << 8) | hi).toShort.toLong
+            else ((hi << 8) | lo).toShort.toLong
+          val w = math.min(i * nWindows / math.max(n, 1), nWindows - 1)
+          e(w) += s * s
+          i += 1
+        }
+        Some((n.toLong, e))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def decodeAudioWindows(df: DataFrame, idCol: String, payloadCol: String,
       nWindows: Int): DataFrame = {
     val spark = df.sparkSession
@@ -215,38 +259,69 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val decoded =
-            try {
-              val ain = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              val f = ain.getFormat
-              if (f.getEncoding !=
-                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-                  f.getSampleSizeInBits != 16 || f.getChannels != 1) null
-              else {
-                val raw = ain.readAllBytes()
-                val n = raw.length / 2
-                val e = new Array[Long](nWindows)
-                var i = 0
-                while (i < n) {
-                  val lo = java.lang.Byte.toUnsignedInt(raw(2 * i))
-                  val hi = java.lang.Byte.toUnsignedInt(raw(2 * i + 1))
-                  val s: Long =
-                    if (f.isBigEndian) ((lo << 8) | hi).toShort.toLong
-                    else ((hi << 8) | lo).toShort.toLong
-                  val w = math.min(i * nWindows / math.max(n, 1),
-                    nWindows - 1)
-                  e(w) += s * s
-                  i += 1
-                }
-                (id, true, n.toLong, e)
-              }
-            } catch { case scala.util.control.NonFatal(_) => null }
-          if (decoded == null) (id, false, 0L, Array.empty[Long])
-          else decoded
+          audioWindowEnergies(bytes, nWindows) match {
+            case Some((n, e)) => (id, true, n, e)
+            case None         => (id, false, 0L, Array.empty[Long])
+          }
         }
       }
       .toDF(idCol, "decodable", "n_samples", "win_energy")
+  }
+
+  /** ONE-PASS dispatching decoder — the 100 TB shape for mixed-media
+    * corpora: per payload, the magic bytes are sniffed JVM-side (the
+    * same dispatch [[sniffType]] states as an expression) and the
+    * matching REAL codec runs in the same partition pass, emitting a
+    * uniform (media_type, decodable, features) row where `features` is
+    * the modality's exact integer feature vector — 16 thumbnail luma
+    * cells for images, `audioWindows` Σs² energies for WAV PCM,
+    * per-frame pixel sums for raw-DIB AVI. One scan of the payload
+    * bytes total: the per-modality route (filter + decode per type)
+    * re-reads the full payload column once PER MODALITY, and no format
+    * predicate can push a byte-sniff into a parquet scan — at 100 TB
+    * that difference is the whole job. Payloads never shuffle; the
+    * feature vectors (≤ a few hundred bytes) travel instead.
+    */
+  def decodeMedia(df: DataFrame, idCol: String, payloadCol: String,
+      audioWindows: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        def cc(b: Array[Byte], off: Int): String =
+          if (b.length < off + 4) "" else new String(b, off, 4, "US-ASCII")
+        it.map { case (id, bytes) =>
+          val tpe =
+            if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 &&
+              bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+            else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
+              (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF) "jpeg"
+            else if (cc(bytes, 0) == "RIFF" && cc(bytes, 8) == "WAVE") "wav"
+            else if (cc(bytes, 0) == "RIFF" && cc(bytes, 8) == "AVI ") "avi"
+            else "unknown"
+          tpe match {
+            case "png" | "jpeg" =>
+              imageGray16(bytes) match {
+                case Some((_, _, g)) => (id, tpe, true, g)
+                case None => (id, tpe, false, Array.empty[Long])
+              }
+            case "wav" =>
+              audioWindowEnergies(bytes, audioWindows) match {
+                case Some((_, e)) => (id, tpe, true, e)
+                case None         => (id, tpe, false, Array.empty[Long])
+              }
+            case "avi" =>
+              parseAvi(bytes) match {
+                case Some((_, _, _, _, _, _, fs)) =>
+                  (id, tpe, true, fs.toArray)
+                case None => (id, tpe, false, Array.empty[Long])
+              }
+            case _ => (id, tpe, false, Array.empty[Long])
+          }
+        }
+      }
+      .toDF(idCol, "media_type", "decodable", "features")
   }
 
   /** 1-D gradient fingerprint over an exact integer sequence — the audio/

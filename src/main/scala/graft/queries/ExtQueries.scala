@@ -835,16 +835,22 @@ object ExtQueries {
     //    ([[Multimodal.sniffType]] — no trusted type column), each branch
     //    decodes through ITS real codec and hashes with ITS fingerprint
     //    (dHash24 thumbnail gradients / Σs² energy contour / frame-sum
-    //    trajectory), and the three fingerprint streams union into ONE
-    //    banded candidate join keyed on (media_type, band, key) — so
-    //    near-dups are found within each modality by the same machinery,
-    //    with per-modality verify radii (PNG ≤ 4 of 24 bits, WAV/AVI
-    //    ≤ 8 of 31). Scale shape: synthesis, sniff, all three decodes,
-    //    and all three hashes are narrow partition-wise stages; ONE keyed
-    //    shuffle of (type, band, key, 8-byte fp) drives candidates;
-    //    payloads never shuffle. All codecs are lossless on these
-    //    payloads, so the oracle evaluates the three closed forms by
-    //    group residue — no codec, no sniffing oracle-side.
+    //    trajectory), and the three fingerprint streams feed ONE banded
+    //    candidate join keyed on (media_type, band, key) — so near-dups
+    //    are found within each modality by the same machinery, with
+    //    per-modality verify radii (PNG ≤ 4 of 24 bits, WAV/AVI ≤ 8 of
+    //    31). The decode runs through [[Multimodal.decodeMedia]] — the
+    //    ONE-PASS dispatcher: sniff + decode + feature extraction in a
+    //    single partition-wise stage over a single payload scan (the
+    //    per-modality filter+decode route would re-read the full binary
+    //    column once per type, and no byte-sniff predicate can push into
+    //    a parquet scan — at 100 TB the single pass is the whole job);
+    //    the fingerprint is then a when-dispatched codegen'd expression
+    //    over the uniform features column. ONE keyed shuffle of (type,
+    //    band, key, 8-byte fp) drives candidates; payloads never
+    //    shuffle. All codecs are lossless on these payloads, so the
+    //    oracle evaluates the three closed forms by group residue — no
+    //    codec, no sniffing oracle-side.
     QueryDef(
       "q311_dedup_router",
       (s, dir) => {
@@ -911,23 +917,16 @@ object ExtQueries {
             }
           }
           .toDF("media_id", "payload")
-          .withColumn("media_type", Multimodal.sniffType($"payload"))
-        val png = Multimodal.decodeImages(
-            payloads.where($"media_type" === "png"), "media_id", "payload")
-          .select($"media_id".as("doc_id"), lit("png").as("media_type"),
-            Multimodal.dHash24($"gray4x4").as("fp"), lit(4).as("radius"))
-        val wav = Multimodal.decodeAudioWindows(
-            payloads.where($"media_type" === "wav"), "media_id", "payload",
-            nWindows = 32)
-          .select($"media_id".as("doc_id"), lit("wav").as("media_type"),
-            Multimodal.gradientHash($"win_energy", 31).as("fp"),
-            lit(8).as("radius"))
-        val avi = Multimodal.decodeVideo(
-            payloads.where($"media_type" === "avi"), "media_id", "payload")
-          .select($"media_id".as("doc_id"), lit("avi").as("media_type"),
-            Multimodal.gradientHash($"frame_sums", 31).as("fp"),
-            lit(8).as("radius"))
-        val fps = png.unionByName(wav).unionByName(avi)
+        val fps = Multimodal.decodeMedia(
+            payloads, "media_id", "payload", audioWindows = 32)
+          .where($"decodable")
+          .select($"media_id".as("doc_id"), $"media_type",
+            when($"media_type" === "png",
+              Multimodal.dHash24($"features"))
+              .otherwise(Multimodal.gradientHash($"features", 31))
+              .as("fp"),
+            when($"media_type" === "png", lit(4)).otherwise(lit(8))
+              .as("radius"))
         val bands = fps.select($"doc_id", $"media_type", $"fp", $"radius",
           posexplode(array(
             ($"fp" % 65536L).cast("long"),

@@ -331,6 +331,57 @@ class MultimodalSpec extends SparkSpec {
       Seq(1L + 4L, 9L, 16L + 25L, 36L))
   }
 
+  test("decodeMedia one-pass dispatch: each payload routes to its codec " +
+      "and the features equal the per-modality decoders' output") {
+    // png: 2x2 gray ramp
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val g = 50 * (y * 2 + x)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    // wav: 4 samples
+    val pcm = new Array[Byte](8)
+    Array[Short](3, -4, 5, 6).zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xFF).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    // avi: 2 frames of 1x1 (levels 10 then 7 -> frame sums 30, 21)
+    val avi = Multimodal.encodeAvi(1, 1, 1000,
+      Seq(Array(0x0A0A0A), Array(0x070707)))
+    val out = Multimodal.decodeMedia(
+      Seq((1L, pngOut.toByteArray), (2L, wavOut.toByteArray), (3L, avi),
+        (4L, junk)).toDF("media_id", "payload"),
+      "media_id", "payload", audioWindows = 2)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    def feats(id: Long): Seq[Long] =
+      out(id).getAs[scala.collection.Seq[Long]]("features").toSeq
+    assert(out(1L).getAs[String]("media_type") == "png" &&
+      out(1L).getAs[Boolean]("decodable"))
+    // 2x2 image: each pixel fills 4 thumbnail cells of a 4x4 grid; the
+    // per-modality decoder must agree exactly
+    val viaImages = Multimodal.decodeImages(
+      Seq((1L, pngOut.toByteArray)).toDF("media_id", "payload"),
+      "media_id", "payload")
+      .collect()(0).getAs[scala.collection.Seq[Long]]("gray4x4").toSeq
+    assert(feats(1L) == viaImages)
+    assert(out(2L).getAs[String]("media_type") == "wav" &&
+      out(2L).getAs[Boolean]("decodable"))
+    assert(feats(2L) == Seq(9L + 16L, 25L + 36L))
+    assert(out(3L).getAs[String]("media_type") == "avi" &&
+      out(3L).getAs[Boolean]("decodable"))
+    assert(feats(3L) == Seq(30L, 21L))
+    assert(out(4L).getAs[String]("media_type") == "unknown" &&
+      !out(4L).getAs[Boolean]("decodable"))
+  }
+
   test("decodeImages thumbnail averages exactly on non-aligned dims") {
     // 6x5 image, gray = x*7 + y*11: cells have ragged pixel counts, the
     // expected integer averages are computed here by the same block rule
