@@ -1017,6 +1017,135 @@ object ExtQueries {
         |    AND a.key = b.key AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= a.radius""".stripMargin)),
 
+    // ── INCREMENTAL perceptual dedup against the bucketed serving index
+    //    — the ingest-to-serve hand-off for fingerprints, riding the SAME
+    //    generic band-index layout the minhash path promotes into
+    //    ([[graft.ext.Dedup.writeBandIndexBucketed]] /
+    //    [[Dedup.deltaCandidatesAgainstIndex]]): the accumulated corpus
+    //    (doc_id mod 10 ≠ 9) lands its dHash band rows bucketed+sorted on
+    //    (band_id, band_key); the NEW crawl batch (mod 10 = 9, the q88
+    //    delta convention) probes it — candidates come from a merge join
+    //    INTO the bucketed layout with zero Exchange on the index side
+    //    and the index's skew cap applied, never delta×delta or
+    //    corpus×corpus. Survivors verify with Hamming ≤ 4 over the
+    //    fingerprints and each delta doc reports its BEST corpus match
+    //    (min distance, deterministic tie on id) — the is-this-new-image-
+    //    a-dup decision an ingest gate actually makes, q88's report shape
+    //    for the multimodal family. Fingerprints come through the REAL
+    //    codec path (q308's synthesis → JDK PNG decode → dHash24); the
+    //    oracle evaluates the lossless closed form, bands, probes, and
+    //    ranks codec-free.
+    QueryDef(
+      "q312_fp_delta_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.map { id =>
+              val img = new java.awt.image.BufferedImage(
+                8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val d = md.digest(
+                    s"${id / 4}_${x / 2}_${y / 2}".getBytes("UTF-8"))
+                  val g = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 200 +
+                    (if (y / 2 == 3) 13 * (id % 4).toInt else 0)
+                  img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", out)
+              (id, out.toByteArray)
+            }
+          }
+          .toDF("media_id", "payload")
+        val fps = graft.ext.Multimodal.decodeImages(
+            payloads, "media_id", "payload")
+          .select($"media_id".as("doc_id"),
+            Multimodal.dHash24($"gray4x4").as("fp"))
+          .localCheckpoint()
+        val bands = fps.select($"doc_id",
+          posexplode(array(
+            ($"fp" % 4096L).cast("long"),
+            shiftright($"fp", 12).cast("long"))).as(Seq("band_id", "band_key")))
+        val tag = "fpdelta" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val idxTbl = graft.ext.Dedup.writeBandIndexBucketed(
+          bands.where($"doc_id" % 10 =!= 9), tag)
+        val cands = graft.ext.Dedup.deltaCandidatesAgainstIndex(
+          idxTbl, bands.where($"doc_id" % 10 === 9), "doc_id")
+        val ham = cands
+          .join(fps.select($"doc_id".as("doc_a"), $"fp".as("fp_a")), "doc_a")
+          .join(fps.select($"doc_id".as("doc_b"), $"fp".as("fp_b")), "doc_b")
+          .select($"doc_a", $"doc_b",
+            bit_count($"fp_a".bitwiseXOR($"fp_b")).cast("int").as("hamming"))
+          .where($"hamming" <= 4)
+        val best = ham.groupBy($"doc_a")
+          .agg(max_by(struct($"hamming", $"doc_b"),
+            struct(-$"hamming", -$"doc_b")).as("bm"))
+          .select($"doc_a", $"bm.doc_b".as("best_match"),
+            $"bm.hamming".as("best_hamming"))
+        Tables.documents(s, dir).select($"doc_id")
+          .where($"doc_id" % 10 === 9)
+          .join(best, $"doc_id" === $"doc_a", "left")
+          .select($"doc_id", $"best_match".isNotNull.as("is_dup"),
+            $"best_match", $"best_hamming")
+      },
+      Some("""WITH cells AS (
+        |  SELECT doc_id, cx, cy,
+        |    ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_'
+        |        || CAST(cx AS VARCHAR) || '_' || CAST(cy AS VARCHAR)),
+        |      1, 4))::INT % 200
+        |      + CASE WHEN cy = 3 THEN 13 * (doc_id % 4) ELSE 0 END AS luma
+        |  FROM (SELECT doc_id FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cx)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cy)),
+        |hbits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.luma > b.luma
+        |      THEN (1::BIGINT << (a.cy * 3 + a.cx)) ELSE 0 END AS term
+        |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id
+        |    AND a.cy = b.cy AND b.cx = a.cx + 1),
+        |vbits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.luma > b.luma
+        |      THEN (1::BIGINT << (12 + a.cy * 4 + a.cx)) ELSE 0 END AS term
+        |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id
+        |    AND a.cx = b.cx AND b.cy = a.cy + 1),
+        |hashes AS (
+        |  SELECT doc_id, CAST(SUM(term) AS BIGINT) AS fp FROM (
+        |    SELECT * FROM hbits UNION ALL SELECT * FROM vbits)
+        |  GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_id, fp % 4096 AS band_key FROM hashes
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band_id, fp >> 12 AS band_key FROM hashes),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |  WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+        |  FROM cand c JOIN hashes x ON c.doc_a = x.doc_id
+        |    JOIN hashes y ON c.doc_b = y.doc_id
+        |  WHERE bit_count(xor(x.fp, y.fp)) <= 4),
+        |best AS (
+        |  SELECT doc_a, doc_b, hamming FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a
+        |      ORDER BY hamming ASC, doc_b ASC) AS rn
+        |    FROM ham) WHERE rn = 1)
+        |SELECT d.doc_id, (b.doc_a IS NOT NULL) AS is_dup,
+        |  b.doc_b AS best_match, b.hamming AS best_hamming
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+        |LEFT JOIN best b ON d.doc_id = b.doc_a""".stripMargin)),
+
     // ── Spark 4 VariantType path extraction inside the correctness gate:
     //    each event row is serialized to a NESTED JSON document in-engine
     //    (to_json over a struct with an inner object and an array), parsed

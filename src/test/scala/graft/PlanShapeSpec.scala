@@ -1246,6 +1246,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q312 fp delta dedup: probes read the bucketed index in place — " +
+      "SelectedBucketsCount on the index scans, no cartesian") {
+    val p = planOf("q312_fp_delta_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    // the serving contract: the index side is consumed through its
+    // bucketed layout (cap agg + probe join = two in-place scans)
+    assert("SelectedBucketsCount".r.findAllIn(p).size >= 2, p.take(2000))
+    // the payload column never reaches an exchange
+    assert(!"Exchange[^\\n]*payload".r.findFirstIn(p).isDefined, p.take(1600))
+  }
+
   test("q303 variant paths: extraction projects below the single keyed agg " +
       "exchange — the variant binary never shuffles") {
     val p = planOf("q303_variant_path")
