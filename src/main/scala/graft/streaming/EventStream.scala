@@ -777,6 +777,95 @@ object EventStream {
     spark.read.parquet(verdictsP).drop("batch")
   }
 
+  /** Streaming PERCEPTUAL-dedup index maintenance — [[dedupMaintain]]'s
+    * contract for fingerprint columns (the q308/q309/q310 family): input
+    * batches carry (doc_id, fp) where fp is any ≤32-bit perceptual hash
+    * (image dHash, audio/video gradient hash — fingerprinting itself is
+    * a stateless map, so the maintainer is CODEC-AGNOSTIC and one state
+    * store serves every modality). Per batch: the delta's 2×16-bit band
+    * rows probe the accumulated fingerprint index (own-batch partition
+    * excluded — the stale-replay guard), candidates respect the
+    * bucket cap and the arrival orientation (index docs, or same-batch
+    * docs with smaller id), survivors verify with popcount ≤ radius, and
+    * each delta doc reports its best match (min distance, deterministic
+    * tie). Stores: fps (8 bytes/doc — the index), verdicts, ledger; all
+    * per-batch overwrite partitions (deterministic ⇒ replay clobbers,
+    * never doubles), ledger swapWrite-recovered, [[compactState]]
+    * applies. The batch twin is q312's shape; StreamingSpec pins parity,
+    * replay, and compaction.
+    */
+  def fpDedupMaintain(spark: SparkSession, docs: DataFrame,
+      statePath: String, radius: Int = 4,
+      maxBandBucket: Int = 100000): DataFrame = {
+    val fpsP = statePath + "/fps"
+    val verdictsP = statePath + "/verdicts"
+    val ledgerP = statePath + "/ledger"
+    val q = docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // ledgerP included: same rename-window recovery as dedupMaintain
+        Seq(fpsP, verdictsP, ledgerP).foreach(recoverSwap(spark, _))
+        val done: Set[Long] = readLedger(spark, ledgerP)
+        if (!done.contains(batchId)) {
+          val fps = batch
+            .select(col("doc_id").cast("long"), col("fp").cast("long"))
+            .localCheckpoint()
+          val haveIdx = stateExists(spark, fpsP)
+          val allFps = fps.withColumn("_delta", lit(true))
+            .unionByName(
+              if (haveIdx)
+                spark.read.parquet(fpsP)
+                  .where(col("batch") =!= batchId).drop("batch")
+                  .withColumn("_delta", lit(false))
+              else fps.withColumn("_delta", lit(true)).limit(0))
+          val allBands = allFps.select(col("doc_id"), col("fp"),
+            col("_delta"),
+            posexplode(array((col("fp") % 65536).cast("long"),
+              shiftright(col("fp"), 16).cast("long")))
+              .as(Seq("band_id", "band_key")))
+          val keep = allBands.groupBy(col("band_id"), col("band_key"))
+            .agg(count(lit(1)).as("bucket_n"))
+            .where(col("bucket_n") <= maxBandBucket && col("bucket_n") >= 2)
+            .select(col("band_id"), col("band_key"))
+          val capped = allBands.join(keep, Seq("band_id", "band_key"))
+          val a = capped.where(col("_delta"))
+            .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+              col("band_id"), col("band_key"))
+          val b = capped.select(col("doc_id").as("doc_b"),
+            col("fp").as("fp_b"), col("_delta").as("_delta_b"),
+            col("band_id"), col("band_key"))
+          val ham = a.join(b, Seq("band_id", "band_key"))
+            .where(col("doc_b") =!= col("doc_a") &&
+              (!col("_delta_b") || col("doc_b") < col("doc_a")))
+            .select(col("doc_a"), col("doc_b"),
+              bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+                .cast("int").as("hamming"))
+            .where(col("hamming") <= radius) // narrow BEFORE the dedup
+            .distinct()
+          val best = ham.groupBy(col("doc_a"))
+            .agg(max_by(struct(col("hamming"), col("doc_b")),
+              struct(-col("hamming"), -col("doc_b"))).as("bm"))
+            .select(col("doc_a"), col("bm.doc_b").as("best_match"),
+              col("bm.hamming").as("best_hamming"))
+          val verdicts = fps.select(col("doc_id"))
+            .join(best, col("doc_id") === col("doc_a"), "left")
+            .select(col("doc_id"), lit(batchId).as("batch_id"),
+              col("best_match").isNotNull.as("is_dup"),
+              col("best_match"), col("best_hamming"))
+          verdicts.write.mode("overwrite")
+            .parquet(s"$verdictsP/batch=$batchId")
+          fps.write.mode("overwrite").parquet(s"$fpsP/batch=$batchId")
+          ledgerCommit(spark, ledgerP, done, batchId)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    recoverSwap(spark, verdictsP)
+    spark.read.parquet(verdictsP).drop("batch")
+  }
+
   /** Crash-safe compaction for the grow-only per-batch partition stores
     * ([[dedupMaintain]]'s bands/shingles/verdicts, [[joinMaintain]]'s
     * sides and output): after thousands of micro-batches the stores hold

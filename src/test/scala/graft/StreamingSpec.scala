@@ -609,6 +609,93 @@ class StreamingSpec extends SparkSpec {
     assert(fin2.exceptAll(twin).isEmpty && twin.exceptAll(fin2).isEmpty)
   }
 
+  test("streaming perceptual dedup (fpDedupMaintain) matches a brute-force " +
+      "twin, survives replay, and serves identically after compaction") {
+    // fingerprints via q308's closed form (md5 luma -> dHash bits), all
+    // computed HERE in plain Scala so the twin is engine-independent
+    def cell(grp: Long, cx: Int, cy: Int, r: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${grp}_${cx}_$cy".getBytes("UTF-8"))
+      (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 200 +
+        (if (cy == 3) 13 * r else 0L)
+    }
+    def fpOf(id: Long): Long = {
+      val g = Array.tabulate(16)(i => cell(id / 4, i % 4, i / 4, id % 4))
+      val h = (for (cy <- 0 until 4; cx <- 0 until 3)
+        yield if (g(cy * 4 + cx) > g(cy * 4 + cx + 1))
+          1L << (cy * 3 + cx) else 0L).sum
+      val v = (for (cy <- 0 until 3; cx <- 0 until 4)
+        yield if (g(cy * 4 + cx) > g((cy + 1) * 4 + cx))
+          1L << (12 + cy * 4 + cx) else 0L).sum
+      h + v
+    }
+    val n = 240L
+    val docs = (0L until n).map(id => (id, fpOf(id)))
+    // three crawls: wave = doc_id % 3, one pinned file each (wave order)
+    val ddir = Files.createTempDirectory("graft_fpdedup_docs").toString
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 3).foreach { w =>
+      docs.filter(_._1 % 3 == w).toDF("doc_id", "fp").coalesce(1)
+        .write.mode("append").parquet(ddir)
+      val now = Files.list(java.nio.file.Paths.get(ddir)).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path]).toSet
+      (now -- known).foreach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(1000000000000L + w * 1000000L))
+      }
+      known = now
+    }
+    val statePath =
+      Files.createTempDirectory("graft_fpdedup_state").toString + "/state"
+    val schema = spark.read.parquet(ddir).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val fin = EventStream.fpDedupMaintain(spark, stream, statePath)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // brute-force twin: candidate = shares a 16-bit band (a sharing pair
+    // makes its bucket >= 2 by itself, so the keep filter drops nothing),
+    // oriented by (wave, doc_id); verify popcount <= 4; best = min
+    // distance, tie to the smallest doc_b
+    def bands(fp: Long) = Set(0L -> (fp % 65536), 1L -> (fp >> 16))
+    val expected = docs.map { case (id, fp) =>
+      val cands = docs.filter { case (b, bfp) =>
+        b != id &&
+          ((b % 3 < id % 3) || (b % 3 == id % 3 && b < id)) &&
+          bands(fp).intersect(bands(bfp)).nonEmpty &&
+          java.lang.Long.bitCount(fp ^ bfp) <= 4
+      }
+      val best = cands
+        .map { case (b, bfp) => (java.lang.Long.bitCount(fp ^ bfp), b) }
+        .sortBy(identity).headOption
+      id -> best
+    }.toMap
+    assert(fin.size == n)
+    assert(expected.values.count(_.isDefined) > 0,
+      "fixture must contain near-dups")
+    docs.foreach { case (id, _) =>
+      val r = fin(id)
+      val e = expected(id)
+      assert(r.getAs[Boolean]("is_dup") == e.isDefined, s"doc $id")
+      e.foreach { case (ham, b) =>
+        assert(r.getAs[Long]("best_match") == b &&
+          r.getAs[Int]("best_hamming") == ham, s"doc $id: $r vs $e")
+      }
+    }
+    // full replay: ledger skips every re-presented batch
+    val fin2 = EventStream.fpDedupMaintain(spark, stream, statePath)
+    assert(fin2.count() == n)
+    // compaction: stores fold to batch=-1, serving output unchanged
+    EventStream.compactState(spark, statePath + "/fps")
+    EventStream.compactState(spark, statePath + "/verdicts")
+    val fin3 = EventStream.fpDedupMaintain(spark, stream, statePath)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(fin3.size == n)
+    docs.foreach { case (id, _) =>
+      assert(fin3(id).getAs[Boolean]("is_dup") ==
+        fin(id).getAs[Boolean]("is_dup"), s"doc $id post-compaction")
+    }
+  }
+
   test("streaming hll registers equal batch and survive full replay") {
     import graft.ext.TextAnalysis
     val ddir = Files.createTempDirectory("graft_docs_hll").toString
