@@ -1246,6 +1246,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q59 simhash hamming: exactly-once pair emission — the band " +
+      "self-join is keyed and NO distinct/dedup aggregate survives") {
+    val p = planOf("q59_simhash_hamming")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    // the lowest-shared-band predicate replaced the cross-band-duplicate
+    // DISTINCT: the plan must contain no aggregate at all (candidates
+    // flow join -> filter -> project straight to the sink), and the only
+    // exchanges allowed are the band self-join's own (at fixture scale
+    // AQE may broadcast -> zero) — nothing downstream reshuffles the
+    // candidate stream
+    assert(!p.contains("Aggregate"), p.take(1600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      p.take(1600))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(1600))
+  }
+
   test("q312 fp delta dedup: probes read the bucketed index in place — " +
       "SelectedBucketsCount on the index scans, no cartesian") {
     val p = planOf("q312_fp_delta_dedup")
