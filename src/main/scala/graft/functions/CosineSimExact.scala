@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
@@ -23,11 +23,12 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
   * evaluates interpreted lambda calls per element; this eval walks the two
   * ArrayData buffers once per row in plain JVM code (~10-50x less overhead),
   * which matters when near-dup scoring runs over millions of candidate
-  * pairs. CodegenFallback is fine: the expression is leaf-level compute, not
-  * a pipeline breaker.
+  * pairs. The expression generates real code (doGenCode): children
+  * evaluate inside the whole-stage span and the leaf compute is one
+  * unboxed kernel call — no row materialization, no boxing.
   */
 case class CosineSimExact(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -73,9 +74,8 @@ case class CosineSimExact(left: Expression, right: Expression)
     acc.doubleValue()
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  /** Unboxed kernel shared by interpreted eval and the generated code. */
+  def kernel(a: ArrayData, b: ArrayData): Double = {
     val dot = exactSumOfRoundedProducts(a, b, useLeftTwice = false)
     val n2a = exactSumOfRoundedProducts(a, a, useLeftTwice = true)
     val n2b = exactSumOfRoundedProducts(b, b, useLeftTwice = true)
@@ -84,6 +84,16 @@ case class CosineSimExact(left: Expression, right: Expression)
       else 0.0
     // round half-up to 9 decimals, matching round(col, 9)
     new JBigDecimal(c).setScale(9, RoundingMode.HALF_UP).doubleValue()
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref =
+      ctx.addReferenceObj("cosExact", this, classOf[CosineSimExact].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.kernel($a, $b)")
   }
 
   override protected def withNewChildrenInternal(
@@ -103,7 +113,7 @@ case class CosineSimExact(left: Expression, right: Expression)
   * embeddings.
   */
 case class DotExact(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -128,9 +138,8 @@ case class DotExact(left: Expression, right: Expression)
     case ArrayType(DoubleType, _) => true; case _ => false
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  /** Unboxed kernel shared by interpreted eval and the generated code. */
+  def kernel(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     // 128-bit fast path with whole-row BigDecimal fallback (see Fixed18)
     val acc128 = new Array[Long](2)
@@ -155,6 +164,15 @@ case class DotExact(left: Expression, right: Expression)
     acc.doubleValue()
   }
 
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotExact", this, classOf[DotExact].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.kernel($a, $b)")
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -166,13 +184,12 @@ case class DotExact(left: Expression, right: Expression)
   * for PREFILTERING with a margin; never emitted as a result value.
   */
 case class DotFast(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  /** Unboxed kernel shared by interpreted eval and the generated code. */
+  def kernel(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
@@ -181,6 +198,15 @@ case class DotFast(left: Expression, right: Expression)
       i += 1
     }
     acc
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotFast", this, classOf[DotFast].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.kernel($a, $b)")
   }
 
   override protected def withNewChildrenInternal(

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the composition's two string intermediates per row are pure overhead.
   */
 case class Hash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -29,14 +29,27 @@ case class Hash60(child: Expression)
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  override def nullSafeEval(input: Any): Any = {
+  /** Unboxed kernel shared by interpreted eval and the generated code. */
+  def kernel(input: UTF8String): Long = {
     val digest = md.get()
     digest.reset()
-    val d = digest.digest(input.asInstanceOf[UTF8String].getBytes)
+    val d = digest.digest(input.getBytes)
     var acc = 0L
     var i = 0
     while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
     acc >>> 4 // top 60 bits == first 15 hex chars
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  // real doGenCode (not CodegenFallback): children evaluate inside the
+  // whole-stage span and only the leaf digest goes through one unboxed
+  // call — no InternalRow materialization, no boxing, no span break
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hash60", this, classOf[Hash60].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

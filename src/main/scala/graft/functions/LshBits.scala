@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,7 +23,7 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
   * in the oracle.
   */
 case class LshBits(child: Expression, planeOffset: Int, nPlanes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -46,8 +46,17 @@ case class LshBits(child: Expression, planeOffset: Int, nPlanes: Int)
       graft.ext.Similarity.planeSignJava(planeOffset + p, d)
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBits", this, classOf[LshBits].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+
+  /** Unboxed kernel shared by interpreted eval and the generated code. */
+  def kernel(a: ArrayData): UTF8String = {
     val n = a.numElements()
     // explicit error beats silent truncation — matches the composed
     // lshSignature's refusal to drop dimensions past the sign-table width

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -78,7 +79,7 @@ private[functions] object SparseMerge {
   */
 case class SparseDotLong(aToks: Expression, aWs: Expression,
     bToks: Expression, bWs: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(aToks, aWs, bToks, bWs)
 
@@ -112,9 +113,32 @@ case class SparseDotLong(aToks: Expression, aWs: Expression,
     val bt = bToks.eval(input)
     val bw = bWs.eval(input)
     if (at == null || aw == null || bt == null || bw == null) return null
-    SparseMerge.dot(longKeys,
-      at.asInstanceOf[ArrayData], aw.asInstanceOf[ArrayData],
+    kernel(at.asInstanceOf[ArrayData], aw.asInstanceOf[ArrayData],
       bt.asInstanceOf[ArrayData], bw.asInstanceOf[ArrayData])
+  }
+
+  /** Unboxed kernel shared by interpreted eval and the generated code. */
+  def kernel(at: ArrayData, aw: ArrayData, bt: ArrayData,
+      bw: ArrayData): Long =
+    SparseMerge.dot(longKeys, at, aw, bt, bw)
+
+  // real doGenCode (not CodegenFallback): the 4 array children evaluate
+  // inside the whole-stage span; only the merge loop goes through one
+  // unboxed call
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref =
+      ctx.addReferenceObj("sparseDot", this, classOf[SparseDotLong].getName)
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(_.isNull.toString).mkString(" || ")
+    ev.copy(code = code"""
+      |${evs.map(_.code).mkString("\n")}
+      |boolean ${ev.isNull} = $anyNull;
+      |long ${ev.value} = -1L;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $ref.kernel(${evs(0).value}, ${evs(1).value},
+      |    ${evs(2).value}, ${evs(3).value});
+      |}""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(
@@ -150,7 +174,7 @@ object SparseDotLong {
   */
 case class SparseCosAccept(aToks: Expression, aWs: Expression,
     bToks: Expression, bWs: Expression, na: Expression, nb: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] =
     Seq(aToks, aWs, bToks, bWs, na, nb)
@@ -189,9 +213,19 @@ case class SparseCosAccept(aToks: Expression, aWs: Expression,
     val n2b = nb.eval(input)
     if (at == null || aw == null || bt == null || bw == null ||
       n2a == null || n2b == null) return null
-    val dot = SparseMerge.dot(longKeys,
-      at.asInstanceOf[ArrayData], aw.asInstanceOf[ArrayData],
-      bt.asInstanceOf[ArrayData], bw.asInstanceOf[ArrayData])
+    kernel(at.asInstanceOf[ArrayData], aw.asInstanceOf[ArrayData],
+      bt.asInstanceOf[ArrayData], bw.asInstanceOf[ArrayData],
+      n2a.asInstanceOf[Long], n2b.asInstanceOf[Long])
+  }
+
+  /** Kernel shared by interpreted eval and the generated code: boxed
+    * return because REJECTED pairs are NULL even on non-null inputs.
+    */
+  def kernel(at: ArrayData, aw: ArrayData, bt: ArrayData, bw: ArrayData,
+      n2aL: Long, n2bL: Long): java.lang.Long = {
+    val n2a: Any = n2aL
+    val n2b: Any = n2bL
+    val dot = SparseMerge.dot(longKeys, at, aw, bt, bw)
     // cheap sufficient double reject first: dot²·25 < na·nb·16 with a
     // relative-error margin far wider than the ~2^-50 the three double
     // products can accumulate — only near-threshold pairs (and accepts)
@@ -214,8 +248,33 @@ case class SparseCosAccept(aToks: Expression, aWs: Expression,
     else {
       // BigInteger.doubleValue is correctly rounded — the same value as
       // the oracle's CAST(HUGEINT AS DOUBLE) and Spark's decimal→double
-      math.floor(d2.doubleValue() / nanb.doubleValue() * 10000.0).toLong
+      java.lang.Long.valueOf(
+        math.floor(d2.doubleValue() / nanb.doubleValue() * 10000.0).toLong)
     }
+  }
+
+  // real doGenCode: children evaluate inside the whole-stage span; the
+  // boxed kernel result carries the reject-as-NULL semantics through
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sparseCos", this,
+      classOf[SparseCosAccept].getName)
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(_.isNull.toString).mkString(" || ")
+    val boxed = ctx.freshName("accepted")
+    ev.copy(code = code"""
+      |${evs.map(_.code).mkString("\n")}
+      |boolean ${ev.isNull} = true;
+      |long ${ev.value} = -1L;
+      |if (!($anyNull)) {
+      |  java.lang.Long $boxed = $ref.kernel(${evs(0).value},
+      |    ${evs(1).value}, ${evs(2).value}, ${evs(3).value},
+      |    ${evs(4).value}, ${evs(5).value});
+      |  if ($boxed != null) {
+      |    ${ev.isNull} = false;
+      |    ${ev.value} = $boxed.longValue();
+      |  }
+      |}""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(

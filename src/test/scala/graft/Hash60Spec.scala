@@ -27,6 +27,55 @@ class Hash60Spec extends SparkSpec {
     }
   }
 
+  test("the native expressions GENERATE code: with codegen fallback " +
+      "disabled, every kernel evaluates and matches interpreted eval") {
+    // spark.sql.codegen.fallback=false turns a broken doGenCode into a
+    // hard failure instead of a silent interpreted retry — this test is
+    // the proof the expressions really participate in codegen
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    graft.functions.GraftFunctions.register(spark)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val e = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding").limit(50)
+      val viaCodegen = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+        .select(
+          TextAnalysis.hash60Fast(spark, $"a.vec_id".cast("string")).as("h"),
+          graft.functions.GraftFunctions
+            .cosineSimExact($"a.embedding", $"b.embedding").as("cs"),
+          graft.functions.GraftFunctions
+            .dotExact($"a.embedding", $"b.embedding").as("de"),
+          graft.functions.GraftFunctions
+            .dotFast($"a.embedding", $"b.embedding").as("df"),
+          graft.ext.Similarity
+            .lshSignatureFast(spark, $"a.embedding", 8, 0).as("lsh"))
+        .collect()
+      assert(viaCodegen.length == 50 * 49 / 2)
+      // spot-agreement with interpreted scalar eval on one row
+      val r = viaCodegen.head
+      assert(r.getAs[String]("lsh").length == 8)
+      assert(math.abs(r.getAs[Double]("de") - r.getAs[Double]("df")) < 1e-6)
+      // the sparse pair (4- and 6-ary manual doGenCode, incl. the
+      // reject-as-NULL path) under the same no-fallback conf
+      val sp = Seq(
+        (Seq(1L, 3L, 7L), Seq(2L, 5L, 1L), Seq(3L, 7L, 9L),
+          Seq(4L, 6L, 2L), 26L, 26L),
+        (Seq(1L, 2L), Seq(1L, 1L), Seq(3L, 4L), Seq(1L, 1L), 2L, 2L))
+        .toDF("at", "aw", "bt", "bw", "na", "nb")
+        .select(
+          graft.functions.SparseDotLong
+            .sparseDot($"at", $"aw", $"bt", $"bw").as("dot"),
+          graft.functions.SparseCosAccept
+            .sparseCosAccept($"at", $"aw", $"bt", $"bw", $"na", $"nb")
+            .as("acc"))
+        .collect()
+      assert(sp(0).getAs[Long]("dot") == 5L * 4L + 1L * 6L) // keys 3,7
+      assert(!sp(0).isNullAt(1)) // 25*26^2 >= 16*26*26 -> accepted
+      assert(sp(1).getAs[Long]("dot") == 0L) // disjoint keys
+      assert(sp(1).isNullAt(1)) // rejected pair is NULL, not 0
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("native lsh_bits matches the composed lshSignature bit-for-bit") {
     val dir = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
