@@ -74,8 +74,8 @@ private[functions] object SparseMerge {
   * contract as the oracle's BIGINT arithmetic. Keys must be sorted
   * ascending and distinct within each vector — exactly what
   * `sort_array(collect_list(struct(key, w)))` over a (doc, key)-grouped
-  * frame produces. CodegenFallback is fine: leaf-level compute, not a
-  * pipeline breaker (same trade as [[CosineSimExact]]).
+  * frame produces. Generates real code (doGenCode), same as
+  * [[CosineSimExact]].
   */
 case class SparseDotLong(aToks: Expression, aWs: Expression,
     bToks: Expression, bWs: Expression)
