@@ -696,6 +696,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming multimodal ingest end to end: payload stream -> " +
+      "in-stream decodeMedia + fingerprint -> fpDedupMaintain") {
+    import graft.ext.Multimodal
+    // real PNG payloads, q308's closed form: groups of 4 near-identical
+    def pngOf(id: Long): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val d = md.digest(s"${id / 4}_${x / 2}_${y / 2}".getBytes("UTF-8"))
+        val g = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 200 +
+          (if (y / 2 == 3) 13 * (id % 4).toInt else 0)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val n = 120L
+    val ddir = Files.createTempDirectory("graft_mm_stream").toString
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 3).foreach { w =>
+      (0L until n).filter(_ % 3 == w).map(id => (id, pngOf(id)))
+        .toDF("doc_id", "payload").coalesce(1)
+        .write.mode("append").parquet(ddir)
+      val now = Files.list(java.nio.file.Paths.get(ddir)).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path]).toSet
+      (now -- known).foreach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(1000000000000L + w * 1000000L))
+      }
+      known = now
+    }
+    val statePath =
+      Files.createTempDirectory("graft_mm_state").toString + "/state"
+    val schema = spark.read.parquet(ddir).schema
+    // the decode + fingerprint run INSIDE the stream: decodeMedia is a
+    // partition-wise Dataset transform, so the maintainer's input is
+    // already the 8-byte fp — payloads never reach state
+    def fpStream = Multimodal.decodeMedia(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(ddir),
+        "doc_id", "payload")
+      .where($"decodable")
+      .select($"doc_id", Multimodal.dHash24($"features").as("fp"))
+    val fin = EventStream.fpDedupMaintain(spark, fpStream, statePath)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(fin.size == n)
+    // every group's later-arriving members must find a match: within a
+    // group of 4 the low 16 bits agree (band collision guaranteed) and
+    // distance <= 4, and group member order across waves is id order
+    val dupCount = fin.values.count(_.getAs[Boolean]("is_dup"))
+    assert(dupCount >= n / 4 * 2, // at least members 2..3 of full groups
+      s"expected most group followers to be dups, got $dupCount")
+    // doc 0 arrived first overall (wave 0, smallest id): never a dup
+    assert(!fin(0L).getAs[Boolean]("is_dup"))
+  }
+
   test("streaming hll registers equal batch and survive full replay") {
     import graft.ext.TextAnalysis
     val ddir = Files.createTempDirectory("graft_docs_hll").toString
