@@ -1975,10 +1975,18 @@ object AnalyticsQueries {
       graft.functions.GraftFunctions.register(s)
       val li = orderPartCached(s, dir)
       val sz = li.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
-      val co = li.as("a").join(li.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" &&
-            $"a.l_partkey" < $"b.l_partkey")
-        .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+      // in-row pair generation (the q284 rewrite): one keyed agg collects
+      // each order's sorted distinct parts (TPC-H orders carry ~7 items —
+      // trivially in-row) and the ordered pairs explode map-side, instead
+      // of self-joining the substrate (which shuffles it twice)
+      val co = li.groupBy($"l_orderkey")
+        .agg(sort_array(collect_list($"l_partkey")).as("ps"))
+        .where(size($"ps") >= 2)
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS pa, y AS pb))))")).as("pr"))
+        .groupBy($"pr.pa".as("pa"), $"pr.pb".as("pb"))
         .agg(count(lit(1)).as("co"))
       val sym = co.select($"pa".as("p"), $"pb".as("q"), $"co")
         .unionByName(co.select($"pb".as("p"), $"pa".as("q"), $"co"))
