@@ -1017,6 +1017,119 @@ object ExtQueries {
         |    AND a.key = b.key AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= a.radius""".stripMargin)),
 
+    // ── Perceptual dup CLUSTERS + keeper election — the step after
+    //    q308's pair detection: near-dup relations are transitive in
+    //    intent but not in fact (A≈B, B≈C with A,C at distance 8), so a
+    //    dedup pipeline clusters the pair graph with connected components
+    //    and keeps ONE canonical copy per cluster (min doc_id — the
+    //    deterministic election q49/q115 use for text). Edges are q308's
+    //    verified pairs (banded candidates, Hamming ≤ 4 over real-codec
+    //    dHash fingerprints); the md5 tail makes some cross-group edges,
+    //    so components DO chain beyond the synthetic groups of 4 — at
+    //    sf0.1 the tail links enough groups that the giant component's
+    //    diameter exceeds label propagation's round cap, so this query
+    //    runs the star-contraction CC (Kiveris et al. — O(log²n) rounds
+    //    regardless of diameter, the adversarial-graph variant), which
+    //    resolves it identically to the oracle's recursive closure.
+    //    Output: one row per cluster — keeper, member count, drop count
+    //    (the dedup yield report).
+    QueryDef(
+      "q313_phash_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.map { id =>
+              val img = new java.awt.image.BufferedImage(
+                8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val d = md.digest(
+                    s"${id / 4}_${x / 2}_${y / 2}".getBytes("UTF-8"))
+                  val g = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 200 +
+                    (if (y / 2 == 3) 13 * (id % 4).toInt else 0)
+                  img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", out)
+              (id, out.toByteArray)
+            }
+          }
+          .toDF("media_id", "payload")
+        val hashes = Multimodal.decodeImages(payloads, "media_id", "payload")
+          .select($"media_id".as("doc_id"),
+            Multimodal.dHash24($"gray4x4").as("dhash"))
+        val bands = hashes.select($"doc_id", $"dhash",
+          posexplode(array(
+            ($"dhash" % 4096L).cast("long"),
+            shiftright($"dhash", 12).cast("long"))).as(Seq("band", "key")))
+        val pairs = bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+            bit_count($"a.dhash".bitwiseXOR($"b.dhash")).as("hamming"))
+          .where($"hamming" <= 4)
+          .select($"doc_a", $"doc_b").distinct()
+        val cc = graft.ext.Dedup.connectedComponentsStar(
+          pairs, "doc_a", "doc_b")
+        cc.groupBy($"cluster_id".as("keeper_doc_id"))
+          .agg(count(lit(1)).as("n_members"))
+          .select($"keeper_doc_id", $"n_members",
+            ($"n_members" - 1).cast("long").as("n_dropped"))
+      },
+      Some("""WITH RECURSIVE cells AS (
+        |  SELECT doc_id, cx, cy,
+        |    ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_'
+        |        || CAST(cx AS VARCHAR) || '_' || CAST(cy AS VARCHAR)),
+        |      1, 4))::INT % 200
+        |      + CASE WHEN cy = 3 THEN 13 * (doc_id % 4) ELSE 0 END AS luma
+        |  FROM (SELECT doc_id FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cx)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cy)),
+        |hbits AS (
+        |  SELECT a.doc_id, CASE WHEN a.luma > b.luma
+        |      THEN (1::BIGINT << (a.cy * 3 + a.cx)) ELSE 0 END AS term
+        |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id
+        |    AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  UNION ALL
+        |  SELECT a.doc_id, CASE WHEN a.luma > b.luma
+        |      THEN (1::BIGINT << (12 + a.cy * 4 + a.cx)) ELSE 0 END
+        |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id
+        |    AND a.cx = b.cx AND b.cy = a.cy + 1),
+        |hashes AS (
+        |  SELECT doc_id, CAST(SUM(term) AS BIGINT) AS dhash FROM hbits
+        |  GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, dhash, 0 AS band, dhash % 4096 AS key FROM hashes
+        |  UNION ALL
+        |  SELECT doc_id, dhash, 1 AS band, dhash >> 12 AS key FROM hashes),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 4),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT r.src, g.dst FROM reach r
+        |    JOIN edges g ON r.dst = g.src),
+        |cc AS (
+        |  SELECT id, LEAST(id, MIN(dst)) AS cluster_id
+        |  FROM (SELECT src AS id, dst FROM reach) GROUP BY id)
+        |SELECT cluster_id AS keeper_doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+        |FROM cc GROUP BY 1""".stripMargin)),
+
     // ── INCREMENTAL perceptual dedup against the bucketed serving index
     //    — the ingest-to-serve hand-off for fingerprints, riding the SAME
     //    generic band-index layout the minhash path promotes into
