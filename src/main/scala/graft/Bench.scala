@@ -88,14 +88,20 @@ object Bench {
     // Any query >2x slower AND >0.5s absolute lands in a "regressions"
     // key of the artifact — r8's q289 (1.77s -> 7.53s with zero code
     // delta) would have been flagged automatically. Cross-read against
-    // calib_start/calib_end: if the canary inflated too, it's host load.
+    // the interleaved canaries: each flagged entry carries the canary
+    // nearest in time and a host/code attribution.
+    // The baseline is only trusted when its recorded sf matches this
+    // run's: per-query times at a different scale factor are ~10x off
+    // across the board and every entry would flag as a bogus regression.
     val prevTimes: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench_queries.json")),
           java.nio.charset.StandardCharsets.UTF_8)
+        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
         val parts = txt.split("\"queries\":\\{", 2)
-        if (parts.length < 2) Map.empty
+        if (parts.length < 2 || !sfOk) Map.empty
         else "\"(q[^\"]+)\":([0-9.]+)".r
           .findAllMatchIn(parts(1).takeWhile(_ != '}'))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -103,16 +109,36 @@ object Bench {
     val trainersFirst = Seq("q56_kmeans_codebook", "q57_bpe_merges")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     def qnum(name: String): Int = name.drop(1).takeWhile(_.isDigit).toInt
-    val results = SparkEntry.queries.toSeq
+    // Interleaved contention canaries: the fixed calibration query also
+    // runs every CanaryEvery queries DURING the sequence (plus the
+    // start/end pair), and each query is stamped with the canary nearest
+    // it in sequence order. Driver benches have shipped with whole
+    // CLUSTERS of sub-second queries 2-5x inflated under quiet START/END
+    // canaries (r9: q13/q14/q92-q97/q266/q267) — a transient load spike
+    // mid-run is invisible to a start/end pair but not to a canary ~12
+    // queries away. The regressions key then splits host-vs-code
+    // mechanically: an entry whose nearest canary is itself inflated
+    // (>1.4x the run's quietest canary) is ambient load, not a plan
+    // change. Canary cost: ~12 extra runs x ~0.2-0.6s, charged to no
+    // query.
+    val CanaryEvery = 25
+    val canaries = scala.collection.mutable.ArrayBuffer(calibStart)
+    val ordered = SparkEntry.queries.toSeq
       .sortBy { case (name, _) =>
         (if (trainersFirst.contains(name)) trainersFirst.indexOf(name)
          else trainersFirst.size, qnum(name), name)
       }
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % CanaryEvery == 0) canaries += calibrate()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // nearest canary = the one taken at the closest sequence position
+      // (segment k covers queries [k*CanaryEvery, (k+1)*CanaryEvery);
+      // its midpoint decides whether the preceding or following canary
+      // is nearer — the following one may not exist yet, so record the
+      // segment index and resolve after the end canary lands)
+      (name, (System.nanoTime() - t0) / 1e9, i)
     }
     // compact total-only line LAST: the driver captures the TAIL of the
     // output, so truncation removes the head — BENCH_r06 shipped
@@ -123,17 +149,34 @@ object Bench {
     // additionally lands in bench_queries.json so no timing is ever lost
     // to line truncation.
     val calibEnd = calibrate()
+    canaries += calibEnd
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // canary k (k < last) was taken just before query k*CanaryEvery; the
+    // end canary just after the last query — nearest-in-sequence stamp
+    val canaryPos = canaries.indices.map(k =>
+      if (k == canaries.size - 1) results.size else k * CanaryEvery)
+    def nearestCanary(i: Int): Double =
+      canaries(canaryPos.zipWithIndex.minBy { case (p, _) =>
+        math.abs(p - i) }._2)
+    // the run's quietest canary is the host's demonstrated-achievable
+    // time for the fixed probe; a flagged query whose nearest canary sits
+    // well above it was measured under ambient load, not a code change
+    val quiet = canaries.min
     val regs = results.collect {
-      case (name, t) if prevTimes.get(name)
+      case (name, t, i) if prevTimes.get(name)
           .exists(p => t > 2 * p && t - p > 0.5) =>
-        s"""\"$name\":{\"prev\":${f3(prevTimes(name))},\"now\":${f3(t)}}"""
+        val c = nearestCanary(i)
+        val attrib = if (c > 1.4 * quiet) "host" else "code"
+        s"""\"$name\":{\"prev\":${f3(prevTimes(name))},\"now\":${f3(t)},""" +
+          s"""\"canary\":${f3(c)},\"attrib\":\"$attrib\"}"""
     }.mkString("{", ",", "}")
+    val canaryArr = canaries.map(f3).mkString("[", ",", "]")
     val calib =
-      s""""calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)},"regressions":$regs"""
+      s""""calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)},""" +
+        s""""canaries":$canaryArr,"regressions":$regs"""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"sf":"$sfDir"}""")
     // filtered local-iteration runs must NOT clobber the tripwire

@@ -293,7 +293,9 @@ object Multimodal {
           if (b.length < off + 4) "" else new String(b, off, 4, "US-ASCII")
         it.map { case (id, bytes) =>
           val tpe =
-            if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 &&
+            // NULL payload → unknown/undecodable, not a task failure
+            if (bytes == null) "unknown"
+            else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 &&
               bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
             else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
               (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF) "jpeg"
@@ -428,7 +430,11 @@ object Multimodal {
       (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
         ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
     def cc(off: Int): String = new String(b, off, 4, "US-ASCII")
-    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    // NULL payloads are DATA, not errors — same contract as the image/
+    // audio decoders' try blocks (a crawl column is nullable; a task
+    // must not die on one missing blob)
+    if (b == null || b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
+      return None
     val end = math.min(b.length.toLong, 8L + u32(4)).toInt
     var usPerFrame = -1
     var w = -1; var h = -1; var topDown = false

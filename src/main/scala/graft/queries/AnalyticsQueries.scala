@@ -2445,20 +2445,27 @@ object AnalyticsQueries {
         .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
           $"l_orderkey" === $"o_orderkey")
         .select($"l_partkey", $"o_custkey").distinct()
-      // ONE keyed agg replaces the former nb-cap-agg + join-back +
-      // self-join pipeline (three exchanges of the buyers table): the
-      // per-part buyer set is collected sorted (distinct + ≤64 by the
-      // cap, so in-row), the size filter IS the quadratic guard, and the
-      // ordered pairs generate map-side from the array — the C(nb,2)
-      // pair space hits its (ua, ub) count shuffle and nothing else
-      val links = buyers.groupBy($"l_partkey")
-        .agg(sort_array(collect_list($"o_custkey")).as("cs"))
-        .where(size($"cs") <= RingGroupCap.toInt && size($"cs") >= 2)
-        .select(explode(expr(
-          "flatten(transform(cs, (x, i) -> " +
-            "transform(slice(cs, i + 2, size(cs)), " +
-            "y -> struct(x AS ua, y AS ub))))")).as("p"))
-        .groupBy($"p.ua".as("ua"), $"p.ub".as("ub"))
+        .localCheckpoint()
+      // count-cap pre-filter BEFORE any per-part materialization, then a
+      // codegen'd self-join generates the C(nb,2) pair space. An in-row
+      // rewrite (sort_array(collect_list) + higher-order-function pair
+      // explode) was A/B'd in r9: it won for q264's shape but LOST 4.9x
+      // here on the driver's hardware (BENCH_r08 4.30s -> BENCH_r09
+      // 21.06s) — interpreted transform/slice/flatten pair generation
+      // concentrated in the few post-agg tasks loses to the whole-stage-
+      // codegen join path, and collecting the full buyer set before the
+      // cap filter makes a hot part a single-row memory hotspot. The
+      // self-join shape caps with a cheap count agg first, so no row ever
+      // materializes an over-cap group.
+      val bounded = buyers.join(
+        buyers.groupBy($"l_partkey").agg(count(lit(1)).as("nb"))
+          .where($"nb" <= RingGroupCap).select($"l_partkey"),
+        "l_partkey")
+        .localCheckpoint()
+      val links = bounded.as("a").join(bounded.as("b"),
+          $"a.l_partkey" === $"b.l_partkey" &&
+            $"a.o_custkey" < $"b.o_custkey")
+        .groupBy($"a.o_custkey".as("ua"), $"b.o_custkey".as("ub"))
         .agg(count(lit(1)).as("n_parts"))
         .orderBy($"n_parts".desc, $"ua".asc, $"ub".asc)
         .limit(RingTopLinks)

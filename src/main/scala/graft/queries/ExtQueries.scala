@@ -1305,6 +1305,79 @@ object ExtQueries {
         |  CAST(SUM(k) AS BIGINT) AS sum_k,
         |  CAST(SUM(2 * k) AS BIGINT) AS sum_k2,
         |  COUNT(*) AS n
+        |FROM e WHERE k IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    // ── Typed path reads over a STORED variant column — q303 closes the
+    //    to_json → parse_json → variant_get loop in one plan; this gate
+    //    closes it THROUGH PARQUET, the way production actually runs it
+    //    (Ingestion.scala:77-101 lands Bronze raw_data as VariantType at
+    //    load; every downstream consumer reads the stored binary —
+    //    reference reset_schemas.sql:127-133's VARIANT landing). Stage 1
+    //    (once per session): serialize each event to a nested JSON doc —
+    //    vals is LENGTH-2 for even k and LENGTH-3 for odd k, so the
+    //    stored corpus has heterogeneous shapes, the thing variant exists
+    //    for — parse_json ONCE, write the encoded variant to parquet.
+    //    Stage 2 (the gated read): typed variant_get paths + a
+    //    try_variant_get on the conditionally-present '$.vals[2]'
+    //    (missing path → NULL, not error) straight off the stored
+    //    column, then one keyed agg. The oracle computes the same
+    //    aggregates from the base fixture columns (parity decides
+    //    vals[2] = 3k presence), so the hash compare verifies
+    //    encode → parquet round trip → path navigation end to end.
+    //    Scale shape: paths project in the scan stage and the variant
+    //    binary NEVER shuffles (only the extracted longs reach the agg
+    //    exchange — PlanShapeSpec pins it); the landing write is
+    //    embarrassingly parallel.
+    QueryDef(
+      "q314_variant_store",
+      (s, dir) => {
+        import s.implicits._
+        val path = variantStoreCache.getOrElseUpdate(
+          (s.sparkContext.applicationId, dir), {
+            val wh = s.conf.get("spark.sql.warehouse.dir")
+            val p = s"$wh/graft_variant_store/" +
+              dir.replaceAll("[^a-zA-Z0-9]", "_")
+            val k = get_json_object($"props", "$.k").cast("long")
+            val doc = to_json(struct(
+              $"event_type".as("t"),
+              struct($"user_id".as("uid"), k.as("k")).as("u"),
+              when(k % 2 === 0, array(k, k * 2))
+                .otherwise(array(k, k * 2, k * 3)).as("vals")))
+            Tables.events(s, dir)
+              .select(parse_json(doc).as("raw_data"))
+              .write.mode("overwrite").parquet(p)
+            p
+          })
+        s.read.parquet(path)
+          .select(
+            expr("variant_get(raw_data, '$.t', 'string')").as("event_type"),
+            expr("variant_get(raw_data, '$.u.uid', 'long')").as("uid"),
+            expr("variant_get(raw_data, '$.u.k', 'long')").as("k"),
+            expr("try_variant_get(raw_data, '$.vals[2]', 'long')").as("k3"))
+          .where($"k".isNotNull)
+          .groupBy($"event_type")
+          .agg(sum($"uid").as("sum_uid"),
+            sum($"k3").as("sum_k3"),
+            count(when($"k3".isNull, 1)).as("n_short"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH e AS (
+        |  SELECT event_type, user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(SUM(CASE WHEN k % 2 <> 0 THEN 3 * k END) AS BIGINT)
+        |    AS sum_k3,
+        |  CAST(COUNT(CASE WHEN k % 2 = 0 THEN 1 END) AS BIGINT) AS n_short,
+        |  COUNT(*) AS n
         |FROM e WHERE k IS NOT NULL GROUP BY 1""".stripMargin))
   )
+
+  /** Once-per-session stored-variant landing for q314 (the Bronze write:
+    * parse_json at load, parquet stores the encoded variant) — keyed on
+    * applicationId + fixture dir like every session substrate.
+    */
+  private val variantStoreCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 }

@@ -779,10 +779,12 @@ object EventStream {
 
   /** Streaming PERCEPTUAL-dedup index maintenance — [[dedupMaintain]]'s
     * contract for fingerprint columns (the q308/q309/q310 family): input
-    * batches carry (doc_id, fp) where fp is any ≤32-bit perceptual hash
-    * (image dHash, audio/video gradient hash — fingerprinting itself is
-    * a stateless map, so the maintainer is CODEC-AGNOSTIC and one state
-    * store serves every modality). Per batch: the delta's 2×16-bit band
+    * batches carry (doc_id, fp) where fp is any ≤`fpBits`-bit perceptual
+    * hash (image dHash, audio/video gradient hash — fingerprinting itself
+    * is a stateless map, so the maintainer is CODEC-AGNOSTIC and one
+    * state store serves every modality; widths are enforced in-plan, a
+    * wider fp fails the batch rather than degrading band recall
+    * silently). Per batch: the delta's two (fpBits/2)-bit band
     * rows probe the accumulated fingerprint index (own-batch partition
     * excluded — the stale-replay guard), candidates respect the
     * bucket cap and the arrival orientation (index docs, or same-batch
@@ -796,7 +798,16 @@ object EventStream {
     */
   def fpDedupMaintain(spark: SparkSession, docs: DataFrame,
       statePath: String, radius: Int = 4,
-      maxBandBucket: Int = 100000): DataFrame = {
+      maxBandBucket: Int = 100000, fpBits: Int = 32): DataFrame = {
+    // The 2-band split must COVER the fingerprint: a fp wider than
+    // fpBits would silently push its high bits into one oversized band
+    // and weaken the low-band collision guarantee (gradientHash can emit
+    // up to 62 bits). The width is a parameter, and the contract is
+    // enforced IN-PLAN on every delta row (assert_true compiles into the
+    // projection — a too-wide fp fails the batch with a message instead
+    // of degrading recall unobserved).
+    require(fpBits >= 2 && fpBits <= 62, s"fpBits must be 2..62, got $fpBits")
+    val loBits = fpBits / 2
     val fpsP = statePath + "/fps"
     val verdictsP = statePath + "/verdicts"
     val ledgerP = statePath + "/ledger"
@@ -809,6 +820,12 @@ object EventStream {
         if (!done.contains(batchId)) {
           val fps = batch
             .select(col("doc_id").cast("long"), col("fp").cast("long"))
+            // a WHERE, not a dropped projection column — an unused
+            // Project column would be column-pruned and the check with it
+            .where(assert_true(col("fp") >= 0 &&
+              shiftright(col("fp"), fpBits) === 0,
+              lit(s"fpDedupMaintain: fp exceeds fpBits=$fpBits — " +
+                "widen fpBits or narrow the fingerprint")).isNull)
             .localCheckpoint()
           val haveIdx = stateExists(spark, fpsP)
           val allFps = fps.withColumn("_delta", lit(true))
@@ -820,8 +837,9 @@ object EventStream {
               else fps.withColumn("_delta", lit(true)).limit(0))
           val allBands = allFps.select(col("doc_id"), col("fp"),
             col("_delta"),
-            posexplode(array((col("fp") % 65536).cast("long"),
-              shiftright(col("fp"), 16).cast("long")))
+            posexplode(array(
+              (col("fp") % (1L << loBits)).cast("long"),
+              shiftright(col("fp"), loBits).cast("long")))
               .as(Seq("band_id", "band_key")))
           val keep = allBands.groupBy(col("band_id"), col("band_key"))
             .agg(count(lit(1)).as("bucket_n"))

@@ -1285,6 +1285,19 @@ class PlanShapeSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p.take(1600))
   }
 
+  test("q314 stored-variant read: paths project below the single agg " +
+      "exchange; the stored variant binary never shuffles") {
+    val p = planOf("q314_variant_store")
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    // one keyed-agg shuffle over the EXTRACTED columns only — the stored
+    // variant binary stays in the scan stage
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!"Exchange hashpartitioning\\([^)]*variant".r
+      .findFirstIn(p).isDefined, p.take(1600))
+    assert(!"Exchange[^\\n]*raw_data".r.findFirstIn(p).isDefined,
+      p.take(1600))
+  }
+
   test("q304 lateral top-N decorrelates to a WindowGroupLimit heap — " +
       "no per-outer-row re-execution, no cartesian") {
     val p = planOf("q304_lateral_topk")

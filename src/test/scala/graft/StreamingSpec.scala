@@ -1391,7 +1391,7 @@ class StreamingSpec extends SparkSpec {
 
   test("soak: 200 micro-batches through dedupMaintain with mid-stream " +
       "compaction — file counts stay bounded, ledger exact, verdicts " +
-      "match the closed form") {
+      "match the closed form", Slow) {
     val nDocs = 200
     val ddir = Files.createTempDirectory("graft_soak_docs").toString
     // doc 2g and 2g+1 share identical text (near-dup pairs by
