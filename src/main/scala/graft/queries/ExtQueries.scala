@@ -363,20 +363,24 @@ object ExtQueries {
 
     // ── Media ROUTER — the dispatch pattern a real multimodal ingest
     //    runs, composed in one gated query: a MIXED corpus (doc_id mod 3
-    //    selects q301's closed-form 8×8 PNG, q302's closed-form
-    //    64-sample WAV, or q307's closed-form 3-frame AVI) is
-    //    content-sniffed ([[Multimodal.sniffType]] — including the
-    //    RIFF form-type disambiguation, which must tell the two RIFF
-    //    containers WAVE and AVI apart) and each branch decodes through
-    //    ITS real codec (two JDK codecs + the byte-level DIB decoder),
-    //    unioning to a uniform (doc_id, media_type, n_units, metric)
-    //    schema (pixels + thumbnail-luma sum for images; samples +
-    //    sample sum for audio; frame-pixels + channel sum for video).
-    //    All three codecs are lossless on these payloads, so the oracle
-    //    evaluates the three closed forms by doc-id residue — no codec,
-    //    no sniffing oracle-side. Scale shape: synthesis, sniffing, and
-    //    all three decodes are narrow partition-wise stages; the union
-    //    is plan-level (no exchange anywhere — payloads never shuffle).
+    //    selects the image class — split mod 6 into q301's closed-form
+    //    8×8 PNG and a LOSSY 32×32 JPEG — q302's closed-form 64-sample
+    //    WAV, or q307's closed-form 3-frame AVI) is content-sniffed
+    //    ([[Multimodal.sniffType]] — including the RIFF form-type
+    //    disambiguation, which must tell the two RIFF containers WAVE
+    //    and AVI apart) and each branch decodes through ITS real codec
+    //    (two JDK codecs + the byte-level DIB decoder), unioning to a
+    //    uniform (doc_id, media_type, n_units, metric) schema (pixels +
+    //    thumbnail-luma sum for PNG; pixels + position-weighted
+    //    brightness BANDS for JPEG — the stat built to survive a lossy
+    //    round trip, see [[jpegFromCells]]; samples + sample sum for
+    //    audio; frame-pixels + channel sum for video). PNG/WAV/AVI are
+    //    lossless and JPEG's banded stat is quantization-immune by
+    //    construction, so the oracle evaluates four closed forms by
+    //    doc-id residue — no codec, no sniffing oracle-side. Scale
+    //    shape: synthesis, sniffing, and all four decodes are narrow
+    //    partition-wise stages; the union is plan-level (no exchange
+    //    anywhere — payloads never shuffle).
     QueryDef(
       "q306_media_router",
       (s, dir) => {
@@ -386,6 +390,16 @@ object ExtQueries {
           .mapPartitions { it =>
             it.map { id =>
               (id % 3) match {
+                // the image class (id % 3 == 0) splits lossless/lossy:
+                // 0 mod 6 stays the closed-form PNG; 3 mod 6 is a JPEG
+                // whose 16 flat blocks carry BAND-CENTERED lumas
+                // (32·band + 16), so the decoded thumbnail's div-32
+                // quantization is exact despite lossy DC rounding —
+                // a real crawl is mostly JPEG, and the gate now runs
+                // the JDK's actual lossy decode path end to end
+                case 0 if id % 6 == 3 =>
+                  (id, jpegFromCells((cx, cy) =>
+                    32 * ((id * 7 + 5 * cx + 3 * cy) % 7).toInt + 16))
                 case 0 =>
                   val img = new java.awt.image.BufferedImage(
                     8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -441,6 +455,16 @@ object ExtQueries {
           .select($"media_id".as("doc_id"), lit("png").as("media_type"),
             ($"width" * $"height").cast("long").as("n_units"),
             aggregate($"gray4x4", lit(0L), (a, x) => a + x).as("metric"))
+        // lossy branch: the metric is the position-weighted BAND of each
+        // thumbnail cell (div 32) — exact under the ≤5-level DC error
+        // because the fixture centers every cell at 32·band + 16
+        val jpg = Multimodal.decodeImages(
+            payloads.where($"media_type" === "jpeg"), "media_id", "payload")
+          .select($"media_id".as("doc_id"), lit("jpeg").as("media_type"),
+            ($"width" * $"height").cast("long").as("n_units"),
+            expr("aggregate(transform(gray4x4, (x, i) -> " +
+              "CAST(i + 1 AS BIGINT) * (x DIV 32)), CAST(0 AS BIGINT), " +
+              "(a, x) -> a + x)").as("metric"))
         val wav = Multimodal.decodeAudio(
             payloads.where($"media_type" === "wav"), "media_id", "payload")
           .select($"media_id".as("doc_id"), lit("wav").as("media_type"),
@@ -450,13 +474,13 @@ object ExtQueries {
           .select($"media_id".as("doc_id"), lit("avi").as("media_type"),
             ($"width" * $"height" * $"n_frames").cast("long").as("n_units"),
             $"px_sum".as("metric"))
-        png.unionByName(wav).unionByName(avi)
+        png.unionByName(jpg).unionByName(wav).unionByName(avi)
       },
       Some("""WITH px AS (
         |  SELECT doc_id,
         |    CAST((y // 2) * 4 + (x // 2) AS INT) AS cell,
         |    (doc_id * 13 + 7 * x + 11 * y) % 256 AS g
-        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 6 = 0)
         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x)
         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y)),
         |cells AS (
@@ -466,6 +490,17 @@ object ExtQueries {
         |  SELECT doc_id, 'png' AS media_type, CAST(64 AS BIGINT) AS n_units,
         |    CAST(SUM(luma) AS BIGINT) AS metric
         |  FROM cells GROUP BY 1),
+        |jcell AS (
+        |  SELECT doc_id, cy * 4 + cx AS cell,
+        |    (doc_id * 7 + 5 * cx + 3 * cy) % 7 AS band
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 6 = 3)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cx)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cy)),
+        |jpeg AS (
+        |  SELECT doc_id, 'jpeg' AS media_type,
+        |    CAST(1024 AS BIGINT) AS n_units,
+        |    CAST(SUM((cell + 1) * band) AS BIGINT) AS metric
+        |  FROM jcell GROUP BY 1),
         |smp AS (
         |  SELECT doc_id, (doc_id * 31 + 17 * i) % 65536 - 32768 AS s
         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 1)
@@ -485,7 +520,8 @@ object ExtQueries {
         |  SELECT doc_id, 'avi' AS media_type, CAST(72 AS BIGINT) AS n_units,
         |    CAST(SUM(3 * g) AS BIGINT) AS metric
         |  FROM vpx GROUP BY 1)
-        |SELECT * FROM png UNION ALL SELECT * FROM wav
+        |SELECT * FROM png UNION ALL SELECT * FROM jpeg
+        |UNION ALL SELECT * FROM wav
         |UNION ALL SELECT * FROM avi""".stripMargin)),
 
     // ── REAL video decoding inside the correctness gate — the THIRD
@@ -830,16 +866,19 @@ object ExtQueries {
     // ── Cross-modal DEDUP ROUTER — the q306 dispatch pattern composed
     //    with the q308/q309/q310 fingerprints into the one query a crawl
     //    dedup pipeline actually runs over a MIXED media corpus: groups
-    //    of 4 near-identical payloads land as PNG, WAV, or AVI by
-    //    (doc_id÷4) mod 3, every payload is content-sniffed
-    //    ([[Multimodal.sniffType]] — no trusted type column), each branch
-    //    decodes through ITS real codec and hashes with ITS fingerprint
-    //    (dHash24 thumbnail gradients / Σs² energy contour / frame-sum
-    //    trajectory), and the three fingerprint streams feed ONE banded
-    //    candidate join keyed on (media_type, band, key) — so near-dups
-    //    are found within each modality by the same machinery, with
-    //    per-modality verify radii (PNG ≤ 4 of 24 bits, WAV/AVI ≤ 8 of
-    //    31). The decode runs through [[Multimodal.decodeMedia]] — the
+    //    of 4 near-identical payloads land as PNG, lossy JPEG (the image
+    //    class splits by (doc_id÷4) mod 6 — a real crawl is mostly
+    //    JPEG), WAV, or AVI by (doc_id÷4) mod 3, every payload is
+    //    content-sniffed ([[Multimodal.sniffType]] — no trusted type
+    //    column), each branch decodes through ITS real codec and hashes
+    //    with ITS fingerprint (dHash24 thumbnail gradients for both
+    //    image codecs — for JPEG the fixture's ≥16-level gradient
+    //    margins make the decoded hash provably quantization-immune /
+    //    Σs² energy contour / frame-sum trajectory), and the fingerprint
+    //    streams feed ONE banded candidate join keyed on (media_type,
+    //    band, key) — so near-dups are found within each modality by
+    //    the same machinery, with per-modality verify radii (PNG/JPEG
+    //    ≤ 4 of 24 bits, WAV/AVI ≤ 8 of 31). The decode runs through [[Multimodal.decodeMedia]] — the
     //    ONE-PASS dispatcher: sniff + decode + feature extraction in a
     //    single partition-wise stage over a single payload scan (the
     //    per-modality filter+decode route would re-read the full binary
@@ -862,6 +901,25 @@ object ExtQueries {
             it.map { id =>
               val grp = id / 4
               ((grp % 3).toInt: @unchecked) match {
+                // the image class (grp % 3 == 0) splits lossless/lossy:
+                // grp ≡ 3 (mod 6) groups land as JPEG. Adjacent thumbnail
+                // cells alternate a +16 parity offset on top of 32-level
+                // bands, so every dHash comparison has ≥16 levels of
+                // margin — the lossy DC rounding (≤5 levels/cell at
+                // quality 0.9) can never flip a gradient sign, making
+                // the decoded fingerprint provably equal to the oracle's
+                // source-side closed form. The id%4 perturbation shifts
+                // the cy=3 row by whole bands: ≤4 vertical bits flip →
+                // in-group pairs stay within the radius, same structure
+                // as the PNG branch.
+                case 0 if grp % 6 == 3 =>
+                  (id, jpegFromCells { (cx, cy) =>
+                    val d = md.digest(
+                      s"${grp}_j_${cx}_${cy}".getBytes("UTF-8"))
+                    32 * ((((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 5) +
+                      16 * ((cx + cy) % 2) +
+                      (if (cy == 3) 32 * (id % 4).toInt else 0)
+                  })
                 case 0 =>
                   val img = new java.awt.image.BufferedImage(
                     8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -921,11 +979,11 @@ object ExtQueries {
             payloads, "media_id", "payload", audioWindows = 32)
           .where($"decodable")
           .select($"media_id".as("doc_id"), $"media_type",
-            when($"media_type" === "png",
+            when($"media_type".isin("png", "jpeg"),
               Multimodal.dHash24($"features"))
               .otherwise(Multimodal.gradientHash($"features", 31))
               .as("fp"),
-            when($"media_type" === "png", lit(4)).otherwise(lit(8))
+            when($"media_type".isin("png", "jpeg"), lit(4)).otherwise(lit(8))
               .as("radius"))
         val bands = fps.select($"doc_id", $"media_type", $"fp", $"radius",
           posexplode(array(
@@ -948,7 +1006,7 @@ object ExtQueries {
         |        || CAST(cx AS VARCHAR) || '_' || CAST(cy AS VARCHAR)),
         |      1, 4))::INT % 200
         |      + CASE WHEN cy = 3 THEN 13 * (doc_id % 4) ELSE 0 END AS luma
-        |  FROM (SELECT doc_id FROM documents WHERE (doc_id // 4) % 3 = 0)
+        |  FROM (SELECT doc_id FROM documents WHERE (doc_id // 4) % 6 = 0)
         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cx)
         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cy)),
         |ibits AS (
@@ -965,6 +1023,30 @@ object ExtQueries {
         |  SELECT doc_id, 'png' AS media_type,
         |    CAST(SUM(term) AS BIGINT) AS fp, 4 AS radius
         |  FROM ibits GROUP BY 1),
+        |jcells AS (
+        |  SELECT doc_id, cx, cy,
+        |    32 * (('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_j_'
+        |        || CAST(cx AS VARCHAR) || '_' || CAST(cy AS VARCHAR)),
+        |      1, 4))::INT % 5)
+        |      + 16 * ((cx + cy) % 2)
+        |      + CASE WHEN cy = 3 THEN 32 * (doc_id % 4) ELSE 0 END AS luma
+        |  FROM (SELECT doc_id FROM documents WHERE (doc_id // 4) % 6 = 3)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cx)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cy)),
+        |jbits AS (
+        |  SELECT a.doc_id, CASE WHEN a.luma > b.luma
+        |      THEN (1::BIGINT << (a.cy * 3 + a.cx)) ELSE 0 END AS term
+        |  FROM jcells a JOIN jcells b ON a.doc_id = b.doc_id
+        |    AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  UNION ALL
+        |  SELECT a.doc_id, CASE WHEN a.luma > b.luma
+        |      THEN (1::BIGINT << (12 + a.cy * 4 + a.cx)) ELSE 0 END
+        |  FROM jcells a JOIN jcells b ON a.doc_id = b.doc_id
+        |    AND a.cx = b.cx AND b.cy = a.cy + 1),
+        |jhash AS (
+        |  SELECT doc_id, 'jpeg' AS media_type,
+        |    CAST(SUM(term) AS BIGINT) AS fp, 4 AS radius
+        |  FROM jbits GROUP BY 1),
         |avals AS (
         |  SELECT doc_id, w,
         |    ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_'
@@ -1001,7 +1083,8 @@ object ExtQueries {
         |    CAST(SUM(term) AS BIGINT) AS fp, 8 AS radius
         |  FROM vbits2 GROUP BY 1),
         |hashes AS (
-        |  SELECT * FROM ihash UNION ALL SELECT * FROM ahash
+        |  SELECT * FROM ihash UNION ALL SELECT * FROM jhash
+        |  UNION ALL SELECT * FROM ahash
         |  UNION ALL SELECT * FROM vhash),
         |bands AS (
         |  SELECT doc_id, media_type, fp, radius, 0 AS band,
@@ -1380,4 +1463,40 @@ object ExtQueries {
     */
   private val variantStoreCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Synthesize a 32×32 grayscale JPEG whose sixteen 8×8 blocks are each
+    * FLAT at the given cell luma — the construction that makes a LOSSY
+    * codec gateable against a closed-form oracle: a flat block has zero
+    * AC energy, so its decode error is the DC quantization rounding alone
+    * (≤ ~5 luma levels at quality 0.9), and any gated stat with ≥16
+    * levels of margin provably survives the round trip. One cell = one
+    * JPEG block = one [[Multimodal.decodeImages]] thumbnail cell, so the
+    * decoded gray4x4 is the per-block luma ± the bounded DC error.
+    */
+  private def jpegFromCells(cell: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val g = cell(x / 8, y / 8)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.9f)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
 }
