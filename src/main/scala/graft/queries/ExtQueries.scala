@@ -1454,8 +1454,127 @@ object ExtQueries {
         |    AS sum_k3,
         |  CAST(COUNT(CASE WHEN k % 2 = 0 THEN 1 END) AS BIGINT) AS n_short,
         |  COUNT(*) AS n
-        |FROM e WHERE k IS NOT NULL GROUP BY 1""".stripMargin))
+        |FROM e WHERE k IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    // ── Medallion-plumbing hash gate — puts S1-S14's operational core
+    //    under the same DuckDB bar as the relational operators (it was
+    //    previously exercised only by the e2e PipelineSpec): a
+    //    deterministic ingestion fixture is synthesized FROM the nation
+    //    dim (one CSV per region; the comments column carries the literal
+    //    string 'NULL' for even keys to exercise NULL_IF normalization;
+    //    one extra file's config targets an UNREGISTERED table — a
+    //    deterministic FAILURE path), then the REAL pipeline runs: config
+    //    scan + glob listing (S1/S3), tolerant schema'd CSV load with
+    //    audit columns (S4), ledger RUNNING→SUCCESS/FAILURE transitions
+    //    (S7), a SECOND full run that must skip every SUCCESS file and
+    //    retry the failure (S6 — failure is not done), a
+    //    load_id-partitioned delete+insert rewrite that must leave row
+    //    counts unchanged (S11 via dynamic partition overwrite), and a
+    //    Gold CTAS rebuild (S10/S12). The observable outcome lands in ONE
+    //    relational row — file/row/ledger/NULL_IF counts plus the
+    //    idempotency and overwrite invariants AS DATA — that DuckDB
+    //    replays from nation alone, so the ledger protocol itself is
+    //    hash-gated. Control flow is driver-side over a 25-row dim (the
+    //    ledger pattern of the real pipeline; bounded); row movement is
+    //    executor-side. Runs once per session; consumers read the
+    //    checkpointed report.
+    QueryDef(
+      "q315_medallion_gate",
+      (s, dir) => medallionReportCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_medallion").toString
+          val src = java.nio.file.Files
+            .createTempDirectory("graft_medallion_src").toString
+          // fixture synthesis: nation is a bounded dim — driver-side CSV
+          // writing stands in for files arriving on a stage
+          val nations = Tables.nation(s, dir)
+            .select($"n_nationkey".cast("long"), $"n_name",
+              $"n_regionkey".cast("long"))
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          nations.groupBy(_._3).foreach { case (rk, rows) =>
+            val body = rows.sortBy(_._1).map { case (nk, name, _) =>
+              val comments = if (nk % 2 == 0) "NULL" else "ok"
+              s"$name,2024-01-15,N$nk,x,$nk,$comments"
+            }.mkString("\n")
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$src/tx_$rk.csv"),
+              ("country,date,name,type,amount,comments\n" + body + "\n")
+                .getBytes("UTF-8"))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$src/bad_0.csv"),
+            "whatever\n1\n".getBytes("UTF-8"))
+          val catalog = new graft.pipeline.Catalog(s, root)
+          val ing = new graft.pipeline.Ingestion(catalog)
+          val config = Seq(
+            graft.pipeline.Schemas.FileDetail(1L, "c", "stage", src,
+              "tx_*.csv", "bronze", "transactions", "CSV"),
+            graft.pipeline.Schemas.FileDetail(2L, "c", "stage", src,
+              "bad_*.csv", "bronze", "unregistered_table", "CSV"))
+          ing.ingestAll(config)
+          val second = ing.ingestAll(config)
+          val secondRunRows = second.values.flatten
+            .collect { case (_, _, n) if n >= 0L => n }.sum
+          val bronze = catalog.read("bronze", "transactions")
+          // S11: rewrite batch 1 with its own (checkpointed — you cannot
+          // overwrite a path you are reading) rows; dynamic partition
+          // overwrite must replace exactly that partition, count stable
+          val batch = bronze.where($"load_id" === 1L).localCheckpoint()
+          catalog.overwriteBatch(batch, "bronze", "transactions")
+          val bronze2 =
+            catalog.read("bronze", "transactions").localCheckpoint()
+          val overwriteStable = bronze2.count() == nations.length.toLong
+          val gold = bronze2.groupBy($"country")
+            .agg(sum($"amount".cast("long")).as("spend"))
+          catalog.overwrite(gold, "gold", "country_spend")
+          val goldR = catalog.read("gold", "country_spend")
+          val ledger = catalog.read("admin", "ingestion_logs")
+          ledger.agg(
+              count(when($"status" === "RUNNING", 1)).as("ledger_running"),
+              count(when($"status" === "SUCCESS", 1)).as("ledger_success"),
+              count(when($"status" === "FAILURE", 1)).as("ledger_failure"))
+            .crossJoin(bronze2.agg(
+              count(lit(1)).as("bronze_rows"),
+              count(when($"comments".isNull, 1)).as("null_comments"),
+              countDistinct($"_source_file").as("n_files")))
+            .crossJoin(goldR.agg(
+              count(lit(1)).as("gold_rows"),
+              sum($"spend").as("gold_sum_amount")))
+            .withColumn("second_run_rows", lit(secondRunRows))
+            .withColumn("overwrite_stable", lit(overwriteStable))
+            .select($"n_files", $"bronze_rows", $"null_comments",
+              $"ledger_running", $"ledger_success", $"ledger_failure",
+              $"second_run_rows", $"overwrite_stable",
+              $"gold_rows", $"gold_sum_amount")
+            .localCheckpoint()
+        }),
+      Some("""SELECT
+        |  CAST((SELECT COUNT(DISTINCT n_regionkey) FROM nation) AS BIGINT)
+        |    AS n_files,
+        |  CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS bronze_rows,
+        |  CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey % 2 = 0)
+        |    AS BIGINT) AS null_comments,
+        |  CAST((SELECT COUNT(DISTINCT n_regionkey) FROM nation) + 2
+        |    AS BIGINT) AS ledger_running,
+        |  CAST((SELECT COUNT(DISTINCT n_regionkey) FROM nation) AS BIGINT)
+        |    AS ledger_success,
+        |  CAST(2 AS BIGINT) AS ledger_failure,
+        |  CAST(0 AS BIGINT) AS second_run_rows,
+        |  TRUE AS overwrite_stable,
+        |  CAST((SELECT COUNT(DISTINCT n_name) FROM nation) AS BIGINT)
+        |    AS gold_rows,
+        |  CAST((SELECT SUM(n_nationkey) FROM nation) AS BIGINT)
+        |    AS gold_sum_amount""".stripMargin))
   )
+
+  /** Once-per-session medallion-pipeline run for q315: the fixture
+    * synthesis, double ingest, rewrite, and Gold rebuild happen once;
+    * the gated report is the checkpointed single row.
+    */
+  private val medallionReportCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
 
   /** Once-per-session stored-variant landing for q314 (the Bronze write:
     * parse_json at load, parquet stores the encoded variant) — keyed on
