@@ -400,4 +400,64 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
     assert(r.getAs[scala.collection.Seq[Long]]("gray4x4").toSeq == expected)
   }
+
+  test("NULL payloads are data, not task failures, across every decoder") {
+    // a crawl's binary column is nullable; the documented contract is
+    // decodable=false / media_type unknown — previously decodeMedia and
+    // decodeVideo NPE'd the task on a null blob
+    val df = Seq((1L, null.asInstanceOf[Array[Byte]]), (2L, junk))
+      .toDF("media_id", "payload")
+    val m = Multimodal.decodeMedia(df, "media_id", "payload")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(m(1L).getAs[String]("media_type") == "unknown" &&
+      !m(1L).getAs[Boolean]("decodable"))
+    val v = Multimodal.decodeVideo(df, "media_id", "payload")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(!v(1L).getAs[Boolean]("decodable"))
+    val i = Multimodal.decodeImages(df, "media_id", "payload")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(!i(1L).getAs[Boolean]("decodable"))
+    val a = Multimodal.decodeAudio(df, "media_id", "payload")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(!a(1L).getAs[Boolean]("decodable"))
+  }
+
+  test("lossy JPEG flat-block round trip: decoded thumbnail cells stay " +
+      "inside the band margin the q306/q311 fixtures rely on") {
+    // 32x32, one flat 8x8 block per thumbnail cell, band-centered lumas
+    // (32*band + 16): after a REAL JPEG encode (quality 0.9) + decode,
+    // each cell must land within +-8 of its source so div-32 banding and
+    // >=16-level gradient signs are exact — the provable-margin
+    // contract the lossy gates are built on
+    def cellLuma(cx: Int, cy: Int): Int = 32 * ((5 * cx + 3 * cy) % 7) + 16
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val g = cellLuma(x / 8, y / 8)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.9f)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    val r = Multimodal.decodeImages(
+      Seq((1L, out.toByteArray)).toDF("media_id", "payload"),
+      "media_id", "payload").head()
+    assert(r.getAs[Boolean]("decodable"))
+    assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 32)
+    val cells = r.getAs[scala.collection.Seq[Long]]("gray4x4")
+    for (cy <- 0 until 4; cx <- 0 until 4) {
+      val src = cellLuma(cx, cy)
+      val dec = cells(cy * 4 + cx)
+      assert(math.abs(dec - src) <= 8,
+        s"cell ($cx,$cy): src=$src decoded=$dec drifted past the margin")
+      assert(dec / 32 == src / 32, s"cell ($cx,$cy) crossed its band")
+    }
+  }
 }

@@ -696,6 +696,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("fpDedupMaintain enforces the fp width contract: a wide fp fails " +
+      "the batch loudly at the default, and bands correctly once widened") {
+    // gradientHash can emit up to 62 bits; at the default fpBits=32 a
+    // 41-bit fp used to silently land its high bits in one oversized
+    // band (weakening recall unobserved) — now the in-plan assert fails
+    // the batch with the remedy in the message
+    val ddir =
+      Files.createTempDirectory("graft_fpwide_docs").toString + "/docs"
+    Seq((1L, (1L << 40) | 5L), (2L, (1L << 40) | 6L)).toDF("doc_id", "fp")
+      .coalesce(1).write.parquet(ddir)
+    val schema = spark.read.parquet(ddir).schema
+    def stream = spark.readStream.schema(schema).parquet(ddir)
+    val s1 = Files.createTempDirectory("graft_fpwide_s1").toString + "/state"
+    val ex = intercept[Throwable] {
+      EventStream.fpDedupMaintain(spark, stream, s1)
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    assert(msgs.contains("fpBits"), msgs.take(500))
+    // widened: the two fps share the high 31-bit band (identical >>31),
+    // differ by 2 bits -> same-batch orientation matches doc 2 to doc 1
+    val s2 = Files.createTempDirectory("graft_fpwide_s2").toString + "/state"
+    val fin = EventStream.fpDedupMaintain(spark, stream, s2, fpBits = 62)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!fin(1L).getAs[Boolean]("is_dup"))
+    assert(fin(2L).getAs[Boolean]("is_dup") &&
+      fin(2L).getAs[Long]("best_match") == 1L &&
+      fin(2L).getAs[Int]("best_hamming") == 2)
+  }
+
   test("streaming multimodal ingest end to end: payload stream -> " +
       "in-stream decodeMedia + fingerprint -> fpDedupMaintain") {
     import graft.ext.Multimodal
