@@ -2441,11 +2441,6 @@ object AnalyticsQueries {
       // agg and BOTH self-join sides — without the checkpoint each consumer
       // replays the join+distinct lineage (exchange reuse across the
       // aliased sides is not guaranteed), tripling the dominant cost
-      val buyers = orderPartCached(s, dir)
-        .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .select($"l_partkey", $"o_custkey").distinct()
-        .localCheckpoint()
       // count-cap pre-filter BEFORE any per-part materialization, then a
       // codegen'd self-join generates the C(nb,2) pair space. An in-row
       // rewrite (sort_array(collect_list) + higher-order-function pair
@@ -2457,6 +2452,17 @@ object AnalyticsQueries {
       // cap filter makes a hot part a single-row memory hotspot. The
       // self-join shape caps with a cheap count agg first, so no row ever
       // materializes an over-cap group.
+      // (A pre-partition-by-part variant — repartition(l_partkey) before
+      // the dedup so every downstream consumer rides one shuffle — was
+      // probed in r10 and rejected: localCheckpoint materializes to an
+      // RDD scan with UnknownPartitioning, so the clustering is NOT
+      // preserved across the lineage cut and the self-join re-exchanges
+      // anyway; measured a wash at sf0.1.)
+      val buyers = orderPartCached(s, dir)
+        .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_partkey", $"o_custkey").distinct()
+        .localCheckpoint()
       val bounded = buyers.join(
         buyers.groupBy($"l_partkey").agg(count(lit(1)).as("nb"))
           .where($"nb" <= RingGroupCap).select($"l_partkey"),

@@ -726,6 +726,62 @@ class StreamingSpec extends SparkSpec {
       fin(2L).getAs[Int]("best_hamming") == 2)
   }
 
+  test("variantMaintain: streamed JSON lands as stored variant exactly " +
+      "once; typed path reads match the closed form, survive replay " +
+      "and compaction") {
+    val n = 60L
+    def json(id: Long): String = {
+      val tail = if (id % 2 == 0) "" else s",${3 * id}"
+      s"""{"t":"e${id % 3}","u":{"uid":${2 * id},"k":$id},""" +
+        s""""vals":[$id,${2 * id}$tail]}"""
+    }
+    val ddir = Files.createTempDirectory("graft_var_docs").toString
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 3).foreach { w =>
+      (0L until n).filter(_ % 3 == w).map(id => (id, json(id)))
+        .toDF("doc_id", "json_text").coalesce(1)
+        .write.mode("append").parquet(ddir)
+      val now = Files.list(java.nio.file.Paths.get(ddir)).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path]).toSet
+      (now -- known).foreach { p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(1000000000000L + w * 1000000L))
+      }
+      known = now
+    }
+    val statePath =
+      Files.createTempDirectory("graft_var_state").toString + "/state"
+    val schema = spark.read.parquet(ddir).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    def pathsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      expr("variant_get(raw_data, '$.t', 'string')").as("t"),
+      expr("variant_get(raw_data, '$.u.uid', 'long')").as("uid"),
+      expr("try_variant_get(raw_data, '$.vals[2]', 'long')").as("k3"))
+    val got = pathsOf(EventStream.variantMaintain(spark, stream, statePath))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == n)
+    (0L until n).foreach { id =>
+      val r = got(id)
+      assert(r.getAs[String]("t") == s"e${id % 3}", s"doc $id")
+      assert(r.getAs[Long]("uid") == 2 * id, s"doc $id")
+      if (id % 2 == 0) assert(r.isNullAt(r.fieldIndex("k3")), s"doc $id")
+      else assert(r.getAs[Long]("k3") == 3 * id, s"doc $id")
+    }
+    // full replay: every batch is ledgered -> no duplicate landings
+    assert(EventStream.variantMaintain(spark, stream, statePath)
+      .count() == n)
+    // compaction folds the store to batch=-1; typed serving unchanged
+    EventStream.compactState(spark, statePath + "/variants")
+    val got3 = pathsOf(EventStream.variantMaintain(spark, stream, statePath))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got3.size == n)
+    (0L until n).foreach { id =>
+      assert(got3(id).getAs[Long]("uid") == 2 * id, s"doc $id post-compact")
+    }
+  }
+
   test("streaming multimodal ingest end to end: payload stream -> " +
       "in-stream decodeMedia + fingerprint -> fpDedupMaintain") {
     import graft.ext.Multimodal
