@@ -21,7 +21,7 @@ class StreamingSpec extends SparkSpec {
     d
   }
 
-  test("streaming heavy-hitters: exact above the key domain, MG-bounded below") {
+  test("streaming heavy-hitters: exact above the key domain, MG-bounded below", Slow) {
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
       .groupBy($"event_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -466,7 +466,7 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("streaming incremental CC equals batch CC under interleaved waves + replay") {
+  test("streaming incremental CC equals batch CC under interleaved waves + replay", Slow) {
     import graft.ext.Dedup
     // one 100-node chain (0-1-2-...-99) + stars (700+7j roots) whose
     // edges interleave across waves by (a+b) % 3 — merges are forced to
@@ -505,7 +505,7 @@ class StreamingSpec extends SparkSpec {
     assert(fin2.exceptAll(batch).isEmpty && batch.exceptAll(fin2).isEmpty)
   }
 
-  test("streaming mini-batch k-means: one batch = one Lloyd round; counts conserve") {
+  test("streaming mini-batch k-means: one batch = one Lloyd round; counts conserve", Slow) {
     import graft.ext.KMeans
     val src = "/root/testdata/sf0.001"
     // single-file source → ONE micro-batch → must reproduce one batch
@@ -550,7 +550,7 @@ class StreamingSpec extends SparkSpec {
     assert(fin2.count() <= 8 && fin2.count() > 0)
   }
 
-  test("streaming incremental dedup matches the batch contract and survives replay") {
+  test("streaming incremental dedup matches the batch contract and survives replay", Slow) {
     import graft.ext.Dedup
     val ddir = Files.createTempDirectory("graft_dedup_stream").toString
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -1039,7 +1039,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("dedupMaintain replays a crashed batch OVER its stale partitions: " +
-      "clobbered, not doubled, and excluded from its own index reads") {
+      "clobbered, not doubled, and excluded from its own index reads", Slow) {
     def waveDocs(): String = {
       val d = Files.createTempDirectory("graft_dedup_crash_docs").toString
       val base = spark.read
@@ -1225,7 +1225,7 @@ class StreamingSpec extends SparkSpec {
 
   test("compactState: stores collapse to batch=-1 with results unchanged, " +
       "the stream continues over the compacted index, and a compaction " +
-      "crash in the rename window recovers") {
+      "crash in the rename window recovers", Slow) {
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
     def waveDir(waves: Int): String = {
@@ -1433,7 +1433,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("dedupMaintain recovers a ledger rename-window crash: ledgered " +
-      "batches stay skipped and never re-land beside compacted state") {
+      "batches stay skipped and never re-land beside compacted state", Slow) {
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
     val ddir = Files.createTempDirectory("graft_ledger_crash_docs").toString
