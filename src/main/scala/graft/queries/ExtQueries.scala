@@ -1566,8 +1566,65 @@ object ExtQueries {
         |  CAST((SELECT COUNT(DISTINCT n_name) FROM nation) AS BIGINT)
         |    AS gold_rows,
         |  CAST((SELECT SUM(n_nationkey) FROM nation) AS BIGINT)
-        |    AS gold_sum_amount""".stripMargin))
+        |    AS gold_sum_amount""".stripMargin)),
+
+    // ── Streaming VARIANT landing in the correctness gate — the q43/q54
+    //    pattern applied to [[graft.streaming.EventStream.variantMaintain]]:
+    //    each document row serializes to a nested heterogeneous JSON doc
+    //    (vals length depends on parity, as in q314), lands as a parquet
+    //    file stream consumed one file per micro-batch, and the maintainer
+    //    parses each batch ONCE into the ledgered variant store. The gated
+    //    read then runs typed variant_get paths over the ACCUMULATED store
+    //    and aggregates per source; the oracle computes the same numbers
+    //    from the base documents columns — so the stream→parse→store→
+    //    typed-read loop is hash-verified end to end, batching-invariant
+    //    by the maintainer's exactly-once contract. Runs once per session.
+    QueryDef(
+      "q316_variant_stream",
+      (s, dir) => variantStreamCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          val ddir = java.nio.file.Files
+            .createTempDirectory("graft_vstream").toString + "/docs"
+          val k = $"doc_id"
+          val json = to_json(struct($"source".as("t"),
+            struct(($"doc_id" * 2).as("uid"), $"doc_id".as("k")).as("u"),
+            when($"doc_id" % 2 === 0, array(k, k * 2))
+              .otherwise(array(k, k * 2, k * 3)).as("vals")))
+          val docs = Tables.documents(s, dir)
+            .select($"doc_id", json.as("json_text"))
+          // three appends → ≥3 files; maxFilesPerTrigger=1 forces a
+          // multi-batch run so the ledger/store protocol is exercised,
+          // and the result is batching-invariant by contract
+          (0 until 3).foreach { w =>
+            docs.where(pmod($"doc_id", lit(3)) === w).coalesce(1)
+              .write.mode("append").parquet(ddir)
+          }
+          val statePath = java.nio.file.Files
+            .createTempDirectory("graft_vstream_state").toString + "/state"
+          val store = graft.streaming.EventStream.variantMaintain(s,
+            s.readStream.schema(s.read.parquet(ddir).schema)
+              .option("maxFilesPerTrigger", "1").parquet(ddir), statePath)
+          store.select(
+              expr("variant_get(raw_data, '$.t', 'string')").as("source"),
+              expr("variant_get(raw_data, '$.u.uid', 'long')").as("uid"),
+              expr("try_variant_get(raw_data, '$.vals[2]', 'long')")
+                .as("k3"))
+            .groupBy($"source")
+            .agg(count(lit(1)).as("n"), sum($"uid").as("sum_uid"),
+              sum($"k3").as("sum_k3"))
+            .localCheckpoint()
+        }),
+      Some("""SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(2 * doc_id) AS BIGINT) AS sum_uid,
+        |  CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 3 * doc_id END)
+        |    AS BIGINT) AS sum_k3
+        |FROM documents GROUP BY 1""".stripMargin))
   )
+
+  /** Once-per-session streamed-variant landing for q316. */
+  private val variantStreamCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
 
   /** Once-per-session medallion-pipeline run for q315: the fixture
     * synthesis, double ingest, rewrite, and Gold rebuild happen once;
