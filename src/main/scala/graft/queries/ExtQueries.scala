@@ -399,7 +399,7 @@ object ExtQueries {
                 // the JDK's actual lossy decode path end to end
                 case 0 if id % 6 == 3 =>
                   (id, jpegFromCells((cx, cy) =>
-                    32 * ((id * 7 + 5 * cx + 3 * cy) % 7).toInt + 16))
+                    32 * ((id * 3 + 5 * cx + 3 * cy) % 7).toInt + 16))
                 case 0 =>
                   val img = new java.awt.image.BufferedImage(
                     8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -492,7 +492,7 @@ object ExtQueries {
         |  FROM cells GROUP BY 1),
         |jcell AS (
         |  SELECT doc_id, cy * 4 + cx AS cell,
-        |    (doc_id * 7 + 5 * cx + 3 * cy) % 7 AS band
+        |    (doc_id * 3 + 5 * cx + 3 * cy) % 7 AS band
         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 6 = 3)
         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cx)
         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cy)),
