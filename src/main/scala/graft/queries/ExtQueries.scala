@@ -1533,8 +1533,66 @@ object ExtQueries {
         |  CAST(SUM(2 * doc_id) AS BIGINT) AS sum_uid,
         |  CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 3 * doc_id END)
         |    AS BIGINT) AS sum_k3
-        |FROM documents GROUP BY 1""".stripMargin))
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ── Schema-evolution read — the Bronze reality a long-lived crawl
+    //    hits within months: early files landed with an old column set,
+    //    later files carry a new column, and NOTHING gets rewritten
+    //    (at 100 TB a backfill rewrite of old files is the cost you run
+    //    this layout to avoid). The fixture writes two generations of
+    //    the same table (even orderkeys in the 2-column legacy shape,
+    //    odd orderkeys with the evolved cents column); the gated read
+    //    uses parquet's mergeSchema to union the footers so legacy rows
+    //    surface the evolved column as NULL, and the report separates
+    //    evolved/legacy populations per customer bucket. The oracle
+    //    recomputes everything from the orders fixture, so the
+    //    missing-column-is-NULL semantics are hash-verified, not
+    //    assumed. Scale note: mergeSchema re-infers by reading file
+    //    footers — fine for a gate, but a production catalog pins the
+    //    evolved schema once (Catalog/Schemas do exactly that) and
+    //    readers pass it explicitly; the NULL-fill semantics verified
+    //    here are identical either way.
+    QueryDef(
+      "q317_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val path = schemaEvoCache.getOrElseUpdate(
+          (s.sparkContext.applicationId, dir), {
+            val p = java.nio.file.Files
+              .createTempDirectory("graft_schema_evo").toString + "/orders"
+            val base = Tables.orders(s, dir)
+              .select($"o_orderkey", $"o_custkey",
+                expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                  .as("cents"))
+            base.where($"o_orderkey" % 2 === 0)
+              .select($"o_orderkey", $"o_custkey")
+              .write.mode("append").parquet(p)
+            base.where($"o_orderkey" % 2 =!= 0)
+              .write.mode("append").parquet(p)
+            p
+          })
+        s.read.option("mergeSchema", "true").parquet(path)
+          .groupBy(pmod($"o_custkey", lit(10L)).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            count($"cents").as("n_evolved"),
+            sum($"cents").as("sum_cents"),
+            count(when($"cents".isNull, 1)).as("n_legacy"))
+      },
+      Some("""SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(COUNT(CASE WHEN o_orderkey % 2 <> 0 THEN 1 END) AS BIGINT)
+        |    AS n_evolved,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 <> 0
+        |    THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_legacy
+        |FROM orders GROUP BY 1""".stripMargin))
   )
+
+  /** Once-per-session two-generation parquet landing for q317. */
+  private val schemaEvoCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
 
   /** Once-per-session streamed-variant landing for q316. */
   private val variantStreamCache = scala.collection.concurrent.TrieMap

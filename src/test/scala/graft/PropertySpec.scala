@@ -465,4 +465,46 @@ class PropertySpec extends SparkSpec {
         && r.getAs[Long]("s_sum") == l.sum, s"case $id")
     }
   }
+
+  test("JPEG flat-block banding holds for random band patterns: every " +
+      "decoded thumbnail cell lands in its source band (q306/q311's " +
+      "lossy-gate contract, probed beyond the analytic argument)") {
+    // 20 random 4x4 grids of band-centered lumas (32*band + 16,
+    // band in 0..6) through a REAL quality-0.9 JPEG round trip — the
+    // worst case for DC quantization is adjacent blocks far apart,
+    // which random grids hit constantly
+    val payloads = (0 until 20).map { case caseId =>
+      val bands = Array.fill(16)(rnd.nextInt(7))
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val g = 32 * bands((y / 8) * 4 + (x / 8)) + 16
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.9f)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); writer.dispose()
+      (caseId.toLong, out.toByteArray, bands)
+    }
+    val got = graft.ext.Multimodal.decodeImages(
+        payloads.map(p => (p._1, p._2)).toDF("media_id", "payload"),
+        "media_id", "payload")
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    payloads.foreach { case (id, _, bands) =>
+      val r = got(id)
+      assert(r.getAs[Boolean]("decodable"), s"case $id")
+      val cells = r.getAs[scala.collection.Seq[Long]]("gray4x4")
+      for (i <- 0 until 16) {
+        assert(cells(i) / 32 == bands(i).toLong,
+          s"case $id cell $i: band ${bands(i)} decoded ${cells(i)}")
+      }
+    }
+  }
 }
