@@ -1587,12 +1587,76 @@ object ExtQueries {
         |    AS sum_cents,
         |  CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT)
         |    AS n_legacy
-        |FROM orders GROUP BY 1""".stripMargin))
+        |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ── PERMISSIVE row-level tolerance through the REAL CSV loader
+    //    (S4's contract at the granularity q315 doesn't reach): a crawl's
+    //    CSV drops aren't just whole-file good or bad — individual typed
+    //    CELLS are garbage ("x7" where an INT belongs) and the reference's
+    //    tolerant format (file_format_csv.sql) keeps the row and nulls the
+    //    field. The fixture synthesizes one manual_logs-schema CSV from
+    //    nation where odd keys carry a malformed `day` (int column) and
+    //    keys divisible by 3 carry a malformed `flag` (double column),
+    //    loads it through Ingestion.loadFile's PERMISSIVE path, and the
+    //    report counts surviving rows, per-column null populations, and
+    //    the sum over the cells that did parse. The oracle recomputes all
+    //    of it from nation — so "malformed field → NULL, row kept" is
+    //    hash-verified engine behavior, not an assumption. Once per
+    //    session; the report row set is checkpointed.
+    QueryDef(
+      "q318_permissive_load",
+      (s, dir) => permissiveCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_permissive").toString
+          val src = java.nio.file.Files
+            .createTempDirectory("graft_permissive_src").toString
+          val nations = Tables.nation(s, dir)
+            .select($"n_nationkey".cast("long"), $"n_name")
+            .collect().map(r => (r.getLong(0), r.getString(1)))
+          val body = nations.sortBy(_._1).map { case (nk, name) =>
+            val day = if (nk % 2 == 0) nk.toString else s"x$nk"
+            val flag = if (nk % 3 == 0) "bad" else (nk * 2).toString + ".5"
+            s"$day,2024-02-0${nk % 9 + 1},$flag,$name,c$nk,d,cm,f,t,h"
+          }.mkString("\n")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$src/ml_0.csv"),
+            ("day,date,flag,country,city,description,comments,food," +
+              "travel,hotel\n" + body + "\n").getBytes("UTF-8"))
+          val ing = new graft.pipeline.Ingestion(
+            new graft.pipeline.Catalog(s, root))
+          ing.ingestAll(Seq(graft.pipeline.Schemas.FileDetail(1L, "c",
+            "stage", src, "ml_*.csv", "bronze", "manual_logs", "CSV")))
+          new graft.pipeline.Catalog(s, root).read("bronze", "manual_logs")
+            .agg(count(lit(1)).as("n_rows"),
+              count(when($"day".isNull, 1)).as("n_bad_day"),
+              count(when($"flag".isNull, 1)).as("n_bad_flag"),
+              sum($"day").as("sum_day"),
+              dsum($"flag", 1).as("sum_flag"),
+              count(when($"country".isNull, 1)).as("n_null_country"))
+            .localCheckpoint()
+        }),
+      Some("""SELECT COUNT(*) AS n_rows,
+        |  CAST(COUNT(CASE WHEN n_nationkey % 2 <> 0 THEN 1 END) AS BIGINT)
+        |    AS n_bad_day,
+        |  CAST(COUNT(CASE WHEN n_nationkey % 3 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_bad_flag,
+        |  CAST(SUM(CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey END)
+        |    AS BIGINT) AS sum_day,
+        |  CAST(SUM(CASE WHEN n_nationkey % 3 <> 0
+        |    THEN 2 * n_nationkey + 0.5 END) AS DOUBLE) AS sum_flag,
+        |  CAST(0 AS BIGINT) AS n_null_country
+        |FROM nation""".stripMargin))
   )
 
   /** Once-per-session two-generation parquet landing for q317. */
   private val schemaEvoCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
+
+  /** Once-per-session PERMISSIVE-load landing for q318. */
+  private val permissiveCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
 
   /** Once-per-session streamed-variant landing for q316. */
   private val variantStreamCache = scala.collection.concurrent.TrieMap
