@@ -1647,8 +1647,71 @@ object ExtQueries {
         |  CAST(SUM(CASE WHEN n_nationkey % 3 <> 0
         |    THEN 2 * n_nationkey + 0.5 END) AS DOUBLE) AS sum_flag,
         |  CAST(0 AS BIGINT) AS n_null_country
-        |FROM nation""".stripMargin))
+        |FROM nation""".stripMargin)),
+
+    // ── Compression-codec round trip — the storage knob that moves real
+    //    money at 100 TB (zstd ≈ 30-40% smaller than snappy at similar
+    //    scan speed; a petabyte-scale lake picks per-table): the same
+    //    lineitem slice is written once per codec (zstd, snappy, gzip —
+    //    per-write `compression` option overriding the session default),
+    //    each landing is ATTESTED from the filesystem (every data file
+    //    must carry the codec's suffix, so the option demonstrably
+    //    reached the writer — a silently-ignored option would still
+    //    round-trip values), zstd must compress this slice strictly
+    //    smaller than snappy, and the gated aggregates read back from
+    //    EVERY codec landing and must agree with the oracle's direct
+    //    computation over the fixture — codec choice never changes a
+    //    byte of data. Attestation booleans and per-codec agg columns
+    //    land in one row. Once per session.
+    QueryDef(
+      "q319_codec_roundtrip",
+      (s, dir) => codecCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_codec").toString
+          val slice = Tables.lineitem(s, dir)
+            .where($"l_orderkey" % 10 === 0)
+            .select($"l_orderkey", $"l_partkey", $"l_quantity")
+          val codecs = Seq("zstd", "snappy", "gzip")
+          codecs.foreach { c =>
+            slice.write.option("compression", c).parquet(s"$root/$c")
+          }
+          def dataFiles(c: String): Seq[java.io.File] =
+            new java.io.File(s"$root/$c").listFiles.toSeq
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.getName.startsWith("part-"))
+          // gzip's file suffix is ".gz.", not ".gzip."
+          val suffix = Map("zstd" -> ".zstd.", "snappy" -> ".snappy.",
+            "gzip" -> ".gz.")
+          val attested = codecs.forall(c =>
+            dataFiles(c).nonEmpty &&
+              dataFiles(c).forall(_.getName.contains(suffix(c))))
+          val zstdSmaller = dataFiles("zstd").map(_.length).sum <
+            dataFiles("snappy").map(_.length).sum
+          val aggs = codecs.map { c =>
+            s.read.parquet(s"$root/$c").agg(
+              count(lit(1)).as(s"n_$c"),
+              sum($"l_quantity".cast("long")).as(s"qty_$c"))
+          }
+          aggs.reduce(_.crossJoin(_))
+            .withColumn("codecs_attested", lit(attested))
+            .withColumn("zstd_smaller_than_snappy", lit(zstdSmaller))
+            .localCheckpoint()
+        }),
+      Some("""WITH m AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT))
+        |    AS BIGINT) AS q
+        |  FROM lineitem WHERE l_orderkey % 10 = 0)
+        |SELECT n AS n_zstd, q AS qty_zstd, n AS n_snappy, q AS qty_snappy,
+        |  n AS n_gzip, q AS qty_gzip,
+        |  TRUE AS codecs_attested, TRUE AS zstd_smaller_than_snappy
+        |FROM m""".stripMargin))
   )
+
+  /** Once-per-session tri-codec landing for q319. */
+  private val codecCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
 
   /** Once-per-session two-generation parquet landing for q317. */
   private val schemaEvoCache = scala.collection.concurrent.TrieMap
