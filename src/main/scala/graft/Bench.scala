@@ -1,6 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def f3num(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  private def regJson(
+      es: Seq[(String, Double, Double, Double, String)]): String =
+    es.map { case (name, p, t, c, attrib) =>
+      s"""\"$name\":{\"prev\":${f3num(p)},\"now\":${f3num(t)},""" +
+        s"""\"canary\":${f3num(c)},\"attrib\":\"$attrib\"}"""
+    }.mkString("{", ",", "}")
+
+  /** The guaranteed-parsable bench record, bounded BY CONSTRUCTION to fit
+    * the driver's ~2000-char stdout-tail capture. BENCH_r10 shipped
+    * "parsed": null because a host-contended run tripwired 47 entries and
+    * the regressions map alone blew the "compact" line to ~4.7 KB, pushing
+    * its head out of the window — so: host/code COUNTS always; detail
+    * entries only for code-attributed flags (host flags are ambient noise;
+    * full detail stays on the per-query line and in bench_queries.json),
+    * worst first, and the detail map shrinks until the line fits.
+    * `flagged` tuples are (name, prev, now, nearestCanary, attrib).
+    */
+  private[graft] def compactRecord(
+      total: Double, calibStart: Double, calibEnd: Double,
+      canaries: Seq[Double],
+      flagged: Seq[(String, Double, Double, Double, String)],
+      sfDir: String, maxLen: Int = 1500): String = {
+    val codeFlags = flagged.filter(_._5 == "code")
+      .sortBy { case (_, p, t, _, _) => -(t / p) }
+    val hostN = flagged.size - codeFlags.size
+    val canaryArr = canaries.map(f3num).mkString("[", ",", "]")
+    def line(detail: Int): String =
+      s"""{"metric":"total","value":${f3num(total)},"unit":"sec",""" +
+        s""""calib_start":${f3num(calibStart)},""" +
+        s""""calib_end":${f3num(calibEnd)},""" +
+        s""""canaries":$canaryArr,"reg_host_n":$hostN,""" +
+        s""""reg_code_n":${codeFlags.size},""" +
+        s""""regressions":${regJson(codeFlags.take(detail))},""" +
+        s""""sf":"$sfDir"}"""
+    (codeFlags.size to 0 by -1).iterator.map(line)
+      .find(_.length <= maxLen).getOrElse(line(0))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -165,20 +206,37 @@ object Bench {
     // time for the fixed probe; a flagged query whose nearest canary sits
     // well above it was measured under ambient load, not a code change
     val quiet = canaries.min
-    val regs = results.collect {
+    val flagged = results.collect {
       case (name, t, i) if prevTimes.get(name)
           .exists(p => t > 2 * p && t - p > 0.5) =>
         val c = nearestCanary(i)
         val attrib = if (c > 1.4 * quiet) "host" else "code"
-        s"""\"$name\":{\"prev\":${f3(prevTimes(name))},\"now\":${f3(t)},""" +
+        (name, prevTimes(name), t, c, attrib)
+    }
+    def regJson(es: Seq[(String, Double, Double, Double, String)]): String =
+      es.map { case (name, p, t, c, attrib) =>
+        s"""\"$name\":{\"prev\":${f3(p)},\"now\":${f3(t)},""" +
           s"""\"canary\":${f3(c)},\"attrib\":\"$attrib\"}"""
-    }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+    val regs = regJson(flagged)
     val canaryArr = canaries.map(f3).mkString("[", ",", "]")
     val calib =
       s""""calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)},""" +
         s""""canaries":$canaryArr,"regressions":$regs"""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"sf":"$sfDir"}""")
+    // The compact line exists so the driver's TAIL capture (last ~2000
+    // chars of stdout) always contains ONE parseable JSON record — but
+    // BENCH_r10 shipped "parsed": null anyway: a host-contended run
+    // flagged 47 tripwire entries and the embedded regressions map alone
+    // blew the compact line to ~4.7 KB, pushing its head out of the
+    // window. The compact record is therefore BOUNDED BY CONSTRUCTION:
+    // full host/code counts always, but detail entries only for
+    // code-attributed flags (host ones are ambient noise; full detail
+    // stays in the per-query line above and in bench_queries.json),
+    // worst-offenders first, and the detail map shrinks until the whole
+    // line fits the capture window.
+    println(Bench.compactRecord(
+      total, calibStart, calibEnd, canaries.toSeq, flagged, sfDir))
     // filtered local-iteration runs must NOT clobber the tripwire
     // baseline: a partial per-query map would blind the next full run's
     // regression diff to every query it dropped

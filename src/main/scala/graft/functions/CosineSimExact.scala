@@ -263,12 +263,25 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 }
 
 object GraftFunctions {
+  // Once-per-session guard: under parallel test runs (GRAFT_TEST_PAR) many
+  // suites share one SparkSession, and an unconditional
+  // createOrReplaceTempFunction storm can swap a function out from under a
+  // suite that is mid-analysis on another thread. The registered set is
+  // static, so the first caller registers and every later call is a no-op.
+  // Keyed on the session object itself (cloned sessions have their own
+  // registry and register independently); the strong ref is fine — these
+  // are the handful of long-lived sessions a JVM ever builds.
+  private val registeredSessions = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[org.apache.spark.sql.SparkSession]()
+
   /** Register graft's native expressions with a session's function
     * registry; afterwards they are callable from SQL and via
     * `call_function` (the Spark-4-clean way to build a Column for a custom
     * Expression without touching private Column internals).
+    * Idempotent and thread-safe per session.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!registeredSessions.add(spark)) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim_exact",
       exprs => CosineSimExact(exprs(0), exprs(1)),

@@ -820,6 +820,13 @@ object EventStream {
         if (!done.contains(batchId)) {
           val fps = batch
             .select(col("doc_id").cast("long"), col("fp").cast("long"))
+            // NULL fps are data, not failures (an undecodable blob lands a
+            // NULL fingerprint — the Multimodal contract): a NULL can't
+            // participate in banded dedup, so drop it BEFORE the width
+            // assert; assert_true treats the NULL the condition would
+            // evaluate to as a failure and would kill the whole batch with
+            // a misleading too-wide message
+            .where(col("fp").isNotNull)
             // a WHERE, not a dropped projection column — an unused
             // Project column would be column-pruned and the check with it
             .where(assert_true(col("fp") >= 0 &&

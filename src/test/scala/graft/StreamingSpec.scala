@@ -726,6 +726,29 @@ class StreamingSpec extends SparkSpec {
       fin(2L).getAs[Int]("best_hamming") == 2)
   }
 
+  test("fpDedupMaintain treats a NULL fp as data, not a batch failure: " +
+      "the row is dropped, valid rows still band and match") {
+    // an undecodable blob lands a NULL fingerprint (the Multimodal
+    // contract); the width assert used to see condition=NULL and kill the
+    // whole batch with a misleading 'fp exceeds fpBits' message
+    val ddir =
+      Files.createTempDirectory("graft_fpnull_docs").toString + "/docs"
+    Seq((1L, Option(5L)), (2L, Option(7L)), (3L, Option.empty[Long]))
+      .toDF("doc_id", "fp").coalesce(1).write.parquet(ddir)
+    val schema = spark.read.parquet(ddir).schema
+    val stream = spark.readStream.schema(schema).parquet(ddir)
+    val statePath =
+      Files.createTempDirectory("graft_fpnull_s").toString + "/state"
+    val fin = EventStream.fpDedupMaintain(spark, stream, statePath)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the NULL-fp doc emits no verdict; the valid pair still matches
+    assert(!fin.contains(3L))
+    assert(!fin(1L).getAs[Boolean]("is_dup"))
+    assert(fin(2L).getAs[Boolean]("is_dup") &&
+      fin(2L).getAs[Long]("best_match") == 1L &&
+      fin(2L).getAs[Int]("best_hamming") == 1)
+  }
+
   test("variantMaintain: streamed JSON lands as stored variant exactly " +
       "once; typed path reads match the closed form, survive replay " +
       "and compaction") {
