@@ -4,11 +4,15 @@ object Bench {
   private def f3num(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
-  private def regJson(
-      es: Seq[(String, Double, Double, Double, String)]): String =
-    es.map { case (name, p, t, c, attrib) =>
+  /** One regressions-map JSON object from flagged tuples of
+    * (name, prev, now, nearestCpuCanary, nearestIoCanary, attrib).
+    */
+  private[graft] def regJson(
+      es: Seq[(String, Double, Double, Double, Double, String)]): String =
+    es.map { case (name, p, t, c, io, attrib) =>
       s"""\"$name\":{\"prev\":${f3num(p)},\"now\":${f3num(t)},""" +
-        s"""\"canary\":${f3num(c)},\"attrib\":\"$attrib\"}"""
+        s"""\"canary\":${f3num(c)},\"io_canary\":${f3num(io)},""" +
+        s"""\"attrib\":\"$attrib\"}"""
     }.mkString("{", ",", "}")
 
   /** The guaranteed-parsable bench record, bounded BY CONSTRUCTION to fit
@@ -19,22 +23,24 @@ object Bench {
     * entries only for code-attributed flags (host flags are ambient noise;
     * full detail stays on the per-query line and in bench_queries.json),
     * worst first, and the detail map shrinks until the line fits.
-    * `flagged` tuples are (name, prev, now, nearestCanary, attrib).
+    * `flagged` tuples are (name, prev, now, cpuCanary, ioCanary, attrib).
     */
   private[graft] def compactRecord(
       total: Double, calibStart: Double, calibEnd: Double,
-      canaries: Seq[Double],
-      flagged: Seq[(String, Double, Double, Double, String)],
+      canaries: Seq[Double], ioCanaries: Seq[Double],
+      flagged: Seq[(String, Double, Double, Double, Double, String)],
       sfDir: String, maxLen: Int = 1500): String = {
-    val codeFlags = flagged.filter(_._5 == "code")
-      .sortBy { case (_, p, t, _, _) => -(t / p) }
+    val codeFlags = flagged.filter(_._6 == "code")
+      .sortBy { case (_, p, t, _, _, _) => -(t / p) }
     val hostN = flagged.size - codeFlags.size
     val canaryArr = canaries.map(f3num).mkString("[", ",", "]")
+    val ioArr = ioCanaries.map(f3num).mkString("[", ",", "]")
     def line(detail: Int): String =
       s"""{"metric":"total","value":${f3num(total)},"unit":"sec",""" +
         s""""calib_start":${f3num(calibStart)},""" +
         s""""calib_end":${f3num(calibEnd)},""" +
-        s""""canaries":$canaryArr,"reg_host_n":$hostN,""" +
+        s""""canaries":$canaryArr,"io_canaries":$ioArr,""" +
+        s""""reg_host_n":$hostN,""" +
         s""""reg_code_n":${codeFlags.size},""" +
         s""""regressions":${regJson(codeFlags.take(detail))},""" +
         s""""sf":"$sfDir"}"""
@@ -122,7 +128,27 @@ object Bench {
         .count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Second canary axis: small-file I/O. The cpu canary is a scan+shuffle
+    // probe and says nothing about filesystem latency — but the
+    // once-per-session operational gates (q315 ledger protocol, q314/q316
+    // variant landings, codec round trips) are DOMINATED by many tiny
+    // writes/reads, and BENCH_r10 shipped exactly that cluster flagged
+    // "code" under a quiet cpu canary with no way to tell a slow driver
+    // filesystem from a plan change. The probe is one fixed 100-row
+    // parquet write + read-back; deletion is untimed.
+    val ioRoot = java.nio.file.Files.createTempDirectory("bench_iocal")
+    var ioSeq = 0
+    def ioCalibrate(): Double = {
+      ioSeq += 1
+      val p = s"$ioRoot/c$ioSeq"
+      val t0 = System.nanoTime()
+      spark.range(100).write.parquet(p)
+      spark.read.parquet(p).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ioCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     val calibStart = calibrate()
+    ioCanaries += ioCalibrate()
     // Regression tripwire: bench_queries.json in the working dir still
     // holds the PREVIOUS round's per-query times when this run starts
     // (it's committed each round; this run overwrites it at the end).
@@ -171,7 +197,10 @@ object Bench {
       }
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
-      if (i > 0 && i % CanaryEvery == 0) canaries += calibrate()
+      if (i > 0 && i % CanaryEvery == 0) {
+        canaries += calibrate()
+        ioCanaries += ioCalibrate()
+      }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       // nearest canary = the one taken at the closest sequence position
@@ -191,6 +220,7 @@ object Bench {
     // to line truncation.
     val calibEnd = calibrate()
     canaries += calibEnd
+    ioCanaries += ioCalibrate()
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -199,30 +229,30 @@ object Bench {
     // end canary just after the last query — nearest-in-sequence stamp
     val canaryPos = canaries.indices.map(k =>
       if (k == canaries.size - 1) results.size else k * CanaryEvery)
-    def nearestCanary(i: Int): Double =
-      canaries(canaryPos.zipWithIndex.minBy { case (p, _) =>
-        math.abs(p - i) }._2)
-    // the run's quietest canary is the host's demonstrated-achievable
-    // time for the fixed probe; a flagged query whose nearest canary sits
-    // well above it was measured under ambient load, not a code change
+    def nearestIdx(i: Int): Int =
+      canaryPos.zipWithIndex.minBy { case (p, _) => math.abs(p - i) }._2
+    // the run's quietest canary ON EACH AXIS is the host's
+    // demonstrated-achievable time for that fixed probe; a flagged query
+    // whose nearest canary sits well above it — cpu (scan+shuffle) or
+    // small-file I/O — was measured under ambient load, not a code change
     val quiet = canaries.min
+    val ioQuiet = ioCanaries.min
     val flagged = results.collect {
       case (name, t, i) if prevTimes.get(name)
           .exists(p => t > 2 * p && t - p > 0.5) =>
-        val c = nearestCanary(i)
-        val attrib = if (c > 1.4 * quiet) "host" else "code"
-        (name, prevTimes(name), t, c, attrib)
+        val c = canaries(nearestIdx(i))
+        val io = ioCanaries(nearestIdx(i))
+        val attrib =
+          if (c > 1.4 * quiet || io > 1.4 * ioQuiet) "host" else "code"
+        (name, prevTimes(name), t, c, io, attrib)
     }
-    def regJson(es: Seq[(String, Double, Double, Double, String)]): String =
-      es.map { case (name, p, t, c, attrib) =>
-        s"""\"$name\":{\"prev\":${f3(p)},\"now\":${f3(t)},""" +
-          s"""\"canary\":${f3(c)},\"attrib\":\"$attrib\"}"""
-      }.mkString("{", ",", "}")
-    val regs = regJson(flagged)
+    val regs = Bench.regJson(flagged)
     val canaryArr = canaries.map(f3).mkString("[", ",", "]")
+    val ioArr = ioCanaries.map(f3).mkString("[", ",", "]")
     val calib =
       s""""calib_start":${f3(calibStart)},"calib_end":${f3(calibEnd)},""" +
-        s""""canaries":$canaryArr,"regressions":$regs"""
+        s""""canaries":$canaryArr,"io_canaries":$ioArr,""" +
+        s""""regressions":$regs"""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}""")
     // The compact line exists so the driver's TAIL capture (last ~2000
     // chars of stdout) always contains ONE parseable JSON record — but
@@ -235,8 +265,8 @@ object Bench {
     // stays in the per-query line above and in bench_queries.json),
     // worst-offenders first, and the detail map shrinks until the whole
     // line fits the capture window.
-    println(Bench.compactRecord(
-      total, calibStart, calibEnd, canaries.toSeq, flagged, sfDir))
+    println(Bench.compactRecord(total, calibStart, calibEnd,
+      canaries.toSeq, ioCanaries.toSeq, flagged, sfDir))
     // filtered local-iteration runs must NOT clobber the tripwire
     // baseline: a partial per-query map would blind the next full run's
     // regression diff to every query it dropped

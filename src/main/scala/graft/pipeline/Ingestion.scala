@@ -92,8 +92,16 @@ final class Ingestion(catalog: Catalog) {
       .withColumn("_source_file", lit(file))
       .withColumn("load_id", lit(loadId))
     catalog.appendBatched(withAudit, detail.target_schema, detail.target_table)
-    catalog.read(detail.target_schema, detail.target_table)
-      .where($"load_id" === loadId).count()
+    // durability-verifying row count: read back exactly the partition this
+    // load wrote. Going through the table root (read + WHERE load_id) would
+    // prune to the same files but pays an O(#loads) root listing per load —
+    // a metadata storm at production cadence. A zero-row load writes no
+    // partition directory at all, which counts as 0, not an error.
+    val partPath = new org.apache.hadoop.fs.Path(
+      s"${catalog.path(detail.target_schema, detail.target_table)}/load_id=$loadId")
+    val fs = partPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(partPath)) 0L
+    else spark.read.parquet(partPath.toString).count()
   }
 
   /** Ingest every pending file for one config row; one load_id per file
@@ -104,8 +112,14 @@ final class Ingestion(catalog: Catalog) {
     val done = alreadyLoaded(detail.target_table)
     val pending = listFiles(detail.source_path, detail.file_pattern)
       .filterNot(done.contains)
-    pending.map { file =>
-      val loadId = nextLoadId()
+    // allocate the whole id range up front: one ledger max-scan per CONFIG
+    // instead of per FILE — the per-file scan grows with ledger size and at
+    // production load cadence is a pure metadata storm. Every id is still
+    // claimed in the ledger by its RUNNING row before the load starts, in
+    // id order, so the ledger protocol is unchanged.
+    val baseId = nextLoadId()
+    pending.zipWithIndex.map { case (file, idx) =>
+      val loadId = baseId + idx
       val t0 = new Timestamp(System.currentTimeMillis())
       log(Schemas.IngestionLog(loadId, file, detail.target_table,
         "RUNNING", 0L, "", t0))

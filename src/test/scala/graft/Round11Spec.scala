@@ -142,15 +142,16 @@ class Round11Spec extends SparkSpec {
     // of code-attributed ones, long query names, 14 canaries
     val canaries = Seq(0.711, 0.269, 0.197, 0.191, 0.185, 0.181, 0.321,
       0.205, 0.196, 0.178, 0.493, 1.044, 0.177, 0.173)
+    val ioCanaries = canaries.map(_ * 0.5)
     val flagged = (1 to 43).map(i =>
       (f"q${i + 200}%03d_some_rather_long_query_name_$i", 0.5, 2.5, 1.044,
-        "host")) ++ Seq(
-      ("q303_variant_path", 2.43, 6.017, 0.177, "code"),
-      ("q305_recursive_spine", 1.203, 2.812, 0.177, "code"),
-      ("q309_audio_fingerprint_dedup", 1.57, 4.1, 0.177, "code"),
-      ("q315_medallion_gate", 4.98, 11.317, 0.173, "code"))
+        0.5, "host")) ++ Seq(
+      ("q303_variant_path", 2.43, 6.017, 0.177, 0.09, "code"),
+      ("q305_recursive_spine", 1.203, 2.812, 0.177, 0.09, "code"),
+      ("q309_audio_fingerprint_dedup", 1.57, 4.1, 0.177, 0.09, "code"),
+      ("q315_medallion_gate", 4.98, 11.317, 0.173, 0.09, "code"))
     val line = Bench.compactRecord(348.296, 0.711, 0.173, canaries,
-      flagged, "/root/testdata/sf0.1")
+      ioCanaries, flagged, "/root/testdata/sf0.1")
     assert(line.length <= 1500, s"len ${line.length}")
     val j = parse(line) // throws on malformed JSON
     assert(j.get("value").asDouble() == 348.296)
@@ -160,13 +161,16 @@ class Round11Spec extends SparkSpec {
     assert(j.get("regressions").get("q315_medallion_gate")
       .get("attrib").asText() == "code")
     assert(j.get("canaries").size() == 14)
+    assert(j.get("io_canaries").size() == 14)
+    assert(j.get("regressions").get("q303_variant_path")
+      .get("io_canary").asDouble() == 0.09)
     // pathological: hundreds of code flags — detail must shrink until the
     // line fits, counts intact
     val storm = (1 to 300).map(i =>
       (f"q${i}%03d_very_long_descriptive_query_name_variant_$i",
-        0.1 + i * 0.001, 5.0 + i * 0.01, 0.18, "code"))
-    val l2 = Bench.compactRecord(999.0, 0.2, 0.2, canaries, storm,
-      "/root/testdata/sf0.1")
+        0.1 + i * 0.001, 5.0 + i * 0.01, 0.18, 0.09, "code"))
+    val l2 = Bench.compactRecord(999.0, 0.2, 0.2, canaries, ioCanaries,
+      storm, "/root/testdata/sf0.1")
     assert(l2.length <= 1500, s"len ${l2.length}")
     val j2 = parse(l2)
     assert(j2.get("reg_code_n").asInt() == 300)
@@ -176,8 +180,8 @@ class Round11Spec extends SparkSpec {
     assert(j2.get("regressions").has(
       "q001_very_long_descriptive_query_name_variant_1"))
     // quiet run: empty regressions object, zero counts
-    val l3 = Bench.compactRecord(200.0, 0.2, 0.21, Seq(0.2, 0.21), Nil,
-      "/root/testdata/sf0.1")
+    val l3 = Bench.compactRecord(200.0, 0.2, 0.21, Seq(0.2, 0.21),
+      Seq(0.1, 0.1), Nil, "/root/testdata/sf0.1")
     val j3 = parse(l3)
     assert(j3.get("reg_host_n").asInt() == 0)
     assert(j3.get("reg_code_n").asInt() == 0)
