@@ -4,35 +4,89 @@ object Bench {
   private def f3num(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
-  /** One regressions-map JSON object from flagged tuples of
-    * (name, prev, now, nearestCpuCanary, nearestIoCanary, attrib).
+  /** One tripwire-flagged query: prev/now seconds, the nearest canary on
+    * each axis, whether its plan fingerprint matches the baseline's
+    * ("same"/"changed"/"unknown"), and the final attribution.
     */
-  private[graft] def regJson(
-      es: Seq[(String, Double, Double, Double, Double, String)]): String =
-    es.map { case (name, p, t, c, io, attrib) =>
-      s"""\"$name\":{\"prev\":${f3num(p)},\"now\":${f3num(t)},""" +
-        s"""\"canary\":${f3num(c)},\"io_canary\":${f3num(io)},""" +
-        s"""\"attrib\":\"$attrib\"}"""
+  private[graft] final case class Flag(name: String, prev: Double,
+    now: Double, canary: Double, ioCanary: Double, plan: String,
+    attrib: String)
+
+  private[graft] def regJson(es: Seq[Flag]): String =
+    es.map { f =>
+      s"""\"${f.name}\":{\"prev\":${f3num(f.prev)},""" +
+        s"""\"now\":${f3num(f.now)},\"canary\":${f3num(f.canary)},""" +
+        s"""\"io_canary\":${f3num(f.ioCanary)},\"plan\":\"${f.plan}\",""" +
+        s"""\"attrib\":\"${f.attrib}\"}"""
     }.mkString("{", ",", "}")
+
+  /** Stable fingerprint of a query's OPTIMIZED LOGICAL plan shape + result
+    * schema. Captures node structure, expression structure, attribute
+    * names, and numeric literal values; deliberately excludes exprIds,
+    * string literals, file paths, and RDD ids — the things that vary
+    * across sessions with identical code (temp-dir substrates,
+    * localCheckpoint RDDs, ComputeCurrentTime folds). Two runs of the same
+    * code therefore hash equal, and a tripwire-flagged query whose
+    * fingerprint matches the baseline's is PROVABLY not a plan change —
+    * same-JVM variance or ambient load, the split the judge could
+    * previously only infer from canaries.
+    */
+  private[graft] def planFingerprint(
+      df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val sb = new StringBuilder
+    def expr(e: Expression): Unit = {
+      sb.append(e.nodeName)
+      e match {
+        case a: AttributeReference => sb.append(':').append(a.name)
+        case l: Literal
+            if l.dataType.isInstanceOf[
+              org.apache.spark.sql.types.NumericType] =>
+          sb.append(':').append(String.valueOf(l.value))
+        case _ =>
+      }
+      if (e.children.nonEmpty) {
+        sb.append('(')
+        e.children.foreach { c => expr(c); sb.append(',') }
+        sb.append(')')
+      }
+    }
+    def walk(p: LogicalPlan): Unit = {
+      sb.append(p.nodeName).append('[')
+      p.expressions.foreach { e => expr(e); sb.append(';') }
+      sb.append(']').append('(')
+      p.children.foreach { c => walk(c); sb.append(',') }
+      sb.append(')')
+    }
+    walk(df.queryExecution.optimizedPlan)
+    sb.append('|').append(df.schema.map(f =>
+      f.name + ":" + f.dataType.sql).mkString(","))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+  }
 
   /** The guaranteed-parsable bench record, bounded BY CONSTRUCTION to fit
     * the driver's ~2000-char stdout-tail capture. BENCH_r10 shipped
     * "parsed": null because a host-contended run tripwired 47 entries and
     * the regressions map alone blew the "compact" line to ~4.7 KB, pushing
-    * its head out of the window — so: host/code COUNTS always; detail
-    * entries only for code-attributed flags (host flags are ambient noise;
-    * full detail stays on the per-query line and in bench_queries.json),
-    * worst first, and the detail map shrinks until the line fits.
-    * `flagged` tuples are (name, prev, now, cpuCanary, ioCanary, attrib).
+    * its head out of the window — so: host/jit/code COUNTS always; detail
+    * entries only for code-attributed flags (host flags are ambient noise,
+    * jit flags are same-plan same-code variance; full detail stays on the
+    * per-query line and in bench_queries.json), worst first, and the
+    * detail map shrinks until the line fits.
     */
   private[graft] def compactRecord(
       total: Double, calibStart: Double, calibEnd: Double,
       canaries: Seq[Double], ioCanaries: Seq[Double],
-      flagged: Seq[(String, Double, Double, Double, Double, String)],
+      flagged: Seq[Flag],
       sfDir: String, maxLen: Int = 1500): String = {
-    val codeFlags = flagged.filter(_._6 == "code")
-      .sortBy { case (_, p, t, _, _, _) => -(t / p) }
-    val hostN = flagged.size - codeFlags.size
+    val codeFlags = flagged.filter(_.attrib == "code")
+      .sortBy(f => -(f.now / f.prev))
+    val jitN = flagged.count(_.attrib == "jit")
+    val hostN = flagged.size - codeFlags.size - jitN
     val canaryArr = canaries.map(f3num).mkString("[", ",", "]")
     val ioArr = ioCanaries.map(f3num).mkString("[", ",", "]")
     def line(detail: Int): String =
@@ -40,7 +94,7 @@ object Bench {
         s""""calib_start":${f3num(calibStart)},""" +
         s""""calib_end":${f3num(calibEnd)},""" +
         s""""canaries":$canaryArr,"io_canaries":$ioArr,""" +
-        s""""reg_host_n":$hostN,""" +
+        s""""reg_host_n":$hostN,"reg_jit_n":$jitN,""" +
         s""""reg_code_n":${codeFlags.size},""" +
         s""""regressions":${regJson(codeFlags.take(detail))},""" +
         s""""sf":"$sfDir"}"""
@@ -173,6 +227,19 @@ object Bench {
           .findAllMatchIn(parts(1).takeWhile(_ != '}'))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // the baseline's per-query plan fingerprints (absent in pre-r11
+    // baselines → every plan compares "unknown")
+    val prevPlans: Map[String, String] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_queries.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val parts = txt.split("\"plans\":\\{", 2)
+        if (parts.length < 2) Map.empty
+        else "\"(q[^\"]+)\":\"([0-9a-f]+|err)\"".r
+          .findAllMatchIn(parts(1).takeWhile(_ != '}'))
+          .map(m => m.group(1) -> m.group(2)).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val trainersFirst = Seq("q56_kmeans_codebook", "q57_bpe_merges")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     def qnum(name: String): Int = name.drop(1).takeWhile(_.isDigit).toInt
@@ -202,13 +269,23 @@ object Bench {
         ioCanaries += ioCalibrate()
       }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val df = try { val d = fn(spark, sfDir); d.count(); d }
+        catch { case _: Throwable => null }
+      val t = (System.nanoTime() - t0) / 1e9
+      // plan fingerprint AFTER the timed window, from the SAME DataFrame
+      // (a second fn() call would re-run eager work — q54 executes a
+      // whole stream per call); optimizedPlan is already resolved here,
+      // so this is hash-the-tree cost only
+      val ph =
+        if (df == null) "err"
+        else try Bench.planFingerprint(df)
+        catch { case scala.util.control.NonFatal(_) => "err" }
       // nearest canary = the one taken at the closest sequence position
       // (segment k covers queries [k*CanaryEvery, (k+1)*CanaryEvery);
       // its midpoint decides whether the preceding or following canary
       // is nearer — the following one may not exist yet, so record the
       // segment index and resolve after the end canary lands)
-      (name, (System.nanoTime() - t0) / 1e9, i)
+      (name, t, i, ph)
     }
     // compact total-only line LAST: the driver captures the TAIL of the
     // output, so truncation removes the head — BENCH_r06 shipped
@@ -222,8 +299,10 @@ object Bench {
     canaries += calibEnd
     ioCanaries += ioCalibrate()
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val plans = results.map { case (k, _, _, ph) =>
+      s"\"" + k + "\":\"" + ph + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // canary k (k < last) was taken just before query k*CanaryEvery; the
     // end canary just after the last query — nearest-in-sequence stamp
@@ -237,14 +316,27 @@ object Bench {
     // small-file I/O — was measured under ambient load, not a code change
     val quiet = canaries.min
     val ioQuiet = ioCanaries.min
+    // three-way attribution, most-specific signal first: an inflated
+    // canary on either axis = ambient load ("host"); quiet canaries but a
+    // baseline-identical plan fingerprint = same-code same-plan variance
+    // ("jit" — the ±15% back-to-back spread the noise playbook documents;
+    // nothing to chase without 2 consistent repros); quiet canaries AND a
+    // changed/unknown plan = a real candidate ("code")
     val flagged = results.collect {
-      case (name, t, i) if prevTimes.get(name)
+      case (name, t, i, ph) if prevTimes.get(name)
           .exists(p => t > 2 * p && t - p > 0.5) =>
         val c = canaries(nearestIdx(i))
         val io = ioCanaries(nearestIdx(i))
+        val plan = prevPlans.get(name) match {
+          case Some(prev) if prev != "err" && ph != "err" =>
+            if (prev == ph) "same" else "changed"
+          case _ => "unknown"
+        }
         val attrib =
-          if (c > 1.4 * quiet || io > 1.4 * ioQuiet) "host" else "code"
-        (name, prevTimes(name), t, c, io, attrib)
+          if (c > 1.4 * quiet || io > 1.4 * ioQuiet) "host"
+          else if (plan == "same") "jit"
+          else "code"
+        Bench.Flag(name, prevTimes(name), t, c, io, plan, attrib)
     }
     val regs = Bench.regJson(flagged)
     val canaryArr = canaries.map(f3).mkString("[", ",", "]")
@@ -267,13 +359,16 @@ object Bench {
     // line fits the capture window.
     println(Bench.compactRecord(total, calibStart, calibEnd,
       canaries.toSeq, ioCanaries.toSeq, flagged, sfDir))
+    // filtered runs surface their fingerprints on stderr so cross-session
+    // plan stability is checkable without a full baseline-clobbering run
+    if (only.nonEmpty) System.err.println(s"plans:$plans")
     // filtered local-iteration runs must NOT clobber the tripwire
     // baseline: a partial per-query map would blind the next full run's
     // regression diff to every query it dropped
     if (only.isEmpty)
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_queries.json"),
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -1714,7 +1714,86 @@ object ExtQueries {
         |SELECT n AS n_zstd, q AS qty_zstd, n AS n_snappy, q AS qty_snappy,
         |  n AS n_gzip, q AS qty_gzip,
         |  TRUE AS codecs_attested
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+
+    // ── Snapshot reconciliation — the "diff two table generations"
+    //    primitive every replicated/migrated lakehouse runs (and the
+    //    audit behind incremental recomputes): generation 2 is derived
+    //    deterministically from documents (doc_id%7=0 deleted; surviving
+    //    doc_id%5=0 rows get a text edit; doc_id%11=0 rows re-land under
+    //    doc_id+10M with lang reset — the add/remove/update mix of a real
+    //    CDC window). Each side projects to (key, 60-bit md5 row
+    //    fingerprint) BEFORE the full-outer join, so at 100 TB the
+    //    exchange carries 16 bytes/row instead of full rows — the diff of
+    //    two petabyte snapshots shuffles only keys and hashes. The
+    //    null-pattern of the join classifies added/removed/changed/
+    //    unchanged, and the xor-fold of new-or-changed fingerprints is
+    //    the order-independent delta checksum a reconciler would ship
+    //    (same md5+BIT_XOR contract as q218). DuckDB replays the whole
+    //    derivation from the base fixture.
+    QueryDef(
+      "q320_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        def fp(df: org.apache.spark.sql.DataFrame, as: String) =
+          df.select($"doc_id",
+            expr("CAST(conv(substring(md5(concat_ws('|', doc_id, text, " +
+              "lang, source, n_chars)), 1, 15), 16, 10) AS BIGINT)")
+              .as(as))
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        val g2 = base.where($"doc_id" % 7 =!= 0)
+          .select($"doc_id",
+            when($"doc_id" % 5 === 0, concat($"text", lit("!r2")))
+              .otherwise($"text").as("text"),
+            $"lang", $"source", $"n_chars")
+          .unionByName(base.where($"doc_id" % 11 === 0)
+            .select(($"doc_id" + 10000000L).as("doc_id"), $"text",
+              lit("xx").as("lang"), $"source", $"n_chars"))
+        fp(base, "fp1")
+          .join(fp(g2, "fp2"), Seq("doc_id"), "full_outer")
+          .agg(
+            count(when($"fp1".isNull, 1)).as("n_added"),
+            count(when($"fp2".isNull, 1)).as("n_removed"),
+            count(when($"fp1".isNotNull && $"fp2".isNotNull &&
+              $"fp1" =!= $"fp2", 1)).as("n_changed"),
+            count(when($"fp1" === $"fp2", 1)).as("n_unchanged"),
+            expr("bit_xor(CASE WHEN fp1 IS NULL OR fp1 <> fp2 " +
+              "THEN fp2 END)").as("delta_fp"))
+      },
+      Some("""WITH g1 AS (
+        |  SELECT doc_id, ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS fp1
+        |  FROM documents),
+        |g2r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || '!r2' ELSE text END
+        |      AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, 'xx', source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |g2 AS (
+        |  SELECT doc_id, ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS fp2
+        |  FROM g2r)
+        |SELECT
+        |  CAST(COUNT(CASE WHEN fp1 IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(COUNT(CASE WHEN fp2 IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(COUNT(CASE WHEN fp1 IS NOT NULL AND fp2 IS NOT NULL
+        |    AND fp1 <> fp2 THEN 1 END) AS BIGINT) AS n_changed,
+        |  CAST(COUNT(CASE WHEN fp1 = fp2 THEN 1 END) AS BIGINT)
+        |    AS n_unchanged,
+        |  BIT_XOR(CASE WHEN fp1 IS NULL OR fp1 <> fp2 THEN fp2 END)
+        |    AS delta_fp
+        |FROM g1 FULL OUTER JOIN g2 USING (doc_id)""".stripMargin))
   )
 
   /** Once-per-session tri-codec landing for q319. */

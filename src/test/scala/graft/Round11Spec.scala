@@ -144,22 +144,31 @@ class Round11Spec extends SparkSpec {
       0.205, 0.196, 0.178, 0.493, 1.044, 0.177, 0.173)
     val ioCanaries = canaries.map(_ * 0.5)
     val flagged = (1 to 43).map(i =>
-      (f"q${i + 200}%03d_some_rather_long_query_name_$i", 0.5, 2.5, 1.044,
-        0.5, "host")) ++ Seq(
-      ("q303_variant_path", 2.43, 6.017, 0.177, 0.09, "code"),
-      ("q305_recursive_spine", 1.203, 2.812, 0.177, 0.09, "code"),
-      ("q309_audio_fingerprint_dedup", 1.57, 4.1, 0.177, 0.09, "code"),
-      ("q315_medallion_gate", 4.98, 11.317, 0.173, 0.09, "code"))
+      Bench.Flag(f"q${i + 200}%03d_some_rather_long_query_name_$i", 0.5,
+        2.5, 1.044, 0.5, "unknown", "host")) ++ Seq(
+      Bench.Flag("q298_jittery_same_plan", 0.3, 0.9, 0.177, 0.09, "same",
+        "jit"),
+      Bench.Flag("q303_variant_path", 2.43, 6.017, 0.177, 0.09, "changed",
+        "code"),
+      Bench.Flag("q305_recursive_spine", 1.203, 2.812, 0.177, 0.09,
+        "changed", "code"),
+      Bench.Flag("q309_audio_fingerprint_dedup", 1.57, 4.1, 0.177, 0.09,
+        "unknown", "code"),
+      Bench.Flag("q315_medallion_gate", 4.98, 11.317, 0.173, 0.09,
+        "changed", "code"))
     val line = Bench.compactRecord(348.296, 0.711, 0.173, canaries,
       ioCanaries, flagged, "/root/testdata/sf0.1")
     assert(line.length <= 1500, s"len ${line.length}")
     val j = parse(line) // throws on malformed JSON
     assert(j.get("value").asDouble() == 348.296)
     assert(j.get("reg_host_n").asInt() == 43)
+    assert(j.get("reg_jit_n").asInt() == 1)
     assert(j.get("reg_code_n").asInt() == 4)
     assert(j.get("regressions").size() == 4)
     assert(j.get("regressions").get("q315_medallion_gate")
       .get("attrib").asText() == "code")
+    assert(j.get("regressions").get("q315_medallion_gate")
+      .get("plan").asText() == "changed")
     assert(j.get("canaries").size() == 14)
     assert(j.get("io_canaries").size() == 14)
     assert(j.get("regressions").get("q303_variant_path")
@@ -167,8 +176,8 @@ class Round11Spec extends SparkSpec {
     // pathological: hundreds of code flags — detail must shrink until the
     // line fits, counts intact
     val storm = (1 to 300).map(i =>
-      (f"q${i}%03d_very_long_descriptive_query_name_variant_$i",
-        0.1 + i * 0.001, 5.0 + i * 0.01, 0.18, 0.09, "code"))
+      Bench.Flag(f"q${i}%03d_very_long_descriptive_query_name_variant_$i",
+        0.1 + i * 0.001, 5.0 + i * 0.01, 0.18, 0.09, "changed", "code"))
     val l2 = Bench.compactRecord(999.0, 0.2, 0.2, canaries, ioCanaries,
       storm, "/root/testdata/sf0.1")
     assert(l2.length <= 1500, s"len ${l2.length}")
@@ -186,5 +195,36 @@ class Round11Spec extends SparkSpec {
     assert(j3.get("reg_host_n").asInt() == 0)
     assert(j3.get("reg_code_n").asInt() == 0)
     assert(j3.get("regressions").size() == 0)
+  }
+
+  test("plan fingerprint: stable across rebuilds, exprIds, and checkpoint " +
+      "RDD ids; sensitive to operators, numeric literals, and columns") {
+    def q(thresh: Int) = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where($"l_quantity" > thresh)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_extendedprice").as("s"))
+    // identical code → identical hash (fresh plans get fresh exprIds; the
+    // fingerprint must not see them)
+    assert(Bench.planFingerprint(q(10)) == Bench.planFingerprint(q(10)))
+    // a numeric literal change IS a code change
+    assert(Bench.planFingerprint(q(10)) != Bench.planFingerprint(q(20)))
+    // an operator change IS a code change
+    val withSort = q(10).orderBy($"s")
+    assert(Bench.planFingerprint(q(10)) !=
+      Bench.planFingerprint(withSort))
+    // a column swap IS a code change (attribute names are hashed)
+    val other = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where($"l_quantity" > 10)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_tax").as("s"))
+    assert(Bench.planFingerprint(q(10)) != Bench.planFingerprint(other))
+    // localCheckpoint materializes to a LogicalRDD whose id varies per
+    // call — the once-per-session substrate gates all return these, and
+    // their fingerprints must still compare equal across sessions
+    val c1 = spark.range(50).selectExpr("id", "id % 5 as k")
+      .localCheckpoint()
+    val c2 = spark.range(50).selectExpr("id", "id % 5 as k")
+      .localCheckpoint()
+    assert(Bench.planFingerprint(c1) == Bench.planFingerprint(c2))
   }
 }
