@@ -1793,11 +1793,130 @@ object ExtQueries {
         |    AS n_unchanged,
         |  BIT_XOR(CASE WHEN fp1 IS NULL OR fp1 <> fp2 THEN fp2 END)
         |    AS delta_fp
-        |FROM g1 FULL OUTER JOIN g2 USING (doc_id)""".stripMargin))
+        |FROM g1 FULL OUTER JOIN g2 USING (doc_id)""".stripMargin)),
+
+    // ── q320 delivered INCREMENTALLY — the same gen1→gen2 CDC mix
+    //    (seed, then deletes/updates/inserts) arrives as a fingerprint
+    //    event stream over FOUR files (mtime-ordered; maxFilesPerTrigger=1
+    //    forces one micro-batch each) into
+    //    [[graft.streaming.EventStream.snapshotDiffMaintain]]'s
+    //    log-structured store. The gated row folds the per-batch verdicts
+    //    (summed counts must equal the one-shot q320 numbers plus the
+    //    seed's adds — batching-invariant by the maintainer's LWW/ledger
+    //    contract) together with the RECONSTRUCTED snapshot (live-row
+    //    count and xor fingerprint must equal gen2 computed directly) —
+    //    so stream→log→LWW-fold reconciliation is hash-verified end to
+    //    end against DuckDB's replay from the base fixture. At 100 TB
+    //    this is the shape that replaces petabyte re-diffs: per-batch
+    //    work ∝ delta, snapshot reads are a fold over compactable log
+    //    partitions. Once per session.
+    QueryDef(
+      "q321_stream_snapshot_diff",
+      (s, dir) => snapshotStreamCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          def fpExpr(id: String, text: String, lang: String,
+              source: String, nChars: String) =
+            expr(s"CAST(conv(substring(md5(concat_ws('|', $id, $text, " +
+              s"$lang, $source, $nChars)), 1, 15), 16, 10) AS BIGINT)")
+          val base = Tables.documents(s, dir)
+          val seed = base.select($"doc_id", lit("U").as("op"),
+            fpExpr("doc_id", "text", "lang", "source", "n_chars").as("fp"),
+            lit(0L).as("seq"))
+          val deletes = base.where($"doc_id" % 7 === 0)
+            .select($"doc_id", lit("D").as("op"),
+              lit(null).cast("long").as("fp"), lit(1L).as("seq"))
+          val updates = base.where($"doc_id" % 7 =!= 0 &&
+              $"doc_id" % 5 === 0)
+            .withColumn("text2", concat($"text", lit("!r2")))
+            .select($"doc_id", lit("U").as("op"),
+              fpExpr("doc_id", "text2", "lang", "source", "n_chars")
+                .as("fp"),
+              lit(1L).as("seq"))
+          val inserts = base.where($"doc_id" % 11 === 0)
+            .withColumn("doc_id2", $"doc_id" + 10000000L)
+            .withColumn("lang2", lit("xx"))
+            .select($"doc_id2".as("doc_id"), lit("U").as("op"),
+              fpExpr("doc_id2", "text", "lang2", "source", "n_chars")
+                .as("fp"),
+              lit(1L).as("seq"))
+          val cdc = deletes.unionByName(updates).unionByName(inserts)
+          val ddir = java.nio.file.Files
+            .createTempDirectory("graft_snapdiff").toString + "/events"
+          // four waves, mtime-forced so the file source replays them in
+          // order (seed strictly before any CDC event — within the CDC
+          // waves order is immaterial: one event per key)
+          val stamped = scala.collection.mutable.Set.empty[String]
+          def stamp(wave: Int): Unit = {
+            val d = new java.io.File(ddir)
+            d.listFiles.filter(f => f.getName.endsWith(".parquet") &&
+                !stamped.contains(f.getName))
+              .foreach { f =>
+                f.setLastModified(1700000000000L + wave * 60000L)
+                stamped += f.getName
+              }
+          }
+          seed.coalesce(1).write.mode("append").parquet(ddir); stamp(0)
+          (0 until 3).foreach { w =>
+            cdc.where(pmod($"doc_id", lit(3)) === w).coalesce(1)
+              .write.mode("append").parquet(ddir)
+            stamp(w + 1)
+          }
+          val statePath = java.nio.file.Files
+            .createTempDirectory("graft_snapdiff_state").toString + "/state"
+          val verdicts = graft.streaming.EventStream.snapshotDiffMaintain(s,
+            s.readStream.schema(s.read.parquet(ddir).schema)
+              .option("maxFilesPerTrigger", "1").parquet(ddir), statePath)
+          val snap = graft.streaming.EventStream
+            .snapshotCurrent(s, statePath)
+          verdicts.agg(
+              sum($"n_added").as("n_added"),
+              sum($"n_removed").as("n_removed"),
+              sum($"n_changed").as("n_changed"),
+              sum($"n_touched_same").as("n_touched_same"),
+              sum($"n_ghost_deletes").as("n_ghost_deletes"),
+              sum($"n_stale").as("n_stale"))
+            .crossJoin(snap.agg(count(lit(1)).as("n_live"),
+              expr("bit_xor(fp)").as("state_fp")))
+            .localCheckpoint()
+        }),
+      Some("""WITH g2r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || '!r2' ELSE text END
+        |      AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, 'xx', source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |g2 AS (
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS fp2
+        |  FROM g2r)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM documents)
+        |    + (SELECT COUNT(*) FROM documents WHERE doc_id % 11 = 0)
+        |    AS BIGINT) AS n_added,
+        |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
+        |    AS BIGINT) AS n_removed,
+        |  CAST((SELECT COUNT(*) FROM documents
+        |    WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(0 AS BIGINT) AS n_touched_same,
+        |  CAST(0 AS BIGINT) AS n_ghost_deletes,
+        |  CAST(0 AS BIGINT) AS n_stale,
+        |  (SELECT COUNT(*) FROM g2) AS n_live,
+        |  (SELECT BIT_XOR(fp2) FROM g2) AS state_fp""".stripMargin))
   )
 
   /** Once-per-session tri-codec landing for q319. */
   private val codecCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  /** Once-per-session CDC-stream reconciliation run for q321. */
+  private val snapshotStreamCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), org.apache.spark.sql.DataFrame]
 
   /** Once-per-session two-generation parquet landing for q317. */

@@ -929,6 +929,120 @@ object EventStream {
     spark.read.parquet(storeP).drop("batch")
   }
 
+  /** Streaming snapshot reconciliation — the INCREMENTAL q320: instead of
+    * re-diffing two petabyte snapshots per comparison, a CDC stream of
+    * (doc_id, op, fp, seq) events maintains a log-structured fingerprint
+    * store and emits per-batch diff verdicts (added / removed / changed /
+    * touched-same / ghost-delete / stale counts plus the xor-fold delta
+    * checksum — q218/q320's order-independent contract). State is an
+    * append-only LOG of per-batch overwrite partitions: writes are
+    * delta-sized (never an O(state) rewrite per batch), and the current
+    * snapshot is the last-writer-wins fold by `seq` — the CDC version,
+    * authoritative over arrival order, so a late event older than the
+    * stored version counts `n_stale` and cannot regress the snapshot
+    * (tombstones keep their seq for exactly this reason: a late update
+    * older than a delete must not resurrect the row). Fingerprinting is
+    * a stateless upstream map (q320's 60-bit md5 row hash), which makes
+    * the maintainer SCHEMA-AGNOSTIC — one store shape serves any table.
+    * Exactly-once: deterministic per-batch partitions clobber on replay,
+    * own-batch partitions are excluded from prior-state reads (the
+    * stale-replay guard), and the ledger is swap-atomic and skip-only.
+    * [[compactState]] applies to fps/verdicts (src_batch and seq ride as
+    * DATA columns, so the LWW fold survives the batch=-1 rewrite).
+    * Contract: events collapse last-wins by seq within a batch; op is
+    * 'U' (upsert, fp required) or 'D' (delete) — anything else fails the
+    * batch loudly in-plan rather than silently corrupting the snapshot.
+    */
+  def snapshotDiffMaintain(spark: SparkSession, changes: DataFrame,
+      statePath: String): DataFrame = {
+    val logP = statePath + "/fps"
+    val verdictsP = statePath + "/verdicts"
+    val ledgerP = statePath + "/ledger"
+    val q = changes.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Seq(logP, verdictsP, ledgerP).foreach(recoverSwap(spark, _))
+        val done: Set[Long] = readLedger(spark, ledgerP)
+        if (!done.contains(batchId)) {
+          val evs = batch
+            .select(col("doc_id").cast("long"), col("op"),
+              col("fp").cast("long"), col("seq").cast("long"))
+            .where(assert_true(col("op").isin("U", "D") &&
+              (col("op") === "D" || col("fp").isNotNull) &&
+              col("seq").isNotNull,
+              lit("snapshotDiffMaintain: op must be 'U'|'D', upserts " +
+                "need fp, every event needs seq")).isNull)
+            .groupBy(col("doc_id"))
+            .agg(max_by(struct(col("op"), col("fp"), col("seq")),
+              col("seq")).as("e"))
+            .select(col("doc_id"), col("e.op").as("op"),
+              col("e.fp").as("fp"), col("e.seq").as("seq"))
+            .localCheckpoint()
+          val priorAll =
+            if (stateExists(spark, logP))
+              spark.read.parquet(logP).where(col("batch") =!= batchId)
+                .groupBy(col("doc_id"))
+                .agg(max_by(struct(col("op"), col("fp"), col("seq")),
+                  struct(col("seq"), col("src_batch"))).as("p"))
+                .select(col("doc_id"), col("p.op").as("p_op"),
+                  col("p.fp").as("p_fp"), col("p.seq").as("p_seq"))
+            else evs.select(col("doc_id"), col("op").as("p_op"),
+              col("fp").as("p_fp"), col("seq").as("p_seq")).limit(0)
+          val cls = when(col("p_seq").isNotNull &&
+              col("seq") <= col("p_seq"), "stale")
+            .when(col("op") === "U" &&
+              (col("p_op").isNull || col("p_op") === "D"), "added")
+            .when(col("op") === "U" && col("p_fp") === col("fp"),
+              "touched_same")
+            .when(col("op") === "U", "changed")
+            .when(col("p_op") === "U", "removed")
+            .otherwise("ghost_delete")
+          val verdict = evs.join(priorAll, Seq("doc_id"), "left")
+            .select(cls.as("cls"), col("fp"))
+            .agg(
+              count(when(col("cls") === "added", 1)).as("n_added"),
+              count(when(col("cls") === "removed", 1)).as("n_removed"),
+              count(when(col("cls") === "changed", 1)).as("n_changed"),
+              count(when(col("cls") === "touched_same", 1))
+                .as("n_touched_same"),
+              count(when(col("cls") === "ghost_delete", 1))
+                .as("n_ghost_deletes"),
+              count(when(col("cls") === "stale", 1)).as("n_stale"),
+              expr("bit_xor(CASE WHEN cls IN ('added','changed') " +
+                "THEN fp END)").as("delta_fp"))
+            .withColumn("batch_id", lit(batchId))
+          verdict.write.mode("overwrite")
+            .parquet(s"$verdictsP/batch=$batchId")
+          evs.withColumn("src_batch", lit(batchId))
+            .write.mode("overwrite").parquet(s"$logP/batch=$batchId")
+          ledgerCommit(spark, ledgerP, done, batchId)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    recoverSwap(spark, verdictsP)
+    spark.read.parquet(verdictsP).drop("batch")
+  }
+
+  /** The current reconstructed snapshot from [[snapshotDiffMaintain]]'s
+    * log: the LWW fold by (seq, src_batch), live rows only — what a
+    * reconciler compares against the source table's own fingerprints.
+    */
+  def snapshotCurrent(spark: SparkSession, statePath: String): DataFrame = {
+    val logP = statePath + "/fps"
+    recoverSwap(spark, logP)
+    require(stateExists(spark, logP),
+      s"snapshotCurrent: no snapshot log at $logP")
+    spark.read.parquet(logP)
+      .groupBy(col("doc_id"))
+      .agg(max_by(struct(col("op"), col("fp"), col("seq")),
+        struct(col("seq"), col("src_batch"))).as("p"))
+      .where(col("p.op") === "U")
+      .select(col("doc_id"), col("p.fp").as("fp"))
+  }
+
   /** Crash-safe compaction for the grow-only per-batch partition stores
     * ([[dedupMaintain]]'s bands/shingles/verdicts, [[joinMaintain]]'s
     * sides and output): after thousands of micro-batches the stores hold

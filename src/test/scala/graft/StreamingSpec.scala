@@ -726,6 +726,98 @@ class StreamingSpec extends SparkSpec {
       fin(2L).getAs[Int]("best_hamming") == 2)
   }
 
+  test("snapshotDiffMaintain: CDC classification, LWW by seq (a late " +
+      "update cannot resurrect a delete), replay exactly-once, crash " +
+      "clobber, and compaction-stable snapshot") {
+    val ddir =
+      Files.createTempDirectory("graft_snapdiff_t").toString + "/events"
+    def wave(rows: Seq[(Long, String, Option[Long], Long)],
+        w: Int): Unit = {
+      rows.toDF("doc_id", "op", "fp", "seq").coalesce(1)
+        .write.mode("append").parquet(ddir)
+      // mtime-order the file source: stamp files not yet stamped
+      // fresh files carry a now-ish mtime (≈1.78e12); already-stamped
+      // ones sit at 1.70e12 — the threshold tells them apart
+      new java.io.File(ddir).listFiles
+        .filter(f => f.getName.endsWith(".parquet") &&
+          f.lastModified > 1710000000000L)
+        .foreach(_.setLastModified(1700000000000L + w * 60000L))
+    }
+    wave(Seq((1L, "U", Some(100L), 0L), (2L, "U", Some(200L), 0L),
+      (3L, "U", Some(300L), 0L)), 0)
+    wave(Seq((1L, "U", Some(110L), 2L), (2L, "D", None, 2L),
+      (4L, "U", Some(400L), 2L), (5L, "D", None, 2L),
+      (3L, "U", Some(300L), 2L)), 1)
+    // seq 1 < the delete's seq 2: neither the update of 1 nor the
+    // attempted resurrection of 2 may apply
+    wave(Seq((1L, "U", Some(105L), 1L), (2L, "U", Some(205L), 1L)), 2)
+    val statePath =
+      Files.createTempDirectory("graft_snapdiff_s").toString + "/state"
+    def stream = spark.readStream
+      .schema(spark.read.parquet(ddir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    def byBatch(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("batch_id") -> r).toMap
+    val v1 = byBatch(EventStream.snapshotDiffMaintain(spark, stream,
+      statePath))
+    assert(v1.size == 3)
+    assert(v1(0L).getAs[Long]("n_added") == 3)
+    val b1 = v1(1L)
+    assert(b1.getAs[Long]("n_added") == 1 &&
+      b1.getAs[Long]("n_removed") == 1 &&
+      b1.getAs[Long]("n_changed") == 1 &&
+      b1.getAs[Long]("n_touched_same") == 1 &&
+      b1.getAs[Long]("n_ghost_deletes") == 1)
+    assert(v1(2L).getAs[Long]("n_stale") == 2 &&
+      v1(2L).getAs[Long]("n_added") == 0 &&
+      v1(2L).getAs[Long]("n_changed") == 0)
+    def snapMap() = EventStream.snapshotCurrent(spark, statePath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s1 = snapMap()
+    assert(s1 == Map(1L -> 110L, 3L -> 300L, 4L -> 400L), s1.toString)
+    // crash simulation: a dead attempt of batch 1 landed garbage rows in
+    // the log without a ledger row — wipe batch 1's ledger entry and
+    // poison its partition; the replay must clobber it and the prior
+    // reads must never see the poison
+    val logP = statePath + "/fps"
+    Seq((1L, "U", Some(999999L), 50L, 1L))
+      .toDF("doc_id", "op", "fp", "seq", "src_batch")
+      .write.mode("overwrite").parquet(s"$logP/batch=1")
+    spark.read.parquet(statePath + "/ledger")
+      .where(col("batch_id") =!= 1L).localCheckpoint()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(statePath + "/ledger")
+    val v2 = byBatch(EventStream.snapshotDiffMaintain(spark, stream,
+      statePath))
+    assert(v2.size == 3)
+    assert(v2(1L).getAs[Long]("n_changed") == 1 &&
+      v2(1L).getAs[Long]("n_added") == 1)
+    assert(snapMap() == s1)
+    // full replay with an intact ledger: every batch skips, nothing
+    // doubles
+    val v3 = byBatch(EventStream.snapshotDiffMaintain(spark, stream,
+      statePath))
+    assert(v3.size == 3 && snapMap() == s1)
+    // compaction folds the log's batch partitions; the LWW fold rides the
+    // src_batch/seq DATA columns, so the snapshot must not move
+    EventStream.compactState(spark, logP)
+    assert(snapMap() == s1)
+    // contract violation fails the batch loudly
+    val bad =
+      Files.createTempDirectory("graft_snapdiff_bad").toString + "/events"
+    Seq((9L, "X", Some(1L), 0L)).toDF("doc_id", "op", "fp", "seq")
+      .coalesce(1).write.parquet(bad)
+    val s2 =
+      Files.createTempDirectory("graft_snapdiff_s2").toString + "/state"
+    val ex = intercept[Throwable] {
+      EventStream.snapshotDiffMaintain(spark, spark.readStream
+        .schema(spark.read.parquet(bad).schema).parquet(bad), s2)
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    assert(msgs.contains("snapshotDiffMaintain"), msgs.take(500))
+  }
+
   test("fpDedupMaintain treats a NULL fp as data, not a batch failure: " +
       "the row is dropped, valid rows still band and match") {
     // an undecodable blob lands a NULL fingerprint (the Multimodal
