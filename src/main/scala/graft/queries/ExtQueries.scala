@@ -1812,7 +1812,92 @@ object ExtQueries {
     //    partitions. Once per session.
     QueryDef(
       "q321_stream_snapshot_diff",
-      (s, dir) => snapshotStreamCache.getOrElseUpdate(
+      (s, dir) => runSnapshotStream(s, dir),
+      Some("""WITH g2r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || '!r2' ELSE text END
+        |      AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, 'xx', source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |g2 AS (
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS fp2
+        |  FROM g2r)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM documents)
+        |    + (SELECT COUNT(*) FROM documents WHERE doc_id % 11 = 0)
+        |    AS BIGINT) AS n_added,
+        |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
+        |    AS BIGINT) AS n_removed,
+        |  CAST((SELECT COUNT(*) FROM documents
+        |    WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(0 AS BIGINT) AS n_touched_same,
+        |  CAST(0 AS BIGINT) AS n_ghost_deletes,
+        |  CAST(0 AS BIGINT) AS n_stale,
+        |  (SELECT COUNT(*) FROM g2) AS n_live,
+        |  (SELECT BIT_XOR(fp2) FROM g2) AS state_fp""".stripMargin)),
+
+    // ── TIME TRAVEL over q321's CDC log — the capability the
+    //    log-structured store exists to sell: any historical version
+    //    reconstructs from the SAME store by restricting the LWW fold to
+    //    seq ≤ v ([[graft.streaming.EventStream.snapshotAsOf]]). Version
+    //    0 must be EXACTLY gen1 (the seed) and version 1 exactly gen2 —
+    //    row counts and xor fingerprints of both land in one gated row
+    //    that DuckDB replays from the base fixture. No second store, no
+    //    snapshot copies: tombstones + seq as data columns make history
+    //    a filter, which at 100 TB is the difference between retaining
+    //    versions and re-materializing them.
+    QueryDef(
+      "q322_snapshot_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        runSnapshotStream(s, dir) // idempotent: ensures the log exists
+        val statePath =
+          snapshotStatePath((s.sparkContext.applicationId, dir))
+        def ver(v: Long, rows: String, fp: String) =
+          graft.streaming.EventStream.snapshotAsOf(s, statePath, v)
+            .agg(count(lit(1)).as(rows), expr("bit_xor(fp)").as(fp))
+        ver(0L, "v0_rows", "v0_fp").crossJoin(ver(1L, "v1_rows", "v1_fp"))
+      },
+      Some("""WITH g1 AS (
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS fp1
+        |  FROM documents),
+        |g2r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || '!r2' ELSE text END
+        |      AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, 'xx', source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |g2 AS (
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS fp2
+        |  FROM g2r)
+        |SELECT (SELECT COUNT(*) FROM g1) AS v0_rows,
+        |  (SELECT BIT_XOR(fp1) FROM g1) AS v0_fp,
+        |  (SELECT COUNT(*) FROM g2) AS v1_rows,
+        |  (SELECT BIT_XOR(fp2) FROM g2) AS v1_fp""".stripMargin))
+  )
+
+  /** q321's once-per-session CDC-stream reconciliation run; also records
+    * the store path for q322's time-travel reads.
+    */
+  private def runSnapshotStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    snapshotStreamCache.getOrElseUpdate(
         (s.sparkContext.applicationId, dir), {
           import s.implicits._
           def fpExpr(id: String, text: String, lang: String,
@@ -1864,6 +1949,8 @@ object ExtQueries {
           }
           val statePath = java.nio.file.Files
             .createTempDirectory("graft_snapdiff_state").toString + "/state"
+          snapshotStatePath.put((s.sparkContext.applicationId, dir),
+            statePath)
           val verdicts = graft.streaming.EventStream.snapshotDiffMaintain(s,
             s.readStream.schema(s.read.parquet(ddir).schema)
               .option("maxFilesPerTrigger", "1").parquet(ddir), statePath)
@@ -1879,37 +1966,7 @@ object ExtQueries {
             .crossJoin(snap.agg(count(lit(1)).as("n_live"),
               expr("bit_xor(fp)").as("state_fp")))
             .localCheckpoint()
-        }),
-      Some("""WITH g2r AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 5 = 0 THEN text || '!r2' ELSE text END
-        |      AS text,
-        |    lang, source, n_chars
-        |  FROM documents WHERE doc_id % 7 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 10000000, text, 'xx', source, n_chars
-        |  FROM documents WHERE doc_id % 11 = 0),
-        |g2 AS (
-        |  SELECT ('0x' || substr(md5(
-        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
-        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))
-        |    ::BIGINT AS fp2
-        |  FROM g2r)
-        |SELECT
-        |  CAST((SELECT COUNT(*) FROM documents)
-        |    + (SELECT COUNT(*) FROM documents WHERE doc_id % 11 = 0)
-        |    AS BIGINT) AS n_added,
-        |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
-        |    AS BIGINT) AS n_removed,
-        |  CAST((SELECT COUNT(*) FROM documents
-        |    WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0) AS BIGINT)
-        |    AS n_changed,
-        |  CAST(0 AS BIGINT) AS n_touched_same,
-        |  CAST(0 AS BIGINT) AS n_ghost_deletes,
-        |  CAST(0 AS BIGINT) AS n_stale,
-        |  (SELECT COUNT(*) FROM g2) AS n_live,
-        |  (SELECT BIT_XOR(fp2) FROM g2) AS state_fp""".stripMargin))
-  )
+        })
 
   /** Once-per-session tri-codec landing for q319. */
   private val codecCache = scala.collection.concurrent.TrieMap
@@ -1918,6 +1975,10 @@ object ExtQueries {
   /** Once-per-session CDC-stream reconciliation run for q321. */
   private val snapshotStreamCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  /** The q321 run's store path — q322's time-travel reads fold over it. */
+  private val snapshotStatePath = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
 
   /** Once-per-session two-generation parquet landing for q317. */
   private val schemaEvoCache = scala.collection.concurrent.TrieMap

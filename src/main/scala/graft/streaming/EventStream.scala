@@ -1030,12 +1030,27 @@ object EventStream {
     * log: the LWW fold by (seq, src_batch), live rows only — what a
     * reconciler compares against the source table's own fingerprints.
     */
-  def snapshotCurrent(spark: SparkSession, statePath: String): DataFrame = {
+  def snapshotCurrent(spark: SparkSession, statePath: String): DataFrame =
+    snapshotAsOf(spark, statePath, Long.MaxValue)
+
+  /** TIME TRAVEL over the CDC log: the snapshot as of version `maxSeq` —
+    * the LWW fold restricted to events with seq ≤ maxSeq. The log
+    * structure makes every historical version reconstructible from the
+    * same store at the cost of one filtered fold (this is the capability
+    * a versioned lakehouse table sells; here it falls out of keeping
+    * tombstones and seq as data). The filter prunes BEFORE the fold's
+    * exchange, so an early version over a long log shuffles only the
+    * surviving prefix. Versions between two seqs that touched no key are
+    * identical — seq is the CDC version axis, not wall time.
+    */
+  def snapshotAsOf(spark: SparkSession, statePath: String,
+      maxSeq: Long): DataFrame = {
     val logP = statePath + "/fps"
     recoverSwap(spark, logP)
     require(stateExists(spark, logP),
-      s"snapshotCurrent: no snapshot log at $logP")
+      s"snapshotAsOf: no snapshot log at $logP")
     spark.read.parquet(logP)
+      .where(col("seq") <= maxSeq)
       .groupBy(col("doc_id"))
       .agg(max_by(struct(col("op"), col("fp"), col("seq")),
         struct(col("seq"), col("src_batch"))).as("p"))

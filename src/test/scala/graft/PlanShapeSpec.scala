@@ -1321,4 +1321,38 @@ class PlanShapeSpec extends SparkSpec {
         assert(!a.contains("ResolvedHint"), s"$q: " + a.take(1600))
       }
   }
+
+  test("q320 snapshot diff: every key-bearing exchange carries only " +
+      "(doc_id, fingerprint) — full rows never shuffle") {
+    val df = SparkEntry.queries("q320_snapshot_diff")(spark, dir)
+    df.collect() // materialize the AQE final plan
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // AQE wraps each exchange in a leaf QueryStageExec — descend into
+    // stage plans explicitly, collect() stops at stage boundaries
+    def keyedShuffles(
+        p: org.apache.spark.sql.execution.SparkPlan): Seq[Seq[String]] = {
+      val here = p match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.output.exists(_.name == "doc_id") =>
+          Seq(e.output.map(_.name))
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(keyedShuffles)
+    }
+    val keyed = keyedShuffles(root)
+    // both snapshot sides shuffle for the full-outer join
+    assert(keyed.size >= 2, root.toString.take(1600))
+    keyed.foreach { cols =>
+      assert(cols.toSet.subsetOf(Set("doc_id", "fp1", "fp2")), cols.toString)
+    }
+  }
 }

@@ -802,6 +802,15 @@ class StreamingSpec extends SparkSpec {
     // src_batch/seq DATA columns, so the snapshot must not move
     EventStream.compactState(spark, logP)
     assert(snapMap() == s1)
+    // TIME TRAVEL: every version reconstructs from the same (compacted)
+    // log. As-of version 1 INCLUDES the events the live fold classified
+    // stale — they were only stale relative to version 2; at version 1
+    // they were the state
+    def asOf(v: Long) = EventStream.snapshotAsOf(spark, statePath, v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asOf(0L) == Map(1L -> 100L, 2L -> 200L, 3L -> 300L))
+    assert(asOf(1L) == Map(1L -> 105L, 2L -> 205L, 3L -> 300L))
+    assert(asOf(2L) == s1)
     // contract violation fails the batch loudly
     val bad =
       Files.createTempDirectory("graft_snapdiff_bad").toString + "/events"
