@@ -1889,8 +1889,104 @@ object ExtQueries {
         |SELECT (SELECT COUNT(*) FROM g1) AS v0_rows,
         |  (SELECT BIT_XOR(fp1) FROM g1) AS v0_fp,
         |  (SELECT COUNT(*) FROM g2) AS v1_rows,
-        |  (SELECT BIT_XOR(fp2) FROM g2) AS v1_fp""".stripMargin))
+        |  (SELECT BIT_XOR(fp2) FROM g2) AS v1_fp""".stripMargin)),
+
+    // ── q320 at the PETABYTE shape: both generations' fingerprint tables
+    //    land BUCKETED on the key (one shuffle paid at write time — the
+    //    durable co-location contract), and the full-outer diff then
+    //    plans with ZERO key-bearing Exchange: the scans' HashPartitioning
+    //    feeds the merge join directly, so re-running the reconciliation
+    //    nightly against 100 TB snapshots shuffles nothing but the final
+    //    one-row agg buffers. Same classification row and oracle as q320;
+    //    PlanShapeSpec pins the no-hashpartitioning-Exchange property.
+    //    The merge hint rules out a broadcast plan at fixture scale (at
+    //    100 TB neither snapshot broadcasts anyway).
+    QueryDef(
+      "q323_bucketed_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val (t1, t2) = bucketedSnapshots(s, dir)
+        s.table(t1).hint("merge")
+          .join(s.table(t2).hint("merge"), Seq("doc_id"), "full_outer")
+          .agg(
+            count(when($"fp1".isNull, 1)).as("n_added"),
+            count(when($"fp2".isNull, 1)).as("n_removed"),
+            count(when($"fp1".isNotNull && $"fp2".isNotNull &&
+              $"fp1" =!= $"fp2", 1)).as("n_changed"),
+            count(when($"fp1" === $"fp2", 1)).as("n_unchanged"),
+            expr("bit_xor(CASE WHEN fp1 IS NULL OR fp1 <> fp2 " +
+              "THEN fp2 END)").as("delta_fp"))
+      },
+      Some("""WITH g1 AS (
+        |  SELECT doc_id, ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS fp1
+        |  FROM documents),
+        |g2r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || '!r2' ELSE text END
+        |      AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, 'xx', source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |g2 AS (
+        |  SELECT doc_id, ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS fp2
+        |  FROM g2r)
+        |SELECT
+        |  CAST(COUNT(CASE WHEN fp1 IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(COUNT(CASE WHEN fp2 IS NULL THEN 1 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(COUNT(CASE WHEN fp1 IS NOT NULL AND fp2 IS NOT NULL
+        |    AND fp1 <> fp2 THEN 1 END) AS BIGINT) AS n_changed,
+        |  CAST(COUNT(CASE WHEN fp1 = fp2 THEN 1 END) AS BIGINT)
+        |    AS n_unchanged,
+        |  BIT_XOR(CASE WHEN fp1 IS NULL OR fp1 <> fp2 THEN fp2 END)
+        |    AS delta_fp
+        |FROM g1 FULL OUTER JOIN g2 USING (doc_id)""".stripMargin))
   )
+
+  /** Once-per-session bucketed (doc_id, fp) landings of both snapshot
+    * generations for q323 — q104's durable co-location contract applied
+    * to reconciliation: one shuffle at write time, zero at every diff.
+    */
+  private val bucketedSnapCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, String)]
+
+  private def bucketedSnapshots(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    bucketedSnapCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      import s.implicits._
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      def fp(as: String) =
+        expr("CAST(conv(substring(md5(concat_ws('|', doc_id, text, " +
+          "lang, source, n_chars)), 1, 15), 16, 10) AS BIGINT)").as(as)
+      val base = Tables.documents(s, dir)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      val g2 = base.where($"doc_id" % 7 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 5 === 0, concat($"text", lit("!r2")))
+            .otherwise($"text").as("text"),
+          $"lang", $"source", $"n_chars")
+        .unionByName(base.where($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 10000000L).as("doc_id"), $"text",
+            lit("xx").as("lang"), $"source", $"n_chars"))
+      val (t1, t2) = (s"graft_bk_snap1$tag", s"graft_bk_snap2$tag")
+      base.select($"doc_id", fp("fp1")).write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", s"$wh/graft_bucketed/$t1").saveAsTable(t1)
+      g2.select($"doc_id", fp("fp2")).write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", s"$wh/graft_bucketed/$t2").saveAsTable(t2)
+      (t1, t2)
+    })
 
   /** q321's once-per-session CDC-stream reconciliation run; also records
     * the store path for q322's time-travel reads.

@@ -1355,4 +1355,17 @@ class PlanShapeSpec extends SparkSpec {
       assert(cols.toSet.subsetOf(Set("doc_id", "fp1", "fp2")), cols.toString)
     }
   }
+
+  test("q323 bucketed snapshot diff: the full-outer merge join inherits " +
+      "the bucket partitioning — zero key-bearing Exchange") {
+    val df = SparkEntry.queries("q323_bucketed_snapshot_diff")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      p.take(1600))
+    // the only permitted exchange is the final one-row agg's
+    // SinglePartition — a hashpartitioning exchange would mean the
+    // bucket layout was not inherited
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1600))
+  }
 }
