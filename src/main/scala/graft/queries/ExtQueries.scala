@@ -1949,8 +1949,73 @@ object ExtQueries {
         |    AS n_unchanged,
         |  BIT_XOR(CASE WHEN fp1 IS NULL OR fp1 <> fp2 THEN fp2 END)
         |    AS delta_fp
-        |FROM g1 FULL OUTER JOIN g2 USING (doc_id)""".stripMargin))
+        |FROM g1 FULL OUTER JOIN g2 USING (doc_id)""".stripMargin)),
+
+    // ── Small-file COMPACTION under the hash gate — the operating-model
+    //    step the append-per-batch catalog requires at 100 TB (thousands
+    //    of tiny per-load files dominate listing and scan planning;
+    //    Catalog.compact rewrites to ~target-sized files INSIDE the
+    //    load_id partition layout). The fixture appends nation three
+    //    times, four files per load (12 data files), runs the REAL
+    //    compaction, and gates what must and must not change: row count,
+    //    per-row xor fingerprint, and the per-load_id row distribution
+    //    are IDENTICAL before and after (booleans + the actual numbers,
+    //    all DuckDB-replayable from nation); the file population shrank
+    //    and every surviving file still lives inside exactly one
+    //    load_id=N directory (layout attested from the filesystem, the
+    //    q319 pattern). Once per session.
+    QueryDef(
+      "q324_compaction_gate",
+      (s, dir) => compactionCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_compact").toString
+          val catalog = new graft.pipeline.Catalog(s, root)
+          val nat = Tables.nation(s, dir)
+            .select($"n_nationkey".cast("long").as("k"), $"n_name")
+          (1L to 3L).foreach { lid =>
+            catalog.appendBatched(
+              nat.withColumn("load_id", lit(lid)).repartition(4),
+              "bronze", "nat")
+          }
+          def dataFiles(): Seq[java.io.File] = {
+            def walk(f: java.io.File): Seq[java.io.File] =
+              if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+            walk(new java.io.File(catalog.path("bronze", "nat")))
+              .filter(_.getName.endsWith(".parquet"))
+          }
+          def fingerprint() = catalog.read("bronze", "nat")
+            .agg(count(lit(1)).as("n"),
+              expr("bit_xor(CAST(conv(substring(md5(concat_ws('|', k, " +
+                "n_name, load_id)), 1, 15), 16, 10) AS BIGINT))").as("fp"),
+              countDistinct($"load_id").as("n_loads"))
+            .head()
+          val before = fingerprint()
+          val filesBefore = dataFiles().size
+          catalog.compact("bronze", "nat")
+          val after = fingerprint()
+          val filesAfter = dataFiles()
+          val layoutKept = filesAfter.forall(
+            _.getParentFile.getName.startsWith("load_id="))
+          Seq((after.getAs[Long]("n"), after.getAs[Long]("n_loads"),
+              after.getAs[Long]("fp") == before.getAs[Long]("fp"),
+              after.getAs[Long]("n") == before.getAs[Long]("n"),
+              filesAfter.size < filesBefore, layoutKept))
+            .toDF("n_rows", "n_loads", "fp_stable", "rows_stable",
+              "files_reduced", "layout_kept")
+            .localCheckpoint()
+        }),
+      Some("""SELECT
+        |  CAST(3 * (SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows,
+        |  CAST(3 AS BIGINT) AS n_loads,
+        |  TRUE AS fp_stable, TRUE AS rows_stable,
+        |  TRUE AS files_reduced, TRUE AS layout_kept""".stripMargin))
   )
+
+  /** Once-per-session compaction run for q324. */
+  private val compactionCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
 
   /** Once-per-session bucketed (doc_id, fp) landings of both snapshot
     * generations for q323 — q104's durable co-location contract applied
