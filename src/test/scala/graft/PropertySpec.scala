@@ -507,4 +507,51 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("snapshot LWW fold matches a reference replay on random CDC logs " +
+      "(duplicate seqs tie-broken by src_batch, tombstones, random as-of)") {
+    // the fold under test is snapshotAsOf's: max_by((op, fp), (seq,
+    // src_batch)) per key, live rows only. The log is written directly as
+    // batch partitions (the protocol around it is covered by StreamingSpec
+    // and the soak; this pins the FOLD's semantics on shapes the fixtures
+    // don't reach — duplicate seqs across batches, delete-then-readd
+    // chains, keys that never live)
+    (1 to 5).foreach { round =>
+      val nKeys = 12
+      val nBatches = 6
+      val events = (0 until nBatches).flatMap { b =>
+        (0 until 8).map { _ =>
+          val k = rnd.nextInt(nKeys).toLong
+          // seqs drawn from a SMALL range so cross-batch duplicates occur
+          val seq = rnd.nextInt(10).toLong
+          val op = if (rnd.nextInt(4) == 0) "D" else "U"
+          val fp = if (op == "U") Some(k * 100 + seq * 7 + b) else None
+          (k, op, fp, seq, b.toLong)
+        }
+        // in-batch uniqueness per key (the maintainer's post-collapse
+        // invariant): keep the max-seq event per key, ties by fp order
+        .groupBy(_._1).map { case (_, es) =>
+          es.maxBy(e => (e._4, e._3.getOrElse(-1L))) }.toSeq
+      }
+      val statePath = java.nio.file.Files
+        .createTempDirectory(s"graft_lwwprop$round").toString + "/state"
+      events.groupBy(_._5).foreach { case (b, rows) =>
+        rows.toDF("doc_id", "op", "fp", "seq", "src_batch")
+          .coalesce(1).write.parquet(s"$statePath/fps/batch=$b")
+      }
+      def oracle(maxSeq: Long): Map[Long, Long] =
+        events.filter(_._4 <= maxSeq)
+          .groupBy(_._1).collect {
+            case (k, es) =>
+              val best = es.maxBy(e => (e._4, e._5))
+              (k, best._2, best._3)
+          }.collect { case (k, "U", Some(fp)) => k -> fp }.toMap
+      def got(maxSeq: Long): Map[Long, Long] =
+        graft.streaming.EventStream.snapshotAsOf(spark, statePath, maxSeq)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Seq(0L, 3L, 7L, Long.MaxValue).foreach { v =>
+        assert(got(v) == oracle(v), s"round $round asOf $v")
+      }
+    }
+  }
 }
