@@ -2010,8 +2010,95 @@ object ExtQueries {
         |  CAST(3 * (SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows,
         |  CAST(3 AS BIGINT) AS n_loads,
         |  TRUE AS fp_stable, TRUE AS rows_stable,
-        |  TRUE AS files_reduced, TRUE AS layout_kept""".stripMargin))
+        |  TRUE AS files_reduced, TRUE AS layout_kept""".stripMargin)),
+
+    // ── DELETION PROPAGATION — the compliance sweep (right-to-be-
+    //    forgotten) every data platform eventually runs: a tombstone list
+    //    of subject keys must vanish from EVERY medallion layer, and
+    //    derived layers must be RECOMPUTED, not row-scrubbed (an
+    //    aggregate does not contain deletable rows — it contains their
+    //    influence). The fixture builds bronze (nation + a parity
+    //    load_id), silver (projection+derivation), gold (per-region
+    //    rollup) through the real Catalog; the tombstone list (keys
+    //    % 6 = 0) scrubs bronze and silver via LEFT-ANTI joins against
+    //    the list (the broadcastable shape — at 100 TB the tombstone
+    //    side is small and the rewrite prunes to affected partitions;
+    //    here the fixture is dim-sized), and gold REBUILDS from the
+    //    scrubbed silver. The gated row proves absence (a residual count
+    //    that must be zero across all layers), survivor integrity (row
+    //    counts + xor fingerprint of the scrubbed bronze), and that the
+    //    rollup reflects the recompute (gold row count + total), all
+    //    DuckDB-replayable from nation. Once per session.
+    QueryDef(
+      "q325_deletion_propagation",
+      (s, dir) => deletionCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_gdpr").toString
+          val catalog = new graft.pipeline.Catalog(s, root)
+          val nat = Tables.nation(s, dir)
+            .select($"n_nationkey".cast("long").as("k"), $"n_name",
+              $"n_regionkey".cast("long").as("rk"))
+          catalog.appendBatched(
+            nat.withColumn("load_id", pmod($"k", lit(2)) + 1L),
+            "bronze", "subjects")
+          val silver = catalog.read("bronze", "subjects")
+            .select($"k", upper($"n_name").as("name_u"), $"rk")
+          catalog.overwrite(silver, "silver", "subjects")
+          val gold = catalog.read("silver", "subjects")
+            .groupBy($"rk").agg(count(lit(1)).as("n"))
+          catalog.overwrite(gold, "gold", "region_counts")
+          // the sweep: tombstones anti-join every row-level layer; the
+          // rewrite goes through a checkpoint (you cannot overwrite a
+          // path you are reading), then gold recomputes from silver
+          val tombstones = nat.where($"k" % 6 === 0).select($"k")
+          Seq("bronze" -> "subjects", "silver" -> "subjects").foreach {
+            case (sc, t) =>
+              val scrubbed = catalog.read(sc, t)
+                .join(tombstones, Seq("k"), "left_anti").localCheckpoint()
+              catalog.overwrite(scrubbed, sc, t)
+          }
+          catalog.overwrite(
+            catalog.read("silver", "subjects")
+              .groupBy($"rk").agg(count(lit(1)).as("n")),
+            "gold", "region_counts")
+          val residual = Seq("bronze" -> "subjects", "silver" -> "subjects")
+            .map { case (sc, t) =>
+              catalog.read(sc, t).join(tombstones, Seq("k"), "left_semi")
+                .count()
+            }.sum
+          catalog.read("bronze", "subjects")
+            .agg(count(lit(1)).as("bronze_rows"),
+              expr("bit_xor(CAST(conv(substring(md5(concat_ws('|', k, " +
+                "n_name, rk)), 1, 15), 16, 10) AS BIGINT))")
+                .as("bronze_fp"))
+            .crossJoin(catalog.read("silver", "subjects")
+              .agg(count(lit(1)).as("silver_rows")))
+            .crossJoin(catalog.read("gold", "region_counts")
+              .agg(count(lit(1)).as("gold_regions"),
+                sum($"n").as("gold_total")))
+            .withColumn("residual", lit(residual))
+            .localCheckpoint()
+        }),
+      Some("""WITH surv AS (
+        |  SELECT n_nationkey AS k, n_name, n_regionkey AS rk
+        |  FROM nation WHERE n_nationkey % 6 <> 0)
+        |SELECT
+        |  (SELECT COUNT(*) FROM surv) AS bronze_rows,
+        |  (SELECT BIT_XOR(('0x' || substr(md5(
+        |    CAST(k AS VARCHAR) || '|' || n_name || '|' ||
+        |    CAST(rk AS VARCHAR)), 1, 15))::BIGINT) FROM surv)
+        |    AS bronze_fp,
+        |  (SELECT COUNT(*) FROM surv) AS silver_rows,
+        |  (SELECT COUNT(DISTINCT rk) FROM surv) AS gold_regions,
+        |  (SELECT COUNT(*) FROM surv) AS gold_total,
+        |  CAST(0 AS BIGINT) AS residual""".stripMargin))
   )
+
+  /** Once-per-session deletion-propagation run for q325. */
+  private val deletionCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
 
   /** Once-per-session compaction run for q324. */
   private val compactionCache = scala.collection.concurrent.TrieMap
