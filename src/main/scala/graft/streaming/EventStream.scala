@@ -936,7 +936,11 @@ object EventStream {
     * touched-same / ghost-delete / stale counts plus the xor-fold delta
     * checksum — q218/q320's order-independent contract). State is an
     * append-only LOG of per-batch overwrite partitions: writes are
-    * delta-sized (never an O(state) rewrite per batch), and the current
+    * delta-sized (never an O(state) rewrite per batch), per-batch READS
+    * are delta-KEYED (classification folds only the log rows of the
+    * batch's own keys — [[priorState]]'s broadcast left-semi prune, so a
+    * long-running stream never re-aggregates its full history per
+    * micro-batch), and the current
     * snapshot is the last-writer-wins fold by `seq` — the CDC version,
     * authoritative over arrival order, so a late event older than the
     * stored version counts `n_stale` and cannot regress the snapshot
@@ -979,13 +983,7 @@ object EventStream {
               col("e.fp").as("fp"), col("e.seq").as("seq"))
             .localCheckpoint()
           val priorAll =
-            if (stateExists(spark, logP))
-              spark.read.parquet(logP).where(col("batch") =!= batchId)
-                .groupBy(col("doc_id"))
-                .agg(max_by(struct(col("op"), col("fp"), col("seq")),
-                  struct(col("seq"), col("src_batch"))).as("p"))
-                .select(col("doc_id"), col("p.op").as("p_op"),
-                  col("p.fp").as("p_fp"), col("p.seq").as("p_seq"))
+            if (stateExists(spark, logP)) priorState(spark, logP, batchId, evs)
             else evs.select(col("doc_id"), col("op").as("p_op"),
               col("fp").as("p_fp"), col("seq").as("p_seq")).limit(0)
           val cls = when(col("p_seq").isNotNull &&
@@ -1026,6 +1024,32 @@ object EventStream {
     spark.read.parquet(verdictsP).drop("batch")
   }
 
+  /** The per-batch prior-state read [[snapshotDiffMaintain]] classifies
+    * against: the LWW fold by (seq, src_batch) restricted to EXACTLY the
+    * batch's keys. The key set left-semi prunes the log scan BEFORE the
+    * fold — the semi-join is a broadcast (a micro-batch's distinct keys
+    * are delta-sized by definition), so it executes map-side against each
+    * log partition and the fold's exchange + aggregation buffers carry
+    * only rows for keys the batch actually touches. Without the prune the
+    * maintainer would re-aggregate the ENTIRE accumulated log every
+    * micro-batch — O(log) reads per batch, quadratic over a stream's
+    * lifetime; with it the per-batch cost is O(log-rows-of-batch-keys),
+    * which [[compactSnapshotLog]]'s horizon bounds to O(delta) in steady
+    * state. Classification is key-local (the verdict left-joins the batch
+    * to this frame on doc_id), so pruning to the batch's keys is an
+    * identity, not an approximation. PlanShapeSpec pins the plan shape:
+    * the fold's aggregate sits ABOVE the broadcast left-semi join.
+    */
+  private[graft] def priorState(spark: SparkSession, logP: String,
+      excludeBatch: Long, keys: DataFrame): DataFrame =
+    spark.read.parquet(logP).where(col("batch") =!= excludeBatch)
+      .join(broadcast(keys.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(max_by(struct(col("op"), col("fp"), col("seq")),
+        struct(col("seq"), col("src_batch"))).as("p"))
+      .select(col("doc_id"), col("p.op").as("p_op"),
+        col("p.fp").as("p_fp"), col("p.seq").as("p_seq"))
+
   /** The current reconstructed snapshot from [[snapshotDiffMaintain]]'s
     * log: the LWW fold by (seq, src_batch), live rows only — what a
     * reconciler compares against the source table's own fingerprints.
@@ -1049,6 +1073,13 @@ object EventStream {
     recoverSwap(spark, logP)
     require(stateExists(spark, logP),
       s"snapshotAsOf: no snapshot log at $logP")
+    // versions at or below the compaction horizon were folded into the
+    // batch=-1 base by [[compactSnapshotLog]] — reconstructing one would
+    // silently return the HORIZON's state, so refuse loudly instead
+    val h = snapshotHorizon(spark, statePath)
+    require(maxSeq >= h,
+      s"snapshotAsOf: version $maxSeq predates the compaction horizon $h" +
+        " — its events were folded into the base and cannot be replayed")
     spark.read.parquet(logP)
       .where(col("seq") <= maxSeq)
       .groupBy(col("doc_id"))
@@ -1056,6 +1087,150 @@ object EventStream {
         struct(col("seq"), col("src_batch"))).as("p"))
       .where(col("p.op") === "U")
       .select(col("doc_id"), col("p.fp").as("fp"))
+  }
+
+  /** The snapshot log's compaction horizon: versions ≤ this seq have been
+    * folded into the base and are no longer individually reconstructible.
+    * Long.MinValue when the log has never been horizon-compacted.
+    */
+  def snapshotHorizon(spark: SparkSession, statePath: String): Long = {
+    val markerP = statePath + "/horizon"
+    recoverSwap(spark, markerP)
+    if (!stateExists(spark, markerP)) Long.MinValue
+    else spark.read.parquet(markerP).agg(max(col("horizon")))
+      .head().getLong(0)
+  }
+
+  /** HISTORY SCRUB — the composition of deletion propagation (q325) with
+    * time travel (q322) that neither alone provides: remove a tombstoned
+    * key set's ENTIRE history from [[snapshotDiffMaintain]]'s log, so
+    * [[snapshotAsOf]] provably cannot resurrect a scrubbed subject at ANY
+    * version, while the fold for every surviving key is untouched (their
+    * log rows are byte-identical; LWW is per-key). The reference's S11
+    * delete+insert idempotency pattern
+    * (`scripts/transformations/utils.py:36-43`) extended to the version
+    * axis. The sweep is PARTITION-PRUNED: a broadcast semi-join finds the
+    * batch partitions that hold any subject row (control-plane sized —
+    * one row per affected batch), only those partitions are rewritten
+    * (anti-join, dynamic partition overwrite — atomic per partition like
+    * every Catalog batch rewrite), and partitions emptied by the scrub
+    * are deleted outright (dynamic overwrite cannot replace a partition
+    * with nothing). Re-running after a mid-sweep crash is idempotent:
+    * the anti-join finds nothing left to remove in already-swept
+    * partitions. The ledger is left intact — batch ids stay ledgered so
+    * stream replay still skips them; the verdicts store keeps its
+    * per-batch COUNTS (aggregates carry the subjects' influence, not
+    * their rows — the q325 contract). Returns the number of log rows
+    * removed.
+    */
+  def scrubHistory(spark: SparkSession, statePath: String,
+      keys: DataFrame): Long = {
+    val logP = statePath + "/fps"
+    recoverSwap(spark, logP)
+    require(stateExists(spark, logP),
+      s"scrubHistory: no snapshot log at $logP")
+    val k = keys.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    val log = spark.read.parquet(logP)
+    val affected: Map[Long, Long] = log
+      .join(broadcast(k), Seq("doc_id"), "left_semi")
+      .groupBy(col("batch")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[Number]("batch").longValue() -> r.getAs[Long]("n"))
+      .toMap
+    if (affected.isEmpty) 0L
+    else {
+      val scrubbed = log
+        .where(col("batch").isInCollection(affected.keys.toSeq))
+        .join(broadcast(k), Seq("doc_id"), "left_anti")
+        .localCheckpoint() // cannot overwrite partitions while reading them
+      val survivors: Map[Long, Long] = scrubbed
+        .groupBy(col("batch")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getAs[Number]("batch").longValue() -> r.getAs[Long]("n"))
+        .toMap
+      scrubbed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(logP)
+      val fs = new org.apache.hadoop.fs.Path(logP)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.keys.filter(b => survivors.getOrElse(b, 0L) == 0L)
+        .foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$logP/batch=$b"), true)
+        }
+      // the anti-join removed exactly the subject rows the semi-join found
+      affected.values.sum
+    }
+  }
+
+  /** HORIZON-AWARE compaction of the snapshot log: fold every event with
+    * seq ≤ `horizon` into one per-key base row (the LWW winner INCLUDING
+    * tombstones — a delete's seq must survive so a late event older than
+    * it still classifies stale and cannot resurrect the row), keep every
+    * event above the horizon verbatim, and record the horizon so
+    * [[snapshotAsOf]] below it fails loudly instead of silently returning
+    * the horizon's state. This is what bounds the log in production: the
+    * plain [[compactState]] merges FILES but keeps every version forever,
+    * so a long-running stream's log — and with it [[priorState]]'s
+    * per-batch read and every time-travel fold — grows without bound;
+    * folding the cold prefix caps both at (live keys + tail) while
+    * preserving exact reconstruction of every version the retention
+    * policy still promises. Fold correctness is associativity of per-key
+    * LWW max: for v ≥ horizon, fold(events ≤ v) = fold(fold(events ≤
+    * horizon) ∪ events in (horizon, v]) — the base keeps each winner's
+    * (seq, src_batch) so tiebreaks are unchanged. Crash-safe and
+    * fail-closed: the horizon marker commits FIRST (a crash between
+    * marker and rewrite refuses some still-reconstructible versions —
+    * conservative), then the log rewrites via the [[recoverSwap]] swap
+    * protocol. The ledger is untouched: batch ids stay ledgered, replay
+    * still skips them, and the reserved base id −1 can never collide
+    * with a live batch. Monotone: a new horizon below the current one is
+    * rejected (those versions are already gone).
+    */
+  def compactSnapshotLog(spark: SparkSession, statePath: String,
+      horizon: Long): Unit = {
+    val logP = statePath + "/fps"
+    recoverSwap(spark, logP)
+    require(stateExists(spark, logP),
+      s"compactSnapshotLog: no snapshot log at $logP")
+    val prev = snapshotHorizon(spark, statePath)
+    require(horizon >= prev,
+      s"compactSnapshotLog: horizon $horizon below the existing $prev")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swapWrite(path: String)(write: String => Unit): Unit = {
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+      val fs = dst.getFileSystem(conf)
+      fs.delete(tmp, true)
+      write(tmp.toString)
+      // marker EXPLICITLY and LAST — the swapCommit ledger-last contract
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+      fs.delete(dst, true)
+      fs.rename(tmp, dst)
+      ()
+    }
+    import spark.implicits._
+    // marker first: fail-closed (versions ≤ horizon refuse before the
+    // events that reconstruct them can be folded away)
+    swapWrite(statePath + "/horizon") { tmp =>
+      Seq(horizon).toDF("horizon").coalesce(1).write.parquet(tmp)
+    }
+    val log = spark.read.parquet(logP).localCheckpoint()
+    val base = log.where(col("seq") <= horizon)
+      .groupBy(col("doc_id"))
+      .agg(max_by(
+        struct(col("op"), col("fp"), col("seq"), col("src_batch")),
+        struct(col("seq"), col("src_batch"))).as("p"))
+      .select(col("doc_id"), col("p.op").as("op"), col("p.fp").as("fp"),
+        col("p.seq").as("seq"), col("p.src_batch").as("src_batch"))
+    val tail = log.where(col("seq") > horizon)
+      .select(col("doc_id"), col("op"), col("fp"), col("seq"),
+        col("src_batch"), col("batch"))
+    swapWrite(logP) { tmp =>
+      base.write.parquet(s"$tmp/batch=-1")
+      if (!tail.isEmpty)
+        tail.write.mode("append").partitionBy("batch").parquet(tmp)
+    }
   }
 
   /** Crash-safe compaction for the grow-only per-batch partition stores

@@ -1368,4 +1368,47 @@ class PlanShapeSpec extends SparkSpec {
     // bucket layout was not inherited
     assert(!p.contains("Exchange hashpartitioning"), p.take(1600))
   }
+
+  test("snapshot maintainer prior-state read is delta-KEYED: every LWW " +
+      "fold aggregate sits ABOVE a broadcast left-semi prune by the " +
+      "batch's keys — the per-batch read is never a full-log aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_prior_pin").toString
+    val logP = statePath + "/fps"
+    Seq((1L, "U", Some(10L), 0L, 0L), (2L, "U", Some(20L), 0L, 0L))
+      .toDF("doc_id", "op", "fp", "seq", "src_batch")
+      .write.parquet(s"$logP/batch=0")
+    val df = graft.streaming.EventStream.priorState(spark, logP, 7L,
+      Seq(1L).toDF("doc_id"))
+    df.collect() // materialize the AQE final plan
+    def subtree(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(subtree)
+    }
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def semisUnder(p: SparkPlan) = subtree(p).collect {
+      case j: BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semisUnder(root).nonEmpty,
+      subtree(root).map(_.nodeName).mkString(","))
+    val aggs = subtree(root).collect { case a: BaseAggregateExec => a }
+    assert(aggs.nonEmpty, subtree(root).map(_.nodeName).mkString(","))
+    aggs.foreach { a =>
+      assert(semisUnder(a).nonEmpty,
+        "full-log fold (no semi prune beneath): " + a.toString.take(800))
+    }
+  }
 }

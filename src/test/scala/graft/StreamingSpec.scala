@@ -827,6 +827,109 @@ class StreamingSpec extends SparkSpec {
     assert(msgs.contains("snapshotDiffMaintain"), msgs.take(500))
   }
 
+  test("scrubHistory: a tombstoned key vanishes from EVERY version, " +
+      "survivor folds are byte-identical, emptied partitions are deleted, " +
+      "the sweep is idempotent, and replay over the intact ledger cannot " +
+      "resurrect it") {
+    val ddir = Files.createTempDirectory("graft_scrub_t").toString + "/events"
+    def wave(rows: Seq[(Long, String, Option[Long], Long)], w: Int): Unit = {
+      rows.toDF("doc_id", "op", "fp", "seq").coalesce(1)
+        .write.mode("append").parquet(ddir)
+      new java.io.File(ddir).listFiles
+        .filter(f => f.getName.endsWith(".parquet") &&
+          f.lastModified > 1710000000000L)
+        .foreach(_.setLastModified(1700000000000L + w * 60000L))
+    }
+    // key 2 has the RICH history scrub exists for: created, deleted,
+    // resurrected — reconstructible at every version until the sweep
+    wave(Seq((1L, "U", Some(100L), 0L), (2L, "U", Some(200L), 0L),
+      (3L, "U", Some(300L), 0L)), 0)
+    wave(Seq((2L, "D", None, 1L), (3L, "U", Some(310L), 1L),
+      (4L, "U", Some(400L), 1L)), 1)
+    wave(Seq((2L, "U", Some(290L), 2L)), 2) // batch 2: subject rows ONLY
+    val statePath =
+      Files.createTempDirectory("graft_scrub_s").toString + "/state"
+    def stream = spark.readStream
+      .schema(spark.read.parquet(ddir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    EventStream.snapshotDiffMaintain(spark, stream, statePath)
+    def asOf(v: Long) = EventStream.snapshotAsOf(spark, statePath, v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asOf(0L) == Map(1L -> 100L, 2L -> 200L, 3L -> 300L))
+    assert(asOf(2L) == Map(1L -> 100L, 2L -> 290L, 3L -> 310L, 4L -> 400L))
+    val removed = EventStream.scrubHistory(spark, statePath,
+      Seq(2L).toDF("doc_id"))
+    assert(removed == 3L)
+    // no version can resurrect the subject; survivors are untouched
+    assert(asOf(0L) == Map(1L -> 100L, 3L -> 300L))
+    assert(asOf(1L) == Map(1L -> 100L, 3L -> 310L, 4L -> 400L))
+    assert(asOf(2L) == Map(1L -> 100L, 3L -> 310L, 4L -> 400L))
+    // batch 2 held only subject rows — dynamic overwrite cannot empty a
+    // partition, so the sweep must have deleted the directory outright
+    assert(!new java.io.File(statePath + "/fps/batch=2").exists())
+    // idempotent: nothing left to remove
+    assert(EventStream.scrubHistory(spark, statePath,
+      Seq(2L).toDF("doc_id")) == 0L)
+    // the ledger survived the sweep: full replay skips every batch (no
+    // verdict recompute, no log rewrite) and the subject stays gone
+    EventStream.snapshotDiffMaintain(spark, stream, statePath)
+    assert(asOf(2L) == Map(1L -> 100L, 3L -> 310L, 4L -> 400L))
+  }
+
+  test("compactSnapshotLog: versions at/above the horizon reconstruct " +
+      "bit-identically from base+tail, below-horizon time travel fails " +
+      "loudly, the horizon is monotone, and a late event older than a " +
+      "FOLDED tombstone still classifies stale") {
+    val ddir = Files.createTempDirectory("graft_hzn_t").toString + "/events"
+    def wave(rows: Seq[(Long, String, Option[Long], Long)], w: Int): Unit = {
+      rows.toDF("doc_id", "op", "fp", "seq").coalesce(1)
+        .write.mode("append").parquet(ddir)
+      new java.io.File(ddir).listFiles
+        .filter(f => f.getName.endsWith(".parquet") &&
+          f.lastModified > 1710000000000L)
+        .foreach(_.setLastModified(1700000000000L + w * 60000L))
+    }
+    wave(Seq((1L, "U", Some(100L), 0L), (2L, "U", Some(200L), 0L),
+      (3L, "U", Some(300L), 0L)), 0)
+    wave(Seq((1L, "U", Some(110L), 2L), (2L, "D", None, 2L),
+      (4L, "U", Some(400L), 2L)), 1)
+    wave(Seq((3L, "U", Some(330L), 4L)), 2)
+    val statePath =
+      Files.createTempDirectory("graft_hzn_s").toString + "/state"
+    def stream = spark.readStream
+      .schema(spark.read.parquet(ddir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    EventStream.snapshotDiffMaintain(spark, stream, statePath)
+    def asOf(v: Long) = EventStream.snapshotAsOf(spark, statePath, v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at2 = asOf(2L)
+    val at4 = asOf(4L)
+    assert(at2 == Map(1L -> 110L, 3L -> 300L, 4L -> 400L))
+    EventStream.compactSnapshotLog(spark, statePath, 2L)
+    assert(EventStream.snapshotHorizon(spark, statePath) == 2L)
+    // every still-promised version is bit-identical after the fold
+    assert(asOf(2L) == at2)
+    assert(asOf(4L) == at4)
+    assert(new java.io.File(statePath + "/fps/batch=-1").exists())
+    // versions the horizon folded away refuse loudly
+    val ex = intercept[IllegalArgumentException] { asOf(0L) }
+    assert(ex.getMessage.contains("predates"), ex.getMessage)
+    // the horizon is monotone: already-folded versions cannot come back
+    intercept[IllegalArgumentException] {
+      EventStream.compactSnapshotLog(spark, statePath, 1L)
+    }
+    // the folded base kept the tombstone's seq: a late update older than
+    // the delete classifies stale against the COMPACTED log and cannot
+    // resurrect the row
+    wave(Seq((2L, "U", Some(205L), 1L)), 3)
+    val v = EventStream.snapshotDiffMaintain(spark, stream, statePath)
+      .collect().map(r => r.getAs[Long]("batch_id") -> r).toMap
+    assert(v(3L).getAs[Long]("n_stale") == 1L, v(3L).toString)
+    val cur = EventStream.snapshotCurrent(spark, statePath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cur == Map(1L -> 110L, 3L -> 330L, 4L -> 400L), cur.toString)
+  }
+
   test("fpDedupMaintain treats a NULL fp as data, not a batch failure: " +
       "the row is dropped, valid rows still band and match") {
     // an undecodable blob lands a NULL fingerprint (the Multimodal
