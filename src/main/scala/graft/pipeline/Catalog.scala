@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /** Path-based medallion warehouse: `schema.table` → `<root>/<schema>/<table>`
   * parquet directories. Replaces the reference's Snowflake schemas
@@ -20,8 +20,18 @@ final class Catalog(val spark: SparkSession, val root: String) {
 
   def path(schema: String, table: String): String = s"$root/$schema/$table"
 
-  def exists(schema: String, table: String): Boolean =
-    Files.exists(Paths.get(path(schema, table)))
+  /** All filesystem control-plane calls go through the Hadoop FileSystem
+    * API (same seam [[Ingestion.listFiles]] uses), so the catalog runs
+    * unchanged against HDFS/S3A at 100 TB — `java.nio` would silently pin
+    * it to a local disk.
+    */
+  private def fs(p: String): FileSystem =
+    new HPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(schema: String, table: String): Boolean = {
+    val p = path(schema, table)
+    fs(p).exists(new HPath(p))
+  }
 
   def read(schema: String, table: String): DataFrame =
     spark.read.parquet(path(schema, table))
@@ -76,10 +86,16 @@ final class Catalog(val spark: SparkSession, val root: String) {
       targetBytes: Long = 128L * 1024 * 1024): Long = {
     val p = path(schema, table)
     val df = spark.read.parquet(p)
+    val hfs = fs(p)
     val partitioned = df.columns.contains("load_id") &&
-      Files.list(Paths.get(p)).anyMatch(_.getFileName.toString.startsWith("load_id="))
-    val bytes = Files.walk(Paths.get(p)).filter(Files.isRegularFile(_))
-      .mapToLong(Files.size(_)).sum()
+      hfs.listStatus(new HPath(p))
+        .exists(_.getPath.getName.startsWith("load_id="))
+    val bytes = {
+      val it = hfs.listFiles(new HPath(p), true)
+      var b = 0L
+      while (it.hasNext) b += it.next().getLen
+      b
+    }
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     // eager localCheckpoint ONCE up front: it fully materializes the input
     // before the path is overwritten AND means the (possibly expensive)
@@ -120,18 +136,17 @@ final class Catalog(val spark: SparkSession, val root: String) {
     } else {
       overwrite(src.repartition(nFiles), schema, table)
     }
-    Files.walk(Paths.get(p)).filter(Files.isRegularFile(_))
-      .filter(_.getFileName.toString.endsWith(".parquet")).count()
+    val it = hfs.listFiles(new HPath(p), true)
+    var n = 0L
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
   }
 
   /** Schema reset utility (S14): drop a whole schema directory. */
   def dropSchema(schema: String): Unit = {
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(rm)
-      Files.deleteIfExists(p)
-    }
-    val p = Paths.get(s"$root/$schema")
-    if (Files.exists(p)) rm(p)
+    val p = new HPath(s"$root/$schema")
+    val hfs = fs(p.toString)
+    if (hfs.exists(p)) { hfs.delete(p, true); () }
   }
 }

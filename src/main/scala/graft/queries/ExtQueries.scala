@@ -1680,17 +1680,22 @@ object ExtQueries {
           codecs.foreach { c =>
             slice.write.option("compression", c).parquet(s"$root/$c")
           }
-          def dataFiles(c: String): Seq[java.io.File] =
-            new java.io.File(s"$root/$c").listFiles.toSeq
-              .filter(f => f.getName.endsWith(".parquet") &&
-                f.getName.startsWith("part-"))
+          // attestation through the Hadoop FileSystem seam — the same
+          // listing works against HDFS/S3A, where java.io.File would not
+          def dataFiles(c: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+            val p = new org.apache.hadoop.fs.Path(s"$root/$c")
+            p.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .listStatus(p).toSeq
+              .filter(st => st.getPath.getName.endsWith(".parquet") &&
+                st.getPath.getName.startsWith("part-"))
+          }
           // gzip's file suffix is ".gz.", not ".gzip."
           val suffix = Map("zstd" -> ".zstd.", "snappy" -> ".snappy.",
             "gzip" -> ".gz.")
           val attested = codecs.forall(c =>
             dataFiles(c).nonEmpty &&
-              dataFiles(c).forall(_.getName.contains(suffix(c))))
-          val bytes = codecs.map(c => c -> dataFiles(c).map(_.length).sum)
+              dataFiles(c).forall(_.getPath.getName.contains(suffix(c))))
+          val bytes = codecs.map(c => c -> dataFiles(c).map(_.getLen).sum)
             .toMap
           // ungated observability: size ratio goes to stderr, not the
           // hashed row (see header comment)
@@ -1979,11 +1984,20 @@ object ExtQueries {
               nat.withColumn("load_id", lit(lid)).repartition(4),
               "bronze", "nat")
           }
-          def dataFiles(): Seq[java.io.File] = {
-            def walk(f: java.io.File): Seq[java.io.File] =
-              if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
-            walk(new java.io.File(catalog.path("bronze", "nat")))
-              .filter(_.getName.endsWith(".parquet"))
+          // layout attestation through the Hadoop FileSystem seam (q319
+          // pattern) — identical against HDFS/S3A at 100 TB
+          def dataFiles(): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+            val p = new org.apache.hadoop.fs.Path(
+              catalog.path("bronze", "nat"))
+            val it = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .listFiles(p, true)
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.hadoop.fs.LocatedFileStatus]
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.getPath.getName.endsWith(".parquet")) buf += f
+            }
+            buf.toSeq
           }
           def fingerprint() = catalog.read("bronze", "nat")
             .agg(count(lit(1)).as("n"),
@@ -1997,7 +2011,7 @@ object ExtQueries {
           val after = fingerprint()
           val filesAfter = dataFiles()
           val layoutKept = filesAfter.forall(
-            _.getParentFile.getName.startsWith("load_id="))
+            _.getPath.getParent.getName.startsWith("load_id="))
           Seq((after.getAs[Long]("n"), after.getAs[Long]("n_loads"),
               after.getAs[Long]("fp") == before.getAs[Long]("fp"),
               after.getAs[Long]("n") == before.getAs[Long]("n"),
@@ -2093,11 +2107,222 @@ object ExtQueries {
         |  (SELECT COUNT(*) FROM surv) AS silver_rows,
         |  (SELECT COUNT(DISTINCT rk) FROM surv) AS gold_regions,
         |  (SELECT COUNT(*) FROM surv) AS gold_total,
-        |  CAST(0 AS BIGINT) AS residual""".stripMargin))
+        |  CAST(0 AS BIGINT) AS residual""".stripMargin)),
+
+    // ── HISTORY SCRUB under the hash gate — the composition q325
+    //    (deletion propagation) and q322 (time travel) leave open: after
+    //    a q325-style sweep the subject is gone from every LAYER, but if
+    //    it ever transited the CDC snapshot store its history is still
+    //    reconstructible via snapshotAsOf. [[EventStream.scrubHistory]]
+    //    closes that: the tombstoned key set (the q321 fixture's deleted
+    //    subjects, doc_id%7=0) is removed from EVERY version of a COPY of
+    //    q321's real log (copy so q322's store stays intact — the scrub
+    //    itself is the partition-pruned dynamic-overwrite rewrite, S11
+    //    extended to the version axis). The gated row proves
+    //    non-resurrectability (residuals at v0 and v1 must be zero),
+    //    survivor-fold integrity at BOTH versions (rows + xor fingerprint
+    //    — v1 must be bit-identical to the unscrubbed store's v1, since
+    //    the subjects were already dead there), and the removed-row count
+    //    (seed row + tombstone per subject) — all DuckDB-replayable from
+    //    documents. Once per session.
+    QueryDef(
+      "q326_history_scrub",
+      (s, dir) => scrubCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          runSnapshotStream(s, dir) // idempotent: ensures q321's log
+          val src = snapshotStatePath((s.sparkContext.applicationId, dir))
+          val statePath = java.nio.file.Files
+            .createTempDirectory("graft_scrub_q").toString + "/state"
+          val conf = s.sparkContext.hadoopConfiguration
+          val sp = new org.apache.hadoop.fs.Path(src + "/fps")
+          val hfs = sp.getFileSystem(conf)
+          org.apache.hadoop.fs.FileUtil.copy(hfs, sp, hfs,
+            new org.apache.hadoop.fs.Path(statePath + "/fps"), false, conf)
+          val subjects = Tables.documents(s, dir)
+            .where($"doc_id" % 7 === 0).select($"doc_id")
+          val removed = graft.streaming.EventStream
+            .scrubHistory(s, statePath, subjects)
+          def ver(v: Long) =
+            graft.streaming.EventStream.snapshotAsOf(s, statePath, v)
+          ver(0L).join(subjects, Seq("doc_id"), "left_semi")
+            .agg(count(lit(1)).as("residual_v0"))
+            .crossJoin(ver(1L).join(subjects, Seq("doc_id"), "left_semi")
+              .agg(count(lit(1)).as("residual_v1")))
+            .crossJoin(ver(0L).agg(count(lit(1)).as("v0_rows"),
+              expr("bit_xor(fp)").as("v0_fp")))
+            .crossJoin(ver(1L).agg(count(lit(1)).as("v1_rows"),
+              expr("bit_xor(fp)").as("v1_fp")))
+            .withColumn("n_scrubbed", lit(removed))
+            .localCheckpoint()
+        }),
+      Some("""WITH g1s AS (
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS fp1
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |g2r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || '!r2' ELSE text END
+        |      AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, 'xx', source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |g2 AS (
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS fp2
+        |  FROM g2r)
+        |SELECT
+        |  CAST(0 AS BIGINT) AS residual_v0,
+        |  CAST(0 AS BIGINT) AS residual_v1,
+        |  (SELECT COUNT(*) FROM g1s) AS v0_rows,
+        |  (SELECT BIT_XOR(fp1) FROM g1s) AS v0_fp,
+        |  (SELECT COUNT(*) FROM g2) AS v1_rows,
+        |  (SELECT BIT_XOR(fp2) FROM g2) AS v1_fp,
+        |  CAST(2 * (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
+        |    AS BIGINT) AS n_scrubbed""".stripMargin)),
+
+    // ── HORIZON COMPACTION under the hash gate — what bounds the CDC
+    //    log (and with it the maintainer's delta-keyed prior reads and
+    //    every time-travel fold) in production: versions ≤ H fold into a
+    //    per-key batch=-1 base (tombstones keep their seq), the tail
+    //    stays verbatim, and below-horizon time travel REFUSES instead of
+    //    silently answering with the horizon's state. Runs against a COPY
+    //    of q321's real log at H=0 (the seed generation folds away). The
+    //    gated row proves: the surviving log is exactly base+tail
+    //    (n_log_rows = live v0 keys + CDC tail events — DuckDB-computable
+    //    from documents), v1 reconstructs bit-identically after the fold
+    //    (rows + xor fingerprint = gen2 replayed), the recorded horizon
+    //    is 0, and a below-horizon read fails loudly. Once per session.
+    QueryDef(
+      "q327_snapshot_horizon",
+      (s, dir) => horizonCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          runSnapshotStream(s, dir)
+          val src = snapshotStatePath((s.sparkContext.applicationId, dir))
+          val statePath = java.nio.file.Files
+            .createTempDirectory("graft_hzn_q").toString + "/state"
+          val conf = s.sparkContext.hadoopConfiguration
+          val sp = new org.apache.hadoop.fs.Path(src + "/fps")
+          val hfs = sp.getFileSystem(conf)
+          org.apache.hadoop.fs.FileUtil.copy(hfs, sp, hfs,
+            new org.apache.hadoop.fs.Path(statePath + "/fps"), false, conf)
+          graft.streaming.EventStream.compactSnapshotLog(s, statePath, 0L)
+          val h = graft.streaming.EventStream.snapshotHorizon(s, statePath)
+          val belowFails =
+            try {
+              graft.streaming.EventStream.snapshotAsOf(s, statePath, -1L)
+              false
+            } catch { case _: IllegalArgumentException => true }
+          val ver1 =
+            graft.streaming.EventStream.snapshotAsOf(s, statePath, 1L)
+          s.read.parquet(statePath + "/fps")
+            .agg(count(lit(1)).as("n_log_rows"))
+            .crossJoin(ver1.agg(count(lit(1)).as("v1_rows"),
+              expr("bit_xor(fp)").as("v1_fp")))
+            .withColumn("horizon", lit(h))
+            .withColumn("below_fails", lit(belowFails))
+            .localCheckpoint()
+        }),
+      Some("""WITH g2r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || '!r2' ELSE text END
+        |      AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, 'xx', source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |g2 AS (
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS fp2
+        |  FROM g2r)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM documents)
+        |    + (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
+        |    + (SELECT COUNT(*) FROM documents
+        |       WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0)
+        |    + (SELECT COUNT(*) FROM documents WHERE doc_id % 11 = 0)
+        |    AS BIGINT) AS n_log_rows,
+        |  (SELECT COUNT(*) FROM g2) AS v1_rows,
+        |  (SELECT BIT_XOR(fp2) FROM g2) AS v1_fp,
+        |  CAST(0 AS BIGINT) AS horizon,
+        |  TRUE AS below_fails""".stripMargin)),
+
+    // ── S9/S14 under the hash gate — the last two §2 ops that were
+    //    spec-only: the existence probe's boolean flips across a REAL
+    //    ingest (S9), schema reset drops the warehouse directories AND
+    //    the ledger (S14, through the Hadoop FileSystem seam), and a
+    //    re-ingest after reset restarts the load ledger at load_id 1 —
+    //    the observable outcomes land in one relational row DuckDB
+    //    replays from nation. Once per session.
+    QueryDef(
+      "q328_probe_reset_gate",
+      (s, dir) => probeResetCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_probe").toString
+          val srcDir = java.nio.file.Files
+            .createTempDirectory("graft_probe_src").toString
+          val nations = Tables.nation(s, dir)
+            .select($"n_nationkey".cast("long"), $"n_name")
+            .collect().map(r => (r.getLong(0), r.getString(1)))
+          val body = nations.sortBy(_._1).map { case (nk, name) =>
+            s"$name,2024-01-15,N$nk,x,$nk,ok"
+          }.mkString("\n")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$srcDir/tx_0.csv"),
+            ("country,date,name,type,amount,comments\n" + body + "\n")
+              .getBytes("UTF-8"))
+          val catalog = new graft.pipeline.Catalog(s, root)
+          val ing = new graft.pipeline.Ingestion(catalog)
+          val config = Seq(graft.pipeline.Schemas.FileDetail(1L, "c",
+            "stage", srcDir, "tx_*.csv", "bronze", "transactions", "CSV"))
+          val probeBefore = catalog.exists("bronze", "transactions")
+          val first = ing.ingestAll(config)("transactions")
+          val probeAfter = catalog.exists("bronze", "transactions")
+          Seq("bronze", "admin").foreach(catalog.dropSchema)
+          val probeReset = catalog.exists("bronze", "transactions")
+          val ledgerReset = catalog.exists("admin", "ingestion_logs")
+          val second = ing.ingestAll(config)("transactions")
+          Seq((probeBefore, probeAfter, probeReset, ledgerReset,
+              first.head._2, first.head._3, second.head._2, second.head._3))
+            .toDF("probe_before", "probe_after", "probe_reset",
+              "ledger_reset", "first_load_id", "first_rows",
+              "reload_load_id", "reload_rows")
+            .localCheckpoint()
+        }),
+      Some("""SELECT FALSE AS probe_before, TRUE AS probe_after,
+        |  FALSE AS probe_reset, FALSE AS ledger_reset,
+        |  CAST(1 AS BIGINT) AS first_load_id,
+        |  (SELECT COUNT(*) FROM nation) AS first_rows,
+        |  CAST(1 AS BIGINT) AS reload_load_id,
+        |  (SELECT COUNT(*) FROM nation) AS reload_rows""".stripMargin))
   )
 
   /** Once-per-session deletion-propagation run for q325. */
   private val deletionCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  /** Once-per-session history-scrub run for q326. */
+  private val scrubCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  /** Once-per-session horizon-compaction run for q327. */
+  private val horizonCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  /** Once-per-session probe/reset run for q328. */
+  private val probeResetCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), org.apache.spark.sql.DataFrame]
 
   /** Once-per-session compaction run for q324. */
