@@ -45,6 +45,13 @@ object Bench {
             if l.dataType.isInstanceOf[
               org.apache.spark.sql.types.NumericType] =>
           sb.append(':').append(String.valueOf(l.value))
+        case p: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+          // subquery expressions carry whole plans — descend, or a code
+          // change inside a scalar subquery would hash "same"
+          p.plan match {
+            case lp: LogicalPlan => sb.append('{'); walk(lp); sb.append('}')
+            case _ =>
+          }
         case _ =>
       }
       if (e.children.nonEmpty) {
@@ -189,7 +196,9 @@ object Bench {
     // writes/reads, and BENCH_r10 shipped exactly that cluster flagged
     // "code" under a quiet cpu canary with no way to tell a slow driver
     // filesystem from a plan change. The probe is one fixed 100-row
-    // parquet write + read-back; deletion is untimed.
+    // parquet write + read-back; the probe directory is deleted after the
+    // read-back, OUTSIDE the timed window, so ~14 probes per run leave
+    // nothing behind.
     val ioRoot = java.nio.file.Files.createTempDirectory("bench_iocal")
     var ioSeq = 0
     def ioCalibrate(): Double = {
@@ -198,7 +207,13 @@ object Bench {
       val t0 = System.nanoTime()
       spark.range(100).write.parquet(p)
       spark.read.parquet(p).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(p))
+      dt
     }
     val ioCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     val calibStart = calibrate()
@@ -280,12 +295,21 @@ object Bench {
         if (df == null) "err"
         else try Bench.planFingerprint(df)
         catch { case scala.util.control.NonFatal(_) => "err" }
+      // a checkpointed substrate query returns a bare LogicalRDD root:
+      // its fingerprint says nothing about the code that BUILT the data,
+      // so a "same" hash there must not demote a flag to jit (r11 advice)
+      val trivial =
+        if (df == null) false
+        else try {
+          val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+          leaves.nonEmpty && leaves.forall(_.nodeName == "LogicalRDD")
+        } catch { case scala.util.control.NonFatal(_) => false }
       // nearest canary = the one taken at the closest sequence position
       // (segment k covers queries [k*CanaryEvery, (k+1)*CanaryEvery);
       // its midpoint decides whether the preceding or following canary
       // is nearer — the following one may not exist yet, so record the
       // segment index and resolve after the end canary lands)
-      (name, t, i, ph)
+      (name, t, i, ph, trivial)
     }
     // compact total-only line LAST: the driver captures the TAIL of the
     // output, so truncation removes the head — BENCH_r06 shipped
@@ -299,9 +323,75 @@ object Bench {
     canaries += calibEnd
     ioCanaries += ioCalibrate()
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
+    // ---- same-window DuckDB oracle pair (r11 judge item 4): the bench
+    // and its DuckDB oracle measured on the SAME machine in the SAME
+    // window. The oracle runs the oracles in bench (numeric) order under
+    // a hard time budget and reports which it covered; the Spark side
+    // sums its OWN just-measured times over exactly that subset, so the
+    // published ratio is a bounded same-subset same-window engine pair.
+    // Runs AFTER the end canary (cannot pollute any timed window);
+    // any failure (no python3/duckdb, timeout, parse) degrades to
+    // absence — the bench record itself is never at risk. Full runs only.
+    val oraclePair: Option[String] =
+      if (only.nonEmpty) None
+      else try {
+        val odir = java.nio.file.Files.createTempDirectory("bench_oracle")
+        def jq(s: String): String = "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+          case ch => ch.toString
+        } + "\""
+        val osql = SparkEntry.oracleSql
+          .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.write(odir.resolve("oracle_sql.json"),
+          osql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val budget = sys.env.getOrElse("SPARK_GRAFT_ORACLE_BUDGET", "120")
+        val pb = new ProcessBuilder("python3", "tools/oracle_bench.py",
+          sfDir, odir.toString, "--budget", budget)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val watchdog = new Thread(() => {
+          if (!proc.waitFor(budget.toDouble.toLong + 180,
+              java.util.concurrent.TimeUnit.SECONDS)) {
+            proc.destroyForcibly(); ()
+          }
+        })
+        watchdog.setDaemon(true)
+        watchdog.start()
+        val out = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        proc.waitFor()
+        out.linesIterator.toSeq.reverseIterator
+          .find(_.contains("\"metric\": \"oracle_total\""))
+          .flatMap { line =>
+            val duck = "\"value\": ([0-9.]+)".r.findFirstMatchIn(line)
+              .map(_.group(1).toDouble)
+            val covered = "\"covered\": \\[([^\\]]*)\\]".r
+              .findFirstMatchIn(line)
+              .map(_.group(1).split(',').toSeq
+                .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+                .filter(_.nonEmpty).toSet)
+            (duck, covered) match {
+              case (Some(d), Some(cov)) if cov.nonEmpty && d > 0 =>
+                val sparkSub = results
+                  .filter { case (n, _, _, _, _) => cov.contains(n) }
+                  .map(_._2).sum
+                Some(s"""{"metric":"oracle_pair",""" +
+                  s""""spark_sec":${f3(sparkSub)},""" +
+                  s""""duckdb_sec":${f3(d)},"n":${cov.size},""" +
+                  s""""ratio":${f3(sparkSub / d)},"sf":"$sfDir"}""")
+              case _ => None
+            }
+          }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val plans = results.map { case (k, _, _, ph) =>
+    val plans = results.map { case (k, _, _, ph, _) =>
       s"\"" + k + "\":\"" + ph + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // canary k (k < last) was taken just before query k*CanaryEvery; the
@@ -316,24 +406,47 @@ object Bench {
     // small-file I/O — was measured under ambient load, not a code change
     val quiet = canaries.min
     val ioQuiet = ioCanaries.min
+    // the BASELINE run's canary sequence: with 325+ queries the run is
+    // long enough for segment-local host drift that the run-local quiet
+    // minimum averages away, so a flagged query's nearest canary is also
+    // compared against the SAME segment's canary in the baseline run —
+    // the fixed probe slower than it was when the baseline was recorded
+    // is demonstrated ambient load at that point in the sequence
+    val prevCanaries: Seq[Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_queries.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val parts = txt.split("\"canaries\":\\[", 2)
+        if (parts.length < 2) Seq.empty
+        else parts(1).takeWhile(_ != ']').split(',').toSeq
+          .map(_.trim.toDouble)
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     // three-way attribution, most-specific signal first: an inflated
-    // canary on either axis = ambient load ("host"); quiet canaries but a
-    // baseline-identical plan fingerprint = same-code same-plan variance
-    // ("jit" — the ±15% back-to-back spread the noise playbook documents;
-    // nothing to chase without 2 consistent repros); quiet canaries AND a
-    // changed/unknown plan = a real candidate ("code")
+    // canary on either axis — vs the run's quietest OR vs the baseline's
+    // same-segment canary = ambient load ("host"); quiet canaries but a
+    // baseline-identical NON-TRIVIAL plan fingerprint = same-code
+    // same-plan variance ("jit" — the ±15% back-to-back spread the noise
+    // playbook documents; nothing to chase without 2 consistent repros);
+    // a trivial fingerprint (bare checkpoint root) carries no plan signal
+    // and stays "code"; quiet canaries AND a changed/unknown plan = a
+    // real candidate ("code")
     val flagged = results.collect {
-      case (name, t, i, ph) if prevTimes.get(name)
+      case (name, t, i, ph, trivial) if prevTimes.get(name)
           .exists(p => t > 2 * p && t - p > 0.5) =>
         val c = canaries(nearestIdx(i))
         val io = ioCanaries(nearestIdx(i))
         val plan = prevPlans.get(name) match {
           case Some(prev) if prev != "err" && ph != "err" =>
-            if (prev == ph) "same" else "changed"
+            if (prev != ph) "changed"
+            else if (trivial) "trivial"
+            else "same"
           case _ => "unknown"
         }
+        val segDrift = prevCanaries.lift(nearestIdx(i))
+          .exists(p => p > 0 && c > 1.4 * p)
         val attrib =
-          if (c > 1.4 * quiet || io > 1.4 * ioQuiet) "host"
+          if (c > 1.4 * quiet || io > 1.4 * ioQuiet || segDrift) "host"
           else if (plan == "same") "jit"
           else "code"
         Bench.Flag(name, prevTimes(name), t, c, io, plan, attrib)
@@ -346,6 +459,9 @@ object Bench {
         s""""canaries":$canaryArr,"io_canaries":$ioArr,""" +
         s""""regressions":$regs"""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}""")
+    // the same-window engine pair, printed BEFORE the compact record so
+    // tail capture keeps both (the compact line stays last and bounded)
+    oraclePair.foreach(println)
     // The compact line exists so the driver's TAIL capture (last ~2000
     // chars of stdout) always contains ONE parseable JSON record — but
     // BENCH_r10 shipped "parsed": null anyway: a host-contended run
@@ -365,11 +481,14 @@ object Bench {
     // filtered local-iteration runs must NOT clobber the tripwire
     // baseline: a partial per-query map would blind the next full run's
     // regression diff to every query it dropped
-    if (only.isEmpty)
+    if (only.isEmpty) {
+      val opJson =
+        oraclePair.map(o => s""","oracle_pair":$o""").getOrElse("")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_queries.json"),
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"plans":$plans,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"plans":$plans$opJson,"sf":"$sfDir"}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

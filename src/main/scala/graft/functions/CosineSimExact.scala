@@ -269,10 +269,15 @@ object GraftFunctions {
   // suite that is mid-analysis on another thread. The registered set is
   // static, so the first caller registers and every later call is a no-op.
   // Keyed on the session object itself (cloned sessions have their own
-  // registry and register independently); the strong ref is fine — these
-  // are the handful of long-lived sessions a JVM ever builds.
-  private val registeredSessions = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[org.apache.spark.sql.SparkSession]()
+  // registry and register independently); WEAK keys so a stopped session
+  // (per-suite sessions under parallel test runs) can be collected along
+  // with its session state instead of being pinned for the JVM lifetime.
+  private val registeredSessions: java.util.Set[
+      org.apache.spark.sql.SparkSession] =
+    java.util.Collections.newSetFromMap(
+      java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+          java.lang.Boolean]()))
 
   /** Register graft's native expressions with a session's function
     * registry; afterwards they are callable from SQL and via

@@ -114,15 +114,21 @@ final class Ingestion(catalog: Catalog) {
       .filterNot(done.contains)
     // allocate the whole id range up front: one ledger max-scan per CONFIG
     // instead of per FILE — the per-file scan grows with ledger size and at
-    // production load cadence is a pure metadata storm. Every id is still
-    // claimed in the ledger by its RUNNING row before the load starts, in
-    // id order, so the ledger protocol is unchanged.
+    // production load cadence is a pure metadata storm.
     val baseId = nextLoadId()
+    val t0 = new Timestamp(System.currentTimeMillis())
+    // claim the ENTIRE allocated range with one batched RUNNING append
+    // BEFORE any file loads: a concurrent ingest computing nextLoadId
+    // mid-run sees every claimed id, so the collision window is this one
+    // append — not "until the last file finishes loading" (which a lazy
+    // per-file RUNNING write would leave open)
+    if (pending.nonEmpty)
+      catalog.append(pending.zipWithIndex.map { case (file, idx) =>
+        Schemas.IngestionLog(baseId + idx, file, detail.target_table,
+          "RUNNING", 0L, "", t0)
+      }.toDF(), ADMIN, "ingestion_logs")
     pending.zipWithIndex.map { case (file, idx) =>
       val loadId = baseId + idx
-      val t0 = new Timestamp(System.currentTimeMillis())
-      log(Schemas.IngestionLog(loadId, file, detail.target_table,
-        "RUNNING", 0L, "", t0))
       try {
         val rows = loadFile(detail, file, loadId)
         log(Schemas.IngestionLog(loadId, file, detail.target_table,

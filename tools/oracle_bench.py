@@ -2,7 +2,13 @@
 """Time each oracle SQL in DuckDB over the fixture tables — the
 same-window comparison SURVEY.md cites next to the Spark bench.
 
-Usage: python3 tools/oracle_bench.py <sfdir> <verify_outdir_with_oracle_json>
+Usage: python3 tools/oracle_bench.py <sfdir> <dir_with_oracle_sql.json>
+                                     [--budget SECONDS]
+
+With --budget, queries run in NUMERIC name order (the bench's own
+sequence order) until the budget is exhausted; the summary then carries
+the covered-query list so a caller can sum the SAME subset on the Spark
+side — a bounded same-window engine pair instead of an unbounded run.
 """
 import sys, json, time
 import duckdb
@@ -10,14 +16,28 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def main(sfdir, outdir):
+
+def qnum(name):
+    d = ""
+    for ch in name[1:]:
+        if ch.isdigit():
+            d += ch
+        else:
+            break
+    return int(d) if d else 0
+
+
+def main(sfdir, outdir, budget=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     total = 0.0
     times = {}
-    for name, sql in sorted(oracle.items()):
+    start = time.time()
+    for name, sql in sorted(oracle.items(), key=lambda kv: (qnum(kv[0]), kv[0])):
+        if budget is not None and time.time() - start > budget:
+            break
         t0 = time.time()
         try:
             con.sql(sql).df()
@@ -29,8 +49,18 @@ def main(sfdir, outdir):
         total += dt
     for name, dt in sorted(times.items(), key=lambda kv: -kv[1]):
         print(f"{name:28s} {dt:8.3f}")
-    print(json.dumps({"metric": "oracle_total", "value": round(total, 3),
-                      "unit": "sec", "n": len(times), "sf": sfdir}))
+    rec = {"metric": "oracle_total", "value": round(total, 3),
+           "unit": "sec", "n": len(times), "sf": sfdir}
+    if budget is not None:
+        rec["covered"] = sorted(times)
+    print(json.dumps(rec))
+
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    budget = None
+    args = sys.argv[1:]
+    if "--budget" in args:
+        i = args.index("--budget")
+        budget = float(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    main(args[0], args[1], budget)
