@@ -1411,4 +1411,47 @@ class PlanShapeSpec extends SparkSpec {
         "full-log fold (no semi prune beneath): " + a.toString.take(800))
     }
   }
+
+  test("snapshot serving-table merge: the serving side scans its buckets " +
+      "in place — zero Exchange on the current side, only the delta " +
+      "shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_serve_pin").toString + "/state"
+    Seq((1L, "U", Some(10L), 0L, 0L), (2L, "U", Some(20L), 0L, 0L))
+      .toDF("doc_id", "op", "fp", "seq", "src_batch")
+      .write.parquet(s"$statePath/fps/batch=0")
+    val tbl = graft.streaming.EventStream
+      .materializeServing(spark, statePath, "pin", 4)
+    val delta = Seq((2L, "D", Option.empty[Long], 5L),
+      (3L, "U", Some(30L), 5L)).toDF("doc_id", "op", "fp", "seq")
+    val df = graft.streaming.EventStream
+      .servingMergePlan(spark, tbl, delta, 9L)
+    df.collect()
+    def subtree(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(subtree)
+    }
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val smj = subtree(root).collectFirst {
+      case j: SortMergeJoinExec if j.joinType.toString == "FullOuter" => j
+    }
+    assert(smj.nonEmpty, subtree(root).map(_.nodeName).mkString(","))
+    val curSide = subtree(smj.get.left)
+    assert(curSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      smj.get.left.toString.take(1600))
+    assert(smj.get.left.toString.contains("SelectedBucketsCount"),
+      smj.get.left.toString.take(1600))
+  }
 }

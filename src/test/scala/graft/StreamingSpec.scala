@@ -930,6 +930,38 @@ class StreamingSpec extends SparkSpec {
     assert(cur == Map(1L -> 110L, 3L -> 330L, 4L -> 400L), cur.toString)
   }
 
+  test("serving table: materialize folds the log once; merge advances " +
+      "by one delta — strict-seq LWW (tie = stale), winning deletes " +
+      "drop, ghost deletes vanish, new keys insert") {
+    val statePath =
+      Files.createTempDirectory("graft_serve_t").toString + "/state"
+    Seq((1L, "U", Some(100L), 0L, 0L), (2L, "U", Some(200L), 0L, 0L),
+      (3L, "U", Some(300L), 5L, 0L))
+      .toDF("doc_id", "op", "fp", "seq", "src_batch")
+      .write.parquet(s"$statePath/fps/batch=0")
+    val t1 = EventStream.materializeServing(spark, statePath, "t1", 4)
+    def m(tbl: String) = spark.table(tbl)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp"))
+      .toMap
+    assert(m(t1) == Map(1L -> 100L, 2L -> 200L, 3L -> 300L))
+    val delta = Seq(
+      (1L, "U", Some(110L), 1L), // newer seq: wins
+      (2L, "D", Option.empty[Long], 1L), // newer delete: row drops
+      (3L, "U", Some(999L), 5L), // TIE on seq: stale, current keeps
+      (4L, "U", Some(400L), 1L), // unknown key: insert
+      (5L, "D", Option.empty[Long], 1L)) // unknown key delete: ghost
+      .toDF("doc_id", "op", "fp", "seq")
+    val t2 = EventStream.mergeServing(spark, t1, delta, "t2", 4,
+      srcBatch = 9L)
+    assert(m(t2) == Map(1L -> 110L, 3L -> 300L, 4L -> 400L), m(t2).toString)
+    val rows = spark.table(t2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("seq"), r.getAs[Long]("src_batch"))).toMap
+    // delta winners carry (their seq, srcBatch); stale keeps its own
+    assert(rows(1L) == (1L, 9L) && rows(4L) == (1L, 9L) &&
+      rows(3L) == (5L, 0L), rows.toString)
+  }
+
   test("fpDedupMaintain treats a NULL fp as data, not a batch failure: " +
       "the row is dropped, valid rows still band and match") {
     // an undecodable blob lands a NULL fingerprint (the Multimodal
