@@ -49,6 +49,40 @@ final class Ingestion(catalog: Catalog) {
   private def log(entry: Schemas.IngestionLog): Unit =
     catalog.append(Seq(entry).toDF(), ADMIN, "ingestion_logs")
 
+  /** Reconcile orphaned RUNNING claims before a new run: the batched
+    * up-front claim (see [[ingest]]) means a driver crash mid-run leaves
+    * a RUNNING row for every never-attempted file in the config — and
+    * because [[alreadyLoaded]] only honors SUCCESS, those files retry
+    * under FRESH load_ids, permanently stranding the crashed run's
+    * claimed rows as RUNNING. A ledger consumer computing "in-flight
+    * loads" would count ghosts forever. So each ingest starts by marking
+    * every RUNNING load_id that never reached a terminal row (SUCCESS /
+    * FAILURE / ABANDONED) as ABANDONED — append-only like every ledger
+    * transition, one driver-side pass over control-plane-sized ids.
+    * Single-driver assumption (the same one the id-range claim
+    * documents): a concurrent ingest's live claims would be
+    * indistinguishable from a crash's orphans.
+    */
+  def reconcileOrphans(): Seq[Long] = {
+    if (!catalog.exists(ADMIN, "ingestion_logs")) Seq.empty
+    else {
+      val ledger = catalog.read(ADMIN, "ingestion_logs")
+      val orphans = ledger.where($"status" === "RUNNING")
+        .join(ledger.where($"status".isin("SUCCESS", "FAILURE", "ABANDONED"))
+          .select($"load_id"), Seq("load_id"), "left_anti")
+        .select($"load_id", $"file_name", $"target_table", $"started_at")
+        .collect()
+      if (orphans.nonEmpty) {
+        val t = new Timestamp(System.currentTimeMillis())
+        catalog.append(orphans.toSeq.map { r =>
+          Schemas.IngestionLog(r.getLong(0), r.getString(1), r.getString(2),
+            "ABANDONED", 0L, "orphaned RUNNING claim from a crashed run", t)
+        }.toDF(), ADMIN, "ingestion_logs")
+      }
+      orphans.map(_.getLong(0)).toSeq.sorted
+    }
+  }
+
   /** S4/S5: load one file into Bronze with audit columns; returns rows
     * loaded. CSV options mirror the reference's tolerant format
     * (file_format_csv.sql:1-7): header, quotes, NULL_IF('NULL','null',''),
@@ -109,6 +143,7 @@ final class Ingestion(catalog: Catalog) {
     * Returns (file, load_id, rows) for loaded files.
     */
   def ingest(detail: Schemas.FileDetail): Seq[(String, Long, Long)] = {
+    reconcileOrphans()
     val done = alreadyLoaded(detail.target_table)
     val pending = listFiles(detail.source_path, detail.file_pattern)
       .filterNot(done.contains)

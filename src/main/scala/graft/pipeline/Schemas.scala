@@ -110,7 +110,7 @@ object Schemas {
       load_id: Long,
       file_name: String,
       target_table: String,
-      status: String, // RUNNING | SUCCESS | FAILURE
+      status: String, // RUNNING | SUCCESS | FAILURE | ABANDONED
       rows_loaded: Long,
       error_message: String,
       started_at: java.sql.Timestamp)

@@ -956,9 +956,24 @@ object EventStream {
     * Contract: events collapse last-wins by seq within a batch; op is
     * 'U' (upsert, fp required) or 'D' (delete) — anything else fails the
     * batch loudly in-plan rather than silently corrupting the snapshot.
+    *
+    * Auto-compaction cadence (opt-in, `compactEvery` > 0): every
+    * `compactEvery` LEDGERED batches the maintainer folds its own log to
+    * `high-water seq − retention` via [[compactSnapshotLog]] — without
+    * this the steady-state O(delta) claim for [[priorState]] depends on
+    * an operator remembering to compact between runs, and a forgotten
+    * log grows without bound. The cadence runs AFTER the batch's ledger
+    * commit (the batch is durable either way; a crash mid-compaction is
+    * the swap protocol's recovered case), counts only ledgered batches
+    * (replays skip, so a replayed run never double-compacts), and is
+    * monotone-safe: a high-water that hasn't advanced past the current
+    * horizon is a no-op, not an error. `retention` is in SEQ units —
+    * versions newer than `high-water − retention` stay individually
+    * time-travelable, older ones fold into the base.
     */
   def snapshotDiffMaintain(spark: SparkSession, changes: DataFrame,
-      statePath: String): DataFrame = {
+      statePath: String, compactEvery: Int = 0,
+      retention: Long = 0L): DataFrame = {
     val logP = statePath + "/fps"
     val verdictsP = statePath + "/verdicts"
     val ledgerP = statePath + "/ledger"
@@ -1014,6 +1029,16 @@ object EventStream {
           evs.withColumn("src_batch", lit(batchId))
             .write.mode("overwrite").parquet(s"$logP/batch=$batchId")
           ledgerCommit(spark, ledgerP, done, batchId)
+          if (compactEvery > 0 && (done.size + 1) % compactEvery == 0) {
+            val hw = spark.read.parquet(logP)
+              .agg(max(col("seq")), min(col("seq"))).head()
+            val target = hw.getLong(0) - retention
+            // skip when nothing would fold (target below every event):
+            // a no-op compaction still rewrites the whole log
+            if (target > snapshotHorizon(spark, statePath) &&
+                target >= hw.getLong(1))
+              compactSnapshotLog(spark, statePath, target)
+          }
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1039,16 +1064,32 @@ object EventStream {
     * to this frame on doc_id), so pruning to the batch's keys is an
     * identity, not an approximation. PlanShapeSpec pins the plan shape:
     * the fold's aggregate sits ABOVE the broadcast left-semi join.
+    *
+    * The broadcast is only forced while the batch's key count is
+    * broadcast-sized: a micro-batch is delta-sized by DEFINITION in
+    * steady state, but an initial backfill or a replay burst after
+    * downtime can land one batch with tens of millions of distinct keys
+    * — broadcasting that set would blow the driver/broadcast limits, a
+    * failure mode the old full-log fold never had. Above the threshold
+    * the prune falls back to a plain (shuffled) left-semi join: same
+    * rows, same fold, one extra key-bearing Exchange — the right trade
+    * for a batch that is itself a large fraction of the log. `keys` is
+    * the caller's localCheckpointed collapsed batch, so the count is a
+    * cheap materialized-RDD count, not a recompute.
     */
   private[graft] def priorState(spark: SparkSession, logP: String,
-      excludeBatch: Long, keys: DataFrame): DataFrame =
+      excludeBatch: Long, keys: DataFrame,
+      broadcastKeyLimit: Long = 4000000L): DataFrame = {
+    val k = keys.select(col("doc_id"))
+    val semi = if (keys.count() <= broadcastKeyLimit) broadcast(k) else k
     spark.read.parquet(logP).where(col("batch") =!= excludeBatch)
-      .join(broadcast(keys.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .join(semi, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(max_by(struct(col("op"), col("fp"), col("seq")),
         struct(col("seq"), col("src_batch"))).as("p"))
       .select(col("doc_id"), col("p.op").as("p_op"),
         col("p.fp").as("p_fp"), col("p.seq").as("p_seq"))
+  }
 
   /** The current reconstructed snapshot from [[snapshotDiffMaintain]]'s
     * log: the LWW fold by (seq, src_batch), live rows only — what a
@@ -1238,12 +1279,18 @@ object EventStream {
     * [[snapshotCurrent]] is a log fold, the right shape for occasional
     * reads, but a reconciler that reads the current state every run — or
     * diffs a source table against it nightly — wants a bucketed
-    * (doc_id, fp, seq, src_batch) TABLE, where reads are bucket-local
-    * scans and recurring diffs join with ZERO key-bearing Exchange
-    * (q104/q323's durable co-location contract). This folds the log once
-    * and lands it bucketed; [[mergeServing]] then advances the table by
-    * one delta-sized merge per refresh instead of re-folding the log.
-    * Returns the table name.
+    * (doc_id, op, fp, seq, src_batch) TABLE, where reads are
+    * bucket-local scans and recurring diffs join with ZERO key-bearing
+    * Exchange (q104/q323's durable co-location contract). This folds the
+    * log once and lands it bucketed; [[mergeServing]] then advances the
+    * table by one delta-sized merge per refresh instead of re-folding
+    * the log. The table CARRIES TOMBSTONES (the per-key LWW winner
+    * including op='D' rows, exactly like [[compactSnapshotLog]]'s base):
+    * a tombstone's seq is what lets a later [[mergeServing]] classify a
+    * late event older than the delete as stale instead of resurrecting
+    * the key — the maintainer's own rule. Readers go through
+    * [[readServing]] (filter op='U'), never the raw table. Returns the
+    * table name.
     */
   def materializeServing(spark: SparkSession, statePath: String,
       tag: String, buckets: Int = 8): String = {
@@ -1256,9 +1303,8 @@ object EventStream {
       .agg(max_by(
         struct(col("op"), col("fp"), col("seq"), col("src_batch")),
         struct(col("seq"), col("src_batch"))).as("p"))
-      .where(col("p.op") === "U")
-      .select(col("doc_id"), col("p.fp").as("fp"), col("p.seq").as("seq"),
-        col("p.src_batch").as("src_batch"))
+      .select(col("doc_id"), col("p.op").as("op"), col("p.fp").as("fp"),
+        col("p.seq").as("seq"), col("p.src_batch").as("src_batch"))
     val tbl = s"graft_snap_serve_$tag"
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     cur.write.mode("overwrite")
@@ -1268,15 +1314,32 @@ object EventStream {
     tbl
   }
 
+  /** The read contract for [[materializeServing]]/[[mergeServing]]
+    * tables: live rows only (tombstones are merge bookkeeping, not
+    * state). Bucket-local — the filter is a non-key predicate, so the
+    * scan keeps its HashPartitioning and downstream key joins still
+    * plan with zero Exchange.
+    */
+  def readServing(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).where(col("op") === "U")
+      .select(col("doc_id"), col("fp"), col("seq"), col("src_batch"))
+
   /** The merge plan [[mergeServing]] executes — exposed so PlanShapeSpec
     * can pin its shape: the serving side scans its buckets IN PLACE (the
     * merge hint keeps the fixture-scale plan the SMJ shape the 100 TB
     * plan has) and the LWW-collapsed delta pays the ONLY key-bearing
     * Exchange, micro-batch-sized. Survival rules match the maintainer's
     * contract exactly: a delta event wins only STRICTLY by seq (a tie is
-    * stale — same as the maintainer's `seq <= p_seq` rule), a winning
-    * 'D' drops the row, a delta-only 'D' is a ghost delete (no row), a
-    * delta-only 'U' inserts (resurrection included).
+    * stale — same as the maintainer's `seq <= p_seq` rule), and a
+    * winning 'D' lands as a TOMBSTONE row (op='D', fp null, the delete's
+    * seq) rather than disappearing — dropping it would erase the only
+    * evidence that the key died at that version, so a later merge
+    * presenting a stale event older than the delete would see no current
+    * row and resurrect the key (the exact divergence
+    * snapshotDiffMaintain/compactSnapshotLog avoid by keeping tombstone
+    * seqs). A delta-only 'D' (ghost delete) still lands a tombstone — a
+    * later stale upsert for that key must lose to it too. Reads filter
+    * op='U' ([[readServing]]).
     */
   private[graft] def servingMergePlan(spark: SparkSession, table: String,
       delta: DataFrame, srcBatch: Long): DataFrame = {
@@ -1289,13 +1352,13 @@ object EventStream {
       .select(col("doc_id"), col("e.op").as("d_op"),
         col("e.fp").as("d_fp"), col("e.seq").as("d_seq"))
     val cur = spark.table(table).hint("merge")
-      .select(col("doc_id"), col("fp").as("c_fp"), col("seq").as("c_seq"),
-        col("src_batch").as("c_src"))
+      .select(col("doc_id"), col("op").as("c_op"), col("fp").as("c_fp"),
+        col("seq").as("c_seq"), col("src_batch").as("c_src"))
     val takeDelta = col("d_seq").isNotNull &&
       (col("c_seq").isNull || col("d_seq") > col("c_seq"))
     cur.join(d, Seq("doc_id"), "full_outer")
-      .where(!(takeDelta && col("d_op") === "D"))
       .select(col("doc_id"),
+        when(takeDelta, col("d_op")).otherwise(col("c_op")).as("op"),
         when(takeDelta, col("d_fp")).otherwise(col("c_fp")).as("fp"),
         when(takeDelta, col("d_seq")).otherwise(col("c_seq")).as("seq"),
         when(takeDelta, lit(srcBatch)).otherwise(col("c_src"))
@@ -1309,6 +1372,8 @@ object EventStream {
     * tables swap, they are never patched in place — same reason
     * compaction swap-writes); callers flip readers to the returned
     * table name. Delta rows record `srcBatch` as their provenance.
+    * Tombstones ride along generation to generation (see
+    * [[servingMergePlan]]); read through [[readServing]].
     */
   def mergeServing(spark: SparkSession, table: String, delta: DataFrame,
       outTag: String, buckets: Int = 8, srcBatch: Long = -1L): String = {

@@ -932,7 +932,9 @@ class StreamingSpec extends SparkSpec {
 
   test("serving table: materialize folds the log once; merge advances " +
       "by one delta — strict-seq LWW (tie = stale), winning deletes " +
-      "drop, ghost deletes vanish, new keys insert") {
+      "become tombstones readers never see, ghost deletes tombstone " +
+      "too, new keys insert, and a later stale event older than a " +
+      "merged delete CANNOT resurrect the key") {
     val statePath =
       Files.createTempDirectory("graft_serve_t").toString + "/state"
     Seq((1L, "U", Some(100L), 0L, 0L), (2L, "U", Some(200L), 0L, 0L),
@@ -940,7 +942,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "op", "fp", "seq", "src_batch")
       .write.parquet(s"$statePath/fps/batch=0")
     val t1 = EventStream.materializeServing(spark, statePath, "t1", 4)
-    def m(tbl: String) = spark.table(tbl)
+    def m(tbl: String) = EventStream.readServing(spark, tbl)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp"))
       .toMap
     assert(m(t1) == Map(1L -> 100L, 2L -> 200L, 3L -> 300L))
@@ -954,12 +956,29 @@ class StreamingSpec extends SparkSpec {
     val t2 = EventStream.mergeServing(spark, t1, delta, "t2", 4,
       srcBatch = 9L)
     assert(m(t2) == Map(1L -> 110L, 3L -> 300L, 4L -> 400L), m(t2).toString)
-    val rows = spark.table(t2).collect()
+    val rows = EventStream.readServing(spark, t2).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("seq"), r.getAs[Long]("src_batch"))).toMap
     // delta winners carry (their seq, srcBatch); stale keeps its own
     assert(rows(1L) == (1L, 9L) && rows(4L) == (1L, 9L) &&
       rows(3L) == (5L, 0L), rows.toString)
+    // the delete and the ghost delete both left tombstones with their seq
+    val tombs = spark.table(t2).where($"op" === "D").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq")).toMap
+    assert(tombs == Map(2L -> 1L, 5L -> 1L), tombs.toString)
+    // the ADVICE r12 divergence: a second merge presenting events OLDER
+    // than the merged deletes (seq 0 < tombstone seq 1) must classify
+    // them stale against the tombstones — with deletes dropped instead
+    // of tombstoned, both keys would see no current row and resurrect
+    val late = Seq((2L, "U", Some(205L), 0L), (5L, "U", Some(505L), 0L))
+      .toDF("doc_id", "op", "fp", "seq")
+    val t3 = EventStream.mergeServing(spark, t2, late, "t3", 4,
+      srcBatch = 10L)
+    assert(m(t3) == Map(1L -> 110L, 3L -> 300L, 4L -> 400L), m(t3).toString)
+    // ...and the tombstones persist into the next generation unchanged
+    val tombs3 = spark.table(t3).where($"op" === "D").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq")).toMap
+    assert(tombs3 == Map(2L -> 1L, 5L -> 1L), tombs3.toString)
   }
 
   test("fpDedupMaintain treats a NULL fp as data, not a batch failure: " +
@@ -1805,6 +1824,83 @@ class StreamingSpec extends SparkSpec {
     val asOf299 = EventStream.snapshotAsOf(spark, statePath, 299L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(asOf299 == expect299)
+  }
+
+  test("soak: 100 CDC micro-batches with the AUTO-compaction cadence — " +
+      "log depth stays bounded by (live keys + retention tail) instead " +
+      "of growing with the stream, and every verdict is bit-identical " +
+      "to an uncompacted run", Slow) {
+    // same churn shape as the 60-batch soak: keys cycle [0, 40), seq
+    // strictly increases 10 per batch, ~every 4th event is a delete
+    val ddir = Files
+      .createTempDirectory("graft_autocmp_docs").toString + "/events"
+    val nBatches = 100
+    val events = (0 until nBatches).map { b =>
+      (0 until 5).map { i =>
+        val key = ((b * 7 + i * 3) % 40).toLong
+        val seq = (b * 10 + i).toLong
+        if ((b + i) % 4 == 3) (key, "D", Option.empty[Long], seq)
+        else (key, "U", Some(key * 1000 + seq), seq)
+      }
+    }
+    events.zipWithIndex.foreach { case (rows, b) =>
+      rows.toDF("doc_id", "op", "fp", "seq").coalesce(1)
+        .write.mode("append").parquet(ddir)
+      new java.io.File(ddir).listFiles
+        .filter(f => f.getName.endsWith(".parquet") &&
+          f.lastModified > 1710000000000L)
+        .foreach(_.setLastModified(1700000000000L + b * 60000L))
+    }
+    def stream = spark.readStream
+      .schema(spark.read.parquet(ddir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val autoP = Files
+      .createTempDirectory("graft_autocmp_a").toString + "/state"
+    val plainP = Files
+      .createTempDirectory("graft_autocmp_p").toString + "/state"
+    // cadence: compact every 10 ledgered batches to high-water − 150
+    // (15 batches of seq headroom stay individually time-travelable)
+    val retention = 150L
+    val vAuto = EventStream
+      .snapshotDiffMaintain(spark, stream, autoP,
+        compactEvery = 10, retention = retention)
+      .collect().map(r => r.getAs[Long]("batch_id") -> r.toString).toMap
+    val vPlain = EventStream.snapshotDiffMaintain(spark, stream, plainP)
+      .collect().map(r => r.getAs[Long]("batch_id") -> r.toString).toMap
+    assert(vAuto.size == nBatches && vAuto == vPlain,
+      (vAuto.toSet diff vPlain.toSet).toString)
+    // the cadence actually ran and is where it should be: horizon =
+    // high-water − retention from the last multiple-of-10 ledgered batch
+    val highWater = events.flatten.map(_._4).max
+    val h = EventStream.snapshotHorizon(spark, autoP)
+    assert(h == highWater - retention, s"horizon $h")
+    assert(EventStream.snapshotHorizon(spark, plainP) == Long.MinValue)
+    // BOUNDED per-batch log depth — the claim the cadence exists for:
+    // the auto-compacted log holds ≤ (distinct keys, tombstones
+    // included) + (events above the horizon); the uncompacted log holds
+    // every event ever
+    val autoRows = spark.read.parquet(autoP + "/fps").count()
+    val tailRows = events.flatten.count(_._4 > h)
+    assert(autoRows <= 40L + tailRows, s"$autoRows vs ${40L + tailRows}")
+    assert(spark.read.parquet(plainP + "/fps").count() ==
+      events.flatten.size.toLong)
+    // ...and the partition population is bounded by retention + cadence,
+    // not the stream's lifetime: one base + the retention window's
+    // batches (tail events keep their batch= partitions — the
+    // exclude-own-batch reads need them) + at most compactEvery−1
+    // batches since the last compaction (here 0: the 100th batch
+    // compacted). 150 seq of retention = 15 batches → ≤ 16.
+    val parts = new java.io.File(autoP + "/fps").listFiles
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(parts.size <= 16, parts.sorted.mkString(","))
+    // still-promised versions reconstruct identically on both stores;
+    // folded-away versions refuse loudly on the compacted one
+    def asOf(p: String, v: Long) = EventStream.snapshotAsOf(spark, p, v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asOf(autoP, highWater) == asOf(plainP, highWater))
+    assert(asOf(autoP, h) == asOf(plainP, h))
+    val ex = intercept[IllegalArgumentException] { asOf(autoP, h - 1) }
+    assert(ex.getMessage.contains("predates"), ex.getMessage)
   }
 
   test("soak: 200 micro-batches through dedupMaintain with mid-stream " +

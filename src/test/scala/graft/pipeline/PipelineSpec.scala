@@ -430,4 +430,52 @@ class PipelineSpec extends SparkSpec {
     val after = cat4.read("silver", "compact_big").orderBy("id").collect()
     assert(after.toSeq == before.toSeq)
   }
+
+  test("orphaned RUNNING claims from a crashed run are reconciled to " +
+      "ABANDONED at the next ingest; the files retry under fresh " +
+      "load_ids and no ghost in-flight rows survive") {
+    import spark.implicits._
+    val land = Files.createTempDirectory("graft_orph_land").toString
+    val cat = new Catalog(spark,
+      Files.createTempDirectory("graft_orph_wh").toString)
+    val ing = new Ingestion(cat)
+    write(land, "transactions_a.csv",
+      """country,date,name,type,amount,comments
+        |Japan,2026-03-01,Row A,Food,10.00,ok
+        |""".stripMargin)
+    // simulate the crash the batched up-front claim makes possible: a
+    // previous run claimed load_ids 1-2 (RUNNING for both files) and died
+    // before attempting either — no terminal rows exist
+    val t0 = new java.sql.Timestamp(0L)
+    cat.append(Seq(
+      Schemas.IngestionLog(1L, s"file:$land/transactions_a.csv",
+        "transactions", "RUNNING", 0L, "", t0),
+      Schemas.IngestionLog(2L, s"file:$land/transactions_never.csv",
+        "transactions", "RUNNING", 0L, "", t0)).toDF(),
+      "admin", "ingestion_logs")
+    val res = ing.ingest(Schemas.FileDetail(9, "c", "s", land,
+      "transactions*.csv", "bronze", "transactions", "CSV"))
+    // the surviving file loaded under a FRESH id (3, past the claimed
+    // range), not the orphaned claim's id
+    assert(res.map(_._2) == Seq(3L), res.toString)
+    val ledger = cat.read("admin", "ingestion_logs")
+    // both orphans got terminal ABANDONED rows with their claimed ids
+    val abandoned = ledger.where($"status" === "ABANDONED")
+      .select($"load_id").as[Long].collect().sorted.toSeq
+    assert(abandoned == Seq(1L, 2L), abandoned.toString)
+    // the ledger-consumer invariant the advice asked for: zero RUNNING
+    // rows without a terminal (SUCCESS/FAILURE/ABANDONED) sibling
+    def inflight() = ledger.where($"status" === "RUNNING")
+      .join(ledger.where(
+        $"status".isin("SUCCESS", "FAILURE", "ABANDONED"))
+        .select($"load_id"), Seq("load_id"), "left_anti").count()
+    assert(inflight() == 0L)
+    // idempotent: a second reconcile finds nothing
+    assert(ing.reconcileOrphans().isEmpty)
+    // and a second ingest neither re-loads nor re-abandons anything
+    assert(ing.ingest(Schemas.FileDetail(9, "c", "s", land,
+      "transactions*.csv", "bronze", "transactions", "CSV")).isEmpty)
+    assert(cat.read("admin", "ingestion_logs")
+      .where($"status" === "ABANDONED").count() == 2L)
+  }
 }
