@@ -6,17 +6,20 @@ object Bench {
 
   /** One tripwire-flagged query: prev/now seconds, the nearest canary on
     * each axis, whether its plan fingerprint matches the baseline's
-    * ("same"/"changed"/"unknown"), and the final attribution.
+    * ("same"/"changed"/"unknown"), the same-JVM replay time taken after
+    * the end canary (−1 = not replayed: budget exhausted or errored),
+    * and the final attribution.
     */
   private[graft] final case class Flag(name: String, prev: Double,
     now: Double, canary: Double, ioCanary: Double, plan: String,
-    attrib: String)
+    attrib: String, retime: Double = -1.0)
 
   private[graft] def regJson(es: Seq[Flag]): String =
     es.map { f =>
       s"""\"${f.name}\":{\"prev\":${f3num(f.prev)},""" +
         s"""\"now\":${f3num(f.now)},\"canary\":${f3num(f.canary)},""" +
         s"""\"io_canary\":${f3num(f.ioCanary)},\"plan\":\"${f.plan}\",""" +
+        s"""\"retime\":${f3num(f.retime)},""" +
         s"""\"attrib\":\"${f.attrib}\"}"""
     }.mkString("{", ",", "}")
 
@@ -323,72 +326,6 @@ object Bench {
     canaries += calibEnd
     ioCanaries += ioCalibrate()
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // ---- same-window DuckDB oracle pair (r11 judge item 4): the bench
-    // and its DuckDB oracle measured on the SAME machine in the SAME
-    // window. The oracle runs the oracles in bench (numeric) order under
-    // a hard time budget and reports which it covered; the Spark side
-    // sums its OWN just-measured times over exactly that subset, so the
-    // published ratio is a bounded same-subset same-window engine pair.
-    // Runs AFTER the end canary (cannot pollute any timed window);
-    // any failure (no python3/duckdb, timeout, parse) degrades to
-    // absence — the bench record itself is never at risk. Full runs only.
-    val oraclePair: Option[String] =
-      if (only.nonEmpty) None
-      else try {
-        val odir = java.nio.file.Files.createTempDirectory("bench_oracle")
-        def jq(s: String): String = "\"" + s.flatMap {
-          case '"' => "\\\""
-          case '\\' => "\\\\"
-          case '\n' => "\\n"
-          case '\r' => "\\r"
-          case '\t' => "\\t"
-          case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
-          case ch => ch.toString
-        } + "\""
-        val osql = SparkEntry.oracleSql
-          .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
-          .mkString("{", ",", "}")
-        java.nio.file.Files.write(odir.resolve("oracle_sql.json"),
-          osql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val budget = sys.env.getOrElse("SPARK_GRAFT_ORACLE_BUDGET", "120")
-        val pb = new ProcessBuilder("python3", "tools/oracle_bench.py",
-          sfDir, odir.toString, "--budget", budget)
-        pb.redirectErrorStream(true)
-        val proc = pb.start()
-        val watchdog = new Thread(() => {
-          if (!proc.waitFor(budget.toDouble.toLong + 180,
-              java.util.concurrent.TimeUnit.SECONDS)) {
-            proc.destroyForcibly(); ()
-          }
-        })
-        watchdog.setDaemon(true)
-        watchdog.start()
-        val out = new String(proc.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        proc.waitFor()
-        out.linesIterator.toSeq.reverseIterator
-          .find(_.contains("\"metric\": \"oracle_total\""))
-          .flatMap { line =>
-            val duck = "\"value\": ([0-9.]+)".r.findFirstMatchIn(line)
-              .map(_.group(1).toDouble)
-            val covered = "\"covered\": \\[([^\\]]*)\\]".r
-              .findFirstMatchIn(line)
-              .map(_.group(1).split(',').toSeq
-                .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-                .filter(_.nonEmpty).toSet)
-            (duck, covered) match {
-              case (Some(d), Some(cov)) if cov.nonEmpty && d > 0 =>
-                val sparkSub = results
-                  .filter { case (n, _, _, _, _) => cov.contains(n) }
-                  .map(_._2).sum
-                Some(s"""{"metric":"oracle_pair",""" +
-                  s""""spark_sec":${f3(sparkSub)},""" +
-                  s""""duckdb_sec":${f3(d)},"n":${cov.size},""" +
-                  s""""ratio":${f3(sparkSub / d)},"sf":"$sfDir"}""")
-              case _ => None
-            }
-          }
-      } catch { case scala.util.control.NonFatal(_) => None }
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val plans = results.map { case (k, _, _, ph, _) =>
@@ -431,7 +368,7 @@ object Bench {
     // a trivial fingerprint (bare checkpoint root) carries no plan signal
     // and stays "code"; quiet canaries AND a changed/unknown plan = a
     // real candidate ("code")
-    val flagged = results.collect {
+    val preFlags = results.collect {
       case (name, t, i, ph, trivial) if prevTimes.get(name)
           .exists(p => t > 2 * p && t - p > 0.5) =>
         val c = canaries(nearestIdx(i))
@@ -451,7 +388,141 @@ object Bench {
           else "code"
         Bench.Flag(name, prevTimes(name), t, c, io, plan, attrib)
     }
+    // ---- flagged-query REPLAY (r12 judge item 1): re-time each tripwire
+    // flag ONCE in the same JVM, after the end canary, worst relative
+    // inflation first, under a wall budget so a host-contended run's 47
+    // flags can't double the bench. The retime is the adjudicator the r12
+    // artifact lacked: a flag whose replay lands back at baseline was a
+    // transient (JIT/host) measurement — demoted to "jit" below — while a
+    // replay that CONFIRMS the inflation is a real regression the next
+    // round must chase. A retime far BELOW baseline (< 0.25x prev) is a
+    // session-cached substrate returning its memoized frame, which proves
+    // nothing about the timed cost — recorded, never used for demotion.
+    val replayBudget = sys.env
+      .getOrElse("SPARK_GRAFT_RETIME_BUDGET", "90").toDouble
+    var replaySpent = 0.0
+    val byName = ordered.toMap
+    val retimes: Map[String, Double] = preFlags
+      .sortBy(f => -(f.now / f.prev))
+      .flatMap { f =>
+        if (replaySpent > replayBudget) None
+        else byName.get(f.name).map { fn =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case _: Throwable => }
+          val dt = (System.nanoTime() - t0) / 1e9
+          replaySpent += dt
+          f.name -> dt
+        }
+      }.toMap
+    val flagged = preFlags.map { f =>
+      val rt = retimes.getOrElse(f.name, -1.0)
+      val transient = rt >= 0.25 * f.prev &&
+        rt <= math.max(1.5 * f.prev, f.prev + 0.25)
+      val attrib =
+        if (f.attrib == "code" && transient) "jit" else f.attrib
+      f.copy(retime = rt, attrib = attrib)
+    }
     val regs = Bench.regJson(flagged)
+    // ---- same-window DuckDB oracle pair (r11 judge item 4): the bench
+    // and its DuckDB oracle measured on the SAME machine in the SAME
+    // window. The oracle runs the oracles in bench (numeric) order under
+    // a hard time budget and reports which it covered WITH per-query
+    // times; the Spark side sums its OWN just-measured times over exactly
+    // that subset, so the published ratio is a bounded same-subset
+    // same-window engine pair. The covered window ROTATES: each full run
+    // starts where the previous round's window ended (offset persisted in
+    // bench_queries.json, env-overridable), so driver-window pairs
+    // accumulate over the whole suite — the heavy q7x+ training/dedup
+    // tail included — instead of re-measuring q01-q5x forever. Queries
+    // whose Spark run errored (plan fingerprint "err") are EXCLUDED from
+    // both sides (summing a time-to-failure against a DuckDB success
+    // would skew the ratio); the record carries how many were dropped.
+    // Runs AFTER the end canary and the replays (cannot pollute any
+    // timed window); any failure (no python3/duckdb, timeout, parse)
+    // degrades to absence — the bench record itself is never at risk.
+    // Full runs only.
+    val oracleOffset: Int = sys.env.get("SPARK_GRAFT_ORACLE_OFFSET")
+      .flatMap(_.toIntOption)
+      .orElse {
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("bench_queries.json")),
+            java.nio.charset.StandardCharsets.UTF_8)
+          "\"oracle_offset\":([0-9]+)".r.findFirstMatchIn(txt)
+            .map(_.group(1).toInt)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.getOrElse(0)
+    val erred: Set[String] =
+      results.collect { case (n, _, _, "err", _) => n }.toSet
+    val oraclePair: Option[String] =
+      if (only.nonEmpty) None
+      else try {
+        val odir = java.nio.file.Files.createTempDirectory("bench_oracle")
+        def jq(s: String): String = "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+          case ch => ch.toString
+        } + "\""
+        val osql = SparkEntry.oracleSql
+          .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.write(odir.resolve("oracle_sql.json"),
+          osql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val budget = sys.env.getOrElse("SPARK_GRAFT_ORACLE_BUDGET", "120")
+        val pb = new ProcessBuilder("python3", "tools/oracle_bench.py",
+          sfDir, odir.toString, "--budget", budget,
+          "--offset", oracleOffset.toString)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val watchdog = new Thread(() => {
+          if (!proc.waitFor(budget.toDouble.toLong + 180,
+              java.util.concurrent.TimeUnit.SECONDS)) {
+            proc.destroyForcibly(); ()
+          }
+        })
+        watchdog.setDaemon(true)
+        watchdog.start()
+        val out = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        proc.waitFor()
+        out.linesIterator.toSeq.reverseIterator
+          .find(_.contains("\"metric\": \"oracle_total\""))
+          .flatMap { line =>
+            val duckTimes: Map[String, Double] =
+              "\"(q[^\"]+)\": ([0-9.]+)".r.findAllMatchIn(
+                "\"times\": \\{([^}]*)\\}".r.findFirstMatchIn(line)
+                  .map(_.group(1)).getOrElse(""))
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            val covered = duckTimes.keySet
+            val valid = covered -- erred
+            if (valid.nonEmpty) {
+              val sparkSub = results
+                .filter { case (n, _, _, _, _) => valid.contains(n) }
+                .map(_._2).sum
+              val duckSub = valid.toSeq.map(duckTimes).sum
+              if (duckSub > 0)
+                Some(s"""{"metric":"oracle_pair",""" +
+                  s""""spark_sec":${f3(sparkSub)},""" +
+                  s""""duckdb_sec":${f3(duckSub)},"n":${valid.size},""" +
+                  s""""excluded":${(covered -- valid).size},""" +
+                  s""""offset":$oracleOffset,""" +
+                  s""""ratio":${f3(sparkSub / duckSub)},"sf":"$sfDir"}""")
+              else None
+            } else None
+          }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    // the NEXT full run's window starts where this one's ended
+    val nextOffset: Int = oraclePair
+      .flatMap(o => "\"n\":([0-9]+)".r.findFirstMatchIn(o)
+        .map(m => oracleOffset + m.group(1).toInt +
+          "\"excluded\":([0-9]+)".r.findFirstMatchIn(o)
+            .map(_.group(1).toInt).getOrElse(0)))
+      .getOrElse(oracleOffset)
     val canaryArr = canaries.map(f3).mkString("[", ",", "]")
     val ioArr = ioCanaries.map(f3).mkString("[", ",", "]")
     val calib =
@@ -486,7 +557,7 @@ object Bench {
         oraclePair.map(o => s""","oracle_pair":$o""").getOrElse("")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_queries.json"),
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"plans":$plans$opJson,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec",$calib,"queries":$qs,"plans":$plans$opJson,"oracle_offset":$nextOffset,"sf":"$sfDir"}"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()

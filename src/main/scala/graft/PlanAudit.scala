@@ -23,9 +23,12 @@ object PlanAudit {
       if (args.nonEmpty) args.toSeq
       else Seq("q01_group_agg", "q02_filter_project", "q03_join_agg",
         "q06_topk", "q21_cost_report", "q36_minhash_lsh", "q40_cosine_topk")
+    // SPARK_GRAFT_EXPLAIN_MODE: formatted (default) | simple (shows the
+    // `*(n)` whole-stage-codegen span markers) | codegen (generated code)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_MODE", "formatted")
     names.foreach { n =>
       println(s"\n${"=" * 70}\n== $n\n${"=" * 70}")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      SparkEntry.queries(n)(spark, dir).explain(mode)
     }
     spark.stop()
   }

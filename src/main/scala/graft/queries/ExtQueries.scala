@@ -1271,7 +1271,15 @@ object ExtQueries {
     //    VariantType; TimelineFlatten navigates it) — reference
     //    reset_schemas.sql:127-133,345-427. Scale shape: one narrow
     //    codegen'd projection + one keyed agg; the variant binary never
-    //    shuffles (paths project before the groupBy).
+    //    shuffles (paths project before the groupBy). The null filter
+    //    runs on the CHEAP source expression BEFORE the serialize+parse
+    //    chain: filtering on the extracted variant path is semantically
+    //    identical (u.k IS the cast source value; variant round-trips
+    //    preserve nulls) but Catalyst pushes that predicate beneath the
+    //    projection and duplicates the whole to_json → parse_json →
+    //    variant_get chain into the Filter — the r12 plan paid the parse
+    //    TWICE per row (audited: the filter condition carried its own
+    //    parseJson). PlanShapeSpec pins parse-once.
     QueryDef(
       "q303_variant_path",
       (s, dir) => {
@@ -1282,13 +1290,13 @@ object ExtQueries {
           struct($"user_id".as("uid"), k.as("k")).as("u"),
           array(k, k * 2).as("vals")))
         Tables.events(s, dir)
+          .where(k.isNotNull)
           .select(parse_json(doc).as("v"))
           .select(
             expr("variant_get(v, '$.t', 'string')").as("event_type"),
             expr("variant_get(v, '$.u.uid', 'long')").as("uid"),
             expr("variant_get(v, '$.u.k', 'long')").as("k"),
             expr("variant_get(v, '$.vals[1]', 'long')").as("k2"))
-          .where($"k".isNotNull)
           .groupBy($"event_type")
           .agg(sum($"uid").as("sum_uid"), sum($"k").as("sum_k"),
             sum($"k2").as("sum_k2"), count(lit(1)).as("n"))

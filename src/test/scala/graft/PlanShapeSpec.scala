@@ -1412,6 +1412,57 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("variant family codegen posture: q303 parses ONCE (no parse_json " +
+      "duplicated into the filter) with every row operator inside a " +
+      "whole-stage-codegen span; q314's typed paths are SHREDDED into " +
+      "the parquet scan (no VariantType survives to the row operators)") {
+    import org.apache.spark.sql.execution.{FilterExec, ProjectExec,
+      SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def finalPlan(name: String): SparkPlan = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // materialize the AQE final plan
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    }
+    // walk the tree tracking whether we're inside a codegen span; any
+    // Filter/Project OUTSIDE one means an expression fell back to
+    // interpreted eval (the jit-flag magnet the r12 verdict asked to rule
+    // out for this family)
+    def bareRowOps(p: SparkPlan, inSpan: Boolean = false): Seq[SparkPlan] = {
+      val here = p match {
+        case _: FilterExec | _: ProjectExec if !inSpan => Seq(p)
+        case _ => Seq.empty
+      }
+      val nowIn = inSpan || p.isInstanceOf[WholeStageCodegenExec]
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(bareRowOps(_, nowIn))
+    }
+    val p303 = finalPlan("q303_variant_path")
+    assert(bareRowOps(p303).isEmpty,
+      bareRowOps(p303).map(_.nodeName).mkString(","))
+    // parse-once: the filter runs on the cheap source expression; the
+    // serialize+parse chain appears in exactly one Project
+    val s303 = p303.toString
+    assert(!s303.contains("Filter isnotnull(variant_get"), s303.take(1500))
+    assert("parseJson".r.findAllIn(s303).size == 1, s303.take(1500))
+    val p314 = finalPlan("q314_variant_store")
+    assert(bareRowOps(p314).isEmpty,
+      bareRowOps(p314).map(_.nodeName).mkString(","))
+    // shredding: the scan returns typed path columns, not the variant
+    // binary — the path extraction was pushed into the parquet reader
+    val readSchema = "ReadSchema: ([^\\n]*)".r
+      .findFirstMatchIn(p314.toString).map(_.group(1)).getOrElse("")
+    assert(readSchema.startsWith("struct<raw_data:struct<"), readSchema)
+    assert(!readSchema.toLowerCase.contains("variant"), readSchema)
+  }
+
   test("snapshot serving-table merge: the serving side scans its buckets " +
       "in place — zero Exchange on the current side, only the delta " +
       "shuffles") {

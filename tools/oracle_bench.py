@@ -3,12 +3,18 @@
 same-window comparison SURVEY.md cites next to the Spark bench.
 
 Usage: python3 tools/oracle_bench.py <sfdir> <dir_with_oracle_sql.json>
-                                     [--budget SECONDS]
+                                     [--budget SECONDS] [--offset N]
 
 With --budget, queries run in NUMERIC name order (the bench's own
 sequence order) until the budget is exhausted; the summary then carries
-the covered-query list so a caller can sum the SAME subset on the Spark
-side — a bounded same-window engine pair instead of an unbounded run.
+the covered-query list AND per-query times so a caller can sum the SAME
+subset on the Spark side — a bounded same-window engine pair instead of
+an unbounded run.
+
+With --offset N, the numeric order is ROTATED to start at index
+N mod len (wrapping) — the bench advances the offset each round so the
+budgeted window accumulates coverage over the whole suite across rounds
+(the heavy q7x+ tail included) instead of re-measuring q01-q5x forever.
 """
 import sys, json, time
 import duckdb
@@ -27,15 +33,19 @@ def qnum(name):
     return int(d) if d else 0
 
 
-def main(sfdir, outdir, budget=None):
+def main(sfdir, outdir, budget=None, offset=0):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    ordered = sorted(oracle.items(), key=lambda kv: (qnum(kv[0]), kv[0]))
+    if ordered and offset:
+        k = offset % len(ordered)
+        ordered = ordered[k:] + ordered[:k]
     total = 0.0
     times = {}
     start = time.time()
-    for name, sql in sorted(oracle.items(), key=lambda kv: (qnum(kv[0]), kv[0])):
+    for name, sql in ordered:
         if budget is not None and time.time() - start > budget:
             break
         t0 = time.time()
@@ -50,17 +60,23 @@ def main(sfdir, outdir, budget=None):
     for name, dt in sorted(times.items(), key=lambda kv: -kv[1]):
         print(f"{name:28s} {dt:8.3f}")
     rec = {"metric": "oracle_total", "value": round(total, 3),
-           "unit": "sec", "n": len(times), "sf": sfdir}
+           "unit": "sec", "n": len(times), "offset": offset, "sf": sfdir}
     if budget is not None:
         rec["covered"] = sorted(times)
+        rec["times"] = times
     print(json.dumps(rec))
 
 
 if __name__ == "__main__":
     budget = None
+    offset = 0
     args = sys.argv[1:]
     if "--budget" in args:
         i = args.index("--budget")
         budget = float(args[i + 1])
         args = args[:i] + args[i + 2:]
-    main(args[0], args[1], budget)
+    if "--offset" in args:
+        i = args.index("--offset")
+        offset = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    main(args[0], args[1], budget, offset)
