@@ -479,8 +479,12 @@ object Bench {
           "--offset", oracleOffset.toString)
         pb.redirectErrorStream(true)
         val proc = pb.start()
+        // the python side self-bounds at 2x budget via con.interrupt()
+        // and still prints its summary; this outer kill is only for a
+        // genuinely hung interpreter, so give it generous headroom — a
+        // destroyForcibly loses every measurement of the window
         val watchdog = new Thread(() => {
-          if (!proc.waitFor(budget.toDouble.toLong + 180,
+          if (!proc.waitFor(budget.toDouble.toLong * 2 + 300,
               java.util.concurrent.TimeUnit.SECONDS)) {
             proc.destroyForcibly(); ()
           }

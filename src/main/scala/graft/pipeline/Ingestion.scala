@@ -164,15 +164,19 @@ final class Ingestion(catalog: Catalog) {
       }.toDF(), ADMIN, "ingestion_logs")
     pending.zipWithIndex.map { case (file, idx) =>
       val loadId = baseId + idx
+      // the batched claim stamps every RUNNING row with the CLAIM time;
+      // the terminal row carries the file's own attempt start, so
+      // per-file timing survives the up-front range claim
+      val tf = new Timestamp(System.currentTimeMillis())
       try {
         val rows = loadFile(detail, file, loadId)
         log(Schemas.IngestionLog(loadId, file, detail.target_table,
-          "SUCCESS", rows, "", t0))
+          "SUCCESS", rows, "", tf))
         (file, loadId, rows)
       } catch {
         case e: Exception =>
           log(Schemas.IngestionLog(loadId, file, detail.target_table,
-            "FAILURE", 0L, String.valueOf(e.getMessage), t0))
+            "FAILURE", 0L, String.valueOf(e.getMessage), tf))
           (file, loadId, -1L)
       }
     }

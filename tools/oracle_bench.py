@@ -16,7 +16,7 @@ N mod len (wrapping) — the bench advances the offset each round so the
 budgeted window accumulates coverage over the whole suite across rounds
 (the heavy q7x+ tail included) instead of re-measuring q01-q5x forever.
 """
-import sys, json, time
+import sys, json, time, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -45,6 +45,18 @@ def main(sfdir, outdir, budget=None, offset=0):
     total = 0.0
     times = {}
     start = time.time()
+    # Hard deadline: the budget stops LAUNCHING queries, but a query
+    # already running can take arbitrarily long (single heavy oracles
+    # have measured 260+s on slow boxes) — without a bound the caller's
+    # process watchdog kills us before the summary prints and the whole
+    # window's measurements are lost. con.interrupt() cancels the
+    # in-flight query at 2x budget; everything measured so far still
+    # lands in the summary.
+    timer = None
+    if budget is not None:
+        timer = threading.Timer(budget * 2 + 30, con.interrupt)
+        timer.daemon = True
+        timer.start()
     for name, sql in ordered:
         if budget is not None and time.time() - start > budget:
             break
@@ -53,10 +65,15 @@ def main(sfdir, outdir, budget=None, offset=0):
             con.sql(sql).df()
             dt = time.time() - t0
         except Exception as e:
+            if budget is not None and time.time() - start > budget:
+                print(f"DEADLINE  {name} (interrupted, not counted)")
+                break
             print(f"ERR  {name}: {e}")
             continue
         times[name] = round(dt, 3)
         total += dt
+    if timer is not None:
+        timer.cancel()
     for name, dt in sorted(times.items(), key=lambda kv: -kv[1]):
         print(f"{name:28s} {dt:8.3f}")
     rec = {"metric": "oracle_total", "value": round(total, 3),
