@@ -1369,6 +1369,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(1600))
   }
 
+  test("priorState broadcast fallback: a batch key set ABOVE the " +
+      "threshold prunes via a plain (non-broadcast) left-semi join — " +
+      "same rows, no forced driver-side broadcast of a backfill burst") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_prior_fb").toString
+    val logP = statePath + "/fps"
+    Seq((1L, "U", Some(10L), 0L, 0L), (2L, "U", Some(20L), 0L, 0L),
+      (3L, "D", Option.empty[Long], 1L, 0L))
+      .toDF("doc_id", "op", "fp", "seq", "src_batch")
+      .write.parquet(s"$logP/batch=0")
+    val keys = Seq(1L, 3L, 9L).toDF("doc_id").localCheckpoint()
+    // the broadcast rule keeps AQE from re-promoting the small side on
+    // fixture-scale stats; what the fallback removes is the FORCED hint
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.streaming.EventStream
+        .priorState(spark, logP, 7L, keys, broadcastKeyLimit = 2L)
+      val rows = df.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+      assert(rows == Map(1L -> ("U", 0L), 3L -> ("D", 1L)), rows.toString)
+      def subtree(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(subtree)
+      }
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(subtree(root).collect {
+        case j: BroadcastHashJoinExec => j }.isEmpty,
+        subtree(root).map(_.nodeName).mkString(","))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("snapshot maintainer prior-state read is delta-KEYED: every LWW " +
       "fold aggregate sits ABOVE a broadcast left-semi prune by the " +
       "batch's keys — the per-batch read is never a full-log aggregate") {
