@@ -2432,8 +2432,141 @@ object ExtQueries {
         |  (SELECT COUNT(*) FROM live) AS refold_rows,
         |  (SELECT BIT_XOR(fp) FROM live) AS refold_fp,
         |  CAST(0 AS BIGINT) AS n_resurrected,
-        |  TRUE AS merge_eq_refold""".stripMargin))
+        |  TRUE AS merge_eq_refold""".stripMargin)),
+
+    // ── TOMBSTONE RETIREMENT under the hash gate — the serving-table
+    //    counterpart of q327's log horizon: without retirement a
+    //    long-lived high-churn serving table accumulates one op='D' row
+    //    per key that ever died, FOREVER (the one unbounded-growth axis
+    //    the snapshot family had left). Retirement is exact under the
+    //    same promise the log horizon makes — no future delta presents
+    //    an event with seq ≤ horizon — because a tombstone at seq s ≤
+    //    horizon can only defeat events with seq ≤ s (never arrive) and
+    //    any arriving event has seq > horizon ≥ s and defeats the
+    //    tombstone anyway. The gate proves the COMMUTE both ways it
+    //    ships: merge(scrub(T), delta) ≡ merge(T, delta,
+    //    tombstoneHorizon) row-for-row including surviving tombstones
+    //    (the standalone scrub AND the merge-amortized filter), that
+    //    scrubbing preserves the live read view exactly, and that the
+    //    retired population is what the closed form says (all seq-1
+    //    tombstones gone, only the delta's seq-2 deletes remain).
+    //    DuckDB replays the post-merge live state from documents.
+    //    Once per session; bucket-local (the scrub is a non-key filter —
+    //    no key-bearing Exchange at any scale).
+    QueryDef(
+      "q330_tombstone_retire",
+      (s, dir) => tombstoneGateCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          runSnapshotStream(s, dir)
+          val src = snapshotStatePath((s.sparkContext.applicationId, dir))
+          val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+          def fpExpr(id: String, text: String, lang: String,
+              source: String, nChars: String) =
+            expr(s"CAST(conv(substring(md5(concat_ws('|', $id, $text, " +
+              s"$lang, $source, $nChars)), 1, 15), 16, 10) AS BIGINT)")
+          val base = Tables.documents(s, dir)
+          // all delta seqs are 2 — the admissibility promise for
+          // horizon=1 (no event at or below the retired tombstones)
+          val reinserts = base.where($"doc_id" % 7 === 0 &&
+              $"doc_id" % 3 === 0)
+            .withColumn("text3", concat($"text", lit("!r3")))
+            .select($"doc_id", lit("U").as("op"),
+              fpExpr("doc_id", "text3", "lang", "source", "n_chars")
+                .as("fp"), lit(2L).as("seq"))
+          val deletes = base.where($"doc_id" % 7 =!= 0 &&
+              $"doc_id" % 5 === 0 && $"doc_id" % 3 === 0)
+            .select($"doc_id", lit("D").as("op"),
+              lit(null).cast("long").as("fp"), lit(2L).as("seq"))
+          val updates = base.where($"doc_id" % 7 =!= 0 &&
+              $"doc_id" % 5 =!= 0 && $"doc_id" % 3 === 0)
+            .withColumn("text3", concat($"text", lit("!r3")))
+            .select($"doc_id", lit("U").as("op"),
+              fpExpr("doc_id", "text3", "lang", "source", "n_chars")
+                .as("fp"), lit(2L).as("seq"))
+          val delta = reinserts.unionByName(deletes).unionByName(updates)
+            .localCheckpoint()
+          val es = graft.streaming.EventStream
+          val t1 = es.materializeServing(s, src, s"t330a$tag", 8)
+          val tombsBefore = s.table(t1).where($"op" === "D").count()
+          // path A: standalone scrub, then a plain merge
+          val t1s = es.scrubServingTombstones(s, t1, 1L, s"t330b$tag", 8)
+          val tombsAfterScrub = s.table(t1s).where($"op" === "D").count()
+          val livePreserved = es.readServing(s, t1)
+            .exceptAll(es.readServing(s, t1s))
+            .unionAll(es.readServing(s, t1s)
+              .exceptAll(es.readServing(s, t1))).isEmpty
+          val pa = es.mergeServing(s, t1s, delta, s"t330c$tag", 8,
+            srcBatch = 9L)
+          // path B: retirement amortized into the merge rewrite
+          val pb = es.mergeServing(s, t1, delta, s"t330d$tag", 8,
+            srcBatch = 9L, tombstoneHorizon = 1L)
+          val commute = s.table(pa).exceptAll(s.table(pb))
+            .unionAll(s.table(pb).exceptAll(s.table(pa))).isEmpty
+          val live = es.readServing(s, pb)
+          live.agg(count(lit(1)).as("n_live"),
+              expr("bit_xor(fp)").as("live_fp"))
+            .crossJoin(s.table(pb).where($"op" === "D")
+              .agg(count(lit(1)).as("n_tombstones")))
+            .withColumn("tombs_before", lit(tombsBefore))
+            .withColumn("tombs_after_scrub", lit(tombsAfterScrub))
+            .withColumn("live_preserved", lit(livePreserved))
+            .withColumn("scrub_commutes_with_merge", lit(commute))
+            .localCheckpoint()
+        }),
+      Some("""WITH live AS (
+        |  -- tombstoned at seq 1, retired, re-inserted at seq 2
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '!r3' || '|' ||
+        |    lang || '|' || source || '|' || CAST(n_chars AS VARCHAR)),
+        |    1, 15))::BIGINT AS fp
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 3 = 0
+        |  UNION ALL
+        |  -- r2-updated, untouched by the delta (deleted keys excluded)
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '!r2' || '|' ||
+        |    lang || '|' || source || '|' || CAST(n_chars AS VARCHAR)),
+        |    1, 15))::BIGINT AS fp
+        |  FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0 AND doc_id % 3 <> 0
+        |  UNION ALL
+        |  -- delta-updated at seq 2
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '!r3' || '|' ||
+        |    lang || '|' || source || '|' || CAST(n_chars AS VARCHAR)),
+        |    1, 15))::BIGINT AS fp
+        |  FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0 AND doc_id % 3 = 0
+        |  UNION ALL
+        |  -- untouched originals
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang ||
+        |    '|' || source || '|' || CAST(n_chars AS VARCHAR)),
+        |    1, 15))::BIGINT AS fp
+        |  FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0 AND doc_id % 3 <> 0
+        |  UNION ALL
+        |  -- r1 inserts (doc_id+1e7, lang 'xx'), untouched by the delta
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(doc_id + 10000000 AS VARCHAR) || '|' || text ||
+        |    '|xx|' || source || '|' || CAST(n_chars AS VARCHAR)),
+        |    1, 15))::BIGINT AS fp
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT (SELECT COUNT(*) FROM live) AS n_live,
+        |  (SELECT BIT_XOR(fp) FROM live) AS live_fp,
+        |  (SELECT COUNT(*) FROM documents
+        |   WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0 AND doc_id % 3 = 0)
+        |    AS n_tombstones,
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
+        |    AS tombs_before,
+        |  CAST(0 AS BIGINT) AS tombs_after_scrub,
+        |  TRUE AS live_preserved,
+        |  TRUE AS scrub_commutes_with_merge""".stripMargin))
   )
+
+  /** Once-per-session tombstone-retirement gate run for q330. */
+  private val tombstoneGateCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
 
   /** Once-per-session deletion-propagation run for q325. */
   private val deletionCache = scala.collection.concurrent.TrieMap

@@ -1340,9 +1340,26 @@ object EventStream {
     * seqs). A delta-only 'D' (ghost delete) still lands a tombstone — a
     * later stale upsert for that key must lose to it too. Reads filter
     * op='U' ([[readServing]]).
+    *
+    * `tombstoneHorizon` (opt-in, default off) RETIRES tombstones with
+    * seq ≤ horizon from the output generation — the serving-table
+    * counterpart of [[compactSnapshotLog]]'s retention policy. Without
+    * retirement a long-lived high-churn serving table accumulates one
+    * op='D' row per key that ever died, forever; with it the tombstone
+    * population is bounded by the keys deleted inside the retention
+    * window. Safety is the SAME promise the log horizon makes: the
+    * caller asserts no future delta will ever present an event with
+    * seq ≤ horizon. Under that promise retirement is exact — a
+    * tombstone at seq s ≤ horizon can only defeat events with seq ≤ s,
+    * which never arrive; any event that does arrive has seq > horizon ≥
+    * s and would defeat the tombstone anyway — so retire-then-merge ≡
+    * merge-then-retire for every admissible delta (q330 gates the
+    * commute). The filter rides the generation rewrite the merge
+    * already pays: retirement costs zero extra passes.
     */
   private[graft] def servingMergePlan(spark: SparkSession, table: String,
-      delta: DataFrame, srcBatch: Long): DataFrame = {
+      delta: DataFrame, srcBatch: Long,
+      tombstoneHorizon: Long = Long.MinValue): DataFrame = {
     val d = delta
       .select(col("doc_id").cast("long").as("doc_id"), col("op"),
         col("fp").cast("long").as("fp"), col("seq").cast("long").as("seq"))
@@ -1356,13 +1373,16 @@ object EventStream {
         col("seq").as("c_seq"), col("src_batch").as("c_src"))
     val takeDelta = col("d_seq").isNotNull &&
       (col("c_seq").isNull || col("d_seq") > col("c_seq"))
-    cur.join(d, Seq("doc_id"), "full_outer")
+    val merged = cur.join(d, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(takeDelta, col("d_op")).otherwise(col("c_op")).as("op"),
         when(takeDelta, col("d_fp")).otherwise(col("c_fp")).as("fp"),
         when(takeDelta, col("d_seq")).otherwise(col("c_seq")).as("seq"),
         when(takeDelta, lit(srcBatch)).otherwise(col("c_src"))
           .as("src_batch"))
+    if (tombstoneHorizon == Long.MinValue) merged
+    else merged.where(!(col("op") === "D" &&
+      col("seq") <= lit(tombstoneHorizon)))
   }
 
   /** Advance a [[materializeServing]] table by one CDC delta: a single
@@ -1373,13 +1393,40 @@ object EventStream {
     * compaction swap-writes); callers flip readers to the returned
     * table name. Delta rows record `srcBatch` as their provenance.
     * Tombstones ride along generation to generation (see
-    * [[servingMergePlan]]); read through [[readServing]].
+    * [[servingMergePlan]]); read through [[readServing]]. Pass
+    * `tombstoneHorizon` to retire dead tombstones in the same rewrite
+    * (see [[servingMergePlan]] for the promise that makes it exact).
     */
   def mergeServing(spark: SparkSession, table: String, delta: DataFrame,
-      outTag: String, buckets: Int = 8, srcBatch: Long = -1L): String = {
+      outTag: String, buckets: Int = 8, srcBatch: Long = -1L,
+      tombstoneHorizon: Long = Long.MinValue): String = {
     val out = s"graft_snap_serve_$outTag"
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    servingMergePlan(spark, table, delta, srcBatch)
+    servingMergePlan(spark, table, delta, srcBatch, tombstoneHorizon)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$wh/graft_bucketed/$out")
+      .saveAsTable(out)
+    out
+  }
+
+  /** Retire tombstones from a [[materializeServing]]/[[mergeServing]]
+    * table WITHOUT a delta: rewrite the table as a new generation
+    * dropping op='D' rows with seq ≤ `horizon`. Same promise and same
+    * exactness argument as [[servingMergePlan]]'s `tombstoneHorizon` —
+    * use this for a serving table that is read-heavy but rarely merged
+    * (a merge-time horizon would wait indefinitely for the next delta).
+    * Live rows are untouched; the bucketed layout is preserved, and the
+    * rewrite is bucket-local (the filter is a non-key predicate, so no
+    * key-bearing Exchange — at 100 TB this is a parallel scan+write,
+    * never a shuffle). Returns the new table name.
+    */
+  def scrubServingTombstones(spark: SparkSession, table: String,
+      horizon: Long, outTag: String, buckets: Int = 8): String = {
+    val out = s"graft_snap_serve_$outTag"
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.table(table)
+      .where(!(col("op") === "D" && col("seq") <= lit(horizon)))
       .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .option("path", s"$wh/graft_bucketed/$out")

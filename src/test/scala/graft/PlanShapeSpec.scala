@@ -1548,4 +1548,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(smj.get.left.toString.contains("SelectedBucketsCount"),
       smj.get.left.toString.take(1600))
   }
+
+  test("serving-table tombstone retirement keeps the merge's plan " +
+      "contract: the horizon filter adds no Exchange anywhere — the " +
+      "current side still scans its buckets in place and only the " +
+      "delta shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_retire_pin").toString + "/state"
+    Seq((1L, "U", Some(10L), 0L, 0L),
+      (2L, "D", Option.empty[Long], 1L, 0L))
+      .toDF("doc_id", "op", "fp", "seq", "src_batch")
+      .write.parquet(s"$statePath/fps/batch=0")
+    val tbl = graft.streaming.EventStream
+      .materializeServing(spark, statePath, "rpin", 4)
+    val delta = Seq((3L, "U", Some(30L), 5L))
+      .toDF("doc_id", "op", "fp", "seq")
+    val df = graft.streaming.EventStream
+      .servingMergePlan(spark, tbl, delta, 9L, tombstoneHorizon = 1L)
+    // the retired tombstone is gone from the OUTPUT, not re-shuffled
+    assert(!df.collect().exists(_.getAs[String]("op") == "D"))
+    def subtree(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(subtree)
+    }
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val smj = subtree(root).collectFirst {
+      case j: SortMergeJoinExec if j.joinType.toString == "FullOuter" => j
+    }
+    assert(smj.nonEmpty, subtree(root).map(_.nodeName).mkString(","))
+    assert(subtree(smj.get.left)
+      .collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      smj.get.left.toString.take(1600))
+    // exactly ONE Exchange in the whole plan: the delta's
+    assert(subtree(root)
+      .collect { case e: ShuffleExchangeExec => e }.size <= 1,
+      subtree(root).map(_.nodeName).mkString(","))
+  }
 }

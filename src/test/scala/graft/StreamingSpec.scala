@@ -981,6 +981,56 @@ class StreamingSpec extends SparkSpec {
     assert(tombs3 == Map(2L -> 1L, 5L -> 1L), tombs3.toString)
   }
 
+  test("serving-table tombstone retirement: a horizon retires only " +
+      "tombstones at or below it, live rows are untouched, standalone " +
+      "scrub commutes with a merge whose deltas respect the promise, " +
+      "and the merge-amortized horizon produces the identical table") {
+    val statePath =
+      Files.createTempDirectory("graft_retire_t").toString + "/state"
+    Seq((1L, "U", Some(100L), 0L, 0L), (2L, "U", Some(200L), 0L, 0L),
+      (6L, "D", Option.empty[Long], 3L, 0L), // tombstone at seq 3
+      (7L, "D", Option.empty[Long], 1L, 0L)) // tombstone at seq 1
+      .toDF("doc_id", "op", "fp", "seq", "src_batch")
+      .write.parquet(s"$statePath/fps/batch=0")
+    val t1 = EventStream.materializeServing(spark, statePath, "r1", 4)
+    def live(tbl: String) = EventStream.readServing(spark, tbl)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp"))
+      .toMap
+    def tombs(tbl: String) = spark.table(tbl).where($"op" === "D")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq"))
+      .toMap
+    assert(tombs(t1) == Map(6L -> 3L, 7L -> 1L))
+    // horizon 2 retires ONLY the seq-1 tombstone; seq-3 survives so a
+    // stale seq-2 event for key 6 still classifies stale after the scrub
+    val s2 = EventStream.scrubServingTombstones(spark, t1, 2L, "r2", 4)
+    assert(tombs(s2) == Map(6L -> 3L), tombs(s2).toString)
+    assert(live(s2) == live(t1), live(s2).toString)
+    val stale6 = Seq((6L, "U", Some(666L), 2L))
+      .toDF("doc_id", "op", "fp", "seq")
+    val s2b = EventStream.mergeServing(spark, s2, stale6, "r2b", 4,
+      srcBatch = 8L)
+    assert(live(s2b) == live(t1), live(s2b).toString)
+    // the commute: every delta seq > horizon (the admissibility promise)
+    val delta = Seq(
+      (7L, "U", Some(707L), 4L), // re-insert of a RETIRED key
+      (2L, "D", Option.empty[Long], 4L), // new delete -> fresh tombstone
+      (9L, "U", Some(900L), 4L)) // plain insert
+      .toDF("doc_id", "op", "fp", "seq")
+    val pa = EventStream.mergeServing(spark,
+      EventStream.scrubServingTombstones(spark, t1, 3L, "r3", 4),
+      delta, "r4", 4, srcBatch = 9L)
+    val pb = EventStream.mergeServing(spark, t1, delta, "r5", 4,
+      srcBatch = 9L, tombstoneHorizon = 3L)
+    val a = spark.table(pa).collect().map(_.toString).sorted.toSeq
+    val b = spark.table(pb).collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"A=$a\nB=$b")
+    assert(live(pb) == Map(1L -> 100L, 7L -> 707L, 9L -> 900L),
+      live(pb).toString)
+    // the fresh seq-4 tombstone is ABOVE the horizon: it must survive
+    // the amortized retirement or key 2 could resurrect later
+    assert(tombs(pb) == Map(2L -> 4L), tombs(pb).toString)
+  }
+
   test("fpDedupMaintain treats a NULL fp as data, not a batch failure: " +
       "the row is dropped, valid rows still band and match") {
     // an undecodable blob lands a NULL fingerprint (the Multimodal
