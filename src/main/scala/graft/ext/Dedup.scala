@@ -159,6 +159,37 @@ object Dedup {
     tbl
   }
 
+  /** Deletion propagation for the SERVED band index — the q325
+    * compliance sweep extended to q88/q312's serving layout: a
+    * right-to-be-forgotten list must vanish from the index a delta-dedup
+    * probe reads, not just from the corpus tables. The tombstone side is
+    * compliance-list sized, so it broadcasts onto a LEFT-ANTI over the
+    * bucketed scan — the index never shuffles — and the survivors land
+    * as a NEW bucketed generation (same swap discipline as serving
+    * tables; readers flip to the returned name). Exact by per-doc
+    * independence: a doc's shingles/signature/bands depend only on its
+    * own text, so scrub(index, T) ≡ build(corpus ∖ T) row for row —
+    * q331 gates that equality.
+    */
+  def scrubBandIndex(indexTable: String, tombstones: DataFrame,
+      idCol: String, tag: String, buckets: Int = 8): String =
+    writeBandIndexBucketed(
+      scrubBandIndexPlan(indexTable, tombstones, idCol), tag, buckets)
+
+  /** The frame [[scrubBandIndex]] lands — exposed so PlanShapeSpec can
+    * pin its shape: a broadcast LEFT-ANTI of the tombstone list onto
+    * the bucketed scan, ZERO ShuffleExchange anywhere (the index side
+    * never moves; at 100 TB the rewrite is a parallel scan+filter+write,
+    * never a shuffle).
+    */
+  private[graft] def scrubBandIndexPlan(indexTable: String,
+      tombstones: DataFrame, idCol: String): DataFrame = {
+    val s = tombstones.sparkSession
+    s.table(indexTable)
+      .join(broadcast(tombstones.select(col(idCol))), Seq(idCol),
+        "left_anti")
+  }
+
   /** Delta-vs-index candidate generation over a
     * [[writeBandIndexBucketed]] table: the incremental-dedup read path
     * (new crawl batch against the accumulated corpus) with

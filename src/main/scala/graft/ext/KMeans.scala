@@ -201,6 +201,38 @@ object KMeans {
     tbl
   }
 
+  /** Deletion propagation for the SERVED IVF postings —
+    * [[graft.ext.Dedup.scrubBandIndex]]'s analog for vectors: a
+    * right-to-be-forgotten list must vanish from the index ANN probes
+    * read, or a deleted subject keeps coming back as someone's nearest
+    * neighbor. The tombstone side broadcasts onto a LEFT-ANTI over the
+    * bucketed scan (the postings never shuffle); survivors land as a
+    * NEW bucketed generation. Exact by per-vector independence: a
+    * posting is (vec, nearest cell of a FIXED codebook), so against the
+    * same codebook scrub(index, T) ≡ assign(corpus ∖ T) row for row —
+    * q331 gates the equality. Deliberately NOT a retrain: whether the
+    * codebook itself should eventually re-train without the deleted
+    * vectors is a policy decision (centroids carry aggregate influence,
+    * not rows — the q325 recompute contract applies when policy says
+    * so); the index scrub is the part that must be immediate.
+    */
+  def scrubPostings(indexTable: String, tombstones: DataFrame,
+      tag: String, buckets: Int = 8): String =
+    writePostingsBucketed(
+      scrubPostingsPlan(indexTable, tombstones), tag, buckets)
+
+  /** The frame [[scrubPostings]] lands — exposed so PlanShapeSpec can
+    * pin its shape (see [[graft.ext.Dedup.scrubBandIndexPlan]]): a
+    * broadcast LEFT-ANTI onto the bucketed scan, zero ShuffleExchange.
+    */
+  private[graft] def scrubPostingsPlan(indexTable: String,
+      tombstones: DataFrame): DataFrame = {
+    val s = tombstones.sparkSession
+    s.table(indexTable)
+      .join(broadcast(tombstones.select(col("vec_id"))), Seq("vec_id"),
+        "left_anti")
+  }
+
   /** Probe-and-rescore against a [[writePostingsBucketed]] table: rank
     * cells per query by centroid cosine, probe the best `nprobe` via a
     * merge join INTO the bucketed layout (zero Exchange on the postings

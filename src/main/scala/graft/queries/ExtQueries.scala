@@ -2561,8 +2561,132 @@ object ExtQueries {
         |    AS tombs_before,
         |  CAST(0 AS BIGINT) AS tombs_after_scrub,
         |  TRUE AS live_preserved,
-        |  TRUE AS scrub_commutes_with_merge""".stripMargin))
+        |  TRUE AS scrub_commutes_with_merge""".stripMargin)),
+
+    // ── INDEX DELETION PROPAGATION under the hash gate — q325's
+    //    compliance sweep extended to the SERVED INDEXES a production
+    //    read path actually hits: scrubbing the medallion tables is not
+    //    enough if a deleted subject keeps surfacing as a dedup
+    //    candidate (q88/q312's bucketed band index) or as someone's
+    //    nearest neighbor (q45/q85's bucketed IVF postings). Both
+    //    scrubs are broadcast LEFT-ANTI rewrites over the bucketed
+    //    scan (the index side never shuffles; survivors land as a new
+    //    bucketed generation — the serving-table swap discipline), and
+    //    both are EXACT by per-item independence: shingles/signature/
+    //    bands depend only on the doc's own text, and a posting is
+    //    (vec, nearest cell of a FIXED codebook) — so scrub(index, T)
+    //    ≡ build(corpus ∖ T) row for row, which the gate proves by
+    //    exceptAll both ways on both families. Read-path attestation
+    //    rides along: delta-dedup candidates against the scrubbed band
+    //    index and ANN probes against the scrubbed postings return
+    //    ZERO tombstoned ids. The codebook is deliberately NOT
+    //    retrained (centroids carry aggregate influence, not rows —
+    //    the q325 recompute contract is a separate policy decision);
+    //    the codebook is the q45/q56 shared substrate, so the gate adds
+    //    no training cost in a full run. Once per session.
+    QueryDef(
+      "q331_index_deletion",
+      (s, dir) => indexDeletionCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          import graft.ext.{Dedup, KMeans}
+          val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+          // the band family runs on a deterministic half-corpus: the
+          // gated property (scrub ≡ rebuild, zero residual/read-hits)
+          // is corpus-size-independent — it's an EQUALITY, not a recall
+          // measurement — and the gate builds the shingle→minhash→band
+          // pipeline twice plus three bucketed landings, so the half
+          // keeps the full-run line in family cost range while the
+          // two-scale discipline still exercises 10× growth
+          val docs = Tables.documents(s, dir)
+            .where($"doc_id" % 2 === 0)
+          val tomb = docs.where($"doc_id" % 6 === 0)
+            .select($"doc_id").localCheckpoint()
+          def bandsOf(d: org.apache.spark.sql.DataFrame) =
+            Dedup.bandRows(Dedup.minhashSignatures(
+              Dedup.hashedShingleRows(d, "doc_id", "text"), "doc_id"),
+              "doc_id")
+          val idxFull = Dedup.writeBandIndexBucketed(
+            bandsOf(docs), s"d331f$tag")
+          val idxScrub = Dedup.scrubBandIndex(idxFull, tomb, "doc_id",
+            s"d331s$tag")
+          // the REBUILD side of the equality needs no bucketed landing:
+          // bucketing changes layout, not rows, so the scrubbed TABLE
+          // compares against the rebuilt FRAME directly — two fewer
+          // table writes on a control-plane-dominated gate
+          val idxRebuild =
+            bandsOf(docs.join(tomb, Seq("doc_id"), "left_anti"))
+          val emb = Tables.embeddings(s, dir)
+            .select($"vec_id", $"embedding")
+          val tombV = emb.where($"vec_id" % 6 === 0)
+            .select($"vec_id").localCheckpoint()
+          val cb = TrainingDataQueries.trainedCodebook(s, dir,
+            k = 8, iters = 2)
+          val ivfFull = KMeans.writePostingsBucketed(
+            KMeans.assignPostings(emb, cb), s"v331f$tag")
+          val ivfScrub = KMeans.scrubPostings(ivfFull, tombV,
+            s"v331s$tag")
+          val ivfRebuild = KMeans.assignPostings(
+            emb.join(tombV, Seq("vec_id"), "left_anti"), cb)
+          // every attestation is a COLUMN of one composed plan (six
+          // aggregates crossJoined — all fixture-bounded scalars), so
+          // the gate pays ONE action beyond the four index landings and
+          // the codebook: symmetric-difference emptiness for both
+          // families, direct residual probes, and the read-path checks
+          // (delta-dedup candidates + ANN probes against the scrubbed
+          // generations surface zero tombstoned ids)
+          def mismatch(a: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame, as: String) = {
+            val (ac, bc) = (a.select(b.columns.map(col).toSeq: _*), b)
+            ac.exceptAll(bc).unionAll(bc.exceptAll(ac))
+              .agg(count(lit(1)).as(as))
+          }
+          s.table(ivfScrub).agg(count(lit(1)).as("n_ivf_postings"))
+            .crossJoin(mismatch(s.table(idxScrub), idxRebuild,
+              "band_mismatch"))
+            .crossJoin(mismatch(s.table(ivfScrub), ivfRebuild,
+              "ivf_mismatch"))
+            .crossJoin(s.table(idxScrub)
+              .join(tomb, Seq("doc_id"), "left_semi")
+              .agg(count(lit(1)).as("band_residual")))
+            .crossJoin(s.table(ivfScrub)
+              .join(tombV, Seq("vec_id"), "left_semi")
+              .agg(count(lit(1)).as("ivf_residual")))
+            .crossJoin(Dedup.deltaCandidatesAgainstIndex(
+                idxScrub, bandsOf(docs.join(tomb, Seq("doc_id"),
+                  "left_semi")), "doc_id")
+              .join(tomb.withColumnRenamed("doc_id", "doc_b"),
+                Seq("doc_b"), "left_semi")
+              .agg(count(lit(1)).as("n_deleted_candidates")))
+            .crossJoin(KMeans.probePostingsBucketed(
+                ivfScrub, cb,
+                emb.join(tombV, Seq("vec_id"), "left_semi"),
+                nprobe = 2, k = 5)
+              .join(tombV.withColumnRenamed("vec_id", "cand_id"),
+                Seq("cand_id"), "left_semi")
+              .agg(count(lit(1)).as("n_deleted_neighbors")))
+            .select(col("n_ivf_postings"),
+              (col("band_mismatch") === 0).as("band_eq_rebuild"),
+              col("band_residual"),
+              (col("ivf_mismatch") === 0).as("ivf_eq_rebuild"),
+              col("ivf_residual"), col("n_deleted_candidates"),
+              col("n_deleted_neighbors"))
+            .localCheckpoint()
+        }),
+      Some("""SELECT
+        |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 6 <> 0)
+        |    AS n_ivf_postings,
+        |  TRUE AS band_eq_rebuild,
+        |  CAST(0 AS BIGINT) AS band_residual,
+        |  TRUE AS ivf_eq_rebuild,
+        |  CAST(0 AS BIGINT) AS ivf_residual,
+        |  CAST(0 AS BIGINT) AS n_deleted_candidates,
+        |  CAST(0 AS BIGINT) AS n_deleted_neighbors""".stripMargin))
   )
+
+  /** Once-per-session index-deletion gate run for q331. */
+  private val indexDeletionCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.DataFrame]
 
   /** Once-per-session tombstone-retirement gate run for q330. */
   private val tombstoneGateCache = scala.collection.concurrent.TrieMap

@@ -202,7 +202,7 @@ object TrainingDataQueries {
     bpeCache.getOrElseUpdate((s.sparkContext.applicationId, dir, BpeMerges),
       Bpe.trainMerges(letterVocab(s, dir), BpeMerges))
 
-  private def trainedCodebook(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[queries] def trainedCodebook(s: org.apache.spark.sql.SparkSession, dir: String,
       k: Int, iters: Int) =
     codebookCache.getOrElseUpdate((s.sparkContext.applicationId, dir, k, iters), {
       import s.implicits._

@@ -1324,6 +1324,29 @@ object EventStream {
     spark.table(table).where(col("op") === "U")
       .select(col("doc_id"), col("fp"), col("seq"), col("src_batch"))
 
+  /** The retirement horizon recorded ON a serving table (table property
+    * `graft.tombstone.horizon`) — Long.MinValue when never retired.
+    * Durable metadata, not caller discipline: once a generation has had
+    * tombstones retired at H, every later [[mergeServing]] against it —
+    * or any generation derived from it — enforces the admissibility
+    * promise (delta seqs > H) automatically and carries H forward, so a
+    * caller who never heard about the scrub cannot silently resurrect a
+    * retired key.
+    */
+  def servingHorizon(spark: SparkSession, table: String): Long =
+    try {
+      spark.sql(s"SHOW TBLPROPERTIES $table")
+        .where(col("key") === "graft.tombstone.horizon")
+        .collect().headOption.map(_.getString(1).toLong)
+        .getOrElse(Long.MinValue)
+    } catch { case scala.util.control.NonFatal(_) => Long.MinValue }
+
+  private def recordServingHorizon(spark: SparkSession, table: String,
+      horizon: Long): Unit =
+    if (horizon != Long.MinValue)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+        s"'graft.tombstone.horizon'='$horizon')")
+
   /** The merge plan [[mergeServing]] executes — exposed so PlanShapeSpec
     * can pin its shape: the serving side scans its buckets IN PLACE (the
     * merge hint keeps the fixture-scale plan the SMJ shape the 100 TB
@@ -1355,12 +1378,26 @@ object EventStream {
     * s and would defeat the tombstone anyway — so retire-then-merge ≡
     * merge-then-retire for every admissible delta (q330 gates the
     * commute). The filter rides the generation rewrite the merge
-    * already pays: retirement costs zero extra passes.
+    * already pays: retirement costs zero extra passes. ADMISSIBILITY IS
+    * ENFORCED, not assumed: when a horizon is set, a delta event with
+    * seq ≤ horizon fails the merge loudly in-plan (the family's
+    * fail-closed style) — such an event is exactly the resurrection
+    * hazard retirement's exactness rests on excluding, and merging it
+    * silently could re-insert a key whose defeating tombstone was
+    * already retired.
     */
   private[graft] def servingMergePlan(spark: SparkSession, table: String,
       delta: DataFrame, srcBatch: Long,
       tombstoneHorizon: Long = Long.MinValue): DataFrame = {
-    val d = delta
+    val admissible =
+      if (tombstoneHorizon == Long.MinValue) delta
+      else delta.where(assert_true(
+        col("seq").cast("long") > lit(tombstoneHorizon),
+        lit(s"mergeServing: delta event at seq <= tombstoneHorizon " +
+          s"$tombstoneHorizon — inadmissible under the retirement " +
+          "promise (could resurrect a retired key); merge without the " +
+          "horizon or raise it")).isNull)
+    val d = admissible
       .select(col("doc_id").cast("long").as("doc_id"), col("op"),
         col("fp").cast("long").as("fp"), col("seq").cast("long").as("seq"))
       .groupBy(col("doc_id"))
@@ -1402,11 +1439,16 @@ object EventStream {
       tombstoneHorizon: Long = Long.MinValue): String = {
     val out = s"graft_snap_serve_$outTag"
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    servingMergePlan(spark, table, delta, srcBatch, tombstoneHorizon)
+    // the effective horizon is the max of the caller's and the input
+    // generation's recorded one — a past retirement binds every future
+    // merge even if the caller never heard about it
+    val eff = math.max(tombstoneHorizon, servingHorizon(spark, table))
+    servingMergePlan(spark, table, delta, srcBatch, eff)
       .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .option("path", s"$wh/graft_bucketed/$out")
       .saveAsTable(out)
+    recordServingHorizon(spark, out, eff)
     out
   }
 
@@ -1425,12 +1467,16 @@ object EventStream {
       horizon: Long, outTag: String, buckets: Int = 8): String = {
     val out = s"graft_snap_serve_$outTag"
     val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val eff = math.max(horizon, servingHorizon(spark, table))
     spark.table(table)
-      .where(!(col("op") === "D" && col("seq") <= lit(horizon)))
+      .where(!(col("op") === "D" && col("seq") <= lit(eff)))
       .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .option("path", s"$wh/graft_bucketed/$out")
       .saveAsTable(out)
+    // the horizon is DURABLE metadata on the generation: later merges
+    // read it, enforce delta admissibility against it, and carry it on
+    recordServingHorizon(spark, out, eff)
     out
   }
 

@@ -1596,4 +1596,50 @@ class PlanShapeSpec extends SparkSpec {
       .collect { case e: ShuffleExchangeExec => e }.size <= 1,
       subtree(root).map(_.nodeName).mkString(","))
   }
+
+  test("index deletion scrub: the tombstone list broadcasts onto a " +
+      "LEFT-ANTI over the bucketed scan — zero ShuffleExchange on " +
+      "either served-index family (the 100 TB rewrite is a parallel " +
+      "scan+filter+write, never a shuffle)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def subtree(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(subtree)
+    }
+    def pin(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.collect()
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val nodes = subtree(root)
+      assert(nodes.exists {
+        case j: BroadcastHashJoinExec => j.joinType.toString == "LeftAnti"
+        case _ => false
+      }, nodes.map(_.nodeName).mkString(","))
+      assert(nodes.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        nodes.map(_.nodeName).mkString(","))
+    }
+    val bands = Seq((1L, 0, 11L), (2L, 0, 12L), (6L, 0, 11L))
+      .toDF("doc_id", "band_id", "band_key")
+    val bandIdx = graft.ext.Dedup
+      .writeBandIndexBucketed(bands, "scrubpin_b", 4)
+    val tomb = Seq(6L).toDF("doc_id")
+    pin(graft.ext.Dedup.scrubBandIndexPlan(bandIdx, tomb, "doc_id"))
+    val posts = Seq((1L, 0, 0.9, 1.0, Seq(1.0)),
+      (6L, 1, 0.8, 1.0, Seq(0.5)))
+      .toDF("vec_id", "cid", "c_sim", "n2", "embedding")
+    val ivfIdx = graft.ext.KMeans
+      .writePostingsBucketed(posts, "scrubpin_v", 4)
+    pin(graft.ext.KMeans
+      .scrubPostingsPlan(ivfIdx, Seq(6L).toDF("vec_id")))
+  }
 }

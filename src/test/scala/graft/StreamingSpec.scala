@@ -1000,16 +1000,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq"))
       .toMap
     assert(tombs(t1) == Map(6L -> 3L, 7L -> 1L))
-    // horizon 2 retires ONLY the seq-1 tombstone; seq-3 survives so a
-    // stale seq-2 event for key 6 still classifies stale after the scrub
+    // horizon 2 retires ONLY the seq-1 tombstone; seq-3 survives so an
+    // admissible stale seq-3 event for key 6 (tie with the tombstone =
+    // stale) still classifies stale after the scrub
     val s2 = EventStream.scrubServingTombstones(spark, t1, 2L, "r2", 4)
     assert(tombs(s2) == Map(6L -> 3L), tombs(s2).toString)
     assert(live(s2) == live(t1), live(s2).toString)
-    val stale6 = Seq((6L, "U", Some(666L), 2L))
+    // the horizon is durable metadata on the scrubbed generation
+    assert(EventStream.servingHorizon(spark, s2) == 2L)
+    assert(EventStream.servingHorizon(spark, t1) == Long.MinValue)
+    val stale6 = Seq((6L, "U", Some(666L), 3L))
       .toDF("doc_id", "op", "fp", "seq")
     val s2b = EventStream.mergeServing(spark, s2, stale6, "r2b", 4,
       srcBatch = 8L)
     assert(live(s2b) == live(t1), live(s2b).toString)
+    // ...and it carried forward through the merge
+    assert(EventStream.servingHorizon(spark, s2b) == 2L)
+    // an event AT or BELOW the recorded horizon is the resurrection
+    // hazard retirement's exactness excludes — the merge fails loudly
+    // EVEN THOUGH the caller passed no horizon (the table remembers)
+    val inadmissible = Seq((7L, "U", Some(777L), 2L))
+      .toDF("doc_id", "op", "fp", "seq")
+    val ex = intercept[Exception] {
+      EventStream.mergeServing(spark, s2, inadmissible, "r2x", 4,
+        srcBatch = 8L)
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("inadmissible")), msgs.mkString(" | "))
     // the commute: every delta seq > horizon (the admissibility promise)
     val delta = Seq(
       (7L, "U", Some(707L), 4L), // re-insert of a RETIRED key
