@@ -172,22 +172,33 @@ object Dedup {
     * q331 gates that equality.
     */
   def scrubBandIndex(indexTable: String, tombstones: DataFrame,
-      idCol: String, tag: String, buckets: Int = 8): String =
+      idCol: String, tag: String, buckets: Int = 8,
+      broadcastKeyLimit: Long = 4000000L): String =
     writeBandIndexBucketed(
-      scrubBandIndexPlan(indexTable, tombstones, idCol), tag, buckets)
+      scrubBandIndexPlan(indexTable, tombstones, idCol,
+        broadcastKeyLimit), tag, buckets)
 
   /** The frame [[scrubBandIndex]] lands — exposed so PlanShapeSpec can
     * pin its shape: a broadcast LEFT-ANTI of the tombstone list onto
     * the bucketed scan, ZERO ShuffleExchange anywhere (the index side
     * never moves; at 100 TB the rewrite is a parallel scan+filter+write,
-    * never a shuffle).
+    * never a shuffle). The broadcast is only FORCED while the list is
+    * broadcast-sized — a compliance list is by nature, but a bulk purge
+    * (a whole source decommissioned) can be corpus-scale, and
+    * broadcasting that would blow the driver; above the threshold the
+    * anti-join falls back to a plain (shuffled) join — same rows, one
+    * key-bearing Exchange, the right trade for a purge that is itself a
+    * large fraction of the index (the [[graft.streaming.EventStream]]
+    * priorState fallback pattern).
     */
   private[graft] def scrubBandIndexPlan(indexTable: String,
-      tombstones: DataFrame, idCol: String): DataFrame = {
+      tombstones: DataFrame, idCol: String,
+      broadcastKeyLimit: Long = 4000000L): DataFrame = {
     val s = tombstones.sparkSession
-    s.table(indexTable)
-      .join(broadcast(tombstones.select(col(idCol))), Seq(idCol),
-        "left_anti")
+    val t = tombstones.select(col(idCol))
+    val side = if (tombstones.count() <= broadcastKeyLimit) broadcast(t)
+      else t
+    s.table(indexTable).join(side, Seq(idCol), "left_anti")
   }
 
   /** Delta-vs-index candidate generation over a

@@ -217,20 +217,25 @@ object KMeans {
     * so); the index scrub is the part that must be immediate.
     */
   def scrubPostings(indexTable: String, tombstones: DataFrame,
-      tag: String, buckets: Int = 8): String =
+      tag: String, buckets: Int = 8,
+      broadcastKeyLimit: Long = 4000000L): String =
     writePostingsBucketed(
-      scrubPostingsPlan(indexTable, tombstones), tag, buckets)
+      scrubPostingsPlan(indexTable, tombstones, broadcastKeyLimit),
+      tag, buckets)
 
   /** The frame [[scrubPostings]] lands — exposed so PlanShapeSpec can
     * pin its shape (see [[graft.ext.Dedup.scrubBandIndexPlan]]): a
-    * broadcast LEFT-ANTI onto the bucketed scan, zero ShuffleExchange.
+    * broadcast LEFT-ANTI onto the bucketed scan, zero ShuffleExchange,
+    * with the same bounded-broadcast fallback for corpus-scale purges.
     */
   private[graft] def scrubPostingsPlan(indexTable: String,
-      tombstones: DataFrame): DataFrame = {
+      tombstones: DataFrame,
+      broadcastKeyLimit: Long = 4000000L): DataFrame = {
     val s = tombstones.sparkSession
-    s.table(indexTable)
-      .join(broadcast(tombstones.select(col("vec_id"))), Seq("vec_id"),
-        "left_anti")
+    val t = tombstones.select(col("vec_id"))
+    val side = if (tombstones.count() <= broadcastKeyLimit) broadcast(t)
+      else t
+    s.table(indexTable).join(side, Seq("vec_id"), "left_anti")
   }
 
   /** Probe-and-rescore against a [[writePostingsBucketed]] table: rank

@@ -1641,5 +1641,14 @@ class PlanShapeSpec extends SparkSpec {
       .writePostingsBucketed(posts, "scrubpin_v", 4)
     pin(graft.ext.KMeans
       .scrubPostingsPlan(ivfIdx, Seq(6L).toDF("vec_id")))
+    // a corpus-scale purge (tombstones above the key limit) falls back
+    // to a plain anti-join: no forced driver broadcast, same rows
+    val forced = graft.ext.Dedup
+      .scrubBandIndexPlan(bandIdx, tomb, "doc_id")
+      .collect().map(_.toString).sorted.toSeq
+    val fallback = graft.ext.Dedup
+      .scrubBandIndexPlan(bandIdx, tomb, "doc_id", broadcastKeyLimit = 0L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(forced == fallback && forced.size == 2, fallback.toString)
   }
 }
