@@ -1333,19 +1333,65 @@ object EventStream {
     * caller who never heard about the scrub cannot silently resurrect a
     * retired key.
     */
-  def servingHorizon(spark: SparkSession, table: String): Long =
-    try {
-      spark.sql(s"SHOW TBLPROPERTIES $table")
-        .where(col("key") === "graft.tombstone.horizon")
-        .collect().headOption.map(_.getString(1).toLong)
-        .getOrElse(Long.MinValue)
-    } catch { case scala.util.control.NonFatal(_) => Long.MinValue }
+  def servingHorizon(spark: SparkSession, table: String): Long = {
+    val prop =
+      try {
+        spark.sql(s"SHOW TBLPROPERTIES $table")
+          .where(col("key") === "graft.tombstone.horizon")
+          .collect().headOption.map(_.getString(1).toLong)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    // catalog-independent fallback: a session that re-attached the
+    // bucketed PATH as a fresh table (or a different engine reading the
+    // files) must still see the horizon, or the enforcement silently
+    // evaporates with the catalog entry
+    prop.orElse {
+      try {
+        val p = new org.apache.hadoop.fs.Path(
+          servingTablePath(spark, table), HorizonMarker)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try {
+            val txt = new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            Some(txt.trim.toLong)
+          } finally in.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(Long.MinValue)
+  }
 
+  private val HorizonMarker = "_graft_tombstone_horizon"
+
+  private def servingTablePath(spark: SparkSession, table: String): String =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+
+  /** The horizon is recorded TWICE: as a table property (the catalog
+    * surface SHOW TBLPROPERTIES exposes) and as a marker FILE inside
+    * the table path (the [[snapshotHorizon]] pattern) — the property
+    * dies with a session-scoped catalog, and a serving table is
+    * path-backed, so only the in-path marker survives a re-attach.
+    */
   private def recordServingHorizon(spark: SparkSession, table: String,
       horizon: Long): Unit =
-    if (horizon != Long.MinValue)
+    if (horizon != Long.MinValue) {
+      // marker FIRST (the fail-closed ordering every horizon in this
+      // file uses): the in-path file is the durable record, the catalog
+      // property is session-scoped convenience — a crash between the
+      // two leaves the durable one present, never the reverse
+      val p = new org.apache.hadoop.fs.Path(
+        servingTablePath(spark, table), HorizonMarker)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(horizon.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
         s"'graft.tombstone.horizon'='$horizon')")
+    }
 
   /** The merge plan [[mergeServing]] executes — exposed so PlanShapeSpec
     * can pin its shape: the serving side scans its buckets IN PLACE (the

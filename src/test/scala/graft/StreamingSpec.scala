@@ -1009,6 +1009,14 @@ class StreamingSpec extends SparkSpec {
     // the horizon is durable metadata on the scrubbed generation
     assert(EventStream.servingHorizon(spark, s2) == 2L)
     assert(EventStream.servingHorizon(spark, t1) == Long.MinValue)
+    // ...and survives the CATALOG entry: a fresh registration over the
+    // same path (new session, different engine) still sees it through
+    // the in-path marker, so enforcement cannot evaporate with the
+    // session-scoped catalog
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s2)).location
+    spark.sql(s"CREATE TABLE ${s2}_reattach USING PARQUET LOCATION '$loc'")
+    assert(EventStream.servingHorizon(spark, s"${s2}_reattach") == 2L)
     val stale6 = Seq((6L, "U", Some(666L), 3L))
       .toDF("doc_id", "op", "fp", "seq")
     val s2b = EventStream.mergeServing(spark, s2, stale6, "r2b", 4,
