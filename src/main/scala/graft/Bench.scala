@@ -230,42 +230,64 @@ object Bench {
     // the interleaved canaries: each flagged entry carries the canary
     // nearest in time and a host/code attribution.
     // The baseline is only trusted when its recorded sf matches this
-    // run's: per-query times at a different scale factor are ~10x off
-    // across the board and every entry would flag as a bogus regression.
-    // The working-dir file is gitignored, so a FRESH CLONE of the repo
-    // has no baseline at all (no tripwire, oracle window back to offset
-    // 0) — the committed seed under tools/bench_history is the fallback
-    // that survives a re-clone; the working-dir file, when present,
-    // always wins (it is one round newer).
+    // run's — compared by BASENAME (sf0.1 vs sf0.1), not absolute path,
+    // so a committed seed recorded on another machine's fixture layout
+    // still matches: per-query times at a different scale factor are
+    // ~10x off across the board and every entry would flag as a bogus
+    // regression. The working-dir file is gitignored, so a FRESH CLONE
+    // of the repo has no baseline at all (no tripwire, oracle window
+    // back to offset 0) — the committed seed under tools/bench_history
+    // is the fallback that survives a re-clone. Selection picks the
+    // first TRUSTED candidate (readable AND sf-matching), so a stale
+    // working-dir file from a different-sf smoke run cannot shadow a
+    // valid seed; a rejected candidate logs why. Every parse below is
+    // failure-isolated: a truncated baseline (a previous bench killed
+    // mid-write) degrades that section to empty, never aborts the run.
+    def sfToken(p: String): String =
+      new java.io.File(p).getName
     val baselineText: Option[String] =
       Seq("bench_queries.json",
         "tools/bench_history/bench_queries_driver_seed.json")
         .view.flatMap { p =>
-          try Some(new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(p)),
-            java.nio.charset.StandardCharsets.UTF_8))
-          catch { case scala.util.control.NonFatal(_) => None }
+          try {
+            val txt = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(p)),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val recorded = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+              .map(_.group(1))
+            if (recorded.exists(r => sfToken(r) == sfToken(sfDir)))
+              Some(txt)
+            else {
+              System.err.println(s"[bench] baseline $p rejected: " +
+                s"recorded sf ${recorded.getOrElse("<none>")} does not " +
+                s"match $sfDir")
+              None
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
         }.headOption
-    val prevTimes: Map[String, Double] =
+    def parsed[A](empty: A)(f: String => A): A =
       baselineText.map { txt =>
-        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
-          .exists(_.group(1) == sfDir)
+        try f(txt)
+        catch { case scala.util.control.NonFatal(_) => empty }
+      }.getOrElse(empty)
+    val prevTimes: Map[String, Double] =
+      parsed(Map.empty[String, Double]) { txt =>
         val parts = txt.split("\"queries\":\\{", 2)
-        if (parts.length < 2 || !sfOk) Map.empty[String, Double]
+        if (parts.length < 2) Map.empty[String, Double]
         else "\"(q[^\"]+)\":([0-9.]+)".r
           .findAllMatchIn(parts(1).takeWhile(_ != '}'))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
+      }
     // the baseline's per-query plan fingerprints (absent in pre-r11
     // baselines → every plan compares "unknown")
     val prevPlans: Map[String, String] =
-      baselineText.map { txt =>
+      parsed(Map.empty[String, String]) { txt =>
         val parts = txt.split("\"plans\":\\{", 2)
         if (parts.length < 2) Map.empty[String, String]
         else "\"(q[^\"]+)\":\"([0-9a-f]+|err)\"".r
           .findAllMatchIn(parts(1).takeWhile(_ != '}'))
           .map(m => m.group(1) -> m.group(2)).toMap
-      }.getOrElse(Map.empty)
+      }
     val trainersFirst = Seq("q56_kmeans_codebook", "q57_bpe_merges")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     def qnum(name: String): Int = name.drop(1).takeWhile(_.isDigit).toInt
@@ -358,12 +380,12 @@ object Bench {
     // the fixed probe slower than it was when the baseline was recorded
     // is demonstrated ambient load at that point in the sequence
     val prevCanaries: Seq[Double] =
-      baselineText.map { txt =>
+      parsed(Seq.empty[Double]) { txt =>
         val parts = txt.split("\"canaries\":\\[", 2)
         if (parts.length < 2) Seq.empty[Double]
         else parts(1).takeWhile(_ != ']').split(',').toSeq
-          .map(_.trim.toDouble)
-      }.getOrElse(Seq.empty)
+          .flatMap(c => c.trim.toDoubleOption)
+      }
     // three-way attribution, most-specific signal first: an inflated
     // canary on either axis — vs the run's quietest OR vs the baseline's
     // same-segment canary = ambient load ("host"); quiet canaries but a
@@ -451,7 +473,7 @@ object Bench {
       .flatMap(_.toIntOption)
       .orElse(baselineText.flatMap(txt =>
         "\"oracle_offset\":([0-9]+)".r.findFirstMatchIn(txt)
-          .map(_.group(1).toInt)))
+          .flatMap(_.group(1).toIntOption)))
       .getOrElse(0)
     val erred: Set[String] =
       results.collect { case (n, _, _, "err", _) => n }.toSet

@@ -173,10 +173,15 @@ object Dedup {
     */
   def scrubBandIndex(indexTable: String, tombstones: DataFrame,
       idCol: String, tag: String, buckets: Int = 8,
-      broadcastKeyLimit: Long = 4000000L): String =
+      broadcastKeyLimit: Long = 4000000L): String = {
+    // materialize the list once: the size gate AND the anti-join read
+    // it, and a purge list derived from a corpus-scale join must not
+    // recompute its lineage twice
+    val t = tombstones.select(col(idCol)).localCheckpoint()
     writeBandIndexBucketed(
-      scrubBandIndexPlan(indexTable, tombstones, idCol,
-        broadcastKeyLimit), tag, buckets)
+      scrubBandIndexPlan(indexTable, t, idCol,
+        forceBroadcast = t.count() <= broadcastKeyLimit), tag, buckets)
+  }
 
   /** The frame [[scrubBandIndex]] lands — exposed so PlanShapeSpec can
     * pin its shape: a broadcast LEFT-ANTI of the tombstone list onto
@@ -189,15 +194,16 @@ object Dedup {
     * anti-join falls back to a plain (shuffled) join — same rows, one
     * key-bearing Exchange, the right trade for a purge that is itself a
     * large fraction of the index (the [[graft.streaming.EventStream]]
-    * priorState fallback pattern).
+    * priorState fallback pattern). The size decision lives in the
+    * WRAPPER (one count over the materialized list); this plan builder
+    * takes it as a flag so constructing the plan never runs a job.
     */
   private[graft] def scrubBandIndexPlan(indexTable: String,
       tombstones: DataFrame, idCol: String,
-      broadcastKeyLimit: Long = 4000000L): DataFrame = {
+      forceBroadcast: Boolean = true): DataFrame = {
     val s = tombstones.sparkSession
     val t = tombstones.select(col(idCol))
-    val side = if (tombstones.count() <= broadcastKeyLimit) broadcast(t)
-      else t
+    val side = if (forceBroadcast) broadcast(t) else t
     s.table(indexTable).join(side, Seq(idCol), "left_anti")
   }
 

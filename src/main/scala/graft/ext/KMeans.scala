@@ -218,25 +218,23 @@ object KMeans {
     */
   def scrubPostings(indexTable: String, tombstones: DataFrame,
       tag: String, buckets: Int = 8,
-      broadcastKeyLimit: Long = 4000000L): String =
+      broadcastKeyLimit: Long = 4000000L): String = {
+    val t = tombstones.select(col("vec_id")).localCheckpoint()
     writePostingsBucketed(
-      scrubPostingsPlan(indexTable, tombstones, broadcastKeyLimit),
-      tag, buckets)
+      scrubPostingsPlan(indexTable, t,
+        forceBroadcast = t.count() <= broadcastKeyLimit), tag, buckets)
+  }
 
-  /** The frame [[scrubPostings]] lands — exposed so PlanShapeSpec can
-    * pin its shape (see [[graft.ext.Dedup.scrubBandIndexPlan]]): a
-    * broadcast LEFT-ANTI onto the bucketed scan, zero ShuffleExchange,
-    * with the same bounded-broadcast fallback for corpus-scale purges.
+  /** The frame [[scrubPostings]] lands — one shared implementation with
+    * [[graft.ext.Dedup.scrubBandIndexPlan]] (keyed on vec_id), so the
+    * bounded-broadcast policy cannot diverge between the two served-index
+    * families.
     */
   private[graft] def scrubPostingsPlan(indexTable: String,
       tombstones: DataFrame,
-      broadcastKeyLimit: Long = 4000000L): DataFrame = {
-    val s = tombstones.sparkSession
-    val t = tombstones.select(col("vec_id"))
-    val side = if (tombstones.count() <= broadcastKeyLimit) broadcast(t)
-      else t
-    s.table(indexTable).join(side, Seq("vec_id"), "left_anti")
-  }
+      forceBroadcast: Boolean = true): DataFrame =
+    graft.ext.Dedup.scrubBandIndexPlan(indexTable, tombstones, "vec_id",
+      forceBroadcast)
 
   /** Probe-and-rescore against a [[writePostingsBucketed]] table: rank
     * cells per query by centroid cosine, probe the best `nprobe` via a

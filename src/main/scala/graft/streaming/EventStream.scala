@@ -1334,31 +1334,37 @@ object EventStream {
     * retired key.
     */
   def servingHorizon(spark: SparkSession, table: String): Long = {
-    val prop =
-      try {
-        spark.sql(s"SHOW TBLPROPERTIES $table")
-          .where(col("key") === "graft.tombstone.horizon")
-          .collect().headOption.map(_.getString(1).toLong)
-      } catch { case scala.util.control.NonFatal(_) => None }
+    // FAIL-CLOSED read discipline: "no horizon recorded" (property and
+    // marker both ABSENT) is Long.MinValue, but an unreadable or
+    // unparseable record THROWS — treating a transient FS error or a
+    // corrupt marker as "no horizon" would silently disable the
+    // admissibility enforcement this metadata exists to guarantee,
+    // which is exactly the resurrection hazard. A missing TABLE also
+    // throws (the caller's merge would fail on it anyway).
+    val prop = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .where(col("key") === "graft.tombstone.horizon")
+      .collect().headOption.map(_.getString(1).toLong)
     // catalog-independent fallback: a session that re-attached the
     // bucketed PATH as a fresh table (or a different engine reading the
     // files) must still see the horizon, or the enforcement silently
     // evaporates with the catalog entry
     prop.orElse {
-      try {
-        val p = new org.apache.hadoop.fs.Path(
-          servingTablePath(spark, table), HorizonMarker)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p)) None
-        else {
-          val in = fs.open(p)
-          try {
-            val txt = new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8)
-            Some(txt.trim.toLong)
-          } finally in.close()
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
+      val p = new org.apache.hadoop.fs.Path(
+        servingTablePath(spark, table), HorizonMarker)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val v = txt.trim.toLongOption.getOrElse(throw new IllegalStateException(
+          s"servingHorizon: unparseable horizon marker at $p " +
+            s"(content: '${txt.take(40)}') — refusing to merge without " +
+            "enforcement; repair or remove the marker explicitly"))
+        Some(v)
+      }
     }.getOrElse(Long.MinValue)
   }
 
@@ -1508,6 +1514,16 @@ object EventStream {
     * rewrite is bucket-local (the filter is a non-key predicate, so no
     * key-bearing Exchange — at 100 TB this is a parallel scan+write,
     * never a shuffle). Returns the new table name.
+    *
+    * Crash-recovery contract: the horizon metadata lands AFTER the
+    * data write (a marker inside the path cannot survive saveAsTable's
+    * overwrite of that path), so a crash in that window leaves a
+    * generation with retired tombstones but no recorded horizon. The
+    * recovery is RE-RUN: the overwrite is idempotent (same input, same
+    * horizon → same rows, then the marker lands). Adopting a
+    * generation by name that this call never RETURNED is outside the
+    * contract — the returned name is the commit point, the same rule
+    * every swap-write in this file follows.
     */
   def scrubServingTombstones(spark: SparkSession, table: String,
       horizon: Long, outTag: String, buckets: Int = 8): String = {

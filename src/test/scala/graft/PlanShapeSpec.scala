@@ -1647,7 +1647,7 @@ class PlanShapeSpec extends SparkSpec {
       .scrubBandIndexPlan(bandIdx, tomb, "doc_id")
       .collect().map(_.toString).sorted.toSeq
     val fallback = graft.ext.Dedup
-      .scrubBandIndexPlan(bandIdx, tomb, "doc_id", broadcastKeyLimit = 0L)
+      .scrubBandIndexPlan(bandIdx, tomb, "doc_id", forceBroadcast = false)
       .collect().map(_.toString).sorted.toSeq
     assert(forced == fallback && forced.size == 2, fallback.toString)
   }
