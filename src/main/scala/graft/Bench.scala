@@ -305,7 +305,16 @@ object Bench {
     // query.
     val CanaryEvery = 25
     val canaries = scala.collection.mutable.ArrayBuffer(calibStart)
-    val ordered = SparkEntry.queries.toSeq
+    // Session-substrate builds run FIRST as their own named lines (r13
+    // judge item 1): consumers then always measure warm-substrate, so a
+    // per-query time means "this query's own plan", and a flag on a
+    // substrate line is adjudicated by an invalidate-then-rebuild replay
+    // (see Substrates.invalidators below). Skipped in filtered runs —
+    // a SPARK_GRAFT_ONLY repro deliberately pays the substrate it
+    // consumes, preserving the two-scale repro semantics builders use.
+    val substrateLines =
+      if (only.isEmpty) Substrates.builds else Seq.empty
+    val ordered = substrateLines ++ SparkEntry.queries.toSeq
       .sortBy { case (name, _) =>
         (if (trainersFirst.contains(name)) trainersFirst.indexOf(name)
          else trainersFirst.size, qnum(name), name)
@@ -382,9 +391,15 @@ object Bench {
     val prevCanaries: Seq[Double] =
       parsed(Seq.empty[Double]) { txt =>
         val parts = txt.split("\"canaries\":\\[", 2)
+        // all-or-nothing: baseline canaries are consumed POSITIONALLY
+        // (prevCanaries.lift(nearestIdx(i)) pairs same-segment probes), so
+        // silently dropping one malformed entry would shift every later
+        // index and misalign baseline-vs-current segment comparisons. A
+        // throw here is caught by parsed{} and degrades the whole seq to
+        // empty — positionally safe (r13 advice).
         if (parts.length < 2) Seq.empty[Double]
         else parts(1).takeWhile(_ != ']').split(',').toSeq
-          .flatMap(c => c.trim.toDoubleOption)
+          .map(_.trim.toDouble)
       }
     // three-way attribution, most-specific signal first: an inflated
     // canary on either axis — vs the run's quietest OR vs the baseline's
@@ -434,6 +449,13 @@ object Bench {
       .flatMap { f =>
         if (replaySpent > replayBudget) None
         else byName.get(f.name).map { fn =>
+          // substrate/trainer lines: drop the session cache first so the
+          // retime RE-PAYS the build — without this the replay returns
+          // the memoized frame and the flag is structurally
+          // unadjudicable (r13's q36: retime 0.313s vs prev 3.203s said
+          // nothing). Scoped per line: a knnedges replay keeps lshbands
+          // warm, reproducing the line's original timed condition.
+          Substrates.invalidators.get(f.name).foreach(_(spark))
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case _: Throwable => }

@@ -602,8 +602,8 @@ object Dedup {
     * computed once and checkpointed (the materialized-view posture, same
     * as [[simhashCached]] and the trained codebook/BPE caches; at cluster
     * scale these are bucketed tables maintained alongside the corpus).
-    * Bench attribution: the first consumer in definition order (q36) pays
-    * the build, like q56 pays codebook training.
+    * Bench attribution: the build is benched as its own named line
+    * (q00a_sub_minhash, [[graft.Substrates]]) so consumers measure warm.
     */
   private val minhashCache =
     scala.collection.concurrent.TrieMap
@@ -623,6 +623,19 @@ object Dedup {
       (sh, bands, cands)
     })
   }
+
+  /** Drop this context's cached minhash/simhash substrates so the next
+    * call re-pays the build — the bench replay adjudicator uses this to
+    * make a flagged substrate-build line's retime measure the build
+    * instead of returning the session-cached frame (r13 judge item 1).
+    * Dropped frames' checkpoint blocks are reclaimed by the
+    * ContextCleaner once unreferenced; substrate size is fixture-bounded.
+    */
+  private[graft] def invalidateMinhash(app: String): Unit =
+    minhashCache.keys.filter(_._1 == app).foreach(minhashCache.remove)
+
+  private[graft] def invalidateSimhash(app: String): Unit =
+    simhashCache.keys.filter(_._1 == app).foreach(simhashCache.remove)
 
   /** 32-bit SimHash per document: for each bit j, sum ±1 votes of the
     * distinct-token hash bits; bit set iff the vote is positive. One

@@ -441,7 +441,12 @@ object AnalyticsQueries {
     ringsDef,
     healthDef,
     contributionDef,
-    discountResponseDef
+    discountResponseDef,
+    prefixSumDef,
+    partsuppMinCostDef,
+    partsuppValueShareDef,
+    partsuppSupplierCntDef,
+    partsuppSemiChainDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -2746,4 +2751,301 @@ object AnalyticsQueries {
       |  - CAST(SUM(CASE WHEN pn IS NOT NULL AND sq * pn < psq * n
       |    THEN 1 ELSE 0 END) AS BIGINT) AS direction
       |FROM lg GROUP BY 1""".stripMargin))
+
+  // ── W3 running total, the SCALE-SAFE variant (SURVEY §7.4 risk #1).
+  //    q05's semantics force a global order, and its direct plan is a
+  //    single-partition WindowExec — the one §2 operator whose plan would
+  //    not survive 100 TB. This is the classic two-pass range-partitioned
+  //    prefix sum, expressed declaratively so no stage ever concentrates
+  //    the data on one task:
+  //      1. bucket every row by a coarse prefix of the ordering key
+  //         (calendar month — data-independent, order-preserving across
+  //         buckets: every row of an earlier month precedes every row of
+  //         a later one);
+  //      2. per-bucket totals (one map-side-combined keyed agg, ~84 rows);
+  //      3. EXCLUSIVE per-bucket offsets WITHOUT a single-partition
+  //         window: a broadcast self-join of the tiny bucket-total frame
+  //         on strictly-smaller bucket id + one keyed agg (84² pairs,
+  //         control-plane sized, hash-distributed);
+  //      4. within-bucket running totals — WindowExec partitioned BY
+  //         BUCKET, parallel across all buckets — plus the broadcast
+  //         offset.
+  //    All sums run in DECIMAL (exact, associative), so bucket-split
+  //    addition is bit-identical to the global left-to-right fold and the
+  //    oracle's single window proves row-for-row equality of the whole
+  //    corpus-sized result. PlanShapeSpec pins the plan shape: no
+  //    `Exchange SinglePartition` anywhere, and every WindowExec carries
+  //    a partition spec. Skewed buckets at 100 TB: month granularity is
+  //    tunable (day/hour) and AQE splits oversized post-shuffle
+  //    partitions; the offsets side stays control-plane sized either way.
+  private def prefixSumDef: QueryDef = QueryDef(
+    "q332_prefix_sum",
+    (s, dir) => {
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", to_date($"o_orderdate").as("order_date"),
+          $"o_totalprice".cast(dec).as("v"))
+        .withColumn("bucket", year($"order_date") * 12 + month($"order_date"))
+      val bTot = o.groupBy($"bucket").agg(sum($"v").as("bt"))
+      val offsets = bTot.as("a")
+        .join(broadcast(bTot.as("b")), $"b.bucket" < $"a.bucket", "left")
+        .groupBy($"a.bucket".as("bucket"))
+        .agg(sum($"b.bt").as("off"))
+      val w = Window.partitionBy($"bucket")
+        .orderBy($"order_date".asc, $"o_orderkey".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("rt",
+          coalesce($"off", lit(0).cast(dec)) + sum($"v").over(w))
+        .select($"o_orderkey", $"order_date",
+          $"rt".cast("double").as("running_total"))
+    },
+    Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+      |    OVER (ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS running_total
+      |FROM orders""".stripMargin))
+
+  // ── Derived PARTSUPP: the four TPC-H shapes the fixture set locks out
+  //    (Q2/Q11/Q16/Q20 need a partsupp table /root/testdata doesn't ship)
+  //    unlocked WITHOUT a fixture change, via the q82 synthetic-injection
+  //    pattern: both engines derive the SAME deterministic partsupp from
+  //    `part` × range(4) in pure 64-bit integer arithmetic, so the DuckDB
+  //    oracle replays the derivation closed-form and the gate stays
+  //    dtype-strict. Supplier assignment uses the public TPC-H dbgen
+  //    distribution shape (TPC-H spec §4.2.3: 4 suppliers per part,
+  //    suppkey = (p + i·(S/4 + p/S)) mod S, adapted to the fixture's
+  //    0-based keys); availqty and cost are hash-derived from
+  //    (partkey, suppkey) so duplicates from the modular fold (possible
+  //    at tiny S) are IDENTICAL rows and one DISTINCT removes them
+  //    consistently in both engines. Cost is carried as integer CENTS —
+  //    sums/comparisons stay in exact long arithmetic; the only floating
+  //    ops are final single-division casts both engines perform
+  //    identically on identical integers.
+  private def partsuppSpark(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sCnt = Tables.supplier(s, dir).agg(count(lit(1)).as("s_cnt"))
+    Tables.part(s, dir).select($"p_partkey")
+      .crossJoin(broadcast(sCnt))
+      .select($"p_partkey", $"s_cnt",
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .select($"p_partkey".as("ps_partkey"),
+        (($"p_partkey" + $"i" *
+          (expr("s_cnt div 4") + expr("p_partkey div s_cnt"))) % $"s_cnt")
+          .as("ps_suppkey"))
+      .distinct()
+      .select($"ps_partkey", $"ps_suppkey",
+        (($"ps_partkey" * 7 + $"ps_suppkey" * 11) % 9998 + 1)
+          .cast("int").as("ps_availqty"),
+        (($"ps_partkey" * 31 + $"ps_suppkey" * 17) % 100000 + 100)
+          .as("ps_cost_cents"))
+  }
+
+  /** Oracle-side twin of [[partsuppSpark]] as a WITH-clause prefix. */
+  private val partsuppSql: String =
+    """WITH sc AS (SELECT COUNT(*) AS s_cnt FROM supplier),
+      |keys AS (
+      |  SELECT DISTINCT p_partkey AS ps_partkey,
+      |    (p_partkey + t.i * (s_cnt // 4 + p_partkey // s_cnt)) % s_cnt
+      |      AS ps_suppkey
+      |  FROM part, sc, (SELECT UNNEST(range(4)) AS i) t),
+      |partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST((ps_partkey * 7 + ps_suppkey * 11) % 9998 + 1 AS INTEGER)
+      |      AS ps_availqty,
+      |    (ps_partkey * 31 + ps_suppkey * 17) % 100000 + 100
+      |      AS ps_cost_cents
+      |  FROM keys)""".stripMargin
+
+  // ── TPC-H Q2 shape: min-cost supplier per part within a region. The
+  //    correlated "cost = (SELECT MIN(cost) ...)" subquery becomes a
+  //    keyed min-agg + equality join back — both shuffle on ps_partkey,
+  //    and the supplier/nation/region dimension chain broadcasts (dims
+  //    are small at every scale; partsupp is the only fact-sized side
+  //    and it shuffles exactly once). Cost ties are impossible by
+  //    construction (17·Δsupp < 100000 for in-range suppkeys), so one
+  //    row per part and the ordered LIMIT 100 is a deterministic set
+  //    under the unique (s_acctbal desc, ..., ps_partkey) total order.
+  private def partsuppMinCostDef: QueryDef = QueryDef(
+    "q333_partsupp_mincost",
+    (s, dir) => {
+      import s.implicits._
+      val ps = partsuppSpark(s, dir)
+      val eurSupp = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir),
+          $"s_nationkey" === $"n_nationkey")
+        .join(Tables.region(s, dir),
+          $"n_regionkey" === $"r_regionkey" && $"r_name" === "EUROPE")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val parts = Tables.part(s, dir)
+        .where($"p_size" <= 10 && $"p_type".isin("SMALL", "ECONOMY"))
+        .select($"p_partkey", $"p_type", $"p_size")
+      val regional = ps
+        .join(broadcast(eurSupp), $"ps_suppkey" === $"s_suppkey")
+        .join(broadcast(parts), $"ps_partkey" === $"p_partkey")
+      val minCost = regional.groupBy($"ps_partkey".as("mc_part"))
+        .agg(min($"ps_cost_cents").as("mc_cents"))
+      regional
+        .join(minCost, $"ps_partkey" === $"mc_part" &&
+          $"ps_cost_cents" === $"mc_cents")
+        .select($"s_acctbal", $"s_name", $"n_name",
+          $"ps_partkey", $"p_type", $"p_size",
+          ($"ps_cost_cents".cast("double") / 100.0).as("ps_supplycost"))
+        .orderBy($"s_acctbal".desc, $"n_name".asc, $"s_name".asc,
+          $"ps_partkey".asc)
+        .limit(100)
+    },
+    Some(partsuppSql + """,
+      |rsupp AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+      |pp AS (
+      |  SELECT p_partkey, p_type, p_size FROM part
+      |  WHERE p_size <= 10 AND p_type IN ('SMALL', 'ECONOMY')),
+      |regional AS (
+      |  SELECT * FROM partsupp
+      |  JOIN rsupp ON ps_suppkey = s_suppkey
+      |  JOIN pp ON ps_partkey = p_partkey),
+      |mc AS (
+      |  SELECT ps_partkey AS mc_part, MIN(ps_cost_cents) AS mc_cents
+      |  FROM regional GROUP BY 1)
+      |SELECT s_acctbal, s_name, n_name, ps_partkey, p_type, p_size,
+      |  CAST(ps_cost_cents AS DOUBLE) / 100.0 AS ps_supplycost
+      |FROM regional
+      |JOIN mc ON ps_partkey = mc_part AND ps_cost_cents = mc_cents
+      |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, ps_partkey ASC
+      |LIMIT 100""".stripMargin))
+
+  // ── TPC-H Q11 shape: per-part inventory value share within a region,
+  //    kept against a scalar total. Both sides are keyed aggs over the
+  //    SAME region-filtered frame; the scalar total broadcasts (one row)
+  //    and the HAVING is pure long arithmetic (part value > 2× the mean
+  //    part value, cross-multiplied so there is no division and no float
+  //    until the final display cast), so the gate is exact. The 2×-mean
+  //    form scales with part count — TPC-H's fixed 0.0001 fraction keeps
+  //    the same selectivity only because the spec scales it by 1/SF —
+  //    so the result is non-degenerate at every fixture scale. partsupp
+  //    shuffles once on ps_partkey; the threshold adds zero exchanges.
+  private def partsuppValueShareDef: QueryDef = QueryDef(
+    "q334_partsupp_value_share",
+    (s, dir) => {
+      import s.implicits._
+      val asiaSupp = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+        .join(Tables.region(s, dir),
+          $"n_regionkey" === $"r_regionkey" && $"r_name" === "ASIA")
+        .select($"s_suppkey")
+      val value = partsuppSpark(s, dir)
+        .join(broadcast(asiaSupp), $"ps_suppkey" === $"s_suppkey")
+        .select($"ps_partkey",
+          ($"ps_cost_cents" * $"ps_availqty").as("value_cents"))
+      val perPart = value.groupBy($"ps_partkey")
+        .agg(sum($"value_cents").as("part_cents"))
+      val total = value.agg(sum($"value_cents").as("total_cents"),
+        countDistinct($"ps_partkey").as("n_parts"))
+      perPart.crossJoin(broadcast(total))
+        .where($"part_cents" * $"n_parts" > $"total_cents" * 2)
+        .select($"ps_partkey",
+          ($"part_cents".cast("double") / 100.0).as("value"))
+    },
+    Some(partsuppSql + """,
+      |rsupp AS (
+      |  SELECT s_suppkey FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+      |v AS (
+      |  SELECT ps_partkey, ps_cost_cents * ps_availqty AS value_cents
+      |  FROM partsupp JOIN rsupp ON ps_suppkey = s_suppkey),
+      |pp AS (
+      |  SELECT ps_partkey, SUM(value_cents) AS part_cents
+      |  FROM v GROUP BY 1),
+      |tot AS (SELECT SUM(value_cents) AS total_cents,
+      |  COUNT(DISTINCT ps_partkey) AS n_parts FROM v)
+      |SELECT ps_partkey, CAST(part_cents AS DOUBLE) / 100.0 AS value
+      |FROM pp, tot WHERE part_cents * n_parts > total_cents * 2""".stripMargin))
+
+  // ── TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+  //    with a NOT IN supplier exclusion. The exclusion list (suppliers
+  //    with negative balance — the fixture's deterministic analog of the
+  //    spec's complaint-comment scan) is dimension-sized, so the NOT IN
+  //    is a broadcast LEFT-ANTI — no fact-side shuffle for it; the
+  //    count-distinct agg shuffles once on the group key.
+  private def partsuppSupplierCntDef: QueryDef = QueryDef(
+    "q335_partsupp_supplier_cnt",
+    (s, dir) => {
+      import s.implicits._
+      val excluded = Tables.supplier(s, dir)
+        .where($"s_acctbal" < 0).select($"s_suppkey")
+      val parts = Tables.part(s, dir)
+        .where($"p_brand" =!= "Brand#1" &&
+          $"p_size".isin(1, 4, 9, 14, 23, 36, 45, 49))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      partsuppSpark(s, dir)
+        .join(broadcast(excluded), $"ps_suppkey" === $"s_suppkey",
+          "left_anti")
+        .join(broadcast(parts), $"ps_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"ps_suppkey").as("supplier_cnt"))
+    },
+    Some(partsuppSql + """
+      |SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM partsupp
+      |JOIN part ON ps_partkey = p_partkey
+      |WHERE ps_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |  AND p_brand <> 'Brand#1'
+      |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      |GROUP BY 1, 2, 3""".stripMargin))
+
+  // ── TPC-H Q20 shape: the semi-join chain — suppliers holding excess
+  //    stock (availqty > half the shipped quantity) of any 'small%' part
+  //    during 1997. lineitem (the only unbounded side) is filtered and
+  //    pre-aggregated to (part, supp) BEFORE joining — one fact shuffle
+  //    on the composite key, then everything else broadcasts; the final
+  //    per-supplier step is a semi-join (EXISTS), not a count, so no
+  //    second fact-sized shuffle. Quantities are integral in the fixture
+  //    (the oracle's BIGINT cast would error otherwise), so the
+  //    half-comparison is exact long arithmetic: 2·availqty > sum_qty.
+  private def partsuppSemiChainDef: QueryDef = QueryDef(
+    "q336_partsupp_semi_chain",
+    (s, dir) => {
+      import s.implicits._
+      val smallParts = Tables.part(s, dir)
+        .where($"p_name".startsWith("small"))
+        .select($"p_partkey")
+      val shipped = Tables.lineitem(s, dir)
+        .where(year($"l_shipdate") === 1997)
+        .join(broadcast(smallParts), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"l_quantity".cast("long")).as("sum_qty"))
+      val excess = partsuppSpark(s, dir)
+        .join(shipped, $"ps_partkey" === $"l_partkey" &&
+          $"ps_suppkey" === $"l_suppkey")
+        .where($"ps_availqty".cast("long") * 2 > $"sum_qty")
+        .select($"ps_suppkey").distinct()
+      Tables.supplier(s, dir)
+        .join(excess, $"s_suppkey" === $"ps_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name", $"s_acctbal")
+    },
+    Some(partsuppSql + """,
+      |shipped AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      |  FROM lineitem
+      |  WHERE EXTRACT(year FROM l_shipdate) = 1997
+      |    AND l_partkey IN
+      |      (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |  GROUP BY 1, 2),
+      |excess AS (
+      |  SELECT DISTINCT ps_suppkey FROM partsupp
+      |  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      |  WHERE CAST(ps_availqty AS BIGINT) * 2 > sum_qty)
+      |SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)""".stripMargin))
 }

@@ -65,6 +65,11 @@ object DedupQueries {
     |dupj AS (SELECT doc_a, doc_b, jaccard FROM jacall WHERE jaccard >= 0.5)""".stripMargin
   }
 
+  /** Bench-replay hook: drop this context's scored-pair substrate so a
+    * flagged substrate line's retime re-pays the build (r13 judge item 1). */
+  private[graft] def invalidateSubstrates(app: String): Unit =
+    fsPairsCache.keys.filter(_._1 == app).foreach(fsPairsCache.remove)
+
   def defs: Seq[QueryDef] = Seq(
 
     // ── Exact n-gram Jaccard near-dup, blocked by `source` (pairwise is
@@ -1702,12 +1707,12 @@ object DedupQueries {
     scala.collection.concurrent.TrieMap
       .empty[(String, String), org.apache.spark.sql.DataFrame]
 
-  private def fsScoredPairs(s: org.apache.spark.sql.SparkSession,
+  private[graft] def fsScoredPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     // session-scoped shared substrate (the knnEdges posture): q277 and
-    // q279 consume the same scored pairs; the first consumer in numeric
-    // order pays the build, keyed on applicationId so a fresh session
-    // (or another fixture dir) rebuilds
+    // q279 consume the same scored pairs; the build is benched as its own
+    // named line (q00g_sub_fspairs, graft.Substrates), keyed on
+    // applicationId so a fresh session (or another fixture dir) rebuilds
     fsPairsCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       fsScoredPairsBuild(s, dir).localCheckpoint())
 

@@ -2868,7 +2868,15 @@ object ExtQueries {
     */
   private val phashCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), org.apache.spark.sql.DataFrame]
-  private def phashSubstrateCached(s: org.apache.spark.sql.SparkSession,
+
+  /** Bench-replay hook: drop this context's perceptual-hash substrate so
+    * a flagged substrate line's retime re-pays the encode+decode build
+    * (r13 judge item 1). Only the in-memory derived frame is dropped —
+    * the landed serving tables (bucketed indexes, variant stores) are
+    * durable artifacts, not session substrates. */
+  private[graft] def invalidateSubstrates(app: String): Unit =
+    phashCache.keys.filter(_._1 == app).foreach(phashCache.remove)
+  private[graft] def phashSubstrateCached(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     phashCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       import s.implicits._

@@ -22,15 +22,15 @@ object SimilarityQueries {
     * artifact of the corpus — computed once per SparkContext + corpus key
     * (the materialized-view posture of [[graft.ext.Dedup.minhashSubstrateCached]];
     * at cluster scale this is a bucketed table maintained alongside the
-    * embeddings). Bench attribution: the first consumer in numeric order
-    * (q61) pays the build.
+    * embeddings). Bench attribution: benched as its own named line
+    * (q00e_sub_lshbands, [[graft.Substrates]]); consumers measure warm.
     */
   private val lshBandsCache =
     scala.collection.concurrent.TrieMap
       .empty[(String, String), (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame)]
 
-  private def lshBandsCached(s: org.apache.spark.sql.SparkSession,
+  private[graft] def lshBandsCached(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
     val app = s.sparkContext.applicationId
@@ -53,14 +53,14 @@ object SimilarityQueries {
 
   /** Session-scoped cache of the ranked kNN edge list (top-3 LSH-candidate
     * neighbors per vector, exact-rescored) — the shared artifact of q149
-    * (graph emission) and q151 (cluster discovery). First consumer in
-    * numeric order (q149) pays the rescore.
+    * (graph emission) and q151 (cluster discovery). Benched as its own
+    * named line (q00f_sub_knnedges, [[graft.Substrates]]).
     */
   private val knnEdgesCache =
     scala.collection.concurrent.TrieMap
       .empty[(String, String), org.apache.spark.sql.DataFrame]
 
-  private def knnEdgesCached(s: org.apache.spark.sql.SparkSession,
+  private[graft] def knnEdgesCached(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val app = s.sparkContext.applicationId
     knnEdgesCache.getOrElseUpdate((app, dir), {
@@ -84,6 +84,15 @@ object SimilarityQueries {
         .localCheckpoint()
     })
   }
+
+  /** Bench-replay hook: drop this context's LSH-band / kNN-edge
+    * substrates so a flagged substrate line's retime re-pays the build
+    * (r13 judge item 1). */
+  private[graft] def invalidateLshBands(app: String): Unit =
+    lshBandsCache.keys.filter(_._1 == app).foreach(lshBandsCache.remove)
+
+  private[graft] def invalidateKnnEdges(app: String): Unit =
+    knnEdgesCache.keys.filter(_._1 == app).foreach(knnEdgesCache.remove)
 
   def defs: Seq[QueryDef] = Seq(
 

@@ -198,6 +198,16 @@ object TrainingDataQueries {
   // localCheckpoint-backed frames bound to one context's block manager, so
   // a session restart in the same JVM must re-train, not reuse stale handles
 
+  /** Bench-replay hook: drop this context's trained artifacts (BPE
+    * merges, k-means codebook) so a flagged trainer line's (q56/q57)
+    * retime re-pays training instead of returning the session cache —
+    * without this the replay adjudicator structurally cannot adjudicate
+    * a trainer flag (r13 judge item 1). */
+  private[graft] def invalidateTrained(app: String): Unit = {
+    bpeCache.keys.filter(_._1 == app).foreach(bpeCache.remove)
+    codebookCache.keys.filter(_._1 == app).foreach(codebookCache.remove)
+  }
+
   private def trainedMerges(s: org.apache.spark.sql.SparkSession, dir: String) =
     bpeCache.getOrElseUpdate((s.sparkContext.applicationId, dir, BpeMerges),
       Bpe.trainMerges(letterVocab(s, dir), BpeMerges))

@@ -1651,4 +1651,18 @@ class PlanShapeSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(forced == fallback && forced.size == 2, fallback.toString)
   }
+
+  test("q332 scalable prefix sum: zero single-partition exchanges, every " +
+      "window bucket-partitioned (SURVEY §7.4 risk #1 closed)") {
+    val p = planOf("q332_prefix_sum")
+    // the whole point of the two-pass form: NOTHING concentrates on one
+    // task — not the data window (partitioned by bucket), not the offset
+    // computation (broadcast self-join + keyed agg, never a global
+    // window). A regression to q05's shape would reintroduce
+    // "Exchange SinglePartition" under a WindowExec.
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    // the offsets side reaches the data path as a broadcast, not a shuffle
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
 }
