@@ -1485,6 +1485,19 @@ object EventStream {
     * [[servingMergePlan]]); read through [[readServing]]. Pass
     * `tombstoneHorizon` to retire dead tombstones in the same rewrite
     * (see [[servingMergePlan]] for the promise that makes it exact).
+    *
+    * Crash-recovery contract (same as [[scrubServingTombstones]]): the
+    * horizon metadata lands AFTER the data write — an in-path marker
+    * cannot survive saveAsTable's overwrite of that path — so a crash
+    * in that window leaves a generation whose tombstones were retired
+    * but whose horizon is unrecorded, i.e. a generation that would NOT
+    * enforce delta admissibility. That generation was never adopted:
+    * the RETURNED NAME is the commit point, and recovery is RE-RUN —
+    * the overwrite is idempotent (same input generation, same delta,
+    * same effective horizon → same rows, then the marker lands).
+    * Adopting a generation by name this call never returned is outside
+    * the contract, the rule every swap-write in this file follows.
+    * StreamingSpec crash-injects exactly this window.
     */
   def mergeServing(spark: SparkSession, table: String, delta: DataFrame,
       outTag: String, buckets: Int = 8, srcBatch: Long = -1L,

@@ -1042,12 +1042,18 @@ class StreamingSpec extends SparkSpec {
       (2L, "D", Option.empty[Long], 4L), // new delete -> fresh tombstone
       (9L, "U", Some(900L), 4L)) // plain insert
       .toDF("doc_id", "op", "fp", "seq")
-    val pa = EventStream.mergeServing(spark,
-      EventStream.scrubServingTombstones(spark, t1, 3L, "r3", 4),
-      delta, "r4", 4, srcBatch = 9L)
+    // path A must be scrub followed by a PLAIN merge — but mergeServing
+    // deliberately inherits the scrubbed generation's recorded horizon,
+    // which would re-apply the identical retirement filter and make the
+    // two paths one path (r13 advice). Exercise the merge PLAN directly
+    // with horizon = MinValue so A is genuinely scrub-then-plain-merge.
+    val scrubbed3 = EventStream.scrubServingTombstones(spark, t1, 3L,
+      "r3", 4)
+    val a = EventStream.servingMergePlan(spark, scrubbed3, delta,
+      srcBatch = 9L, tombstoneHorizon = Long.MinValue)
+      .collect().map(_.toString).sorted.toSeq
     val pb = EventStream.mergeServing(spark, t1, delta, "r5", 4,
       srcBatch = 9L, tombstoneHorizon = 3L)
-    val a = spark.table(pa).collect().map(_.toString).sorted.toSeq
     val b = spark.table(pb).collect().map(_.toString).sorted.toSeq
     assert(a == b, s"A=$a\nB=$b")
     assert(live(pb) == Map(1L -> 100L, 7L -> 707L, 9L -> 900L),
@@ -1055,6 +1061,62 @@ class StreamingSpec extends SparkSpec {
     // the fresh seq-4 tombstone is ABOVE the horizon: it must survive
     // the amortized retirement or key 2 could resurrect later
     assert(tombs(pb) == Map(2L -> 4L), tombs(pb).toString)
+  }
+
+  test("serving-scrub crash window: a crash between the data write and " +
+      "the horizon marker leaves an UNENFORCED orphan generation that " +
+      "was never adopted; the documented recovery (re-run) converges to " +
+      "the same rows WITH enforcement intact") {
+    val statePath =
+      Files.createTempDirectory("graft_crash_t").toString + "/state"
+    Seq((1L, "U", Some(100L), 0L, 0L),
+      (6L, "D", Option.empty[Long], 3L, 0L),
+      (7L, "D", Option.empty[Long], 1L, 0L))
+      .toDF("doc_id", "op", "fp", "seq", "src_batch")
+      .write.parquet(s"$statePath/fps/batch=0")
+    val t1 = EventStream.materializeServing(spark, statePath, "cw1", 4)
+    // CRASH INJECTION: replicate scrubServingTombstones' exact on-disk
+    // state at the instant before recordServingHorizon — the retired
+    // data landed (saveAsTable committed: path + catalog entry), the
+    // marker/property did not. This is the only crash window the swap
+    // has: saveAsTable itself is atomic-by-rename, and the marker write
+    // after it is a single create.
+    val orphan = "graft_snap_serve_cw_orphan"
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.table(t1)
+      .where(!($"op" === "D" && $"seq" <= 2L))
+      .write.mode("overwrite").bucketBy(4, "doc_id").sortBy("doc_id")
+      .option("path", s"$wh/graft_bucketed/$orphan").saveAsTable(orphan)
+    val orphanRows = spark.table(orphan).collect()
+      .map(_.toString).sorted.toSeq
+    // the hazard the contract excludes, demonstrated: the orphan retired
+    // the seq-1 tombstone but records NO horizon, so a merge against it
+    // would NOT reject a seq<=2 delta (resurrection). Never adopt it.
+    assert(EventStream.servingHorizon(spark, orphan) == Long.MinValue)
+    val resurrect = Seq((7L, "U", Some(777L), 1L))
+      .toDF("doc_id", "op", "fp", "seq")
+    val leaked = EventStream.mergeServing(spark, orphan, resurrect,
+      "cw_leak", 4, srcBatch = 5L)
+    assert(EventStream.readServing(spark, leaked)
+      .where($"doc_id" === 7L).count() == 1L) // key 7 came back — QED
+    // RECOVERY: re-run the scrub with the same arguments. The input
+    // generation t1 was never touched, the overwrite is idempotent, and
+    // the marker lands this time.
+    val recovered = EventStream.scrubServingTombstones(spark, t1, 2L,
+      "cw_orphan", 4)
+    assert(recovered == orphan) // same generation name, now committed
+    assert(spark.table(recovered).collect().map(_.toString).sorted.toSeq
+      == orphanRows) // bit-identical rows: the re-run converged
+    assert(EventStream.servingHorizon(spark, recovered) == 2L)
+    // ...and enforcement is intact: the same resurrection delta now
+    // fails loudly instead of resurrecting
+    val ex = intercept[Exception] {
+      EventStream.mergeServing(spark, recovered, resurrect, "cw_fail", 4,
+        srcBatch = 6L)
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("inadmissible")), msgs.mkString(" | "))
   }
 
   test("fpDedupMaintain treats a NULL fp as data, not a batch failure: " +
