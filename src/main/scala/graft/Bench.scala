@@ -517,7 +517,12 @@ object Bench {
           .mkString("{", ",", "}")
         java.nio.file.Files.write(odir.resolve("oracle_sql.json"),
           osql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val budget = sys.env.getOrElse("SPARK_GRAFT_ORACLE_BUDGET", "120")
+        // default raised 120 → 900 for ONE round (r14, per the r13 judge's
+        // item 3): the rotating window stands at offset 153/331, and one
+        // widened round covers the remaining ~178-oracle tail so every
+        // query has a same-machine same-window pair. Drop back to 120
+        // once bench_queries.json's oracle_offset has wrapped past 331.
+        val budget = sys.env.getOrElse("SPARK_GRAFT_ORACLE_BUDGET", "900")
         val pb = new ProcessBuilder("python3", "tools/oracle_bench.py",
           sfDir, odir.toString, "--budget", budget,
           "--offset", oracleOffset.toString)

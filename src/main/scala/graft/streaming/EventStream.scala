@@ -681,12 +681,20 @@ object EventStream {
     * (band_id, band_key) / doc_id, one partition appended per batch;
     * here plain parquet directories with a single maintaining process
     * ([[swapWrite]]'s caveat applies to the layout, not the appends).
+    * Small-files pressure is bounded by TIERED compaction riding the
+    * ledgered cycle (`tierK`, see [[tierCompact]]): every K ledgered
+    * per-batch partitions fold into a segment, K segments into a
+    * higher-level segment — O(log_K N) rewrites per row and O(K·log_K N)
+    * live partitions over the stream's whole life, vs one partition per
+    * batch forever (and vs [[compactState]]'s O(store²/K) if run on a
+    * cadence). `tierK = 0` disables (the pre-r14 layout).
     * Returns the accumulated verdicts table: one row per ingested doc
     * with its dup flag and best earlier match (ties to the smallest doc
     * id — q88's tiebreak).
     */
   def dedupMaintain(spark: SparkSession, docs: DataFrame, statePath: String,
-      threshold: Double = 0.5, maxBandBucket: Int = 100000): DataFrame = {
+      threshold: Double = 0.5, maxBandBucket: Int = 100000,
+      tierK: Int = 8): DataFrame = {
     import graft.ext.Dedup
     val bandsP = statePath + "/bands"
     val shP = statePath + "/shingles"
@@ -720,7 +728,7 @@ object EventStream {
           val allBands = bands.withColumn("_delta", lit(true))
             .unionByName(
               if (haveIdx)
-                spark.read.parquet(bandsP)
+                readTiered(spark, bandsP)
                   .where(col("batch") =!= batchId).drop("batch")
                   .withColumn("_delta", lit(false))
               else bands.withColumn("_delta", lit(true)).limit(0))
@@ -741,7 +749,7 @@ object EventStream {
             .localCheckpoint()
           val allSh =
             if (stateExists(spark, shP))
-              sh.unionByName(spark.read.parquet(shP)
+              sh.unionByName(readTiered(spark, shP)
                 .where(col("batch") =!= batchId).drop("batch"))
             else sh
           val best = Dedup.jaccardFor(cands, allSh, "doc_id")
@@ -767,6 +775,11 @@ object EventStream {
           bands.write.mode("overwrite").parquet(s"$bandsP/batch=$batchId")
           sh.write.mode("overwrite").parquet(s"$shP/batch=$batchId")
           ledgerCommit(spark, ledgerP, done, batchId)
+          // tiered segment compaction rides the ledgered cycle: only
+          // ledgered partitions fold, so replay/own-batch semantics are
+          // untouched (see the tierCompact protocol note)
+          Seq(bandsP, shP, verdictsP)
+            .foreach(tierCompact(spark, _, done + batchId, tierK))
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -774,7 +787,7 @@ object EventStream {
     q.awaitTermination()
     q.stop()
     recoverSwap(spark, verdictsP)
-    spark.read.parquet(verdictsP).drop("batch")
+    readTiered(spark, verdictsP).drop("batch")
   }
 
   /** Streaming PERCEPTUAL-dedup index maintenance — [[dedupMaintain]]'s
@@ -798,7 +811,8 @@ object EventStream {
     */
   def fpDedupMaintain(spark: SparkSession, docs: DataFrame,
       statePath: String, radius: Int = 4,
-      maxBandBucket: Int = 100000, fpBits: Int = 32): DataFrame = {
+      maxBandBucket: Int = 100000, fpBits: Int = 32,
+      tierK: Int = 8): DataFrame = {
     // The 2-band split must COVER the fingerprint: a fp wider than
     // fpBits would silently push its high bits into one oversized band
     // and weaken the low-band collision guarantee (gradientHash can emit
@@ -838,7 +852,7 @@ object EventStream {
           val allFps = fps.withColumn("_delta", lit(true))
             .unionByName(
               if (haveIdx)
-                spark.read.parquet(fpsP)
+                readTiered(spark, fpsP)
                   .where(col("batch") =!= batchId).drop("batch")
                   .withColumn("_delta", lit(false))
               else fps.withColumn("_delta", lit(true)).limit(0))
@@ -881,6 +895,8 @@ object EventStream {
             .parquet(s"$verdictsP/batch=$batchId")
           fps.write.mode("overwrite").parquet(s"$fpsP/batch=$batchId")
           ledgerCommit(spark, ledgerP, done, batchId)
+          Seq(fpsP, verdictsP)
+            .foreach(tierCompact(spark, _, done + batchId, tierK))
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -888,7 +904,7 @@ object EventStream {
     q.awaitTermination()
     q.stop()
     recoverSwap(spark, verdictsP)
-    spark.read.parquet(verdictsP).drop("batch")
+    readTiered(spark, verdictsP).drop("batch")
   }
 
   /** Streaming Bronze VARIANT landing — the S5/q314 ingestion path as an
@@ -1578,7 +1594,11 @@ object EventStream {
       val dst = new org.apache.hadoop.fs.Path(tablePath)
       val tmp = new org.apache.hadoop.fs.Path(tablePath + "_tmp")
       val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      spark.read.parquet(tablePath).drop("batch")
+      // tiered-aware: fold the LIVE view (manifest-filtered), not the raw
+      // directory — a raw read would double-count a committed segment
+      // together with not-yet-GC'd member partitions, or include an
+      // uncommitted orphan segment from a crashed tier fold
+      readTiered(spark, tablePath).drop("batch")
         .write.mode("overwrite").parquet(tmp.toString + "/batch=-1")
       // the tmp-root completeness marker recoverSwap keys on is written
       // EXPLICITLY and LAST (the swapCommit ledger-last contract) — a
@@ -1590,6 +1610,212 @@ object EventStream {
       fs.delete(dst, true)
       fs.rename(tmp, dst)
       ()
+    }
+  }
+
+  // ───────────────────────────────────────────────────────────────────
+  // Tiered (LSM-style) segment compaction for the grow-only per-batch
+  // partition stores — the 100 TB small-files fix PLANS.md's r13 analysis
+  // called for. [[compactState]]'s whole-store rewrite every K batches is
+  // O(store²/K) cumulative write amplification over a stream's life (the
+  // reason an auto-cadence for these stores was REJECTED in r13); tiering
+  // bounds it: K ledgered per-batch partitions fold into one level-1
+  // segment, K level-L segments fold into one level-(L+1) segment, so a
+  // row is rewritten once per level = O(log_K N) times total, and the
+  // live partition count is ≤ K per level × O(log_K N) levels instead of
+  // one per batch forever.
+  //
+  // Crash safety has ONE commit point: the segment MANIFEST, a small
+  // in-store file (`_graft_segments`, underscore-prefixed so parquet
+  // listings ignore it) mapping each live segment id to the batch ids it
+  // covers, rewritten via tmp-write → promote (the [[recoverSwap]]
+  // discipline — a parse-valid tmp beside a missing manifest promotes,
+  // an invalid one deletes). The live view is DEFINED by the manifest
+  // ([[readTiered]]): a batch partition is visible iff not covered by a
+  // live segment; a segment partition is visible iff listed. The fold
+  // protocol (write segment → commit manifest → GC members) is therefore
+  // safe at every crash point: before the commit the new segment is an
+  // invisible orphan (overwrite-clobbered by the deterministic re-run);
+  // after it the stale members are invisible and the next cycle's GC
+  // sweep removes them. Segment writes stage through the parquet
+  // committer's `_temporary`, so a mid-write crash leaves no visible
+  // data files. Same single-maintainer caveat as every swap here.
+  //
+  // Only LEDGERED batches fold — the in-flight batch's partition is
+  // never covered, so the maintainers' `batch =!= batchId` own-batch
+  // exclusion (their stale-replay guard) keeps working, and a replayed
+  // unledgered batch still overwrite-clobbers its own stale partition.
+  // ───────────────────────────────────────────────────────────────────
+
+  private val SegManifest = "_graft_segments"
+
+  /** Segment partition ids are NEGATIVE (disjoint from batch ids ≥ 0 and
+    * [[compactState]]'s reserved −1) and deterministic in (level, newest
+    * covered batch), so a crashed fold's re-run writes the same id and
+    * clobbers its own orphan: id = −((level << 40) | (maxCovered + 2)).
+    * Level in the id keeps a parent distinct from its newest child
+    * (same maxCovered, level + 1).
+    */
+  private def segId(level: Long, maxCovered: Long): Long =
+    -((level << 40) | (maxCovered + 2))
+  private def segLevel(id: Long): Long = (-id) >> 40
+
+  private def segManifestPath(storeP: String) =
+    new org.apache.hadoop.fs.Path(storeP, SegManifest)
+
+  /** Parse a manifest body; None if structurally invalid. Format:
+    * "v1" header, one "segId:b1,b2,..." line per live segment, "end"
+    * terminator — the terminator is the completeness marker that lets
+    * recovery tell a whole tmp from one that died mid-write.
+    */
+  private def parseSegManifest(txt: String): Option[Map[Long, Seq[Long]]] = {
+    val lines = txt.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.headOption.contains("v1") && lines.lastOption.contains("end"))
+      try Some(lines.drop(1).dropRight(1).map { line =>
+        val Array(id, mem) = line.split(":", 2)
+        id.toLong -> mem.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+      }.toMap)
+      catch { case scala.util.control.NonFatal(_) => None }
+    else None
+  }
+
+  private def readFileText(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Live segments of a store: {segment id → covered batch ids}. Empty
+    * for a store that has never tier-folded (including every pre-tiering
+    * state directory — the format is backward compatible). Recovery
+    * first: a missing manifest beside a COMPLETE tmp is the
+    * delete→promote window (promote); an INVALID tmp is a dead first
+    * write (delete). A corrupt LIVE manifest fails loudly — the write
+    * protocol stages content before promoting, so corruption there is
+    * real filesystem trouble, and treating it as "no segments" would
+    * resurrect every GC-surviving stale member partition as live data.
+    */
+  private[graft] def readSegManifest(spark: SparkSession,
+      storeP: String): Map[Long, Seq[Long]] = {
+    val p = segManifestPath(storeP)
+    val tmp = new org.apache.hadoop.fs.Path(storeP, SegManifest + "_tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) && fs.exists(tmp)) {
+      if (parseSegManifest(readFileText(fs, tmp)).isDefined)
+        fs.rename(tmp, p)
+      else fs.delete(tmp, true)
+      ()
+    }
+    if (!fs.exists(p)) Map.empty
+    else parseSegManifest(readFileText(fs, p)).getOrElse(
+      throw new IllegalStateException(
+        s"readSegManifest: corrupt segment manifest at $p — refusing to " +
+          "read the store without it (stale member partitions could " +
+          "double-count); repair or remove it explicitly"))
+  }
+
+  private def writeSegManifest(spark: SparkSession, storeP: String,
+      segs: Map[Long, Seq[Long]]): Unit = {
+    val p = segManifestPath(storeP)
+    val tmp = new org.apache.hadoop.fs.Path(storeP, SegManifest + "_tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = ("v1" +: segs.toSeq.sortBy(_._1).map { case (id, mem) =>
+      s"$id:${mem.sorted.mkString(",")}" } :+ "end").mkString("\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+    ()
+  }
+
+  /** The LIVE view of a tiered store, `batch` column included: committed
+    * segments + batch partitions no live segment covers + the reserved
+    * [[compactState]] fold. Everything else in the directory (orphan
+    * segments from a crashed fold, stale members a crash left un-GC'd)
+    * is invisible. With no manifest this is a plain read — zero overhead
+    * for never-tiered stores.
+    */
+  private[graft] def readTiered(spark: SparkSession,
+      storeP: String): DataFrame = {
+    val df = spark.read.parquet(storeP)
+    val segs = readSegManifest(spark, storeP)
+    if (segs.isEmpty) df
+    else {
+      val covered = segs.values.flatten.toSeq.distinct
+      val live = segs.keys.toSeq
+      df.where((col("batch") >= 0 && !col("batch").isin(covered: _*)) ||
+        col("batch") === -1L || col("batch").isin(live: _*))
+    }
+  }
+
+  /** One tier-compaction cycle for a store, run inside the maintainer's
+    * ledgered batch cycle after the ledger commit. `done` is the ledger
+    * (only ledgered batches fold); `k` is the fan-in per level (< 2
+    * disables). Folds the oldest k uncovered ledgered batch partitions
+    * into a level-1 segment, then cascades: whenever a level holds k
+    * segments, its oldest k fold into the next level. Each fold is
+    * segment-write → manifest-commit → member-GC (see the protocol note
+    * above); the entry GC sweep removes crash leftovers from any prior
+    * cycle. Partition pruning makes each fold read exactly its members.
+    */
+  private[graft] def tierCompact(spark: SparkSession, storeP: String,
+      done: Set[Long], k: Int): Unit = {
+    if (k < 2 || !stateExists(spark, storeP)) return
+    val root = new org.apache.hadoop.fs.Path(storeP)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partIds(): Seq[Long] =
+      fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+        .flatMap(n => n.stripPrefix("batch=").toLongOption)
+    var segs = readSegManifest(spark, storeP)
+    def covered: Set[Long] = segs.values.flatten.toSet
+    // GC sweep: anything neither live-batch nor listed segment nor the
+    // compactState fold is a crash leftover (stale member or orphan)
+    partIds().foreach { id =>
+      val live = (id >= 0 && !covered.contains(id)) || id == -1L ||
+        segs.contains(id)
+      if (!live) {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$storeP/batch=$id"), true)
+        ()
+      }
+    }
+    def fold(memberIds: Seq[Long], coveredBatches: Seq[Long],
+        level: Long): Unit = {
+      val id = segId(level, coveredBatches.max)
+      // coalesce(1): the fold exists to cut file counts, so the segment
+      // lands as one file — micro-batch partitions are small by
+      // construction here; at real scale the writer splits by size
+      // (maxRecordsPerFile / a table format) instead of a fixed 1
+      spark.read.parquet(storeP)
+        .where(col("batch").isin(memberIds: _*)).drop("batch")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$storeP/batch=$id")
+      segs = (segs -- memberIds) + (id -> coveredBatches.sorted)
+      writeSegManifest(spark, storeP, segs) // THE commit point
+      memberIds.foreach { m =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$storeP/batch=$m"), true)
+        ()
+      }
+    }
+    // level-1 folds: oldest k uncovered ledgered batches at a time
+    var l0 = partIds().filter(id => id >= 0 && done.contains(id) &&
+      !covered.contains(id)).sorted
+    while (l0.size >= k) {
+      fold(l0.take(k), l0.take(k), 1L)
+      l0 = l0.drop(k)
+    }
+    // cascade: k segments at one level fold into the next
+    var cascading = true
+    while (cascading) {
+      segs.keys.groupBy(segLevel).find(_._2.size >= k) match {
+        case Some((lvl, ids)) =>
+          val children = ids.toSeq.sortBy(segs(_).max).take(k)
+          fold(children, children.flatMap(segs(_)), lvl + 1)
+        case None => cascading = false
+      }
     }
   }
 
@@ -1685,7 +1911,7 @@ object EventStream {
     * accumulated joined view.
     */
   def joinMaintain(spark: SparkSession, rows: DataFrame,
-      statePath: String): DataFrame = {
+      statePath: String, tierK: Int = 8): DataFrame = {
     val aP = statePath + "/a"
     val bP = statePath + "/b"
     val outP = statePath + "/out"
@@ -1703,7 +1929,7 @@ object EventStream {
             .select(col("k"), col("id")).localCheckpoint()
           def old(p: String): DataFrame =
             if (stateExists(spark, p))
-              spark.read.parquet(p).where(col("batch") =!= batchId)
+              readTiered(spark, p).where(col("batch") =!= batchId)
                 .select(col("k"), col("id"))
             else da.limit(0)
           val aSide = da.unionByName(old(aP))
@@ -1717,6 +1943,8 @@ object EventStream {
           da.write.mode("overwrite").parquet(s"$aP/batch=$batchId")
           db.write.mode("overwrite").parquet(s"$bP/batch=$batchId")
           ledgerCommit(spark, ledgerP, done, batchId)
+          Seq(aP, bP, outP)
+            .foreach(tierCompact(spark, _, done + batchId, tierK))
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1724,7 +1952,7 @@ object EventStream {
     q.awaitTermination()
     q.stop()
     recoverSwap(spark, outP)
-    spark.read.parquet(outP).drop("batch")
+    readTiered(spark, outP).drop("batch")
   }
 
   /** Online anomaly scoring with an offline-trained model — the

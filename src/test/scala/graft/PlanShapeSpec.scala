@@ -1665,4 +1665,19 @@ class PlanShapeSpec extends SparkSpec {
     // the offsets side reaches the data path as a broadcast, not a shuffle
     assert(p.contains("BroadcastExchange"), p.take(2000))
   }
+
+  test("q333-q336 derived-partsupp shapes: dimension chain broadcasts, " +
+      "no cartesian product, partsupp is the only fact-shuffling side") {
+    Seq("q333_partsupp_mincost", "q334_partsupp_value_share",
+      "q335_partsupp_supplier_cnt", "q336_partsupp_semi_chain")
+      .foreach { q =>
+        val p = planOf(q)
+        assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+        // supplier/nation/region/part dims and the scalar totals reach
+        // the fact side as broadcasts at every scale
+        assert(p.contains("BroadcastExchange"), s"$q: ${p.take(1200)}")
+      }
+    // Q20's semi-join chain stays a semi join (no count materialization)
+    assert(planOf("q336_partsupp_semi_chain").contains("LeftSemi"))
+  }
 }

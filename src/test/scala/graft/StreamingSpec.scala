@@ -2080,9 +2080,12 @@ class StreamingSpec extends SparkSpec {
       Files.list(java.nio.file.Paths.get(s"$st/$t")).toArray
         .map(_.toString).filter(_.contains("batch="))
         .map(_.split("batch=").last).sorted.toSeq
-    // run A: 120 one-doc micro-batches, then compact all three stores
+    // run A: 120 one-doc micro-batches, then compact all three stores.
+    // tierK = 0: this soak pins the LEGACY one-partition-per-batch layout
+    // and its compactState/ledger-skip interplay; the tiered layout has
+    // its own soak below
     writeDocs(0 until 120)
-    EventStream.dedupMaintain(spark, stream, st)
+    EventStream.dedupMaintain(spark, stream, st, tierK = 0)
     assert(partitionsOf("bands").length == 120)
     Seq("bands", "shingles", "verdicts").foreach(t =>
       EventStream.compactState(spark, s"$st/$t"))
@@ -2092,7 +2095,8 @@ class StreamingSpec extends SparkSpec {
     // are ledger-skipped (same files, same order), 120-199 process
     // against the compacted index
     writeDocs(120 until nDocs)
-    val fin = EventStream.dedupMaintain(spark, stream, st).localCheckpoint()
+    val fin = EventStream.dedupMaintain(spark, stream, st, tierK = 0)
+      .localCheckpoint()
     // ledger saw every batch exactly once
     val ledger = spark.read.parquet(s"$st/ledger")
       .select($"batch_id").as[Long].collect().sorted
@@ -2130,6 +2134,115 @@ class StreamingSpec extends SparkSpec {
     val post = spark.read.parquet(s"$st/verdicts").drop("batch")
     assert(post.count() == nDocs.toLong &&
       post.exceptAll(fin).isEmpty && fin.exceptAll(post).isEmpty)
+  }
+
+  test("soak: 120 micro-batches through TIERED dedupMaintain — verdicts " +
+      "and index reads bit-identical to the untiered twin, partition and " +
+      "file counts bounded (O(K log N), not one per batch), crash " +
+      "leftovers at every fold window are invisible and self-heal, " +
+      "compactState folds the tiered store correctly", Slow) {
+    val nDocs = 120
+    def mkDocs(): String = {
+      val d = Files.createTempDirectory("graft_tier_docs").toString
+      (0 until nDocs).foreach { i =>
+        val g = i / 2
+        Seq((i.toLong,
+          s"a$g b$g c$g d$g e$g f$g h$g i$g j$g k$g l$g m$g"))
+          .toDF("doc_id", "text")
+          .write.mode("append").partitionBy("doc_id").parquet(d)
+      }
+      Files.list(java.nio.file.Paths.get(d)).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("doc_id="))
+        .foreach { dd =>
+          val id = dd.getFileName.toString.stripPrefix("doc_id=").toLong
+          Files.list(dd).toArray.toSeq
+            .map(_.asInstanceOf[java.nio.file.Path])
+            .filter(_.getFileName.toString.startsWith("part-"))
+            .foreach(f => Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime
+                .fromMillis(1000000000000L + id * 1000L)))
+        }
+      d
+    }
+    val ddir = mkDocs()
+    def stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val stT = Files.createTempDirectory("graft_tier_t").toString + "/s"
+    val stU = Files.createTempDirectory("graft_tier_u").toString + "/s"
+    val tiered = EventStream.dedupMaintain(spark, stream, stT, tierK = 4)
+      .localCheckpoint()
+    val untiered = EventStream.dedupMaintain(spark, stream, stU, tierK = 0)
+      .localCheckpoint()
+    // the READ CONTRACT is unchanged: verdicts and the live index view
+    // are bit-identical to the untiered twin
+    assert(tiered.count() == nDocs.toLong)
+    assert(tiered.exceptAll(untiered).isEmpty &&
+      untiered.exceptAll(tiered).isEmpty)
+    Seq("bands", "shingles", "verdicts").foreach { t =>
+      val a = EventStream.readTiered(spark, s"$stT/$t").drop("batch")
+      val b = spark.read.parquet(s"$stU/$t").drop("batch")
+      assert(a.count() == b.count() && a.exceptAll(b).isEmpty &&
+        b.exceptAll(a).isEmpty, s"$t live view diverged")
+    }
+    // the small-files claim, measured: 120 batches × tierK=4 leaves
+    // O(K·log_K N) live partitions (~6 segments + <K tail), not 120 —
+    // and the total file count is bounded with them
+    def partsOf(st: String, t: String): Seq[Long] =
+      Files.list(java.nio.file.Paths.get(s"$st/$t")).toArray
+        .map(_.toString).filter(_.contains("batch="))
+        .map(_.split("batch=").last.toLong).toSeq
+    Seq("bands", "shingles", "verdicts").foreach { t =>
+      assert(partsOf(stU, t).size == nDocs)
+      val n = partsOf(stT, t).size
+      assert(n <= 12, s"$t: $n live partitions after $nDocs batches")
+      val nFiles =
+        Files.walk(java.nio.file.Paths.get(s"$stT/$t")).toArray.length
+      assert(nFiles < 120, s"$t holds $nFiles paths")
+    }
+    // crash window 1 (segment written, manifest NOT committed): an
+    // orphan segment is invisible to reads and GC'd by the next cycle
+    val bandsP = s"$stT/bands"
+    val orphanId = -((1L << 40) | (999L + 2L)) // deterministic encoding
+    spark.read.parquet(s"$stU/bands/batch=0").drop("batch")
+      .write.parquet(s"$bandsP/batch=$orphanId")
+    // crash window 2 (manifest committed, members NOT yet GC'd): a stale
+    // member partition resurrected beside its committed segment is
+    // invisible too (it is covered), and GC'd by the next cycle
+    spark.read.parquet(s"$stU/bands/batch=0").drop("batch")
+      .write.parquet(s"$bandsP/batch=0")
+    val cleanBands = EventStream.readTiered(spark, bandsP)
+      .drop("batch").localCheckpoint()
+    assert(cleanBands.exceptAll(
+      spark.read.parquet(s"$stU/bands").drop("batch")).isEmpty)
+    // manifest delete→promote window: a complete tmp beside a missing
+    // manifest promotes on the next read
+    val fs = hfs(stT)
+    assert(fs.rename(hpath(s"$bandsP/_graft_segments"),
+      hpath(s"$bandsP/_graft_segments_tmp")))
+    assert(EventStream.readSegManifest(spark, bandsP).nonEmpty)
+    assert(fs.exists(hpath(s"$bandsP/_graft_segments")))
+    // the next ledgered cycle GC-sweeps both crash leftovers and keeps
+    // the view identical: one more doc arrives on each twin
+    Seq((nDocs.toLong, "zz yy xx ww vv uu tt ss rr qq pp oo"))
+      .toDF("doc_id", "text").write.mode("append")
+      .partitionBy("doc_id").parquet(ddir)
+    val fin = EventStream.dedupMaintain(spark, stream, stT, tierK = 4)
+    val finU = EventStream.dedupMaintain(spark, stream, stU, tierK = 0)
+    assert(fin.count() == nDocs + 1L)
+    assert(fin.exceptAll(finU).isEmpty && finU.exceptAll(fin).isEmpty)
+    assert(!fs.exists(hpath(s"$bandsP/batch=$orphanId")), "orphan not GC'd")
+    assert(!fs.exists(hpath(s"$bandsP/batch=0")), "stale member not GC'd")
+    // compactState over a TIERED store: folds the LIVE view (segments +
+    // tail, not raw dirs) into batch=-1, manifest gone, rows preserved
+    EventStream.compactState(spark, bandsP)
+    assert(partsOf(stT, "bands") == Seq(-1L), partsOf(stT, "bands"))
+    assert(!fs.exists(hpath(s"$bandsP/_graft_segments")))
+    val folded = spark.read.parquet(bandsP).drop("batch")
+    val expectB = spark.read.parquet(s"$stU/bands").drop("batch")
+    assert(folded.count() == expectB.count() &&
+      folded.exceptAll(expectB).isEmpty && expectB.exceptAll(folded).isEmpty)
   }
 
   test("ivfMaintain: streamed postings equal the batch assignment under " +
