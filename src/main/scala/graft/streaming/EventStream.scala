@@ -922,7 +922,7 @@ object EventStream {
     * the store. Returns the accumulated (doc_id, raw_data) view.
     */
   def variantMaintain(spark: SparkSession, docs: DataFrame,
-      statePath: String): DataFrame = {
+      statePath: String, tierK: Int = 8): DataFrame = {
     val storeP = statePath + "/variants"
     val ledgerP = statePath + "/ledger"
     val q = docs.writeStream
@@ -935,6 +935,7 @@ object EventStream {
               parse_json(col("json_text")).as("raw_data"))
             .write.mode("overwrite").parquet(s"$storeP/batch=$batchId")
           ledgerCommit(spark, ledgerP, done, batchId)
+          tierCompact(spark, storeP, done + batchId, tierK)
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -942,7 +943,7 @@ object EventStream {
     q.awaitTermination()
     q.stop()
     recoverSwap(spark, storeP)
-    spark.read.parquet(storeP).drop("batch")
+    readTiered(spark, storeP).drop("batch")
   }
 
   /** Streaming snapshot reconciliation — the INCREMENTAL q320: instead of
@@ -2210,7 +2211,8 @@ object EventStream {
     * (vec_id, cid, c_sim, n2, embedding).
     */
   def ivfMaintain(spark: SparkSession, vectors: DataFrame,
-      statePath: String, codebook: DataFrame): DataFrame = {
+      statePath: String, codebook: DataFrame,
+      tierK: Int = 8): DataFrame = {
     val postP = statePath + "/postings"
     val ledgerP = statePath + "/ledger"
     // k rows by construction — materialized once for every batch's join
@@ -2227,6 +2229,7 @@ object EventStream {
           graft.ext.KMeans.assignPostings(batch, cb)
             .write.mode("overwrite").parquet(s"$postP/batch=$batchId")
           ledgerCommit(spark, ledgerP, done, batchId)
+          tierCompact(spark, postP, done + batchId, tierK)
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2234,7 +2237,7 @@ object EventStream {
     q.awaitTermination()
     q.stop()
     recoverSwap(spark, postP)
-    spark.read.parquet(postP).drop("batch")
+    readTiered(spark, postP).drop("batch")
   }
 
   /** Promote the postings [[ivfMaintain]] accumulated into the BUCKETED
@@ -2254,7 +2257,7 @@ object EventStream {
     require(stateExists(spark, postP),
       s"ivfPromoteBucketed: no postings at $postP — run ivfMaintain first")
     graft.ext.KMeans.writePostingsBucketed(
-      spark.read.parquet(postP).drop("batch"), tag, buckets)
+      readTiered(spark, postP).drop("batch"), tag, buckets)
   }
 
   /** Query the postings [[ivfMaintain]] accumulated: rank cells per query
@@ -2272,7 +2275,7 @@ object EventStream {
     recoverSwap(spark, postP)
     require(stateExists(spark, postP),
       s"ivfProbe: no postings at $postP — run ivfMaintain first")
-    val postings = spark.read.parquet(postP).drop("batch")
+    val postings = readTiered(spark, postP).drop("batch")
     val cb = codebook.select(col("cid"), col("ce"), col("cn2"))
     val qe = queries
       .select(col("vec_id").as("query_id"),
@@ -2315,7 +2318,7 @@ object EventStream {
     * Returns the accumulated (doc_id, dl) table.
     */
   def bm25Maintain(spark: SparkSession, docs: DataFrame,
-      statePath: String): DataFrame = {
+      statePath: String, tierK: Int = 8): DataFrame = {
     import graft.ext.TextAnalysis
     val postP = statePath + "/postings"
     val dlP = statePath + "/doclens"
@@ -2337,6 +2340,8 @@ object EventStream {
           tf.write.mode("overwrite").parquet(s"$postP/batch=$batchId")
           dl.write.mode("overwrite").parquet(s"$dlP/batch=$batchId")
           ledgerCommit(spark, ledgerP, done, batchId)
+          Seq(postP, dlP)
+            .foreach(tierCompact(spark, _, done + batchId, tierK))
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2344,7 +2349,7 @@ object EventStream {
     q.awaitTermination()
     q.stop()
     recoverSwap(spark, dlP)
-    spark.read.parquet(dlP).drop("batch")
+    readTiered(spark, dlP).drop("batch")
   }
 
   /** BM25 ranked retrieval over the index [[bm25Maintain]] accumulated —
@@ -2364,9 +2369,9 @@ object EventStream {
     Seq(postP, dlP).foreach(recoverSwap(spark, _))
     require(stateExists(spark, postP) && stateExists(spark, dlP),
       s"bm25Search: no index at $statePath — run bm25Maintain first")
-    val dl = spark.read.parquet(dlP).drop("batch")
+    val dl = readTiered(spark, dlP).drop("batch")
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
-    val tf = spark.read.parquet(postP).drop("batch")
+    val tf = readTiered(spark, postP).drop("batch")
       .where(col("term").isin(terms: _*))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "term")

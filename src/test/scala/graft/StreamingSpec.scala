@@ -2395,6 +2395,71 @@ class StreamingSpec extends SparkSpec {
       batch.exceptAll(served2).isEmpty)
   }
 
+  test("tiered layout on the ivf/bm25/variant stores: postings equal the " +
+      "untiered twin, the bucketed promote and bm25 serving read the " +
+      "manifest-filtered view, partitions fold", Slow) {
+    import graft.ext.KMeans
+    val src = "/root/testdata/sf0.001"
+    val cb = KMeans.trainCodebook(Tables.embeddings(spark, src), 8, 1)
+      .localCheckpoint()
+    // 12 one-wave micro-batches → with tierK=3 the postings store folds
+    // (level-1 segments of 3, cascading) while the twin keeps 12 dirs
+    val edir = Files.createTempDirectory("graft_ivf_tier_docs").toString
+    var known = Set.empty[java.nio.file.Path]
+    (0 until 12).foreach { w =>
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .where($"vec_id" % 12 === w).coalesce(1)
+        .write.mode("append").parquet(edir)
+      known = pinNewFiles(edir, known, w)
+    }
+    def stream = spark.readStream
+      .schema(spark.read.parquet(edir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(edir)
+    val stT = Files.createTempDirectory("graft_ivf_tier_t").toString + "/s"
+    val stU = Files.createTempDirectory("graft_ivf_tier_u").toString + "/s"
+    val tiered = EventStream.ivfMaintain(spark, stream, stT, cb, tierK = 3)
+      .localCheckpoint()
+    val untiered = EventStream.ivfMaintain(spark, stream, stU, cb,
+      tierK = 0).localCheckpoint()
+    assert(tiered.count() == untiered.count() && tiered.count() > 0)
+    assert(tiered.exceptAll(untiered).isEmpty &&
+      untiered.exceptAll(tiered).isEmpty)
+    def nParts(st: String, t: String): Int =
+      Files.list(java.nio.file.Paths.get(s"$st/$t")).toArray
+        .map(_.toString).count(_.contains("batch="))
+    assert(nParts(stU, "postings") == 12)
+    assert(nParts(stT, "postings") <= 6,
+      s"postings: ${nParts(stT, "postings")}")
+    // the ingest→serve promote reads the manifest-filtered view: the
+    // bucketed serving table from the tiered store matches the twin's
+    val tT = EventStream.ivfPromoteBucketed(spark, stT, "tier_t", 4)
+    val tU = EventStream.ivfPromoteBucketed(spark, stU, "tier_u", 4)
+    val a = spark.table(tT)
+    val b = spark.table(tU)
+    assert(a.count() == b.count() && a.exceptAll(b).isEmpty &&
+      b.exceptAll(a).isEmpty)
+    // bm25: a tiered index serves the identical batch-q83 ranking
+    val ddir = Files.createTempDirectory("graft_bm25_tier_docs").toString
+    var kn = Set.empty[java.nio.file.Path]
+    (0 until 9).foreach { w =>
+      spark.read.parquet(s"$src/documents.parquet")
+        .select($"doc_id", $"text").where($"doc_id" % 9 === w).coalesce(1)
+        .write.mode("append").parquet(ddir)
+      kn = pinNewFiles(ddir, kn, w)
+    }
+    def dstream = spark.readStream
+      .schema(spark.read.parquet(ddir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(ddir)
+    val stB = Files.createTempDirectory("graft_bm25_tier_st").toString + "/s"
+    EventStream.bm25Maintain(spark, dstream, stB, tierK = 3)
+    assert(nParts(stB, "postings") <= 5, s"bm25: ${nParts(stB, "postings")}")
+    val served = EventStream.bm25Search(spark, stB,
+      Seq("dup", "vector", "hash"))
+    val batch = SparkEntry.queries("q83_bm25")(spark, src)
+    assert(served.count() == batch.count() && served.count() > 0)
+    assert(served.exceptAll(batch).isEmpty && batch.exceptAll(served).isEmpty)
+  }
+
   test("kmeansMaintain seeds k centroids from a ranged-id first batch") {
     import graft.ext.KMeans
     val src = "/root/testdata/sf0.001"
