@@ -1693,8 +1693,128 @@ object DedupQueries {
         |  CASE WHEN COALESCE(per.max_run_windows, 0) > 0
         |    THEN per.max_run_windows + 7 ELSE 0 END AS max_run_tokens
         |FROM td LEFT JOIN per ON td.doc_id = per.doc_id""".stripMargin
+      }),
+
+    // ── The TIERED streaming dedup maintainer in the correctness gate
+    //    (r14: tiered segment compaction is a first-class component, so
+    //    it gets gate-level evidence, not just specs). 180 documents
+    //    arrive in 6 doc_id-ordered micro-batches through
+    //    [[graft.streaming.EventStream.dedupMaintain]] with tierK = 2 —
+    //    small enough that the fold CASCADES (after batch 5 the bands
+    //    store holds exactly TWO live partitions: a level-2 segment
+    //    covering batches 0–3 and a level-1 covering 4–5; the gate
+    //    `require`s that exact layout, so a silently-disabled fold fails
+    //    loudly). Because arrival is doc_id-ascending, the maintainer's
+    //    incremental verdicts ("best earlier match") have a CLOSED FORM
+    //    the oracle replays globally: for every doc, the best candidate
+    //    among strictly-smaller doc_ids sharing an LSH band bucket, at
+    //    jaccard ≥ 0.5 (the per-batch ≥2 bucket filter is equivalent to
+    //    the global one for every evaluated pair — both members are
+    //    present when the later one arrives). batch_id = doc_id div 30
+    //    rides in the output, so the stream's batch ASSIGNMENT is
+    //    hash-verified too. Runs once per session (the q316 pattern).
+    QueryDef(
+      "q337_tiered_dedup_stream",
+      (s, dir) => tieredStreamCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          val ddir = java.nio.file.Files
+            .createTempDirectory("graft_tierstream").toString + "/docs"
+          val docs = Tables.documents(s, dir)
+            .select($"doc_id", $"text").where($"doc_id" < 180)
+          (0 until 6).foreach { w =>
+            docs.where($"doc_id" >= w * 30 && $"doc_id" < (w + 1) * 30)
+              .coalesce(1).write.mode("append").parquet(ddir)
+            // pin arrival order = doc_id order (the closed form's premise)
+            new java.io.File(ddir).listFiles
+              .filter(f => f.getName.endsWith(".parquet") &&
+                f.lastModified > 1710000000000L)
+              .foreach(_.setLastModified(1700000000000L + w * 60000L))
+          }
+          val statePath = java.nio.file.Files
+            .createTempDirectory("graft_tierstream_st").toString + "/state"
+          val fin = graft.streaming.EventStream.dedupMaintain(s,
+            s.readStream.schema(s.read.parquet(ddir).schema)
+              .option("maxFilesPerTrigger", "1").parquet(ddir),
+            statePath, tierK = 2)
+            .localCheckpoint()
+          // the tiered layout actually folded, to exactly the cascade the
+          // schedule predicts: {level-2 seg [0..3], level-1 seg [4..5]}
+          val live = new java.io.File(statePath + "/bands").listFiles
+            .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+          require(live.size == 2 && live.forall(
+            _.stripPrefix("batch=").toLong < -1L),
+            s"q337: expected 2 cascaded segments, got $live")
+          fin.select($"doc_id", $"batch_id", $"is_dup",
+            $"best_match", $"best_jaccard")
+        }),
+      Some {
+        val r = Dedup.BandRows
+        val perms = (0 until Dedup.NumHashes).map { i =>
+          s"(${Dedup.permA(i)}, ${Dedup.permB(i)}, $i)"
+        }.mkString(", ")
+        s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+        |  FROM documents WHERE doc_id < 180),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, w,
+        |        unnest(generate_series(1, len(w) - 2)) AS i FROM t)),
+        |hsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |perm(a, b, i) AS (VALUES $perms),
+        |mh AS (
+        |  SELECT doc_id, i, MIN((a * (h % ${Dedup.MinhashP}) + b) % ${Dedup.MinhashP}) AS mh
+        |  FROM hsh CROSS JOIN perm GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, CAST(i // $r AS INT) AS band_id,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+        |  FROM mh GROUP BY 1, 2),
+        |keep AS (
+        |  SELECT band_id, band_key FROM bands GROUP BY 1, 2
+        |  HAVING COUNT(*) BETWEEN 2 AND 100000),
+        |capped AS (SELECT b.* FROM bands b JOIN keep USING (band_id, band_key)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |  WHERE b.doc_id < a.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        |  FROM cand c JOIN hsh a ON a.doc_id = c.doc_a
+        |    JOIN hsh b ON b.doc_id = c.doc_b AND b.h = a.h
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) AS j
+        |  FROM cand c
+        |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        |  JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
+        |  WHERE COALESCE(ni, 0) * 1.0 / (x.n + y.n - COALESCE(ni, 0)) >= 0.5),
+        |best AS (
+        |  SELECT doc_a, doc_b, j FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a
+        |      ORDER BY j DESC, doc_b ASC) AS rn
+        |    FROM jac) WHERE rn = 1)
+        |SELECT d.doc_id, d.doc_id // 30 AS batch_id,
+        |  (b.doc_a IS NOT NULL) AS is_dup,
+        |  b.doc_b AS best_match, b.j AS best_jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 180) d
+        |LEFT JOIN best b ON d.doc_id = b.doc_a""".stripMargin
       })
   )
+
+  /** Session cache for the q337 tiered-maintainer gate (the q316
+    * run-once-per-session pattern — the stream protocol runs once, both
+    * Verify and Bench consume the checkpointed verdicts). */
+  private val tieredStreamCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), org.apache.spark.sql.DataFrame]
 
   /** FS pair scorer shared by q277 (pattern table) and q279 (golden
     * record): q259's block-bounded candidates → 4-field agreement
