@@ -69,7 +69,7 @@ object Substrates {
     * knnedges replay keeps lshbands warm, reproducing the condition the
     * line was originally timed under.
     */
-  val invalidators: Map[String, SparkSession => Unit] = Map(
+  private val substrateInvalidators: Map[String, SparkSession => Unit] = Map(
     "q00a_sub_minhash" -> (s => ext.Dedup.invalidateMinhash(app(s))),
     "q00b_sub_simhash" -> (s => ext.Dedup.invalidateSimhash(app(s))),
     "q00c_sub_trigrams" ->
@@ -88,4 +88,25 @@ object Substrates {
       (s => queries.TrainingDataQueries.invalidateTrained(app(s))),
     "q57_bpe_merges" ->
       (s => queries.TrainingDataQueries.invalidateTrained(app(s))))
+
+  val invalidators: Map[String, SparkSession => Unit] =
+    substrateInvalidators ++
+    // session-cached protocol gates: the same blind spot as the
+    // substrate carriers (their replays returned the memoized frame, so
+    // a flag on them could never be adjudicated in-artifact) — drop the
+    // gate's cache so the retime re-runs the whole protocol (safe:
+    // every gate builds in fresh temp dirs; shared state is only ever
+    // copied before mutation)
+    (Seq("q314_variant_store", "q315_medallion_gate", "q316_variant_stream",
+      "q317_schema_evolution", "q318_permissive_load",
+      "q319_codec_roundtrip", "q321_stream_snapshot_diff",
+      "q323_bucketed_snapshot_diff", "q324_compaction_gate",
+      "q325_deletion_propagation", "q326_history_scrub",
+      "q327_snapshot_horizon", "q328_probe_reset_gate",
+      "q329_serving_merge_gate", "q330_tombstone_retire",
+      "q331_index_deletion")
+      .map(n => n -> ((s: SparkSession) =>
+        queries.ExtQueries.invalidateGate(n, app(s)))).toMap) +
+    ("q337_tiered_dedup_stream" -> ((s: SparkSession) =>
+      queries.DedupQueries.invalidateTieredGate(app(s))))
 }

@@ -1698,19 +1698,19 @@ object DedupQueries {
     // ── The TIERED streaming dedup maintainer in the correctness gate
     //    (r14: tiered segment compaction is a first-class component, so
     //    it gets gate-level evidence, not just specs). 180 documents
-    //    arrive in 6 doc_id-ordered micro-batches through
+    //    arrive in 4 doc_id-ordered micro-batches through
     //    [[graft.streaming.EventStream.dedupMaintain]] with tierK = 2 —
-    //    small enough that the fold CASCADES (after batch 5 the bands
-    //    store holds exactly TWO live partitions: a level-2 segment
-    //    covering batches 0–3 and a level-1 covering 4–5; the gate
-    //    `require`s that exact layout, so a silently-disabled fold fails
-    //    loudly). Because arrival is doc_id-ascending, the maintainer's
+    //    small enough that the fold CASCADES (after batch 3 the bands
+    //    store holds exactly ONE live partition: a level-2 segment
+    //    covering all four batches; the gate `require`s that exact
+    //    layout, so a silently-disabled fold fails loudly). Because
+    //    arrival is doc_id-ascending, the maintainer's
     //    incremental verdicts ("best earlier match") have a CLOSED FORM
     //    the oracle replays globally: for every doc, the best candidate
     //    among strictly-smaller doc_ids sharing an LSH band bucket, at
     //    jaccard ≥ 0.5 (the per-batch ≥2 bucket filter is equivalent to
     //    the global one for every evaluated pair — both members are
-    //    present when the later one arrives). batch_id = doc_id div 30
+    //    present when the later one arrives). batch_id = doc_id div 45
     //    rides in the output, so the stream's batch ASSIGNMENT is
     //    hash-verified too. Runs once per session (the q316 pattern).
     QueryDef(
@@ -1722,8 +1722,8 @@ object DedupQueries {
             .createTempDirectory("graft_tierstream").toString + "/docs"
           val docs = Tables.documents(s, dir)
             .select($"doc_id", $"text").where($"doc_id" < 180)
-          (0 until 6).foreach { w =>
-            docs.where($"doc_id" >= w * 30 && $"doc_id" < (w + 1) * 30)
+          (0 until 4).foreach { w =>
+            docs.where($"doc_id" >= w * 45 && $"doc_id" < (w + 1) * 45)
               .coalesce(1).write.mode("append").parquet(ddir)
             // pin arrival order = doc_id order (the closed form's premise)
             new java.io.File(ddir).listFiles
@@ -1739,12 +1739,13 @@ object DedupQueries {
             statePath, tierK = 2)
             .localCheckpoint()
           // the tiered layout actually folded, to exactly the cascade the
-          // schedule predicts: {level-2 seg [0..3], level-1 seg [4..5]}
+          // schedule predicts: batches {0,1}→L1, {2,3}→L1, then the two
+          // level-1 segments cascade into ONE level-2 segment
           val live = new java.io.File(statePath + "/bands").listFiles
             .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
-          require(live.size == 2 && live.forall(
-            _.stripPrefix("batch=").toLong < -1L),
-            s"q337: expected 2 cascaded segments, got $live")
+          require(live.size == 1 &&
+            live.head.stripPrefix("batch=").toLong < -1L,
+            s"q337: expected one cascaded level-2 segment, got $live")
           fin.select($"doc_id", $"batch_id", $"is_dup",
             $"best_match", $"best_jaccard")
         }),
@@ -1801,7 +1802,7 @@ object DedupQueries {
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a
         |      ORDER BY j DESC, doc_b ASC) AS rn
         |    FROM jac) WHERE rn = 1)
-        |SELECT d.doc_id, d.doc_id // 30 AS batch_id,
+        |SELECT d.doc_id, d.doc_id // 45 AS batch_id,
         |  (b.doc_a IS NOT NULL) AS is_dup,
         |  b.doc_b AS best_match, b.j AS best_jaccard
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 180) d
@@ -1815,6 +1816,13 @@ object DedupQueries {
   private val tieredStreamCache =
     scala.collection.concurrent.TrieMap
       .empty[(String, String), org.apache.spark.sql.DataFrame]
+
+  /** Bench-replay hook: drop the q337 gate cache so a flagged line's
+    * retime re-runs the whole tiered-stream protocol (fresh temp dirs,
+    * deterministic — see ExtQueries.invalidateGate). */
+  private[graft] def invalidateTieredGate(app: String): Unit =
+    tieredStreamCache.keys.filter(_._1 == app)
+      .foreach(tieredStreamCache.remove)
 
   /** FS pair scorer shared by q277 (pattern table) and q279 (golden
     * record): q259's block-bounded candidates → 4-field agreement

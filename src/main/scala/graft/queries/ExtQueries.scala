@@ -2876,6 +2876,39 @@ object ExtQueries {
     * durable artifacts, not session substrates. */
   private[graft] def invalidateSubstrates(app: String): Unit =
     phashCache.keys.filter(_._1 == app).foreach(phashCache.remove)
+
+  /** Bench-replay hook for the SESSION-CACHED protocol gates (r14): a
+    * tripwire flag on a once-per-session gate was as unadjudicable as
+    * the substrate-carrier case — the replay returned the memoized frame
+    * (retime ≈ 0.05s, recorded-never-demoting) and the flag stayed
+    * "code" regardless of ground truth. Dropping the flagged gate's
+    * cache entry makes the retime re-run the WHOLE protocol, which is
+    * safe: every gate builds in fresh temp dirs per run (the shared
+    * q321 log is only ever COPIED before mutation), so a re-run is the
+    * same deterministic protocol at a new path.
+    */
+  private[graft] def invalidateGate(name: String, app: String): Unit = {
+    val caches: Map[String,
+        scala.collection.concurrent.TrieMap[(String, String), _]] = Map(
+      "q314_variant_store" -> variantStoreCache,
+      "q315_medallion_gate" -> medallionReportCache,
+      "q316_variant_stream" -> variantStreamCache,
+      "q317_schema_evolution" -> schemaEvoCache,
+      "q318_permissive_load" -> permissiveCache,
+      "q319_codec_roundtrip" -> codecCache,
+      "q321_stream_snapshot_diff" -> snapshotStreamCache,
+      "q323_bucketed_snapshot_diff" -> bucketedSnapCache,
+      "q324_compaction_gate" -> compactionCache,
+      "q325_deletion_propagation" -> deletionCache,
+      "q326_history_scrub" -> scrubCache,
+      "q327_snapshot_horizon" -> horizonCache,
+      "q328_probe_reset_gate" -> probeResetCache,
+      "q329_serving_merge_gate" -> servingGateCache,
+      "q330_tombstone_retire" -> tombstoneGateCache,
+      "q331_index_deletion" -> indexDeletionCache)
+    caches.get(name).foreach(c =>
+      c.keys.filter(_._1 == app).foreach(c.remove))
+  }
   private[graft] def phashSubstrateCached(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     phashCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {

@@ -990,7 +990,7 @@ object EventStream {
     */
   def snapshotDiffMaintain(spark: SparkSession, changes: DataFrame,
       statePath: String, compactEvery: Int = 0,
-      retention: Long = 0L): DataFrame = {
+      retention: Long = 0L, tierK: Int = 8): DataFrame = {
     val logP = statePath + "/fps"
     val verdictsP = statePath + "/verdicts"
     val ledgerP = statePath + "/ledger"
@@ -1046,6 +1046,11 @@ object EventStream {
           evs.withColumn("src_batch", lit(batchId))
             .write.mode("overwrite").parquet(s"$logP/batch=$batchId")
           ledgerCommit(spark, ledgerP, done, batchId)
+          // only the VERDICTS store tiers (one partition per batch
+          // forever otherwise); the fps LOG self-bounds through the
+          // compactEvery horizon fold below, whose version semantics
+          // own that layout
+          tierCompact(spark, verdictsP, done + batchId, tierK)
           if (compactEvery > 0 && (done.size + 1) % compactEvery == 0) {
             val hw = spark.read.parquet(logP)
               .agg(max(col("seq")), min(col("seq"))).head()
@@ -1063,7 +1068,7 @@ object EventStream {
     q.awaitTermination()
     q.stop()
     recoverSwap(spark, verdictsP)
-    spark.read.parquet(verdictsP).drop("batch")
+    readTiered(spark, verdictsP).drop("batch")
   }
 
   /** The per-batch prior-state read [[snapshotDiffMaintain]] classifies
