@@ -58,7 +58,9 @@ object Substrates {
     "q00g_sub_fspairs" -> ((s, dir) =>
       queries.DedupQueries.fsScoredPairs(s, dir)),
     "q00h_sub_phash" -> ((s, dir) =>
-      queries.ExtQueries.phashSubstrateCached(s, dir)))
+      queries.ExtQueries.phashSubstrateCached(s, dir)),
+    "q00i_sub_orderpairs" -> ((s, dir) =>
+      queries.AnalyticsQueries.orderPartCached(s, dir)))
 
   private def app(s: SparkSession): String = s.sparkContext.applicationId
 
@@ -84,6 +86,8 @@ object Substrates {
       (s => queries.DedupQueries.invalidateSubstrates(app(s))),
     "q00h_sub_phash" ->
       (s => queries.ExtQueries.invalidateSubstrates(app(s))),
+    "q00i_sub_orderpairs" ->
+      (s => queries.AnalyticsQueries.invalidateOrderPairs(app(s))),
     "q56_kmeans_codebook" ->
       (s => queries.TrainingDataQueries.invalidateTrained(app(s))),
     "q57_bpe_merges" ->

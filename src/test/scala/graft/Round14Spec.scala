@@ -47,6 +47,63 @@ class Round14Spec extends SparkSpec {
     assert(bad == 0 && sMax >= 0)
   }
 
+  test("bench substrate/gate invalidator registry is consistent: every " +
+      "substrate line has an invalidator, every gate invalidator names " +
+      "a real query") {
+    Substrates.builds.foreach { case (n, _) =>
+      assert(Substrates.invalidators.contains(n),
+        s"substrate line $n has no replay invalidator")
+    }
+    val qnames = SparkEntry.queries.keySet
+    Substrates.invalidators.keys.filterNot(_.startsWith("q00"))
+      .foreach { n =>
+        assert(qnames.contains(n),
+          s"invalidator registered for unknown query '$n' — a typo here " +
+            "silently reverts that gate to the unadjudicable blind spot")
+      }
+    // substrate lines must never collide with real query names
+    Substrates.builds.foreach { case (n, _) =>
+      assert(!qnames.contains(n), s"substrate line $n shadows a query")
+    }
+  }
+
+  test("tierCompact unit: for several (N, k) shapes the live view always " +
+      "equals the union of ledgered batches, unledgered batches never " +
+      "fold, and partition counts follow the cascade") {
+    import graft.streaming.EventStream
+    import spark.implicits._
+    for ((n, k) <- Seq((5, 2), (9, 3), (8, 2), (7, 4))) {
+      val store = java.nio.file.Files
+        .createTempDirectory(s"graft_tc_${n}_$k").toString + "/st"
+      (0 until n).foreach { b =>
+        Seq((b.toLong, s"v$b")).toDF("id", "v")
+          .write.parquet(s"$store/batch=$b")
+      }
+      // the LAST batch is unledgered (in-flight): it must survive
+      // folding untouched
+      val done = (0 until n - 1).map(_.toLong).toSet
+      EventStream.tierCompact(spark, store, done, k)
+      val live = EventStream.readTiered(spark, store)
+      assert(live.count() == n.toLong, s"(n=$n,k=$k)")
+      assert(live.select($"id").as[Long].collect().sorted.toSeq ==
+        (0L until n.toLong), s"(n=$n,k=$k) live view diverged")
+      // the unledgered batch's partition still exists as a plain dir
+      assert(new java.io.File(s"$store/batch=${n - 1}").exists(),
+        s"(n=$n,k=$k) in-flight partition folded")
+      // idempotent: a second cycle with the same ledger changes nothing
+      val before = new java.io.File(store).listFiles
+        .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+      EventStream.tierCompact(spark, store, done, k)
+      val after = new java.io.File(store).listFiles
+        .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+      assert(before == after, s"(n=$n,k=$k) not idempotent")
+      // folding happened at all when it should have
+      if (n - 1 >= k)
+        assert(after.exists(_.stripPrefix("batch=").toLong < -1L),
+          s"(n=$n,k=$k) no segment despite ${n - 1} ledgered batches")
+    }
+  }
+
   test("q336 semi-chain returns a supplier subset") {
     import spark.implicits._
     val out = SparkEntry.queries("q336_partsupp_semi_chain")(spark, dir)
