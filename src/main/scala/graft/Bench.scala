@@ -473,6 +473,30 @@ object Bench {
       f.copy(retime = rt, attrib = attrib)
     }
     val regs = Bench.regJson(flagged)
+    // ---- SAFETY RECORDS BEFORE THE ORACLE PHASE: everything below this
+    // point (the DuckDB oracle pair) can take many minutes under a wide
+    // SPARK_GRAFT_ORACLE_BUDGET, and a driver-side timeout that kills the
+    // JVM mid-oracle would otherwise lose EVERY measurement of the run —
+    // nothing had printed yet. Print the full per-query line and a
+    // bounded compact record now; after the oracle completes, the pair
+    // and a final compact record print again so the tail capture still
+    // ends with one parseable JSON either way (a duplicate compact line
+    // is harmless — consumers read the last parseable record).
+    locally {
+      val f3p = (v: Double) =>
+        "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      val qsPre = results.map { case (k, v, _, _, _) =>
+        s"\"" + k + "\":" + f3p(v) }.mkString("{", ",", "}")
+      val totalPre = results.map(_._2).sum
+      val calibPre =
+        s""""calib_start":${f3p(calibStart)},"calib_end":${f3p(calibEnd)},""" +
+          s""""canaries":${canaries.map(f3p).mkString("[", ",", "]")},""" +
+          s""""io_canaries":${ioCanaries.map(f3p).mkString("[", ",", "]")},""" +
+          s""""regressions":$regs"""
+      println(s"""{"metric":"total","value":${f3p(totalPre)},"unit":"sec",$calibPre,"queries":$qsPre,"sf":"$sfDir"}""")
+      println(Bench.compactRecord(totalPre, calibStart, calibEnd,
+        canaries.toSeq, ioCanaries.toSeq, flagged, sfDir))
+    }
     // ---- same-window DuckDB oracle pair (r11 judge item 4): the bench
     // and its DuckDB oracle measured on the SAME machine in the SAME
     // window. The oracle runs the oracles in bench (numeric) order under
