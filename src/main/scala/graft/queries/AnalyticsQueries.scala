@@ -446,7 +446,8 @@ object AnalyticsQueries {
     partsuppMinCostDef,
     partsuppValueShareDef,
     partsuppSupplierCntDef,
-    partsuppSemiChainDef
+    partsuppSemiChainDef,
+    dormantCustomerDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -3055,4 +3056,52 @@ object AnalyticsQueries {
       |  WHERE CAST(ps_availqty AS BIGINT) * 2 > sum_qty)
       |SELECT s_suppkey, s_name, s_acctbal
       |FROM supplier WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)""".stripMargin))
+
+  // ── TPC-H Q22 shape: dormant high-balance customers — above-average
+  //    positive balance in a chosen nation set, NO orders since the
+  //    cutoff, rolled up per nation. The spec's cntrycode substring
+  //    becomes the fixture's nationkey; the "no recent orders" NOT
+  //    EXISTS becomes a LEFT-ANTI against the date-filtered orders
+  //    projection (the filter pushes to the parquet scan, and only
+  //    (o_custkey) survives to the join — at scale this is one keyed
+  //    anti-join, never a cartesian). The above-average test runs in
+  //    integer CENTS cross-multiplied against the one-row broadcast
+  //    stats frame (cents·n > total — no division, no float compare);
+  //    acctbal cents are exact in both engines (±ulp-of-integer inputs,
+  //    ties impossible). Display sum is one final IEEE division.
+  private def dormantCustomerDef: QueryDef = QueryDef(
+    "q338_dormant_customers",
+    (s, dir) => {
+      import s.implicits._
+      val sel = Tables.customer(s, dir)
+        .where($"c_nationkey".isin(1, 5, 9, 13, 17, 21, 24))
+        .select($"c_custkey", $"c_nationkey",
+          round($"c_acctbal" * 100).cast("long").as("cents"))
+      val stats = sel.where($"cents" > 0)
+        .agg(sum($"cents").as("tot"), count(lit(1)).as("n"))
+      val recent = Tables.orders(s, dir)
+        .where($"o_orderdate" >= lit("2000-01-01").cast("date"))
+        .select($"o_custkey")
+      sel.crossJoin(broadcast(stats))
+        .where($"cents" * $"n" > $"tot")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum($"cents").as("_sc"))
+        .select($"c_nationkey", $"numcust",
+          ($"_sc".cast("double") / 100.0).as("totacctbal"))
+    },
+    Some("""WITH sel AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer WHERE c_nationkey IN (1, 5, 9, 13, 17, 21, 24)),
+      |st AS (SELECT SUM(cents) AS tot, COUNT(*) AS n
+      |       FROM sel WHERE cents > 0),
+      |rich AS (SELECT * FROM sel, st WHERE cents * n > tot),
+      |noord AS (
+      |  SELECT * FROM rich WHERE c_custkey NOT IN
+      |    (SELECT o_custkey FROM orders
+      |     WHERE o_orderdate >= DATE '2000-01-01'))
+      |SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS totacctbal
+      |FROM noord GROUP BY 1""".stripMargin))
 }

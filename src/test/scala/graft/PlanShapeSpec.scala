@@ -1680,4 +1680,15 @@ class PlanShapeSpec extends SparkSpec {
     // Q20's semi-join chain stays a semi join (no count materialization)
     assert(planOf("q336_partsupp_semi_chain").contains("LeftSemi"))
   }
+
+  test("q338 dormant customers: date filter pushed to the orders scan, " +
+      "NOT EXISTS as an anti join, stats broadcast") {
+    val p = planOf("q338_dormant_customers")
+    assert(p.contains("LeftAnti"), p.take(1600))
+    assert(p.contains("BroadcastExchange"), p.take(1600))
+    // the recency predicate reaches the parquet scan as a pushed filter,
+    // so dormancy never reads old orders' other columns or rows
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p.take(1600))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
 }
