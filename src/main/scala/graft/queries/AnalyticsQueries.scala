@@ -447,7 +447,10 @@ object AnalyticsQueries {
     partsuppValueShareDef,
     partsuppSupplierCntDef,
     partsuppSemiChainDef,
-    dormantCustomerDef
+    dormantCustomerDef,
+    topSupplierDef,
+    volumeShippingDef,
+    promoRevenueDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -3104,4 +3107,131 @@ object AnalyticsQueries {
       |SELECT c_nationkey, COUNT(*) AS numcust,
       |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS totacctbal
       |FROM noord GROUP BY 1""".stripMargin))
+
+  // ── TPC-H Q15 shape: the top supplier by quarterly revenue — the
+  //    view + scalar-max + equality-join pattern. Revenue per supplier
+  //    is ONE keyed agg over the date-pruned lineitem scan (predicate
+  //    pushed); the max is a one-row broadcast; the tie-tolerant
+  //    equality join is exact because both engines derive the revenue
+  //    DOUBLE from the identical decimal sum (dsum), so max and
+  //    equality compare identical bit patterns. Supplier dims
+  //    broadcast.
+  private def topSupplierDef: QueryDef = QueryDef(
+    "q339_top_supplier",
+    (s, dir) => {
+      import s.implicits._
+      val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      val rev = Tables.lineitem(s, dir)
+        .where($"l_shipdate" >= lit("1997-01-01").cast("date") &&
+          $"l_shipdate" < lit("1997-04-01").cast("date"))
+        .groupBy($"l_suppkey")
+        .agg(QueryDef.dsum(vol).as("total_revenue"))
+      val mx = rev.agg(max($"total_revenue").as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .where($"total_revenue" === $"mx")
+        .join(broadcast(Tables.supplier(s, dir)
+          .select($"s_suppkey", $"s_name", $"s_acctbal")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"total_revenue")
+    },
+    Some(s"""WITH r AS (
+      |  SELECT l_suppkey,
+      |    ${QueryDef.dsumSql("l_extendedprice * (1.0 - l_discount)")}
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1997-01-01'
+      |    AND l_shipdate < DATE '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, s_acctbal, total_revenue
+      |FROM supplier JOIN r ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)""".stripMargin))
+
+  // ── TPC-H Q7 shape: volume shipping between two nations, both
+  //    directions, per supp-nation × cust-nation × ship year. The fact
+  //    scan shuffles once for the orders join (the only fact-fact edge);
+  //    supplier/customer/nation dims broadcast, and the two-nation pair
+  //    predicate applies after the cheap dimension hops so only the two
+  //    nations' rows survive into the agg.
+  private def volumeShippingDef: QueryDef = QueryDef(
+    "q340_volume_shipping",
+    (s, dir) => {
+      import s.implicits._
+      val nat = Tables.nation(s, dir)
+      val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      Tables.lineitem(s, dir)
+        .where($"l_shipdate".between("1996-01-01", "1997-12-31"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nat.select($"n_nationkey".as("sn_key"),
+          $"n_name".as("supp_nation"))), $"s_nationkey" === $"sn_key")
+        .join(Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, dir)
+          .select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat.select($"n_nationkey".as("cn_key"),
+          $"n_name".as("cust_nation"))), $"c_nationkey" === $"cn_key")
+        .where(($"supp_nation" === "NATION_3" &&
+            $"cust_nation" === "NATION_7") ||
+          ($"supp_nation" === "NATION_7" &&
+            $"cust_nation" === "NATION_3"))
+        .select($"supp_nation", $"cust_nation",
+          year($"l_shipdate").as("l_year"), vol.as("v"))
+        .groupBy($"supp_nation", $"cust_nation", $"l_year")
+        .agg(QueryDef.dsum($"v").as("revenue"))
+    },
+    Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  ${QueryDef.dsumSql("l_extendedprice * (1.0 - l_discount)")}
+      |    AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+      |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+      |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3""".stripMargin))
+
+  // ── TPC-H Q14 shape: promo revenue share for one month — two exact
+  //    decimal sums over the same date-pruned scan (the CASE arm and the
+  //    total), one final 100·a/b in double space with the identical
+  //    left-associative op order in both engines. One scan, map-side
+  //    combine, a 1-row result.
+  private def promoRevenueDef: QueryDef = QueryDef(
+    "q341_promo_revenue",
+    (s, dir) => {
+      import s.implicits._
+      val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      Tables.lineitem(s, dir)
+        .where($"l_shipdate" >= lit("1997-09-01").cast("date") &&
+          $"l_shipdate" < lit("1997-10-01").cast("date"))
+        .join(broadcast(Tables.part(s, dir)
+          .select($"p_partkey", $"p_type")),
+          $"l_partkey" === $"p_partkey")
+        .agg(
+          QueryDef.dsum(when($"p_type" === "PROMO", vol)
+            .otherwise(lit(0.0))).as("pr"),
+          QueryDef.dsum(vol).as("tr"))
+        .select((lit(100.0) * $"pr" / $"tr").as("promo_revenue"),
+          $"pr".as("promo_volume"), $"tr".as("total_volume"))
+    },
+    Some(s"""SELECT
+      |  100.0 * pr / tr AS promo_revenue,
+      |  pr AS promo_volume, tr AS total_volume
+      |FROM (
+      |  SELECT
+      |    ${QueryDef.dsumSql(
+           "CASE WHEN p_type = 'PROMO' " +
+             "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+      |      AS pr,
+      |    ${QueryDef.dsumSql("l_extendedprice * (1.0 - l_discount)")}
+      |      AS tr
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= DATE '1997-09-01'
+      |    AND l_shipdate < DATE '1997-10-01')""".stripMargin))
 }
