@@ -450,7 +450,9 @@ object AnalyticsQueries {
     dormantCustomerDef,
     topSupplierDef,
     volumeShippingDef,
-    promoRevenueDef
+    promoRevenueDef,
+    shipmodePriorityDef,
+    waitingSupplierDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -3234,4 +3236,141 @@ object AnalyticsQueries {
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  WHERE l_shipdate >= DATE '1997-09-01'
       |    AND l_shipdate < DATE '1997-10-01')""".stripMargin))
+
+  // ── Derived LINEITEM logistics columns — the partsupp pattern again:
+  //    the fixture ships no l_shipmode/l_commitdate/l_receiptdate, so
+  //    Q4/Q12/Q21's logistics shapes were locked out. Both engines
+  //    derive the SAME columns from (l_orderkey, l_linenumber,
+  //    l_shipdate) in pure integer arithmetic + one date-plus-days op:
+  //    mode = 5-way hash bucket, commit = ship ± [−30, 29] days,
+  //    receipt = ship + [1, 14] days. Deterministic, oracle-replayable,
+  //    zero fixture changes.
+  private def lineitemLogistics(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val modeIdx = ($"l_orderkey" * 3 + $"l_linenumber") % 5
+    Tables.lineitem(s, dir)
+      .withColumn("ship_d", to_date($"l_shipdate"))
+      .withColumn("l_shipmode",
+        when(modeIdx === 0, "MAIL").when(modeIdx === 1, "SHIP")
+          .when(modeIdx === 2, "AIR").when(modeIdx === 3, "TRUCK")
+          .otherwise("RAIL"))
+      .withColumn("l_commitdate", date_add($"ship_d",
+        (($"l_orderkey" * 7 + $"l_linenumber" * 3) % 60 - 30).cast("int")))
+      .withColumn("l_receiptdate", date_add($"ship_d",
+        (($"l_orderkey" * 11 + $"l_linenumber" * 5) % 14 + 1).cast("int")))
+  }
+
+  /** Oracle-side twin of [[lineitemLogistics]] as a CTE body. */
+  private val logisticsSql: String =
+    """SELECT *, CAST(l_shipdate AS DATE) AS ship_d,
+      |    CASE (l_orderkey * 3 + l_linenumber) % 5
+      |      WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+      |      WHEN 3 THEN 'TRUCK' ELSE 'RAIL' END AS l_shipmode,
+      |    CAST(l_shipdate AS DATE) +
+      |      CAST((l_orderkey * 7 + l_linenumber * 3) % 60 - 30 AS INTEGER)
+      |      AS l_commitdate,
+      |    CAST(l_shipdate AS DATE) +
+      |      CAST((l_orderkey * 11 + l_linenumber * 5) % 14 + 1 AS INTEGER)
+      |      AS l_receiptdate
+      |  FROM lineitem""".stripMargin
+
+  // ── TPC-H Q12 shape: shipmode vs order priority — late-capable modes
+  //    ('MAIL','SHIP') received in 1997 that met the commit-after-ship,
+  //    receipt-after-commit discipline, split into high/low priority
+  //    counts per mode. One fact-fact shuffle (orders join, both sides
+  //    projected to two columns); everything else is a codegen'd scan.
+  private def shipmodePriorityDef: QueryDef = QueryDef(
+    "q342_shipmode_priority",
+    (s, dir) => {
+      import s.implicits._
+      val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      lineitemLogistics(s, dir)
+        .where($"l_shipmode".isin("MAIL", "SHIP") &&
+          $"l_commitdate" < $"l_receiptdate" &&
+          $"ship_d" < $"l_commitdate" &&
+          $"l_receiptdate" >= lit("1997-01-01").cast("date") &&
+          $"l_receiptdate" < lit("1998-01-01").cast("date"))
+        .select($"l_orderkey", $"l_shipmode")
+        .join(Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_shipmode")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+    },
+    Some(s"""WITH ext AS (
+      |  $logisticsSql)
+      |SELECT l_shipmode,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM ext JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipmode IN ('MAIL', 'SHIP')
+      |  AND l_commitdate < l_receiptdate
+      |  AND ship_d < l_commitdate
+      |  AND l_receiptdate >= DATE '1997-01-01'
+      |  AND l_receiptdate < DATE '1998-01-01'
+      |GROUP BY 1""".stripMargin))
+
+  // ── TPC-H Q21 shape: suppliers who kept multi-supplier orders
+  //    waiting — for finished orders, the supplier whose line missed its
+  //    commit while EVERY other supplier on the order met theirs. The
+  //    correlated EXISTS / NOT EXISTS pair becomes one order-level agg
+  //    (distinct suppliers, distinct LATE suppliers) joined back to the
+  //    late lines — the pair-free rewrite: "some other supplier exists"
+  //    ⟺ n_supp ≥ 2, "no other supplier was late" ⟺ n_late = 1 (the
+  //    late line's own supplier being the one). Both engines run the
+  //    SAME rewrite, so the equivalence is shared, not assumed. Two
+  //    fact-sized shuffles total (order semi-filter + the order-level
+  //    agg); supplier dim broadcasts; deterministic top-50 under the
+  //    unique (numwait desc, s_suppkey) order.
+  private def waitingSupplierDef: QueryDef = QueryDef(
+    "q343_waiting_suppliers",
+    (s, dir) => {
+      import s.implicits._
+      val late = $"l_receiptdate" > $"l_commitdate"
+      val fli = lineitemLogistics(s, dir)
+        .select($"l_orderkey", $"l_suppkey",
+          $"l_commitdate", $"l_receiptdate")
+        .join(Tables.orders(s, dir).where($"o_orderstatus" === "F")
+          .select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey")
+      val g = fli.groupBy($"l_orderkey")
+        .agg(countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct(when(late, $"l_suppkey")).as("n_late"))
+      val l1 = fli.where(late)
+        .select($"l_orderkey", $"l_suppkey").distinct()
+      l1.join(g.where($"n_supp" >= 2 && $"n_late" === 1), Seq("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select($"s_suppkey", $"s_name")),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_suppkey", $"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_suppkey".asc)
+        .limit(50)
+    },
+    Some(s"""WITH ext AS (
+      |  $logisticsSql),
+      |fli AS (
+      |  SELECT l_orderkey, l_suppkey, l_commitdate, l_receiptdate
+      |  FROM ext JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'),
+      |g AS (
+      |  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+      |    COUNT(DISTINCT CASE WHEN l_receiptdate > l_commitdate
+      |      THEN l_suppkey END) AS n_late
+      |  FROM fli GROUP BY 1),
+      |l1 AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM fli
+      |  WHERE l_receiptdate > l_commitdate)
+      |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+      |FROM l1
+      |JOIN g USING (l_orderkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE n_supp >= 2 AND n_late = 1
+      |GROUP BY 1, 2
+      |ORDER BY numwait DESC, s_suppkey ASC
+      |LIMIT 50""".stripMargin))
 }
