@@ -452,7 +452,8 @@ object AnalyticsQueries {
     volumeShippingDef,
     promoRevenueDef,
     shipmodePriorityDef,
-    waitingSupplierDef
+    waitingSupplierDef,
+    forecastDiscountDef
   )
 
   // ── Day-of-week order seasonality — volume and exact-decimal revenue
@@ -3373,4 +3374,33 @@ object AnalyticsQueries {
       |GROUP BY 1, 2
       |ORDER BY numwait DESC, s_suppkey ASC
       |LIMIT 50""".stripMargin))
+
+  // ── TPC-H Q6 shape: forecast revenue change — one pruned scan, every
+  //    predicate pushed to parquet (date range, discount band, quantity
+  //    cap), one exact decimal sum. The discount-band compare runs in
+  //    integer CENTS (round(l_discount·100) — exact: 2-dp doubles land
+  //    within an ulp of the integer, ties impossible) so the boundary
+  //    rows are engine-independent.
+  private def forecastDiscountDef: QueryDef = QueryDef(
+    "q344_forecast_discount",
+    (s, dir) => {
+      import s.implicits._
+      val dcents = round($"l_discount" * 100).cast("long")
+      Tables.lineitem(s, dir)
+        .where($"l_shipdate" >= lit("1997-01-01").cast("date") &&
+          $"l_shipdate" < lit("1998-01-01").cast("date") &&
+          $"l_quantity" < 24.0)
+        .where(dcents.between(5L, 7L))
+        .agg(QueryDef.dsum($"l_extendedprice" * $"l_discount")
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""SELECT
+      |  ${QueryDef.dsumSql("l_extendedprice * l_discount")} AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1997-01-01'
+      |  AND l_shipdate < DATE '1998-01-01'
+      |  AND l_quantity < 24.0
+      |  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin))
 }
