@@ -1750,9 +1750,21 @@ object EventStream {
     val segs = readSegManifest(spark, storeP)
     if (segs.isEmpty) df
     else {
-      val covered = segs.values.flatten.toSeq.distinct
+      // covered batch ids compress to contiguous RANGES before entering
+      // the plan: folds take the oldest uncovered run, so coverage is one
+      // run (or a few, after a compactState interleaving) — the predicate
+      // stays O(ranges), not O(folded batches), over a stream's whole
+      // life. Live segment ids are already bounded at O(K·log_K N).
+      val covered = segs.values.flatten.toSeq.distinct.sorted
+      val ranges = covered.foldLeft(List.empty[(Long, Long)]) {
+        case ((lo, hi) :: tail, b) if b == hi + 1 => (lo, b) :: tail
+        case (acc, b) => (b, b) :: acc
+      }
+      val coveredPred = ranges
+        .map { case (lo, hi) => col("batch").between(lo, hi) }
+        .reduce(_ || _)
       val live = segs.keys.toSeq
-      df.where((col("batch") >= 0 && !col("batch").isin(covered: _*)) ||
+      df.where((col("batch") >= 0 && !coveredPred) ||
         col("batch") === -1L || col("batch").isin(live: _*))
     }
   }

@@ -104,6 +104,32 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("readTiered range-compressed coverage survives HOLES: unledgered " +
+      "batches inside the folded range stay visible as plain partitions") {
+    import graft.streaming.EventStream
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_tc_holes").toString + "/st"
+    (0 until 7).foreach { b =>
+      Seq((b.toLong, s"v$b")).toDF("id", "v")
+        .write.parquet(s"$store/batch=$b")
+    }
+    // ledger with a hole: 2 and 3 (and 6) are in flight. The two L1
+    // folds ({0,1} and {4,5}) cascade into ONE level-2 segment whose
+    // EXPLICIT covered set spans the hole — correctness never depends on
+    // contiguity because the manifest stores ids, and the read-side
+    // range compression derives (0-1),(4-5) from them.
+    EventStream.tierCompact(spark, store, Set(0L, 1L, 4L, 5L), 2)
+    val segs = EventStream.readSegManifest(spark, store)
+    assert(segs.values.flatten.toSet == Set(0L, 1L, 4L, 5L), segs.toString)
+    assert(!segs.values.flatten.toSet.contains(2L))
+    val live = EventStream.readTiered(spark, store)
+    assert(live.select($"id").as[Long].collect().sorted.toSeq ==
+      (0L until 7L), "hole coverage broke the live view")
+    Seq(2, 3, 6).foreach(b =>
+      assert(new java.io.File(s"$store/batch=$b").exists()))
+  }
+
   test("q336 semi-chain returns a supplier subset") {
     import spark.implicits._
     val out = SparkEntry.queries("q336_partsupp_semi_chain")(spark, dir)
