@@ -143,7 +143,7 @@ object Bench {
     // costs): one 2-row streaming window agg into a memory sink
     locally {
       import org.apache.spark.sql.functions._
-      val tmp = java.nio.file.Files.createTempDirectory("bench_warm").toString
+      val tmp = TempDirs.create(spark, "bench_warm")
       spark.range(2).selectExpr("timestamp_micros(id) as ts", "id as v")
         .write.parquet(s"$tmp/src")
       val warm = spark.readStream
@@ -202,7 +202,7 @@ object Bench {
     // parquet write + read-back; the probe directory is deleted after the
     // read-back, OUTSIDE the timed window, so ~14 probes per run leave
     // nothing behind.
-    val ioRoot = java.nio.file.Files.createTempDirectory("bench_iocal")
+    val ioRoot = TempDirs.createPath(spark, "bench_iocal")
     var ioSeq = 0
     def ioCalibrate(): Double = {
       ioSeq += 1
@@ -455,7 +455,7 @@ object Bench {
           // unadjudicable (r13's q36: retime 0.313s vs prev 3.203s said
           // nothing). Scoped per line: a knnedges replay keeps lshbands
           // warm, reproducing the line's original timed condition.
-          Substrates.invalidators.get(f.name).foreach(_(spark))
+          Substrates.invalidate(f.name, spark)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case _: Throwable => }
@@ -526,7 +526,7 @@ object Bench {
     val oraclePair: Option[String] =
       if (only.nonEmpty) None
       else try {
-        val odir = java.nio.file.Files.createTempDirectory("bench_oracle")
+        val odir = TempDirs.createPath(spark, "bench_oracle")
         def jq(s: String): String = "\"" + s.flatMap {
           case '"' => "\\\""
           case '\\' => "\\\\"
@@ -541,12 +541,14 @@ object Bench {
           .mkString("{", ",", "}")
         java.nio.file.Files.write(odir.resolve("oracle_sql.json"),
           osql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // default raised 120 → 900 for ONE round (r14, per the r13 judge's
-        // item 3): the rotating window stands at offset 153/331, and one
-        // widened round covers the remaining ~178-oracle tail so every
-        // query has a same-machine same-window pair. Drop back to 120
-        // once bench_queries.json's oracle_offset has wrapped past 331.
-        val budget = sys.env.getOrElse("SPARK_GRAFT_ORACLE_BUDGET", "900")
+        // Back to the steady-state 120 (r14 ADVICE): the one-round 900s
+        // widening served its purpose — r14's driver run covered offset
+        // 153 + n=230, wrapping the rotation past the tail, so every
+        // line now has a same-machine same-window DuckDB pair. The
+        // rotation keeps running at the normal budget as a drift
+        // tripwire; widen via SPARK_GRAFT_ORACLE_BUDGET when a full
+        // re-pair is ever wanted again.
+        val budget = sys.env.getOrElse("SPARK_GRAFT_ORACLE_BUDGET", "120")
         val pb = new ProcessBuilder("python3", "tools/oracle_bench.py",
           sfDir, odir.toString, "--budget", budget,
           "--offset", oracleOffset.toString)

@@ -94,23 +94,20 @@ object Substrates {
       (s => queries.TrainingDataQueries.invalidateTrained(app(s))))
 
   val invalidators: Map[String, SparkSession => Unit] =
-    substrateInvalidators ++
-    // session-cached protocol gates: the same blind spot as the
-    // substrate carriers (their replays returned the memoized frame, so
-    // a flag on them could never be adjudicated in-artifact) — drop the
-    // gate's cache so the retime re-runs the whole protocol (safe:
-    // every gate builds in fresh temp dirs; shared state is only ever
-    // copied before mutation)
-    (Seq("q314_variant_store", "q315_medallion_gate", "q316_variant_stream",
-      "q317_schema_evolution", "q318_permissive_load",
-      "q319_codec_roundtrip", "q321_stream_snapshot_diff",
-      "q323_bucketed_snapshot_diff", "q324_compaction_gate",
-      "q325_deletion_propagation", "q326_history_scrub",
-      "q327_snapshot_horizon", "q328_probe_reset_gate",
-      "q329_serving_merge_gate", "q330_tombstone_retire",
-      "q331_index_deletion")
-      .map(n => n -> ((s: SparkSession) =>
-        queries.ExtQueries.invalidateGate(n, app(s)))).toMap) +
-    ("q337_tiered_dedup_stream" -> ((s: SparkSession) =>
-      queries.DedupQueries.invalidateTieredGate(app(s))))
+    substrateInvalidators
+
+  /** TOTAL per-line invalidation dispatch for the bench replay: the
+    * explicit substrate/trainer invalidators above, plus EVERY
+    * session-cached protocol gate via [[SessionCaches]] — gates register
+    * there by constructing their cache, so a new cached gate is covered
+    * the moment it exists, with no second hand-maintained list to forget
+    * (r14 ADVICE: the gate→cache map and the gate-name list here were
+    * parallel lists; a gate added to one but not the other silently
+    * reverted to the unadjudicable-flag blind spot). Unknown names are a
+    * no-op, so the replay can call this for any flagged line.
+    */
+  def invalidate(name: String, s: SparkSession): Unit = {
+    substrateInvalidators.get(name).foreach(_(s))
+    SessionCaches.invalidate(name, app(s))
+  }
 }

