@@ -426,6 +426,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(smj.contains("salt"), smj)
   }
 
+  test("q345 skew kill-test: SortMergeJoin keyed on (skew_key, salt) — " +
+      "the salt is in the shuffle keys, so the 1000x-hot key spreads") {
+    val p = planOf("q345_skew_kill")
+    assert(p.contains("SortMergeJoin"), p.take(1600))
+    val smj = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
+    assert(smj.contains("skew_key") && smj.contains("salt"), smj)
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("q167 priority sample: top-101 via TakeOrderedAndProject heaps") {
     val p = planOf("q167_priority_sample")
     assert(p.contains("TakeOrderedAndProject"), p.take(1600))
