@@ -47,4 +47,22 @@ object QueryDef {
   /** Oracle-side twin of [[tavg]]. */
   def tavgSql(expr: String): String =
     s"(CAST(SUM(CAST(floor(($expr) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) / COUNT($expr)"
+
+  /** Tie-FREE round to 9 decimals: floor(x·1e9 + 0.5)/1e9 — the same three
+    * IEEE operations in both engines, so a value landing exactly on a .5
+    * boundary rounds identically (up) on both sides. `round(x, 9)` is NOT
+    * tie-free across engines: Spark rounds the shortest-decimal
+    * representation HALF_UP while DuckDB rounds the binary value, and a
+    * mean that lands on a half-way point (first observed on the locally
+    * generated round-15 scale fixture: q124's mean_quality at
+    * 0.5366666665) diverges in the 9th decimal. Use this for any NEW
+    * rounded output; existing `round(_, 9)` sites are tie-latent but
+    * hash-stable on the driver fixture.
+    */
+  def r9(c: Column): Column =
+    floor(c * lit(1e9) + lit(0.5)).cast("double") / lit(1e9)
+
+  /** Oracle-side twin of [[r9]]. */
+  def r9Sql(expr: String): String =
+    s"(CAST(floor(($expr) * 1e9 + 0.5) AS DOUBLE) / 1e9)"
 }

@@ -193,11 +193,24 @@ object ExtQueries {
           case _                => $"ts"
         }
         // the file stream source wants a DIRECTORY of arriving files —
-        // stage the fixture behind a symlink in a temp dir
+        // stage the fixture behind symlinks in a temp dir. The driver
+        // fixture is a single file; a locally generated scale fixture
+        // (graft.DataGen) is a multi-file DIRECTORY, and FileStreamSource
+        // does not recurse into a linked subdirectory — stage each part
+        // file as its own arriving file (caught on the r15 gen fixture:
+        // the single-symlink staging streamed zero rows)
         val srcDir = TempDirs.createPath(s, "q54_events")
-        java.nio.file.Files.createSymbolicLink(
-          srcDir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+        if (java.nio.file.Files.isDirectory(src)) {
+          val parts = java.nio.file.Files.list(src)
+          try parts.filter(_.getFileName.toString.endsWith(".parquet"))
+            .forEach(p => java.nio.file.Files.createSymbolicLink(
+              srcDir.resolve(p.getFileName.toString), p))
+          finally parts.close()
+        } else {
+          java.nio.file.Files.createSymbolicLink(
+            srcDir.resolve("events.parquet"), src)
+        }
         val agg = s.readStream.schema(schema).parquet(srcDir.toString)
           .withColumn("ts", rebuild)
           .withWatermark("ts", "2 hours")

@@ -1369,7 +1369,7 @@ object OpsQueries {
         |f AS (
         |  SELECT user_id, ts,
         |    SUM(CASE WHEN prev_ts IS NULL
-        |      OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS session_no

@@ -982,9 +982,12 @@ object TextQueries {
           .groupBy($"source", $"split")
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_tokens").as("n_tokens"),
-            round(sum($"n_tokens").cast("double") /
-              count(lit(1)).cast("double"), 9).as("mean_tokens"),
-            round(QueryDef.tavg($"quality"), 9).as("mean_quality"))
+            // r9, not round(_, 9): the per-stratum means can land on a
+            // .5×1e-9 boundary (seen on the r15 scale fixture), where
+            // round's Spark/DuckDB tie semantics diverge
+            QueryDef.r9(sum($"n_tokens").cast("double") /
+              count(lit(1)).cast("double")).as("mean_tokens"),
+            QueryDef.r9(QueryDef.tavg($"quality")).as("mean_quality"))
       },
       Some(s"""WITH t AS (
         |  SELECT doc_id, source, text, CAST(length(text) AS DOUBLE) AS len,
@@ -1006,9 +1009,9 @@ object TextQueries {
         |  FROM t)
         |SELECT source, split, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-        |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+        |  ${QueryDef.r9Sql("CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
         |    AS mean_tokens,
-        |  ROUND(${QueryDef.tavgSql("quality")}, 9) AS mean_quality
+        |  ${QueryDef.r9Sql(QueryDef.tavgSql("quality"))} AS mean_quality
         |FROM r GROUP BY 1, 2""".stripMargin)),
 
     // ── Effective dataset size: per-source raw vs post-dedup token

@@ -16,7 +16,7 @@ N mod len (wrapping) — the bench advances the offset each round so the
 budgeted window accumulates coverage over the whole suite across rounds
 (the heavy q7x+ tail included) instead of re-measuring q01-q5x forever.
 """
-import sys, json, time, threading
+import sys, json, time, threading, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -36,7 +36,12 @@ def qnum(name):
 def main(sfdir, outdir, budget=None, offset=0):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver fixtures are single files; locally generated scale fixtures
+        # (graft.DataGen) are multi-file directories -- glob those
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     ordered = sorted(oracle.items(), key=lambda kv: (qnum(kv[0]), kv[0]))
     if ordered and offset:

@@ -5,7 +5,7 @@ Verify, sort columns by name + rows by value, and compare.
 
 Usage: python3 tools/selfcheck.py <sfdir> <verify_outdir>
 """
-import sys, json, math
+import sys, json, math, os
 import duckdb
 import pandas as pd
 
@@ -54,7 +54,12 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame):
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver fixtures are single files; locally generated scale fixtures
+        # (graft.DataGen) are multi-file directories -- glob those
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = 0
     for name, sql in sorted(oracle.items()):
