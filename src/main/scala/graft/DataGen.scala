@@ -61,6 +61,11 @@ object DataGen {
 
   private def round2(x: Double): Double = math.rint(x * 100.0) / 100.0
 
+  // Timestamps are written as TIMESTAMP_NTZ to byte-match the driver
+  // fixture's parquet lineage (micros, isAdjustedToUTC=false); the
+  // session runs UTC so the cast from timestamp_micros is exact, and
+  // graft.Tables.events normalizes the NTZ lineage identically for both
+  // fixtures.
   // epoch micros for 1995-01-01T00:00:00Z / 2024-01-01T00:00:00Z
   private val Epoch1995Us = 788918400L * 1000000L
   private val DayUs = 86400L * 1000000L
@@ -203,7 +208,8 @@ object DataGen {
         orderPriorities(nextN(TOrd, id, 5, 5).toInt))
     }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
       "o_us", "o_orderpriority")
-      .withColumn("o_orderdate", expr("timestamp_micros(o_us)"))
+      .withColumn("o_orderdate",
+        expr("cast(timestamp_micros(o_us) as timestamp_ntz)"))
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
   }
@@ -226,7 +232,8 @@ object DataGen {
     }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax",
       "l_returnflag", "l_linestatus", "l_us")
-      .withColumn("l_shipdate", expr("timestamp_micros(l_us)"))
+      .withColumn("l_shipdate",
+        expr("cast(timestamp_micros(l_us) as timestamp_ntz)"))
       .drop("l_us")
   }
 
@@ -241,7 +248,7 @@ object DataGen {
         round2(-50.0 * math.log(math.max(unit(TEvt, id, 4), 1e-300))),
         s"""{"k": ${nextN(TEvt, id, 5, 100)}}""")
     }.toDF("event_id", "e_us", "user_id", "event_type", "value", "props")
-      .withColumn("ts", expr("timestamp_micros(e_us)"))
+      .withColumn("ts", expr("cast(timestamp_micros(e_us) as timestamp_ntz)"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
