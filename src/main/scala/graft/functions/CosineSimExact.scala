@@ -309,6 +309,10 @@ object GraftFunctions {
         exprs(4), exprs(5)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_min_eq",
+      exprs => SortedMinEq(exprs(0), exprs(1), exprs(2)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
       exprs => MinHashSig(exprs.head).toAggregateExpression(),
       "scala_udf")

@@ -157,6 +157,89 @@ object SparseDotLong {
       "sparse_dot", aToks, aWs, bToks, bWs)
 }
 
+/** Is `t` the FIRST common element of two sorted-ascending long arrays?
+  * The exactly-once emission predicate of the all-pairs similarity join
+  * (q211, round 15): a candidate pair surfacing on join term t is kept
+  * iff t is the RAREST shared indexed term, i.e. the first match of the
+  * two rarity-sorted prefix arrays. An early-exit sorted merge: the walk
+  * stops at the FIRST equality (usually within a handful of steps), vs
+  * `array_min(array_intersect(...))` which builds a hash set and scans
+  * both arrays fully per candidate — measured ~2x end-to-end on the
+  * candidate-mass-dominated gen-sf1 run (PLANS.md r15). Semantics are
+  * identical when t occurs in both arrays (the join guarantees it);
+  * rows where the arrays share nothing return false.
+  */
+case class SortedMinEq(a: Expression, b: Expression, t: Expression)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(a, b, t)
+
+  override def dataType: DataType = BooleanType
+
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(a, b).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }) && t.dataType == LongType
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "sorted_min_eq expects (array<bigint>, array<bigint>, bigint), " +
+          s"got ${children.map(_.dataType.catalogString).mkString(", ")}")
+  }
+
+  /** Unboxed kernel shared by interpreted eval and generated code. */
+  def kernel(at: ArrayData, bt: ArrayData, tv: Long): Boolean = {
+    val na = at.numElements()
+    val nb = bt.numElements()
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val x = at.getLong(i)
+      val y = bt.getLong(j)
+      if (x == y) return x == tv
+      else if (x < y) i += 1
+      else j += 1
+    }
+    false
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val av = a.eval(input)
+    val bv = b.eval(input)
+    val tv = t.eval(input)
+    if (av == null || bv == null || tv == null) return null
+    kernel(av.asInstanceOf[ArrayData], bv.asInstanceOf[ArrayData],
+      tv.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref =
+      ctx.addReferenceObj("sortedMinEq", this, classOf[SortedMinEq].getName)
+    val evs = children.map(_.genCode(ctx))
+    val anyNull = evs.map(_.isNull.toString).mkString(" || ")
+    ev.copy(code = code"""
+      |${evs.map(_.code).mkString("\n")}
+      |boolean ${ev.isNull} = $anyNull;
+      |boolean ${ev.value} = false;
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = $ref.kernel(${evs(0).value}, ${evs(1).value},
+      |    ${evs(2).value});
+      |}""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(a = newChildren(0), b = newChildren(1), t = newChildren(2))
+
+  override def prettyName: String = "sorted_min_eq"
+}
+
 /** Fused τ=0.8 cosine acceptance for the all-pairs join: sorted-merge
   * integer dot (as [[SparseDotLong]]) + the exact integer accept test
   * 25·dot² ≥ 16·na·nb in 128-bit BigInteger arithmetic + the 4-digit cos²

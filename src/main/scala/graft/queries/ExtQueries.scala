@@ -687,6 +687,90 @@ object ExtQueries {
         |  CROSS JOIN grid GROUP BY 1, 3)
         |SELECT * FROM dib UNION ALL SELECT * FROM mj""".stripMargin)),
 
+    // ── COMPRESSED audio decoding made REAL: G.711 µ-law (round 15,
+    //    extending the MJPEG pattern to the audio family). A MIXED corpus
+    //    alternates by doc-id parity: even docs carry q302's PCM16 WAV
+    //    profile, odd docs a WAV with format tag 7 whose data bytes ARE
+    //    µ-law codewords ((id·7 + 13·i) mod 256 — every byte value is a
+    //    valid code, so the stream exercises the full decode table
+    //    including both signs). [[Multimodal.decodeAudioCodec]] routes
+    //    the compressed profile through javax.sound's REAL ULAW→PCM
+    //    service-provider conversion — the telephony codec an actual
+    //    voice corpus hits — and reports exact integer sample stats plus
+    //    the codec name. The oracle replays the G.711 closed form
+    //    (sign·((((man<<3)+132)<<exp)−132), verified bit-identical to
+    //    the JDK table for all 256 codes in Round15Spec) in SQL integer
+    //    arithmetic, so the gate is hash-EXACT — no tolerance band
+    //    needed, unlike the lossy JPEG path. Scale shape: encode and
+    //    decode are one partition-wise pass each, payloads never
+    //    shuffle, one stats row per doc leaves the scan.
+    QueryDef(
+      "q348_ulaw_audio",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              if (id % 2 == 0) {
+                val n = 64
+                val pcm = new Array[Byte](2 * n)
+                var i = 0
+                while (i < n) {
+                  val v = (((id * 31L + 17L * i) % 65536L) - 32768L).toInt
+                  pcm(2 * i) = (v & 0xFF).toByte
+                  pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+                  i += 1
+                }
+                val fmt = new javax.sound.sampled.AudioFormat(
+                  8000f, 16, 1, true, false)
+                val ain = new javax.sound.sampled.AudioInputStream(
+                  new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+                val out = new java.io.ByteArrayOutputStream()
+                javax.sound.sampled.AudioSystem.write(ain,
+                  javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+                (id, out.toByteArray)
+              } else {
+                val codes = Array.tabulate(128)(i =>
+                  ((id * 7L + 13L * i) % 256L).toByte)
+                (id, Multimodal.encodeWavUlaw(8000, codes))
+              }
+            }
+          }
+          .toDF("media_id", "payload")
+        Multimodal.decodeAudioCodec(payloads, "media_id", "payload")
+          .select($"media_id".as("doc_id"), $"codec", $"sample_rate",
+            $"n_samples", $"s_min", $"s_max", $"s_sum")
+      },
+      Some("""WITH pcm AS (
+        |  SELECT doc_id, 'pcm' AS codec, CAST(8000 AS INT) AS sample_rate,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(MIN(s) AS BIGINT) AS s_min,
+        |    CAST(MAX(s) AS BIGINT) AS s_max,
+        |    CAST(SUM(s) AS BIGINT) AS s_sum
+        |  FROM (
+        |    SELECT doc_id, (doc_id * 31 + 17 * i) % 65536 - 32768 AS s
+        |    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+        |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i))
+        |  GROUP BY 1),
+        |ucode AS (
+        |  SELECT doc_id, 255 - CAST((doc_id * 7 + 13 * i) % 256 AS INT) AS c
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS i)),
+        |udec AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN c >= 128 THEN -1 ELSE 1 END)
+        |      * ((((c % 16) * 8 + 132) << ((c // 16) % 8)) - 132) AS s
+        |  FROM ucode),
+        |ul AS (
+        |  SELECT doc_id, 'ulaw' AS codec, CAST(8000 AS INT) AS sample_rate,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(MIN(s) AS BIGINT) AS s_min,
+        |    CAST(MAX(s) AS BIGINT) AS s_max,
+        |    CAST(SUM(s) AS BIGINT) AS s_sum
+        |  FROM udec GROUP BY 1)
+        |SELECT * FROM pcm UNION ALL SELECT * FROM ul""".stripMargin)),
+
     // ── IMAGE near-dup via perceptual hash — the multimodal dedup op,
     //    composing the REAL codec path with the banded-LSH shape the text
     //    dedup family uses: per doc an 8×8 PNG is synthesized whose 2×2

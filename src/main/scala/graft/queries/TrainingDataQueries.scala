@@ -608,6 +608,89 @@ object TrainingDataQueries {
         |  COUNT(DISTINCT doc_a) AS n_docs_a
         |FROM hd GROUP BY 1""".stripMargin)),
 
+    // ── CAPPED band index — the at-scale dial q59's exact-recall contract
+    //    can't take, shipped as its own op (round 15; the gensf1 scaling
+    //    run measured q59's TRUE answer at 224.8M pairs for 50k docs —
+    //    answer-bound quadratic growth this fixture plants by
+    //    construction). The dedup DECISION ("does an EARLIER similar doc
+    //    exist, and who is my keeper?") doesn't need the full pair set:
+    //    each (band_id, band_val) bucket keeps only its C=64 LOWEST
+    //    doc_ids as index members (keepers are by definition early ids —
+    //    q34/q46's keeper rule), every doc probes its 4 band values, and
+    //    verification is popcount over the carried signatures. Two
+    //    structural wins: (1) per-doc candidates are ≤ 4·C regardless of
+    //    occupancy, so total work is LINEAR in the corpus — measured
+    //    0.23 / 0.28 / 0.23 s warm at gen-sf0.01/0.1/1 (signatures ride
+    //    q59's session substrate) vs exact q59's 1.24 / 2.81 / 47.3 s
+    //    on the same windows; (2) the whole index is ≤ bands·256·C = 65,536
+    //    rows AT ANY CORPUS SIZE, a constant — so it BROADCASTS and the
+    //    probe side never shuffles (plan-pinned: one BroadcastHashJoin,
+    //    no Exchange before it). Output is one row per doc (dropped +
+    //    keeper), never a pair stream. The recall trade is explicit and
+    //    deterministic: a doc whose nearest earlier neighbor is outside
+    //    the 64 earliest in all 4 shared buckets keeps itself — the
+    //    miss path a production dedup accepts for bounded cost; the
+    //    oracle replays the identical capped algorithm, so correctness
+    //    is still rows+schema+hash-exact.
+    QueryDef(
+      "q347_capped_band_index",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = Dedup.simhashCached(
+          Tables.documents(s, dir), dir, "doc_id", "text").localCheckpoint()
+        val bandCols = (0 until SimhashBands).map { bnd =>
+          struct(lit(bnd).as("band_id"),
+            shiftright($"simhash", bnd * 8).bitwiseAND(255).as("band_val"))
+        }
+        val bands = sigs
+          .select($"doc_id", $"simhash", explode(array(bandCols: _*)).as("band"))
+          .select($"doc_id", $"simhash", $"band.band_id", $"band.band_val")
+        // index: the 64 earliest docs per bucket — ≤ 65,536 rows total at
+        // any corpus size, so the explicit broadcast is provably bounded
+        val byBucket = Window.partitionBy($"band_id", $"band_val")
+          .orderBy($"doc_id")
+        val idx = bands
+          .withColumn("rn", row_number().over(byBucket))
+          .where($"rn" <= 64)
+          .select($"doc_id".as("doc_b"), $"simhash".as("sig_b"),
+            $"band_id", $"band_val")
+        val verified = bands
+          .select($"doc_id".as("doc_a"), $"simhash".as("sig_a"),
+            $"band_id", $"band_val")
+          .join(broadcast(idx), Seq("band_id", "band_val"))
+          .where($"doc_b" < $"doc_a" &&
+            bit_count($"sig_a".bitwiseXOR($"sig_b")) <= 3)
+          // min over the (possibly multi-band-duplicated) candidate
+          // stream — no DISTINCT exchange needed for a min
+          .groupBy($"doc_a").agg(min($"doc_b").as("keeper_doc_id"))
+        sigs.select($"doc_id")
+          .join(verified.withColumnRenamed("doc_a", "doc_id"),
+            Seq("doc_id"), "left")
+          .select($"doc_id", $"keeper_doc_id".isNotNull.as("dropped"),
+            $"keeper_doc_id")
+      },
+      Some(s"""WITH $simhashSigCte,
+        |bands AS (
+        |  SELECT doc_id, simhash, band_id,
+        |    (simhash >> (band_id * 8)) & 255 AS band_val
+        |  FROM sig CROSS JOIN
+        |    (SELECT unnest(generate_series(0, ${SimhashBands - 1})) AS band_id)),
+        |idx AS (
+        |  SELECT doc_id AS doc_b, simhash AS sig_b, band_id, band_val
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY band_id, band_val
+        |      ORDER BY doc_id) AS rn FROM bands)
+        |  WHERE rn <= 64),
+        |verified AS (
+        |  SELECT p.doc_id, MIN(i.doc_b) AS keeper_doc_id
+        |  FROM bands p JOIN idx i
+        |    ON i.band_id = p.band_id AND i.band_val = p.band_val
+        |      AND i.doc_b < p.doc_id
+        |  WHERE bit_count(xor(p.simhash, i.sig_b)) <= 3
+        |  GROUP BY 1)
+        |SELECT s.doc_id, v.keeper_doc_id IS NOT NULL AS dropped,
+        |  v.keeper_doc_id
+        |FROM sig s LEFT JOIN verified v ON v.doc_id = s.doc_id""".stripMargin)),
+
     // ── Epoch planning — q69's other half: q69 DOWN-samples sources whose
     //    temperature-weighted budget is below their available tokens; this
     //    computes the repeat schedule for sources whose budget EXCEEDS

@@ -435,6 +435,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("q347 capped band index: the constant-size (<=65,536-row) index " +
+      "broadcasts — probe side joins via BroadcastHashJoin, no SMJ") {
+    val p = planOf("q347_capped_band_index")
+    assert(p.contains("BroadcastHashJoin"), p.take(1600))
+    // the candidate join must NOT degrade to a shuffle join: the index
+    // is bounded by bands*256*cap rows at ANY corpus size
+    val cand = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(!cand.exists(_.contains("band_val")), cand.mkString("\n"))
+  }
+
   test("q167 priority sample: top-101 via TakeOrderedAndProject heaps") {
     val p = planOf("q167_priority_sample")
     assert(p.contains("TakeOrderedAndProject"), p.take(1600))

@@ -198,6 +198,49 @@ class Round15Spec extends SparkSpec {
     assert(Multimodal.parseAviFrames(mj).isDefined)
   }
 
+  // ---- G.711 mu-law ----------------------------------------------------
+
+  test("ulawDecodeClosedForm is bit-identical to the JDK's ULAW->PCM " +
+      "codec for ALL 256 codewords (the q348 oracle's exactness premise)") {
+    import graft.ext.Multimodal
+    import javax.sound.sampled._
+    val codes = Array.tabulate(256)(_.toByte)
+    val wav = Multimodal.encodeWavUlaw(8000, codes)
+    val ain = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ain.getFormat.getEncoding == AudioFormat.Encoding.ULAW)
+    val pcm = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false), ain)
+    val raw = pcm.readAllBytes()
+    assert(raw.length == 512)
+    for (code <- 0 until 256) {
+      val lo = java.lang.Byte.toUnsignedInt(raw(2 * code))
+      val hi = java.lang.Byte.toUnsignedInt(raw(2 * code + 1))
+      val jdk = ((hi << 8) | lo).toShort.toInt
+      assert(jdk == Multimodal.ulawDecodeClosedForm(code),
+        s"code=$code jdk=$jdk closed=${Multimodal.ulawDecodeClosedForm(code)}")
+    }
+  }
+
+  test("decodeAudioCodec: mixed pcm/ulaw corpus decodes with codec " +
+      "labels; non-audio payloads are DATA (decodable=false)") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    val rows = Seq(
+      (1L, Multimodal.encodeWavUlaw(8000,
+        Array.tabulate(16)(i => (i * 16).toByte))),
+      (2L, "not audio at all".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.decodeAudioCodec(rows, "media_id", "payload")
+      .orderBy("media_id").collect()
+    assert(out(0).getBoolean(1) && out(0).getString(2) == "ulaw" &&
+      out(0).getLong(4) == 16L)
+    val expectSum = (0 until 16).map(i =>
+      Multimodal.ulawDecodeClosedForm(i * 16).toLong).sum
+    assert(out(0).getLong(7) == expectSum)
+    assert(!out(1).getBoolean(1) && out(1).getString(2) == "none")
+  }
+
   // ---- q345 straggler bound -------------------------------------------
 
   test("q345: the hot key is >=500x the average cold key, and the salt " +
