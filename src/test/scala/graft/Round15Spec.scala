@@ -198,6 +198,42 @@ class Round15Spec extends SparkSpec {
     assert(Multimodal.parseAviFrames(mj).isDefined)
   }
 
+  // ---- sorted_min_eq (q211's exactly-once emission kernel) -------------
+
+  test("sorted_min_eq: first common element of sorted arrays, empty/" +
+      "disjoint -> false, null -> null, interpreted == codegen") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      // (a, b, t, expected): first common is 5
+      (Seq(1L, 5L, 9L), Seq(2L, 5L, 9L), 5L, Some(true)),
+      (Seq(1L, 5L, 9L), Seq(2L, 5L, 9L), 9L, Some(false)),
+      // common at the heads
+      (Seq(3L, 7L), Seq(3L, 8L), 3L, Some(true)),
+      // disjoint
+      (Seq(1L, 2L), Seq(3L, 4L), 1L, Some(false)),
+      // empty side
+      (Seq.empty[Long], Seq(1L), 1L, Some(false)))
+    val df = rows.map(r => (r._1, r._2, r._3)).toDF("a", "b", "t")
+    val got = df.selectExpr("sorted_min_eq(a, b, t)").as[Boolean].collect()
+    assert(got.toSeq == rows.map(_._4.get))
+    // null propagates
+    val n = spark.sql(
+      "SELECT sorted_min_eq(CAST(NULL AS ARRAY<BIGINT>), array(1L), 1L)")
+      .collect()(0)
+    assert(n.isNullAt(0))
+    // interpreted eval agrees with the codegen'd path
+    val e = graft.functions.SortedMinEq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1L, 5L, 9L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2L, 5L, 9L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal(5L))
+    assert(e.eval(null) == true)
+  }
+
   // ---- G.711 mu-law ----------------------------------------------------
 
   test("ulawDecodeClosedForm is bit-identical to the JDK's ULAW->PCM " +
