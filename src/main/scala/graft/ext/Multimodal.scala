@@ -236,6 +236,29 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** [[encodeWavUlaw]]'s A-law twin: WAV format tag 6 (G.711 A-law). */
+  def encodeWavAlaw(rate: Int, codes: Array[Byte]): Array[Byte] = {
+    val b = encodeWavUlaw(rate, codes)
+    b(20) = 6 // little-endian format tag: MULAW(7) -> ALAW(6)
+    b
+  }
+
+  /** The G.711 A-law decode closed form — bit-identical to the JDK's
+    * `AlawCodec` table (verified for all 256 codes in Round15Spec): with
+    * c = code XOR 0x55, sign POSITIVE when bit 7 is set (A-law flips the
+    * µ-law convention), exp = bits 4-6, man = bits 0-3: magnitude is
+    * (man<<4)+8 in the linear segment (exp 0), else
+    * ((man<<4)+264) << (exp−1).
+    */
+  def alawDecodeClosedForm(code: Int): Int = {
+    val c = (code ^ 0x55) & 0xFF
+    val sign = if ((c & 0x80) != 0) 1 else -1
+    val exp = (c >> 4) & 7
+    val man = c & 0x0F
+    val mag = if (exp == 0) (man << 4) + 8 else ((man << 4) + 264) << (exp - 1)
+    sign * mag
+  }
+
   /** The G.711 µ-law decode closed form — bit-identical to the JDK's
     * `UlawCodec` table (verified against all 256 codes in Round15Spec):
     * with c = ~code, sign from bit 7, exp = bits 4-6, man = bits 0-3:

@@ -259,6 +259,39 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("alawDecodeClosedForm is bit-identical to the JDK's ALAW->PCM " +
+      "codec for ALL 256 codewords, and decodeAudioCodec takes the " +
+      "alaw branch") {
+    import graft.ext.Multimodal
+    import javax.sound.sampled._
+    val codes = Array.tabulate(256)(_.toByte)
+    val wav = Multimodal.encodeWavAlaw(8000, codes)
+    val ain = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ain.getFormat.getEncoding == AudioFormat.Encoding.ALAW)
+    val pcm = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false), ain)
+    val raw = pcm.readAllBytes()
+    assert(raw.length == 512)
+    for (code <- 0 until 256) {
+      val lo = java.lang.Byte.toUnsignedInt(raw(2 * code))
+      val hi = java.lang.Byte.toUnsignedInt(raw(2 * code + 1))
+      val jdk = ((hi << 8) | lo).toShort.toInt
+      assert(jdk == Multimodal.alawDecodeClosedForm(code),
+        s"code=$code jdk=$jdk closed=${Multimodal.alawDecodeClosedForm(code)}")
+    }
+    import spark.implicits._
+    val rows = Seq((1L, wav)).toDF("media_id", "payload")
+    val out = Multimodal.decodeAudioCodec(rows, "media_id", "payload")
+      .collect()(0)
+    assert(out.getBoolean(1) && out.getString(2) == "alaw" &&
+      out.getLong(4) == 256L)
+    val expectSum = (0 until 256).map(c =>
+      Multimodal.alawDecodeClosedForm(c).toLong).sum
+    assert(out.getLong(7) == expectSum)
+  }
+
   test("decodeAudioCodec: mixed pcm/ulaw corpus decodes with codec " +
       "labels; non-audio payloads are DATA (decodable=false)") {
     import spark.implicits._
