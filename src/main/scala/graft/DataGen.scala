@@ -299,6 +299,11 @@ object DataGen {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned: the NTZ timestamp lineage (timestamp_micros -> NTZ cast at
+      // the Epoch constants) is exact only under a UTC session — without
+      // this a non-UTC host shifts every generated timestamp by its zone
+      // offset and silently breaks driver-fixture byte parity
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

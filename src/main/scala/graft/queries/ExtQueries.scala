@@ -771,6 +771,201 @@ object ExtQueries {
         |  FROM udec GROUP BY 1)
         |SELECT * FROM pcm UNION ALL SELECT * FROM ul""".stripMargin)),
 
+    // ── G.711 A-law gated end-to-end (round 16 — the one multimodal
+    //    branch q348 left spec-pinned but not CORRECTNESS-gated): a mixed
+    //    telephony corpus alternates the two G.711 companding laws by
+    //    doc-id parity — even docs carry WAV format tag 6 (A-law), odd
+    //    docs tag 7 (µ-law), each stream's bytes sweeping all 256
+    //    codewords ((id·11 + 29·i) resp. (id·5 + 19·i) mod 256).
+    //    [[Multimodal.decodeAudioCodec]] routes BOTH through javax
+    //    .sound's real service-provider codec chain and reports exact
+    //    integer sample stats + the codec name, so the query doubles as
+    //    the codec-composition audit a mixed voice corpus needs. The
+    //    oracle replays the two closed forms in SQL integer arithmetic —
+    //    A-law: c = code XOR 0x55, sign POSITIVE on bit 7 (A-law flips
+    //    µ-law's convention), mag = (man·16+8) in the linear segment
+    //    else (man·16+264)·2^(exp−1); µ-law as q348 — both pinned
+    //    bit-identical to the JDK tables for all 256 codes in
+    //    Round15Spec, so the gate is hash-EXACT. Scale shape identical
+    //    to q348: one partition-wise encode pass, one decode pass,
+    //    payloads never shuffle, one stats row per doc leaves the scan.
+    QueryDef(
+      "q349_alaw_audio",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id")
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              if (id % 2 == 0) {
+                val codes = Array.tabulate(128)(i =>
+                  ((id * 11L + 29L * i) % 256L).toByte)
+                (id, Multimodal.encodeWavAlaw(8000, codes))
+              } else {
+                val codes = Array.tabulate(128)(i =>
+                  ((id * 5L + 19L * i) % 256L).toByte)
+                (id, Multimodal.encodeWavUlaw(8000, codes))
+              }
+            }
+          }
+          .toDF("media_id", "payload")
+        Multimodal.decodeAudioCodec(payloads, "media_id", "payload")
+          .select($"media_id".as("doc_id"), $"codec", $"sample_rate",
+            $"n_samples", $"s_min", $"s_max", $"s_sum")
+      },
+      Some("""WITH acode AS (
+        |  SELECT doc_id,
+        |    xor(CAST((doc_id * 11 + 29 * i) % 256 AS INT), 85) AS c
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS i)),
+        |adec AS (
+        |  SELECT doc_id, (CASE WHEN c >= 128 THEN 1 ELSE -1 END)
+        |    * (CASE WHEN ((c // 16) % 8) = 0 THEN (c % 16) * 16 + 8
+        |       ELSE ((c % 16) * 16 + 264) << (((c // 16) % 8) - 1)
+        |       END) AS s
+        |  FROM acode),
+        |al AS (
+        |  SELECT doc_id, 'alaw' AS codec, CAST(8000 AS INT) AS sample_rate,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(MIN(s) AS BIGINT) AS s_min,
+        |    CAST(MAX(s) AS BIGINT) AS s_max,
+        |    CAST(SUM(s) AS BIGINT) AS s_sum
+        |  FROM adec GROUP BY 1),
+        |ucode AS (
+        |  SELECT doc_id, 255 - CAST((doc_id * 5 + 19 * i) % 256 AS INT) AS c
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS i)),
+        |udec AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN c >= 128 THEN -1 ELSE 1 END)
+        |      * ((((c % 16) * 8 + 132) << ((c // 16) % 8)) - 132) AS s
+        |  FROM ucode),
+        |ul AS (
+        |  SELECT doc_id, 'ulaw' AS codec, CAST(8000 AS INT) AS sample_rate,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(MIN(s) AS BIGINT) AS s_min,
+        |    CAST(MAX(s) AS BIGINT) AS s_max,
+        |    CAST(SUM(s) AS BIGINT) AS s_sum
+        |  FROM udec GROUP BY 1)
+        |SELECT * FROM al UNION ALL SELECT * FROM ul""".stripMargin)),
+
+    // ── The CAPPED-index streaming fp maintainer in the correctness gate
+    //    (round 16 — the r15 verdict's "wire q347's flat index into the
+    //    delta-dedup maintainer" item, gated the q337 way). 360 docs of
+    //    the q308/q312 perceptual fixture (groups of 4 near-identical
+    //    images ⇒ shared dHash band buckets) arrive in 4 doc_id-ordered
+    //    waves through [[graft.streaming.EventStream
+    //    .fpDedupMaintainCapped]] with capC = 2: the in-group sharing
+    //    saturates buckets past the cap, so BOTH candidate paths run —
+    //    the bounded capped-index probe for quiet buckets and the
+    //    tiered-store fall-through for saturated ones (the gate
+    //    `require`s observed saturation AND the capC member bound AND
+    //    the q337 cascade layout, so a silently-degenerate run fails
+    //    loudly). The ORACLE replays the plain UNCAPPED global dedup
+    //    closed form — best earlier match among band-sharing docs at
+    //    Hamming ≤ 4 — so the hash-exact match IS the proof that the
+    //    capped maintainer's keeper decisions are identical to the
+    //    uncapped semantics (the fall-through makes the cap a pure cost
+    //    dial, never a recall dial); Round16Spec proves the same
+    //    equality maintainer-vs-maintainer under out-of-order arrival.
+    //    Runs once per session (the q316/q337 pattern).
+    QueryDef(
+      "q350_capped_fp_stream",
+      (s, dir) => cappedFpStreamCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, dir), {
+          import s.implicits._
+          val fps = phashSubstrateCached(s, dir)
+            .select($"doc_id", $"dhash".as("fp"))
+            .where($"doc_id" < 360)
+          val ddir = TempDirs.create(s, "graft_capfp") + "/fps"
+          val statePath = TempDirs.create(s, "graft_capfp_st") + "/state"
+          val cp = TempDirs.create(s, "graft_capfp_cp") + "/cp"
+          var fin: org.apache.spark.sql.DataFrame = null
+          (0 until 4).foreach { w =>
+            fps.where($"doc_id" >= w * 90 && $"doc_id" < (w + 1) * 90)
+              .coalesce(1).write.mode("append").parquet(ddir)
+            fin = graft.streaming.EventStream.fpDedupMaintainCapped(s,
+              s.readStream.schema(s.read.parquet(ddir).schema)
+                .option("maxFilesPerTrigger", "1").parquet(ddir),
+              statePath, radius = 4, fpBits = 24, capC = 2, tierK = 2,
+              checkpoint = Some(cp))
+          }
+          fin = fin.localCheckpoint()
+          // the tiered layout folded to the predicted cascade (q337's
+          // requirement, same schedule: {0,1}→L1, {2,3}→L1, cascade→L2)
+          val live = new java.io.File(statePath + "/fps").listFiles
+            .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+          require(live.size == 1 &&
+            live.head.stripPrefix("batch=").toLong < -1L,
+            s"q350: expected one cascaded level-2 segment, got $live")
+          // the capped index is bounded AND saturated: <= capC members
+          // per bucket, and some bucket count exceeds capC so the
+          // fall-through path genuinely ran
+          val cells = s.read.parquet(statePath + "/capcommit/cells")
+            .groupBy($"band_id", $"band_key")
+            .agg(count(lit(1)).as("members"), max($"bucket_n").as("n"))
+            .localCheckpoint()
+          val overCap = cells.where($"members" > 2).count()
+          val saturated = cells.where($"n" > 2).count()
+          require(overCap == 0L,
+            s"q350: capped index exceeded capC in $overCap buckets")
+          require(saturated > 0L,
+            "q350: fixture failed to saturate any bucket — the " +
+              "fall-through path was never exercised")
+          fin.select($"doc_id", $"batch_id", $"is_dup",
+            $"best_match", $"best_hamming")
+        }),
+      Some("""WITH cells AS (
+        |  SELECT doc_id, cx, cy,
+        |    ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_'
+        |        || CAST(cx AS VARCHAR) || '_' || CAST(cy AS VARCHAR)),
+        |      1, 4))::INT % 200
+        |      + CASE WHEN cy = 3 THEN 13 * (doc_id % 4) ELSE 0 END AS luma
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 360)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cx)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cy)),
+        |hbits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.luma > b.luma
+        |      THEN (1::BIGINT << (a.cy * 3 + a.cx)) ELSE 0 END AS term
+        |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id
+        |    AND a.cy = b.cy AND b.cx = a.cx + 1),
+        |vbits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.luma > b.luma
+        |      THEN (1::BIGINT << (12 + a.cy * 4 + a.cx)) ELSE 0 END AS term
+        |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id
+        |    AND a.cx = b.cx AND b.cy = a.cy + 1),
+        |hashes AS (
+        |  SELECT doc_id, CAST(SUM(term) AS BIGINT) AS fp FROM (
+        |    SELECT * FROM hbits UNION ALL SELECT * FROM vbits)
+        |  GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_id, fp % 4096 AS band_key FROM hashes
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band_id, fp >> 12 AS band_key FROM hashes),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |      AND b.doc_id < a.doc_id),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+        |  FROM cand c JOIN hashes x ON c.doc_a = x.doc_id
+        |    JOIN hashes y ON c.doc_b = y.doc_id
+        |  WHERE bit_count(xor(x.fp, y.fp)) <= 4),
+        |best AS (
+        |  SELECT doc_a, doc_b, hamming FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a
+        |      ORDER BY hamming ASC, doc_b ASC) AS rn
+        |    FROM ham) WHERE rn = 1)
+        |SELECT d.doc_id, d.doc_id // 90 AS batch_id,
+        |  (b.doc_a IS NOT NULL) AS is_dup,
+        |  b.doc_b AS best_match, b.hamming AS best_hamming
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 360) d
+        |LEFT JOIN best b ON d.doc_id = b.doc_a""".stripMargin)),
+
     // ── IMAGE near-dup via perceptual hash — the multimodal dedup op,
     //    composing the REAL codec path with the banded-LSH shape the text
     //    dedup family uses: per doc an 8×8 PNG is synthesized whose 2×2
@@ -2858,6 +3053,10 @@ object ExtQueries {
         |  CAST(0 AS BIGINT) AS n_deleted_candidates,
         |  CAST(0 AS BIGINT) AS n_deleted_neighbors""".stripMargin))
   )
+
+  /** Once-per-session capped-fp-maintainer gate run for q350. */
+  private val cappedFpStreamCache =
+    graft.SessionCaches.gate[org.apache.spark.sql.DataFrame]("q350_capped_fp_stream")
 
   /** Once-per-session index-deletion gate run for q331. */
   private val indexDeletionCache =

