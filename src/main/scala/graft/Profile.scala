@@ -56,6 +56,60 @@ object Profile {
         graft.ext.KMeans.trainCodebookParallel(emb, k = 64, iters = 3,
           onRound = (r, sec) => println(f"PROFILE   round $r%d: $sec%.3f s")))
       println(s"PROFILE   codebook|| rows: ${cbp.count()}")
+    } else if (args.contains("capfp")) {
+      // per-batch cost-shape probe for the capped-index fp maintainer
+      // (round 16): FIXED-size waves over a growing accumulated corpus,
+      // uncapped vs capped side by side. The uncapped maintainer re-reads
+      // and re-aggregates the full band population every wave, so its
+      // per-wave time grows with the accumulated index; the capped
+      // variant consults the bounded member state and falls through only
+      // for saturated buckets, so its per-wave time flattens. Fingerprint
+      // fixture: groups of 4 near-identical 24-bit fps (the q308 family's
+      // group structure) scattered pseudo-randomly across buckets.
+      // Knobs: SPARK_GRAFT_CAPFP_WAVES (default 10) x
+      // SPARK_GRAFT_CAPFP_WAVE_DOCS (default 5000).
+      import org.apache.spark.sql.functions._
+      val waves = sys.env.getOrElse("SPARK_GRAFT_CAPFP_WAVES", "10").toInt
+      val perWave =
+        sys.env.getOrElse("SPARK_GRAFT_CAPFP_WAVE_DOCS", "5000").toInt
+      val root = TempDirs.create(spark, "profile_capfp")
+      def fpsOf(w: Int) = spark.range(
+          w.toLong * perWave, (w + 1).toLong * perWave)
+        .select(col("id").as("doc_id"),
+          (((col("id") / 4) * 2654435761L) % (1L << 23) * 2
+            + (col("id") % 4) % 2).as("fp"))
+      Seq(
+        ("uncapped", (d: org.apache.spark.sql.DataFrame, st: String,
+            cp: String) => graft.streaming.EventStream.fpDedupMaintain(
+          spark, d, st, radius = 4, fpBits = 24, tierK = 8,
+          checkpoint = Some(cp))),
+        ("capped", (d: org.apache.spark.sql.DataFrame, st: String,
+            cp: String) =>
+          graft.streaming.EventStream.fpDedupMaintainCapped(
+            spark, d, st, radius = 4, fpBits = 24, capC = 64, tierK = 8,
+            checkpoint = Some(cp))),
+        ("capnofall", (d: org.apache.spark.sql.DataFrame, st: String,
+            cp: String) =>
+          graft.streaming.EventStream.fpDedupMaintainCapped(
+            spark, d, st, radius = 4, fpBits = 24, capC = 64, tierK = 8,
+            checkpoint = Some(cp), fallThrough = false))
+      ).foreach { case (tag, run) =>
+        val ddir = s"$root/$tag/fps"
+        val st = s"$root/$tag/state"
+        val cp = s"$root/$tag/cp"
+        (0 until waves).foreach { w =>
+          fpsOf(w).coalesce(1).write.mode("append").parquet(ddir)
+          val t0 = System.nanoTime()
+          val fin = run(spark.readStream
+            .schema(spark.read.parquet(ddir).schema)
+            .option("maxFilesPerTrigger", "1").parquet(ddir), st, cp)
+          val dt = (System.nanoTime() - t0) / 1e9
+          val n = fin.count()
+          println(f"PROFILE capfp $tag%-9s wave $w%2d " +
+            f"(corpus ${(w + 1) * perWave}%7d): $dt%7.3f s " +
+            f"(verdicts $n%d)")
+        }
+      }
     } else if (args.contains("pq")) {
       // scale probe for joint product-quantization training beyond the
       // gated m=2/k=4: m=8 8-dim subspaces, k=16, 2 Lloyd rounds — the

@@ -957,7 +957,8 @@ object EventStream {
   def fpDedupMaintainCapped(spark: SparkSession, docs: DataFrame,
       statePath: String, radius: Int = 4,
       maxBandBucket: Int = 100000, fpBits: Int = 32, capC: Int = 64,
-      tierK: Int = 8, checkpoint: Option[String] = None): DataFrame = {
+      tierK: Int = 8, checkpoint: Option[String] = None,
+      fallThrough: Boolean = true): DataFrame = {
     require(fpBits >= 2 && fpBits <= 62, s"fpBits must be 2..62, got $fpBits")
     require(capC >= 1, s"capC must be >= 1, got $capC")
     val loBits = fpBits / 2
@@ -1009,13 +1010,20 @@ object EventStream {
           // candidate-relevant buckets: touched by the delta, inside the
           // skew cap, able to pair — with the SATURATION flag that picks
           // the path. The whole frame is delta-keyed and tiny.
+          // `fallThrough = false` is the PURE q347 dial: saturated
+          // buckets are NOT re-probed against the full store — the delta
+          // pairs only with the capC earliest members, so per-batch cost
+          // is bounded by the keyspace·capC state size at ANY corpus
+          // (the deterministic bounded-recall trade q347 documents);
+          // with it on (default), saturated buckets fall through and
+          // verdicts are exactly the uncapped maintainer's.
           val keepB = dStats
             .join(oldStats, Seq("band_id", "band_key"), "left")
             .na.fill(0L, Seq("old_n"))
             .withColumn("tot_n", col("old_n") + col("d_n"))
             .where(col("tot_n") <= maxBandBucket && col("tot_n") >= 2)
             .select(col("band_id"), col("band_key"),
-              (col("old_n") > capC).as("sat"))
+              (lit(fallThrough) && col("old_n") > capC).as("sat"))
           val a = dBands.join(keepB, Seq("band_id", "band_key"))
             .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
               col("band_id"), col("band_key"), col("sat"))

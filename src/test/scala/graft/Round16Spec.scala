@@ -157,6 +157,59 @@ class Round16Spec extends SparkSpec {
       "capped index must stay within keyspace*capC")
   }
 
+  test("fpDedupMaintainCapped(fallThrough=false) is the pure q347 dial: " +
+      "duplicates found are a subset of the exact maintainer's, every " +
+      "reported match is a true radius-hit, and unsaturated buckets " +
+      "still resolve identically") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    val root = TempDirs.create(spark, "r16_capfp_nofall")
+    def fpOf(id: Long): Long = ((id / 3) * 37 % 128) * 2 + (id % 3) % 2
+    val waves = Seq(0L until 30L, 30L until 60L, 60L until 90L)
+    def run(tag: String, ft: Boolean)
+        : Map[Long, (Boolean, Option[Long], Option[Int])] = {
+      val ddir = s"$root/$tag/docs"
+      var fin: org.apache.spark.sql.DataFrame = null
+      waves.foreach { w =>
+        w.map(id => (id, fpOf(id))).toDF("doc_id", "fp")
+          .coalesce(1).write.mode("append").parquet(ddir)
+        fin = EventStream.fpDedupMaintainCapped(spark,
+          spark.readStream.schema(spark.read.parquet(ddir).schema)
+            .option("maxFilesPerTrigger", "1").parquet(ddir),
+          s"$root/$tag/state", radius = 2, fpBits = 8, capC = 2,
+          tierK = 0, checkpoint = Some(s"$root/$tag/cp"),
+          fallThrough = ft)
+      }
+      fin.collect().map { r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("is_dup"),
+          Option(r.getAs[java.lang.Long]("best_match")).map(_.toLong),
+          Option(r.getAs[java.lang.Integer]("best_hamming"))
+            .map(_.toInt)))
+      }.toMap
+    }
+    val exact = run("exact", ft = true)
+    val nofall = run("nofall", ft = false)
+    assert(exact.keySet == nofall.keySet)
+    // the dial can only MISS (skip saturated-bucket candidates), never
+    // invent: every nofall dup is an exact dup and its reported match is
+    // a genuine radius hit (hamming of the claimed pair <= 2)
+    nofall.foreach { case (id, (dup, m, h)) =>
+      if (dup) {
+        assert(exact(id)._1, s"doc $id: nofall dup but exact says unique")
+        assert(m.exists(b =>
+          java.lang.Long.bitCount(fpOf(id) ^ fpOf(b)) <= 2) &&
+          h.exists(_ <= 2),
+          s"doc $id: nofall reported a non-hit match $m")
+      }
+    }
+    // bounded state, and the fixture genuinely saturates (so the dial's
+    // skipped fall-through actually had something to skip)
+    val cells = spark.read.parquet(s"$root/nofall/state/capcommit/cells")
+    assert(cells.count() <= 2L * 16 * 2)
+    assert(cells.where($"bucket_n" > 2).limit(1).count() == 1L,
+      "fixture must saturate some bucket")
+  }
+
   // ---- q211: order-explicit tok_id mint -------------------------------
 
   test("q211 tok_id mint: zipWithIndex over the sorted vocab gives ids " +
