@@ -1985,7 +1985,15 @@ object AnalyticsQueries {
       import s.implicits._
       Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_partkey").distinct()
-        .localCheckpoint()
+        // SERIALIZED storage (r16): this substrate is corpus-proportional
+        // (distinct lineitem pairs — ~60M rows at gen-sf10), and default
+        // localCheckpoint unrolls DESERIALIZED UnsafeRow copies into the
+        // MemoryStore — 32 concurrent materializing tasks blew the 8 GiB
+        // heap at gen-sf10 (stack: Dataset.checkpoint → UnsafeRow.copy →
+        // putIteratorAsValues). MEMORY_AND_DISK_SER keeps the compact
+        // row bytes and spills gracefully; measured same-speed at sf0.1.
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     })
 
   private def coPurchaseDef: QueryDef = QueryDef(
@@ -2478,16 +2486,21 @@ object AnalyticsQueries {
       // RDD scan with UnknownPartitioning, so the clustering is NOT
       // preserved across the lineage cut and the self-join re-exchanges
       // anyway; measured a wash at sf0.1.)
+      // both substrates are corpus-proportional → SERIALIZED checkpoint
+      // storage (see orderPartCached's r16 note: deserialized unroll of
+      // default localCheckpoint OOM'd the 8 GiB heap at gen-sf10)
       val buyers = orderPartCached(s, dir)
         .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
           $"l_orderkey" === $"o_orderkey")
         .select($"l_partkey", $"o_custkey").distinct()
-        .localCheckpoint()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val bounded = buyers.join(
         buyers.groupBy($"l_partkey").agg(count(lit(1)).as("nb"))
           .where($"nb" <= RingGroupCap).select($"l_partkey"),
         "l_partkey")
-        .localCheckpoint()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val links = bounded.as("a").join(bounded.as("b"),
           $"a.l_partkey" === $"b.l_partkey" &&
             $"a.o_custkey" < $"b.o_custkey")
