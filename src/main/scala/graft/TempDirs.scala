@@ -82,6 +82,37 @@ object TempDirs {
     if (q != null) q.forEach(deleteRecursively)
   }
 
+  /** Register an externally-created dir under an arbitrary appId —
+    * TEST seam (no listener/shutdown wiring): the reclamation specs
+    * exercise purge semantics against a synthetic application so a
+    * destructive whole-app purge can never race the dirs of suites
+    * running in parallel under the real shared session.
+    */
+  private[graft] def registerFor(appId: String, p: Path): Unit = {
+    byApp.computeIfAbsent(appId,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Path]()).add(p)
+    ()
+  }
+
+  /** Delete (and deregister) only this app's dirs whose directory NAME
+    * starts with `prefix` — the scoped reclamation the gate-rebuild spec
+    * needs: it purges exactly one gate's dirs without touching temp
+    * state that concurrently-running suites still hold live.
+    */
+  private[graft] def purgeMatching(appId: String, prefix: String): Unit = {
+    val q = byApp.get(appId)
+    if (q != null) {
+      val it = q.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith(prefix)) {
+          it.remove()
+          deleteRecursively(p)
+        }
+      }
+    }
+  }
+
   private def deleteRecursively(root: Path): Unit =
     try {
       if (Files.exists(root)) {

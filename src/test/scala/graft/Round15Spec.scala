@@ -14,15 +14,27 @@ class Round15Spec extends SparkSpec {
 
   test("TempDirs: purge removes registered dirs recursively, is " +
       "idempotent, and is scoped to one applicationId") {
-    val app = spark.sparkContext.applicationId
-    val before = TempDirs.registered(app).size
-    val d1 = TempDirs.createPath(spark, "r15_tmp_a")
-    val d2 = TempDirs.createPath(spark, "r15_tmp_b")
+    // r16: runs against SYNTHETIC appIds, not the shared test session's
+    // — purge(app) is destructive and whole-app, so counting or purging
+    // the REAL app here raced every parallel suite that holds live temp
+    // state (observed: Round16Spec's maintainer state dirs deleted
+    // mid-test). The semantics under test (registration, recursive
+    // delete, idempotency, per-app scoping) are identical.
+    val app = s"r15-tempdirs-test-${System.nanoTime()}"
+    val other = app + "-other"
+    def mk(prefix: String, owner: String): java.nio.file.Path = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      TempDirs.registerFor(owner, p)
+      p
+    }
+    assert(TempDirs.registered(app).isEmpty)
+    val d1 = mk("r15_tmp_a", app)
+    val d2 = mk("r15_tmp_b", app)
     java.nio.file.Files.createDirectories(d1.resolve("nested/deep"))
     java.nio.file.Files.write(d1.resolve("nested/deep/x.bin"),
       Array[Byte](1, 2, 3))
     java.nio.file.Files.write(d2.resolve("y.txt"), "y".getBytes)
-    assert(TempDirs.registered(app).size == before + 2)
+    assert(TempDirs.registered(app).size == 2)
     TempDirs.purge(app)
     assert(!java.nio.file.Files.exists(d1) &&
       !java.nio.file.Files.exists(d2))
@@ -30,10 +42,10 @@ class Round15Spec extends SparkSpec {
     TempDirs.purge(app) // idempotent
     // scoping: dirs registered under a DIFFERENT app survive this
     // app's purge untouched (purge keys strictly on appId)
-    val d3 = TempDirs.createPath(spark, "r15_tmp_c")
-    TempDirs.purge("some-other-app")
-    assert(java.nio.file.Files.exists(d3))
+    val d3 = mk("r15_tmp_c", other)
     TempDirs.purge(app)
+    assert(java.nio.file.Files.exists(d3))
+    TempDirs.purge(other)
     assert(!java.nio.file.Files.exists(d3))
   }
 
@@ -46,7 +58,10 @@ class Round15Spec extends SparkSpec {
     val a = SparkEntry.queries("q317_schema_evolution")(spark, dir)
       .collect().toSet
     SessionCaches.invalidate("q317_schema_evolution", app)
-    TempDirs.purge(app)
+    // r16: purge ONLY this gate's dirs (by its "graft_schema_evo"
+    // prefix) — a whole-app purge here deleted the live temp state of
+    // suites running in parallel under the shared session
+    TempDirs.purgeMatching(app, "graft_schema_evo")
     val b = SparkEntry.queries("q317_schema_evolution")(spark, dir)
       .collect().toSet
     assert(a == b && a.nonEmpty)
