@@ -26,9 +26,15 @@ object PlanAudit {
     // SPARK_GRAFT_EXPLAIN_MODE: formatted (default) | simple (shows the
     // `*(n)` whole-stage-codegen span markers) | codegen (generated code)
     val mode = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_MODE", "formatted")
+    // substrate bench lines (q00x_sub_*) resolve through Substrates.builds
+    // so the optimization round can commit before/after plans for them too
+    val subs = Substrates.builds.toMap
     names.foreach { n =>
       println(s"\n${"=" * 70}\n== $n\n${"=" * 70}")
-      SparkEntry.queries(n)(spark, dir).explain(mode)
+      SparkEntry.queries.get(n).orElse(subs.get(n)) match {
+        case Some(fn) => fn(spark, dir).explain(mode)
+        case None     => println(s"(unknown query: $n)")
+      }
     }
     spark.stop()
   }

@@ -110,6 +110,47 @@ object Profile {
             f"(verdicts $n%d)")
         }
       }
+    } else if (args.contains("rings")) {
+      // r16 optimization probe: q284 stage decomposition — where does the
+      // affinity-rings line spend its time (substrate, cap, pair join,
+      // top-100, CC loop, final rollup)?
+      import org.apache.spark.sql.functions._
+      val buyers = time("buyers substrate")(
+        graft.queries.AnalyticsQueries.orderPartCached(spark, sfDir)
+          .join(Tables.orders(spark, sfDir)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey"), col("o_custkey")).distinct()
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      val bounded = time("bounded cap")(
+        buyers.join(
+          buyers.groupBy(col("l_partkey")).agg(count(lit(1)).as("nb"))
+            .where(col("nb") <= 64).select(col("l_partkey")),
+          "l_partkey")
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      val links = time("links join+agg+top100")(
+        bounded.as("a").join(bounded.as("b"),
+            col("a.l_partkey") === col("b.l_partkey") &&
+              col("a.o_custkey") < col("b.o_custkey"))
+          .groupBy(col("a.o_custkey").as("ua"), col("b.o_custkey").as("ub"))
+          .agg(count(lit(1)).as("n_parts"))
+          .orderBy(col("n_parts").desc, col("ua").asc, col("ub").asc)
+          .limit(100)
+          .localCheckpoint())
+      val cc = time("cc loop")(graft.ext.Dedup.connectedComponents(
+        links.select(col("ua"), col("ub")), "ua", "ub").localCheckpoint())
+      time("final rollup")(
+        cc.groupBy(col("cluster_id").as("ring_id"))
+          .agg(count(lit(1)).as("n_users"))
+          .join(cc.select(col("id").as("ua"),
+            col("cluster_id").as("ring_id")), Seq("ring_id"))
+          .join(links, Seq("ua"))
+          .groupBy(col("ring_id"))
+          .agg(max(col("n_users")).as("n_users"),
+            count(lit(1)).as("n_links"),
+            sum(col("n_parts")).as("n_part_links")).count())
     } else if (args.contains("pq")) {
       // scale probe for joint product-quantization training beyond the
       // gated m=2/k=4: m=8 8-dim subspaces, k=16, 2 Lloyd rounds — the

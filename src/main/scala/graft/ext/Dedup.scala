@@ -330,6 +330,51 @@ object Dedup {
     labels
   }
 
+  /** Connected components for a PROVABLY BOUNDED edge list (r16): callers
+    * whose pair set is capped by construction (q284's top-100 links — a
+    * LIMIT in the plan, not a hope) were paying the full distributed
+    * label-propagation loop — measured 5.4 s of per-round join/checkpoint/
+    * fixpoint-probe fixed cost at sf0.1 on exactly 100 edges, and the same
+    * constant cost at ANY corpus size since the input is cap-bounded.
+    * Below the cap the right engine is none at all: collect the ≤cap
+    * edges (the control-plane-bounded posture of the 25-row nation fixture
+    * and the constant-50 MMR pool), run union-find with min-label roots on
+    * the driver, and hand back a 2-column frame. Labels are IDENTICAL to
+    * [[connectedComponents]] — every node maps to the smallest reachable
+    * node id (Round16OptSpec pins equality on adversarial graphs).
+    * `require`s the bound so an uncapped caller fails loudly instead of
+    * collecting a corpus.
+    */
+  def connectedComponentsBounded(pairs: DataFrame, aCol: String,
+      bCol: String, cap: Int): DataFrame = {
+    val s = pairs.sparkSession
+    val edges = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .limit(cap + 1).collect()
+    require(edges.length <= cap,
+      s"connectedComponentsBounded: edge list exceeds cap=$cap — " +
+        "use connectedComponents/connectedComponentsStar")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { e =>
+      val (a, b) = (e.getLong(0), e.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // min-label union: the smaller root wins, so every component's root
+      // is its minimum node id — connectedComponents' exact fixpoint
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val labels = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    import s.implicits._
+    labels.toDF("id", "cluster_id")
+  }
+
   /** Skew-and-diameter-safe connected components: alternating large-star /
     * small-star contraction (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SOCC'14). Each round rewires edges toward the
@@ -605,9 +650,29 @@ object Dedup {
     * Bench attribution: the build is benched as its own named line
     * (q00a_sub_minhash, [[graft.Substrates]]) so consumers measure warm.
     */
-  private val minhashCache =
+  private val shingleCache =
     scala.collection.concurrent.TrieMap
-      .empty[(String, String, String, String), (DataFrame, DataFrame, DataFrame)]
+      .empty[(String, String, String, String), DataFrame]
+  private val bandCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String, String, String), DataFrame]
+  private val candCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String, String, String), DataFrame]
+
+  /** The hashed-shingle layer alone (r16): q265 and the field-similarity
+    * substrate (q00g) consume ONLY the shingles — building bands +
+    * candidate pairs as a side effect of the tuple cache made every
+    * shingle-only consumer pay the full LSH pipeline. Each layer now
+    * caches independently; [[minhashSubstrateCached]] composes them, so
+    * the full build is the same work as before, just demand-driven.
+    */
+  def hashedShinglesCached(docs: DataFrame, key: String,
+      idCol: String, textCol: String): DataFrame = {
+    val app = docs.sparkSession.sparkContext.applicationId
+    shingleCache.getOrElseUpdate((app, key, idCol, textCol),
+      hashedShingleRows(docs, idCol, textCol).localCheckpoint())
+  }
 
   /** (hashedShingles, bandRows, candidatePairs) for a corpus, cached per
     * SparkContext + corpus key. All three are localCheckpoint-backed.
@@ -615,13 +680,13 @@ object Dedup {
   def minhashSubstrateCached(docs: DataFrame, key: String,
       idCol: String, textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val app = docs.sparkSession.sparkContext.applicationId
-    minhashCache.getOrElseUpdate((app, key, idCol, textCol), {
-      val sh = hashedShingleRows(docs, idCol, textCol).localCheckpoint()
-      val bands = bandRows(minhashSignaturesAgg(sh, idCol), idCol)
-        .localCheckpoint()
-      val cands = candidatePairs(bands, idCol).localCheckpoint()
-      (sh, bands, cands)
-    })
+    val k = (app, key, idCol, textCol)
+    val sh = hashedShinglesCached(docs, key, idCol, textCol)
+    val bands = bandCache.getOrElseUpdate(k,
+      bandRows(minhashSignaturesAgg(sh, idCol), idCol).localCheckpoint())
+    val cands = candCache.getOrElseUpdate(k,
+      candidatePairs(bands, idCol).localCheckpoint())
+    (sh, bands, cands)
   }
 
   /** Drop this context's cached minhash/simhash substrates so the next
@@ -631,8 +696,11 @@ object Dedup {
     * Dropped frames' checkpoint blocks are reclaimed by the
     * ContextCleaner once unreferenced; substrate size is fixture-bounded.
     */
-  private[graft] def invalidateMinhash(app: String): Unit =
-    minhashCache.keys.filter(_._1 == app).foreach(minhashCache.remove)
+  private[graft] def invalidateMinhash(app: String): Unit = {
+    shingleCache.keys.filter(_._1 == app).foreach(shingleCache.remove)
+    bandCache.keys.filter(_._1 == app).foreach(bandCache.remove)
+    candCache.keys.filter(_._1 == app).foreach(candCache.remove)
+  }
 
   private[graft] def invalidateSimhash(app: String): Unit =
     simhashCache.keys.filter(_._1 == app).foreach(simhashCache.remove)

@@ -2509,8 +2509,14 @@ object AnalyticsQueries {
         .orderBy($"n_parts".desc, $"ua".asc, $"ub".asc)
         .limit(RingTopLinks)
         .localCheckpoint()
-      val cc = graft.ext.Dedup.connectedComponents(
-        links.select($"ua", $"ub"), "ua", "ub")
+      // r16 optimization: links is ≤ RingTopLinks rows BY CONSTRUCTION
+      // (the LIMIT above), so CC runs as a driver-side bounded union-find
+      // instead of the distributed label-propagation loop — measured
+      // 5.4 s → ~0 of pure per-round fixed cost at sf0.1, and the input
+      // stays cap-bounded at ANY corpus size (the cap is the plan's own
+      // LIMIT, not a fixture property)
+      val cc = graft.ext.Dedup.connectedComponentsBounded(
+        links.select($"ua", $"ub"), "ua", "ub", RingTopLinks)
       cc.groupBy($"cluster_id".as("ring_id"))
         .agg(count(lit(1)).as("n_users"))
         .join(cc.select($"id".as("ua"), $"cluster_id".as("ring_id")),

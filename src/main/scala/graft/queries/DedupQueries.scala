@@ -1399,9 +1399,10 @@ object DedupQueries {
         // once per session, not re-paid here. No broadcast hint on the
         // per-doc dim (q35's note — AQE decides at gate scale; at 100 TB
         // a doc-keyed shuffle join is the right default).
-        val (sh0, _, _) =
-          Dedup.minhashSubstrateCached(Tables.documents(s, dir), dir,
-            "doc_id", "text")
+        // shingle layer only (r16): the tuple accessor forced the bands +
+        // candidate-pair builds this query never reads
+        val sh0 = Dedup.hashedShinglesCached(Tables.documents(s, dir), dir,
+          "doc_id", "text")
         val sh = sh0
           .join(Tables.documents(s, dir).select($"doc_id", $"source"),
             "doc_id")
@@ -1857,12 +1858,15 @@ object DedupQueries {
       .select(least($"x", $"y").as("pa"), greatest($"x", $"y").as("pb"))
       .distinct()
       .localCheckpoint()
-    val sh = Tables.documents(s, dir)
-      .select($"doc_id", TextAnalysis.tokens($"text").as("_w"))
-      .select($"doc_id",
-        explode(TextAnalysis.shinglesFromTokens($"_w")).as("shingle"))
-      .select($"doc_id", TextAnalysis.hash60Fast(s, $"shingle").as("h"))
-      .distinct()
+    // r16 optimization (guide §1.2 "don't recompute what exists"): this
+    // was a from-scratch tokens→shingles→hash60→distinct pass — the exact
+    // lineage of the session hashed-shingle substrate — and the unshared
+    // plan was additionally evaluated THREE times below (two join sides +
+    // sizes; DataFrame subtrees don't dedupe). Ride the checkpointed
+    // substrate instead, like q265 already does. Row-identical by
+    // construction (same expression chain over the same corpus).
+    val sh = graft.ext.Dedup.hashedShinglesCached(
+      Tables.documents(s, dir), dir, "doc_id", "text")
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select($"doc_id".as("pa"), $"h"), "pa")

@@ -2976,8 +2976,21 @@ object ExtQueries {
             Dedup.bandRows(Dedup.minhashSignatures(
               Dedup.hashedShingleRows(d, "doc_id", "text"), "doc_id"),
               "doc_id")
+          // r16 optimization (guide §1.2): the FULL-index side and the
+          // delta probe below re-ran the tokens→shingles→hash60 pipeline
+          // from raw text; shingles are per-doc deterministic, so
+          // filtering the session hashed-shingle substrate is
+          // row-identical to shingling the filtered corpus. The REBUILD
+          // side deliberately keeps its independent from-raw-text
+          // recompute — deriving both sides of the scrub≡rebuild
+          // attestation from one checkpoint would make the gated
+          // equality tautological.
+          def bandsFromSubstrate(pred: org.apache.spark.sql.Column) =
+            Dedup.bandRows(Dedup.minhashSignatures(
+              Dedup.hashedShinglesCached(Tables.documents(s, dir), dir,
+                "doc_id", "text").where(pred), "doc_id"), "doc_id")
           val idxFull = Dedup.writeBandIndexBucketed(
-            bandsOf(docs), s"d331f$tag")
+            bandsFromSubstrate($"doc_id" % 2 === 0), s"d331f$tag")
           val idxScrub = Dedup.scrubBandIndex(idxFull, tomb, "doc_id",
             s"d331s$tag")
           // the REBUILD side of the equality needs no bucketed landing:
@@ -3023,8 +3036,7 @@ object ExtQueries {
               .join(tombV, Seq("vec_id"), "left_semi")
               .agg(count(lit(1)).as("ivf_residual")))
             .crossJoin(Dedup.deltaCandidatesAgainstIndex(
-                idxScrub, bandsOf(docs.join(tomb, Seq("doc_id"),
-                  "left_semi")), "doc_id")
+                idxScrub, bandsFromSubstrate($"doc_id" % 6 === 0), "doc_id")
               .join(tomb.withColumnRenamed("doc_id", "doc_b"),
                 Seq("doc_b"), "left_semi")
               .agg(count(lit(1)).as("n_deleted_candidates")))

@@ -1165,35 +1165,41 @@ object SimilarityQueries {
         val nodes = edges.select($"src".as("vec_id"))
           .union(edges.select($"dst".as("vec_id"))).distinct()
           .localCheckpoint()
+        // r16 optimization (guide §2.3/§2.4): scores iterate SPARSELY.
+        // Every edge's src has an out-edge and every dst an in-edge, so
+        // the keyed sums lose nothing when absent-score nodes (whose
+        // dense value was coalesce(…, 0)) simply stay absent — a 0 score
+        // contributes 0 to every sum and 0 can never be the max on a
+        // non-empty edge list. The dense variant re-joined the FULL node
+        // list and re-ran the edge join+agg TWICE per half-step (once
+        // inside the broadcast max subtree, once in the main plan);
+        // now the raw sums checkpoint once per half-step and the max +
+        // renorm read that checkpoint. Nodes without an in-/out-edge
+        // re-enter at the END with the same 0 they always had.
         var h = nodes.withColumn("h", lit(1000000L))
         var a = nodes.withColumn("a", lit(0L))
         for (_ <- 1 to 4) {
           val rawa = edges
             .join(h.withColumnRenamed("vec_id", "src"), "src")
             .groupBy($"dst").agg(sum($"h").as("ra"))
-          val am = rawa.agg(max($"ra").as("m"))
-          a = nodes
-            .join(rawa.withColumnRenamed("dst", "vec_id"), Seq("vec_id"),
-              "left")
-            .crossJoin(broadcast(am))
-            .select($"vec_id",
-              expr("coalesce(ra, CAST(0 AS BIGINT)) div (m div 1000000 + 1)")
-                .as("a"))
             .localCheckpoint()
+          val am = rawa.agg(max($"ra").as("m"))
+          a = rawa.withColumnRenamed("dst", "vec_id")
+            .crossJoin(broadcast(am))
+            .select($"vec_id", expr("ra div (m div 1000000 + 1)").as("a"))
           val rawh = edges
             .join(a.withColumnRenamed("vec_id", "dst"), "dst")
             .groupBy($"src").agg(sum($"a").as("rh"))
-          val hm = rawh.agg(max($"rh").as("m"))
-          h = nodes
-            .join(rawh.withColumnRenamed("src", "vec_id"), Seq("vec_id"),
-              "left")
-            .crossJoin(broadcast(hm))
-            .select($"vec_id",
-              expr("coalesce(rh, CAST(0 AS BIGINT)) div (m div 1000000 + 1)")
-                .as("h"))
             .localCheckpoint()
+          val hm = rawh.agg(max($"rh").as("m"))
+          h = rawh.withColumnRenamed("src", "vec_id")
+            .crossJoin(broadcast(hm))
+            .select($"vec_id", expr("rh div (m div 1000000 + 1)").as("h"))
         }
-        val joined = a.join(h, "vec_id")
+        val joined = nodes
+          .join(a, Seq("vec_id"), "left")
+          .join(h, Seq("vec_id"), "left")
+          .na.fill(0L, Seq("a", "h"))
         joined.orderBy($"a".desc, $"vec_id".asc).limit(20)
           .withColumn("rank", row_number().over(
             Window.orderBy($"a".desc, $"vec_id".asc)).cast("int"))
