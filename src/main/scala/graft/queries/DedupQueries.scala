@@ -85,13 +85,14 @@ object DedupQueries {
         // materializes the substrate once — the sizes agg and BOTH sides of
         // the self-join reuse it instead of re-deriving the explode+md5
         // lineage (at cluster scale: checkpoint/persist to storage).
-        val sh = Tables.documents(s, dir)
-          .select($"doc_id", $"source", TextAnalysis.tokens($"text").as("_w"))
-          .select($"doc_id", $"source",
-            explode(TextAnalysis.shinglesFromTokens($"_w")).as("shingle"))
-          .select($"doc_id", $"source",
-            TextAnalysis.hash60Fast(s, $"shingle").as("h"))
-          .distinct()
+        // r16: ride the session shingle substrate (source is functionally
+        // dependent on doc_id, so re-attaching it by key changes no rows —
+        // the q265 pattern); saves the private explode+hash+distinct pass
+        val sh = Dedup.hashedShinglesCached(Tables.documents(s, dir), dir,
+            "doc_id", "text")
+          .join(Tables.documents(s, dir).select($"doc_id", $"source"),
+            "doc_id")
+          .select($"doc_id", $"source", $"h")
           .localCheckpoint()
         val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("a").join(sh.as("b"),
@@ -650,8 +651,10 @@ object DedupQueries {
       "q123_novelty_curve",
       (s, dir) => {
         import s.implicits._
-        val sh = Dedup.hashedShingleRows(Tables.documents(s, dir), "doc_id", "text")
-          .localCheckpoint()
+        // r16: ride the session shingle substrate instead of a private
+        // rebuild + checkpoint of the identical lineage
+        val sh = Dedup.hashedShinglesCached(Tables.documents(s, dir), dir,
+          "doc_id", "text")
         val mx = Tables.documents(s, dir)
           .agg((max($"doc_id") + 1L).as("n_ids"))
         val rows = sh.crossJoin(broadcast(mx))
@@ -774,7 +777,9 @@ object DedupQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-        val sh = Dedup.hashedShingleRows(docs, "doc_id", "text")
+        // r16: ride the session shingle substrate — the unshared plan was
+        // additionally evaluated twice below (delta + corpus sides)
+        val sh = Dedup.hashedShinglesCached(docs, dir, "doc_id", "text")
         val delta = sh.where($"doc_id" % 10 === 9)
         val corpus = sh.where($"doc_id" % 10 =!= 9).select($"h").distinct()
         val deltaSh = delta.select($"h").distinct()

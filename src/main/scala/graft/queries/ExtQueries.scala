@@ -463,6 +463,15 @@ object ExtQueries {
           }
           .toDF("media_id", "payload")
           .withColumn("media_type", Multimodal.sniffType($"payload"))
+          // r16 optimization (guide §1.2): the four decode branches below
+          // union four filters of this frame, and each unshared subtree
+          // re-ran the whole synthesis + sniff — every payload was
+          // synthesized FOUR times. Materialize once (SERIALIZED storage:
+          // payload bytes are corpus-proportional — the a2eb3a4 posture);
+          // each branch then decodes its own type from the materialized
+          // rows. Payloads still never shuffle.
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         val png = Multimodal.decodeImages(
             payloads.where($"media_type" === "png"), "media_id", "payload")
           .select($"media_id".as("doc_id"), lit("png").as("media_type"),
@@ -1099,10 +1108,17 @@ object ExtQueries {
             }
           }
           .toDF("media_id", "payload")
+        // r16 optimization (guide §8 "decide with small rows"): the band
+        // self-join below aliases this frame on BOTH sides, and an
+        // unshared DataFrame subtree is evaluated per side — the WAV
+        // synthesis + JDK decode ran twice. Checkpoint the NARROW
+        // fingerprint rows (8 bytes/doc) so the codec pipeline runs once;
+        // payloads still never shuffle.
         val fps = Multimodal.decodeAudioWindows(
             payloads, "media_id", "payload", nWindows = 32)
           .select($"media_id".as("doc_id"),
             Multimodal.gradientHash($"win_energy", 31).as("fp"))
+          .localCheckpoint()
         val bands = fps.select($"doc_id", $"fp",
           posexplode(array(
             ($"fp" % 65536L).cast("long"),
@@ -1177,9 +1193,12 @@ object ExtQueries {
             }
           }
           .toDF("media_id", "payload")
+        // r16: checkpoint the narrow fingerprints — the band self-join
+        // evaluated the AVI synthesis + RIFF/DIB decode on both sides
         val fps = Multimodal.decodeVideo(payloads, "media_id", "payload")
           .select($"media_id".as("doc_id"),
             Multimodal.gradientHash($"frame_sums", 31).as("fp"))
+          .localCheckpoint()
         val bands = fps.select($"doc_id", $"fp",
           posexplode(array(
             ($"fp" % 65536L).cast("long"),
@@ -1331,6 +1350,9 @@ object ExtQueries {
             }
           }
           .toDF("media_id", "payload")
+        // r16: checkpoint the narrow (doc, type, fp, radius) rows — the
+        // band self-join evaluated the full synthesis + three-codec
+        // decode on both aliased sides
         val fps = Multimodal.decodeMedia(
             payloads, "media_id", "payload", audioWindows = 32)
           .where($"decodable")
@@ -1341,6 +1363,7 @@ object ExtQueries {
               .as("fp"),
             when($"media_type".isin("png", "jpeg"), lit(4)).otherwise(lit(8))
               .as("radius"))
+          .localCheckpoint()
         val bands = fps.select($"doc_id", $"media_type", $"fp", $"radius",
           posexplode(array(
             ($"fp" % 65536L).cast("long"),

@@ -692,9 +692,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1600))
   }
 
-  test("q209 sole-late: order-keyed semi + anti joins, no cartesian") {
+  test("q209 sole-late: one order-keyed window pass replaces the " +
+      "semi/anti self-join stack (r16), no cartesian") {
     val p = planOf("q209_sole_late_supplier")
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(1600))
+    // both probes ride ONE ok-keyed window (n_sups, n_late); the rollup
+    // self-joins are gone entirely
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p.take(1600))
+    val okKeyed = "windowspecdefinition\\(ok".r.findAllIn(p).size
+    val all = "windowspecdefinition\\(".r.findAllIn(p).size
+    assert(all == 2 && okKeyed == 2, p.take(1600))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
   }
