@@ -1332,15 +1332,21 @@ object TextQueries {
       "q125_inverted_index",
       (s, dir) => {
         import s.implicits._
+        // r16 optimization (guide §2.4): df = COUNT of tf rows per term,
+        // so it rides a term-keyed window over the SAME pass instead of a
+        // separate agg + self-join — the unshared tf subtree (explode +
+        // rollup) was evaluated twice and the join added a third
+        // Exchange. Now: one rollup exchange, one term-keyed window
+        // exchange, tf computed once. df values identical by definition.
         val tf = Tables.documents(s, dir)
           .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
           .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-          .where($"df" >= 5L)
         val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
         val byTerm = Window.partitionBy($"term")
           .orderBy($"score_fp".desc, $"doc_id".asc)
-        tf.join(df, "term")
+        tf
+          .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+          .where($"df" >= 5L)
           .crossJoin(broadcast(nDocs))
           .withColumn("score_fp",
             floor(($"tf".cast("double") *

@@ -1214,17 +1214,20 @@ object TrainingDataQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir)
         val n = docs.select(count(lit(1)).as("n_docs"))
-        // tf feeds the df re-agg AND the scoring join; both consumers sit
-        // over the same groupBy exchange, and A/B-ing a localCheckpoint
-        // here measured as a wash (~1.0s either way at sf0.1) — so no
-        // materialization barrier, keeping the plan one pipelined job
+        // r16 optimization (guide §2.4, the q125 rewrite): df = COUNT of
+        // tf rows per term, so it rides a term-keyed window over the same
+        // pass instead of a separate agg + self-join — the unshared tf
+        // subtree (explode + rollup) was evaluated twice (an earlier
+        // checkpoint A/B was a wash precisely because it only cached the
+        // double work; the window removes it)
         val tf = docs
           .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("term"))
           .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
         val byDoc = Window.partitionBy($"doc_id")
           .orderBy($"tfidf".desc, $"term".asc)
-        tf.join(df, "term").crossJoin(broadcast(n))
+        tf
+          .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+          .crossJoin(broadcast(n))
           .select($"doc_id", $"term", $"tf", $"df",
             round($"tf" * ($"n_docs".cast("double") / $"df".cast("double")), 6)
               .as("tfidf"))
