@@ -3358,12 +3358,20 @@ object AnalyticsQueries {
         .join(Tables.orders(s, dir).where($"o_orderstatus" === "F")
           .select($"o_orderkey"),
           $"l_orderkey" === $"o_orderkey")
-      val g = fli.groupBy($"l_orderkey")
-        .agg(countDistinct($"l_suppkey").as("n_supp"),
-          countDistinct(when(late, $"l_suppkey")).as("n_late"))
-      val l1 = fli.where(late)
-        .select($"l_orderkey", $"l_suppkey").distinct()
-      l1.join(g.where($"n_supp" >= 2 && $"n_late" === 1), Seq("l_orderkey"))
+      // r16 optimization (the q209 rewrite): fli fed BOTH the per-order
+      // count-distinct agg and the late-pair distinct — the logistics
+      // join subtree was evaluated twice and re-joined on the order key.
+      // One (order, supplier) rollup + two window aggregates over one
+      // order-keyed sort computes the identical pair set: n_supp =
+      // COUNT(*) over the rollup ≡ COUNT(DISTINCT l_suppkey), n_late =
+      // Σ late-flags ≡ COUNT(DISTINCT CASE WHEN late THEN l_suppkey END).
+      val os = fli.groupBy($"l_orderkey", $"l_suppkey")
+        .agg(max(when(late, 1L).otherwise(0L)).as("lt"))
+      val w = Window.partitionBy($"l_orderkey")
+      os
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum($"lt").over(w))
+        .where($"lt" === 1L && $"n_supp" >= 2L && $"n_late" === 1L)
         .join(broadcast(Tables.supplier(s, dir)
           .select($"s_suppkey", $"s_name")),
           $"l_suppkey" === $"s_suppkey")
