@@ -127,7 +127,14 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") <= maxBandBucket && col("bucket_n") >= 2)
       .select(col("band_id"), col("band_key"))
+    // r16: materialize the capped band rows ONCE — the self-join aliases
+    // this frame on both sides and an unshared subtree is evaluated per
+    // side, so the cap agg + corpus-band join ran twice. The checkpoint
+    // holds only the COLLIDING buckets (a small corpus fraction, the
+    // comment above), and the cap agg itself stays the partial-agg'd
+    // map-side count — the skew posture is unchanged.
     val capped = bands.join(keep, Seq("band_id", "band_key"))
+      .localCheckpoint()
     val a = capped.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
     val b = capped.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
     a.join(b, Seq("band_id", "band_key"))
