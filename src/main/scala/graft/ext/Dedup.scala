@@ -118,28 +118,34 @@ object Dedup {
     */
   def candidatePairs(bands: DataFrame, idCol: String,
       maxBandBucket: Int = 100000): DataFrame = {
-    // bucket_n >= 2: singleton buckets are the vast majority of band keys
-    // in a real corpus and can never produce a pair — dropping them HERE
-    // (in the same partial-agg'd count that enforces the cap) shrinks the
-    // self-join input to just the colliding buckets, typically a small
-    // fraction of the corpus, which AQE can then broadcast
-    val keep = bands.groupBy(col("band_id"), col("band_key"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .where(col("bucket_n") <= maxBandBucket && col("bucket_n") >= 2)
-      .select(col("band_id"), col("band_key"))
     // r16: materialize the capped band rows ONCE — the self-join aliases
     // this frame on both sides and an unshared subtree is evaluated per
     // side, so the cap agg + corpus-band join ran twice. The checkpoint
-    // holds only the COLLIDING buckets (a small corpus fraction, the
-    // comment above), and the cap agg itself stays the partial-agg'd
-    // map-side count — the skew posture is unchanged.
-    val capped = bands.join(keep, Seq("band_id", "band_key"))
-      .localCheckpoint()
+    // holds only the COLLIDING buckets (a small corpus fraction), and
+    // the cap agg stays the partial-agg'd map-side count — the skew
+    // posture is unchanged. PlanShapeSpec pins the cap on
+    // [[cappedBandRows]]' plan (the checkpoint hides it here).
+    val capped = cappedBandRows(bands, maxBandBucket).localCheckpoint()
     val a = capped.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
     val b = capped.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
     a.join(b, Seq("band_id", "band_key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** The pre-checkpoint capped-band-rows plan [[candidatePairs]] rides:
+    * bucket_n >= 2 drops singleton buckets (the vast majority of band
+    * keys in a real corpus — they can never produce a pair) in the same
+    * partial-agg'd count that enforces the skew cap, shrinking the
+    * self-join input to just the colliding buckets.
+    */
+  private[graft] def cappedBandRows(bands: DataFrame,
+      maxBandBucket: Int): DataFrame = {
+    val keep = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") <= maxBandBucket && col("bucket_n") >= 2)
+      .select(col("band_id"), col("band_key"))
+    bands.join(keep, Seq("band_id", "band_key"))
   }
 
   /** The 100 TB layout for the ACCUMULATED band index that

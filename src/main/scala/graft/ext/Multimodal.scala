@@ -77,11 +77,76 @@ object Multimodal {
     * (width, height, 16 exact integer 4×4-thumbnail luma cells), or
     * None for bytes the JDK codecs reject.
     */
+  /** Thread-local ImageIO codec state (r16, guide §4.5 "initialise
+    * heavyweight state once per task, not per row"): `ImageIO.read` /
+    * `ImageIO.write` scan the plugin service registry on EVERY call and
+    * — with the default `useCache=true` — back every image stream with a
+    * DISK TEMP FILE. At one image per row that is pure per-row overhead
+    * on the multimodal families' hot path. Readers/writers cache per
+    * thread (ImageIO plugins are not thread-safe; executor task threads
+    * are reused, so the cache amortises across all tasks of a session)
+    * and the streams stay in memory. Same plugin, same params → decoded
+    * pixels and encoded bytes are unchanged.
+    */
+  private val readersTL =
+    new ThreadLocal[scala.collection.mutable.Map[String,
+        javax.imageio.ImageReader]] {
+      override def initialValue() =
+        scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+    }
+  private val writersTL =
+    new ThreadLocal[scala.collection.mutable.Map[String,
+        javax.imageio.ImageWriter]] {
+      override def initialValue() =
+        scala.collection.mutable.Map.empty[String, javax.imageio.ImageWriter]
+    }
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    def viaReader(fmt: String): java.awt.image.BufferedImage = {
+      val r = readersTL.get().getOrElseUpdate(fmt,
+        javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try { r.setInput(iis, true, true); r.read(0) }
+      finally { r.reset(); iis.close() }
+    }
+    if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') viaReader("png")
+    else if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF)
+      viaReader("jpeg")
+    else
+      // unknown magic: the generic path (registry sniff) decides, with an
+      // in-memory stream; corrupt bytes return null / throw exactly as
+      // before and stay the decodable=false DATA path
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Encode through a thread-cached writer with an in-memory output
+    * stream; `param` may be null (format default). */
+  private def writeImage(img: java.awt.image.BufferedImage, fmt: String,
+      param: javax.imageio.ImageWriteParam): Array[Byte] = {
+    val w = writersTL.get().getOrElseUpdate(fmt,
+      javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next())
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.flush()
+    } finally { w.setOutput(null); ios.close() }
+    out.toByteArray
+  }
+
+  /** PNG-encode via the thread-cached writer — the per-row synthesis
+    * seam the fixture generators share (r16). */
+  def encodePng(img: java.awt.image.BufferedImage): Array[Byte] =
+    writeImage(img, "png", null)
+
   private def imageGray16(
       bytes: Array[Byte]): Option[(Int, Int, Array[Long])] = {
     val img =
-      try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+      try readImage(bytes)
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
@@ -711,18 +776,14 @@ object Multimodal {
       }
       y += 1
     }
-    val writer =
-      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val p = writer.getDefaultWriteParam
+    // r16: thread-cached writer + in-memory stream (see readersTL note) —
+    // same plugin, same explicit quality, byte-identical output
+    val p = writersTL.get().getOrElseUpdate("jpeg",
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next())
+      .getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(0.9f)
-    val out = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-    writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    ios.close()
-    writer.dispose()
-    out.toByteArray
+    writeImage(img, "jpeg", p)
   }
 
   /** RIFF/AVI writer for MOTION-JPEG video — the compressed-codec twin

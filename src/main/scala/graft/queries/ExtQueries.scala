@@ -294,9 +294,7 @@ object ExtQueries {
                 }
                 y += 1
               }
-              val out = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", out)
-              (id, out.toByteArray)
+              (id, Multimodal.encodePng(img))
             }
           }
           .toDF("media_id", "payload")
@@ -426,9 +424,7 @@ object ExtQueries {
                     }
                     y += 1
                   }
-                  val out = new java.io.ByteArrayOutputStream()
-                  javax.imageio.ImageIO.write(img, "png", out)
-                  (id, out.toByteArray)
+                  (id, Multimodal.encodePng(img))
                 case 1 =>
                   val n = 64
                   val pcm = new Array[Byte](2 * n)
@@ -1311,9 +1307,7 @@ object ExtQueries {
                     }
                     y += 1
                   }
-                  val out = new java.io.ByteArrayOutputStream()
-                  javax.imageio.ImageIO.write(img, "png", out)
-                  (id, out.toByteArray)
+                  (id, Multimodal.encodePng(img))
                 case 1 =>
                   val pcm = new Array[Byte](2 * 128)
                   var w = 0
@@ -3308,9 +3302,7 @@ object ExtQueries {
               }
               y += 1
             }
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", out)
-            (id, out.toByteArray)
+            (id, Multimodal.encodePng(img))
           }
         }
         .toDF("media_id", "payload")
@@ -3343,30 +3335,9 @@ object ExtQueries {
     * JPEG block = one [[Multimodal.decodeImages]] thumbnail cell, so the
     * decoded gray4x4 is the per-block luma ± the bounded DC error.
     */
-  private def jpegFromCells(cell: (Int, Int) => Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < 32) {
-      var x = 0
-      while (x < 32) {
-        val g = cell(x / 8, y / 8)
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
-        x += 1
-      }
-      y += 1
-    }
-    val writer =
-      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val p = writer.getDefaultWriteParam
-    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionQuality(0.9f)
-    val out = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-    writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    ios.close()
-    writer.dispose()
-    out.toByteArray
-  }
+  private def jpegFromCells(cell: (Int, Int) => Int): Array[Byte] =
+    // r16: identical construction to Multimodal.jpegFlatCells (32×32,
+    // 8-px flat blocks, explicit quality 0.9) — delegate so the encode
+    // rides the thread-cached writer
+    Multimodal.jpegFlatCells(cell)
 }

@@ -108,11 +108,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("candidatePairs plan carries the bucket-size cap (agg + filter)") {
-    // q36's visible plan starts at its checkpointed pairs, so assert the
-    // cap on the candidatePairs subplan directly
+    // q36's visible plan starts at its checkpointed pairs (and since r16
+    // the capped band rows checkpoint too, so the self-join evaluates
+    // them once) — assert the cap on the pre-checkpoint subplan directly
     import spark.implicits._
     val bands = Seq((1L, 0, "k")).toDF("doc_id", "band_id", "band_key")
-    val p = graft.ext.Dedup.candidatePairs(bands, "doc_id")
+    val p = graft.ext.Dedup.cappedBandRows(bands, 100000)
       .queryExecution.executedPlan.toString
     assert(p.contains("bucket_n"), p.take(800))
     assert(p.contains("100000"), p.take(800))
