@@ -852,21 +852,33 @@ object SimilarityQueries {
         val nodes = edges.select($"src".as("vec_id"))
           .union(edges.select($"dst".as("vec_id"))).distinct()
           .localCheckpoint()
-        var pr = nodes.withColumn("pr", lit(1000000000L))
+        // r16 optimization (the q205 treatment): ranks iterate SPARSELY
+        // over nodes with in-edges; a node with no in-edge holds the
+        // CONSTANT teleport rank (round 0: the uniform seed) forever, so
+        // its contribution re-enters through a left-join coalesce on the
+        // edge side instead of a full dense node fill + checkpoint per
+        // round. The keyed sums checkpoint once per round; absent nodes
+        // re-join at the END with the same teleport constant.
+        var prS: Option[org.apache.spark.sql.DataFrame] = None
+        var absentPr = 1000000000L // round 0: uniform seed on every node
         for (_ <- 1 to 5) {
-          val contrib = ewd
-            .join(pr.withColumnRenamed("vec_id", "src"), "src")
-            .select($"dst", expr("pr div outdeg").as("c"))
-            .groupBy($"dst").agg(sum($"c").as("sc"))
-          pr = nodes
-            .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"),
-              "left")
-            .select($"vec_id",
-              (lit(150000000L) +
-                expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
-                .as("pr"))
+          val contrib = prS match {
+            case None => ewd
+              .select($"dst", expr(s"${absentPr}L div outdeg").as("c"))
+            case Some(p) => ewd
+              .join(p.withColumnRenamed("vec_id", "src"), Seq("src"), "left")
+              .select($"dst",
+                expr(s"coalesce(pr, ${absentPr}L) div outdeg").as("c"))
+          }
+          val sc = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
             .localCheckpoint()
+          prS = Some(sc.select($"dst".as("vec_id"),
+            (lit(150000000L) + expr("(85 * sc) div 100")).as("pr")))
+          absentPr = 150000000L // no-in-edge nodes: teleport only
         }
+        val pr = nodes
+          .join(prS.get, Seq("vec_id"), "left")
+          .select($"vec_id", coalesce($"pr", lit(150000000L)).as("pr"))
         val top = pr.orderBy($"pr".desc, $"vec_id".asc).limit(20)
         top.withColumn("rank",
             row_number().over(Window.orderBy($"pr".desc, $"vec_id".asc))

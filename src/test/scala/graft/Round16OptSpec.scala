@@ -79,6 +79,61 @@ class Round16OptSpec extends SparkSpec {
     assert(got == Set((1L, 101L), (5L, 101L)))
   }
 
+  // ---- q171 sparse PageRank ≡ dense PageRank --------------------------
+
+  test("q171 rewrite: sparse rank iteration (left-join coalesce of the " +
+      "teleport constant) matches the dense formulation, including a " +
+      "source-only node whose constant rank keeps feeding its out-edges") {
+    import spark.implicits._
+    // 4→1 makes node 4 in-edge-free: after round 1 its rank is the
+    // teleport constant and must still contribute 150000000 div outdeg
+    // to node 1 every round — the case the sparse coalesce must carry
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst").localCheckpoint()
+    val outd = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val ewd = edges.join(outd, "src").localCheckpoint()
+    val nodes = edges.select($"src".as("vec_id"))
+      .union(edges.select($"dst".as("vec_id"))).distinct().localCheckpoint()
+    // dense reference (the shape the rewrite replaced)
+    var prD = nodes.withColumn("pr", lit(1000000000L))
+    for (_ <- 1 to 5) {
+      val contrib = ewd.join(prD.withColumnRenamed("vec_id", "src"), "src")
+        .select($"dst", expr("pr div outdeg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("sc"))
+      prD = nodes
+        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"),
+          "left")
+        .select($"vec_id",
+          (lit(150000000L) +
+            expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
+            .as("pr")).localCheckpoint()
+    }
+    val dense = prD.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // sparse (the committed shape)
+    var prS: Option[org.apache.spark.sql.DataFrame] = None
+    var absentPr = 1000000000L
+    for (_ <- 1 to 5) {
+      val contrib = prS match {
+        case None => ewd
+          .select($"dst", expr(s"${absentPr}L div outdeg").as("c"))
+        case Some(p) => ewd
+          .join(p.withColumnRenamed("vec_id", "src"), Seq("src"), "left")
+          .select($"dst",
+            expr(s"coalesce(pr, ${absentPr}L) div outdeg").as("c"))
+      }
+      val sc = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
+        .localCheckpoint()
+      prS = Some(sc.select($"dst".as("vec_id"),
+        (lit(150000000L) + expr("(85 * sc) div 100")).as("pr")))
+      absentPr = 150000000L
+    }
+    val sparse = nodes.join(prS.get, Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"pr", lit(150000000L)).as("pr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sparse == dense)
+    assert(sparse(4L) == 150000000L) // teleport-only node
+  }
+
   // ---- q205 sparse HITS ≡ dense HITS ----------------------------------
 
   test("q205 rewrite: sparse score iteration (inner joins, no per-step " +
