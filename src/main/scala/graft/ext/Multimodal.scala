@@ -301,6 +301,32 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** [[encodeWavUlaw]]'s linear-PCM sibling: canonical WAV container
+    * with format tag 1, 16-bit signed little-endian mono. `pcm` is the
+    * raw sample byte stream (2 bytes/sample, lo byte first). r16: the
+    * fixture-synthesis sites (q306/q309/q311) used
+    * `AudioSystem.write(...)`, which runs a provider lookup + stream
+    * copy PER ROW for a container this function emits in one array
+    * write; q302 deliberately keeps the JDK writer — its gate's claim
+    * is the JDK container encode→decode round trip itself. The output
+    * is the same canonical RIFF/WAVE/fmt(16)/data layout either way and
+    * decodes through the same JDK parser.
+    */
+  def encodeWavPcm16(rate: Int, pcm: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    def le32(v: Int): Unit = d.writeInt(Integer.reverseBytes(v))
+    def le16(v: Int): Unit =
+      d.writeShort(java.lang.Short.reverseBytes(v.toShort))
+    d.writeBytes("RIFF"); le32(36 + pcm.length)
+    d.writeBytes("WAVEfmt "); le32(16)
+    le16(1) /* WAVE_FORMAT_PCM */ ; le16(1)
+    le32(rate); le32(2 * rate); le16(2); le16(16)
+    d.writeBytes("data"); le32(pcm.length)
+    d.write(pcm)
+    out.toByteArray
+  }
+
   /** [[encodeWavUlaw]]'s A-law twin: WAV format tag 6 (G.711 A-law). */
   def encodeWavAlaw(rate: Int, codes: Array[Byte]): Array[Byte] = {
     val b = encodeWavUlaw(rate, codes)

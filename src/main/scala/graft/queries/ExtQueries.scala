@@ -346,6 +346,9 @@ object ExtQueries {
                 pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
                 i += 1
               }
+              // q302 deliberately keeps the JDK writer: this gate's claim
+              // IS the JDK container encode→decode round trip (the
+              // synthesis-only sites ride Multimodal.encodeWavPcm16)
               val fmt = new javax.sound.sampled.AudioFormat(
                 8000f, 16, 1, true, false)
               val ain = new javax.sound.sampled.AudioInputStream(
@@ -435,14 +438,7 @@ object ExtQueries {
                     pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
                     i += 1
                   }
-                  val fmt = new javax.sound.sampled.AudioFormat(
-                    8000f, 16, 1, true, false)
-                  val ain = new javax.sound.sampled.AudioInputStream(
-                    new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-                  val out = new java.io.ByteArrayOutputStream()
-                  javax.sound.sampled.AudioSystem.write(ain,
-                    javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-                  (id, out.toByteArray)
+                  (id, Multimodal.encodeWavPcm16(8000, pcm))
                 case _ =>
                   val frames = (0 until 3).map { f =>
                     Array.tabulate(6 * 4) { i =>
@@ -1093,14 +1089,7 @@ object ExtQueries {
                 }
                 w += 1
               }
-              val fmt = new javax.sound.sampled.AudioFormat(
-                8000f, 16, 1, true, false)
-              val ain = new javax.sound.sampled.AudioInputStream(
-                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-              val out = new java.io.ByteArrayOutputStream()
-              javax.sound.sampled.AudioSystem.write(ain,
-                javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-              (id, out.toByteArray)
+              (id, Multimodal.encodeWavPcm16(8000, pcm))
             }
           }
           .toDF("media_id", "payload")
@@ -1324,14 +1313,7 @@ object ExtQueries {
                     }
                     w += 1
                   }
-                  val fmt = new javax.sound.sampled.AudioFormat(
-                    8000f, 16, 1, true, false)
-                  val ain = new javax.sound.sampled.AudioInputStream(
-                    new java.io.ByteArrayInputStream(pcm), fmt, 128L)
-                  val out = new java.io.ByteArrayOutputStream()
-                  javax.sound.sampled.AudioSystem.write(ain,
-                    javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-                  (id, out.toByteArray)
+                  (id, Multimodal.encodeWavPcm16(8000, pcm))
                 case 2 =>
                   val frames = (0 until 32).map { f =>
                     val d = md.digest(s"${grp}_$f".getBytes("UTF-8"))
