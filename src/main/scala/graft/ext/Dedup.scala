@@ -125,7 +125,12 @@ object Dedup {
     // the cap agg stays the partial-agg'd map-side count — the skew
     // posture is unchanged. PlanShapeSpec pins the cap on
     // [[cappedBandRows]]' plan (the checkpoint hides it here).
-    val capped = cappedBandRows(bands, maxBandBucket).localCheckpoint()
+    // MEMORY_AND_DISK_SER (r16 ADVICE): colliding-bucket rows are
+    // corpus-proportional in duplicate-heavy corpora — the serialized
+    // posture every corpus-proportional checkpoint in this repo uses
+    // (deserialized unroll OOM'd the 8 GiB heap at gen-sf10, q284 notes).
+    val capped = cappedBandRows(bands, maxBandBucket).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val a = capped.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
     val b = capped.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
     a.join(b, Seq("band_id", "band_key"))
@@ -298,14 +303,30 @@ object Dedup {
     * MapReduce"), which bounds rounds to O(log n) on skewed degree
     * distributions; the label-propagation loop below is the right shape for
     * dedup graphs, whose components are tiny by construction.
+    *
+    * r17: edge lists at or under [[CCDriverCap]] (measured per run on the
+    * materialized frame, never assumed) dispatch to the driver union-find
+    * instead — identical labels, zero per-round distributed fixed cost.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, driverCap: Int = CCDriverCap): DataFrame = {
     // materialize the pair source ONCE: both edge directions (and every
     // propagation round) would otherwise re-run the upstream plan — for
     // near-dup inputs that plan is an expensive similarity join
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint()
+    // r17 adaptive engine selection (the scrubBandIndex broadcast-gate
+    // posture applied to CC): the edge list is already materialized, so
+    // ONE bounded collect decides — at or under the cap the driver
+    // union-find replaces the whole per-round join/agg/checkpoint/probe
+    // loop (labels provably identical, Round16OptSpec/Round17OptSpec);
+    // above it (or on non-long/null ids) the distributed loop below runs
+    // unchanged. At 100 TB a real dup graph takes the distributed path;
+    // the adaptive probe costs one scan of checkpointed blocks.
+    ccDriverAttempt(fwd, driverCap) match {
+      case Some(labels) => return labels
+      case None => ()
+    }
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -366,6 +387,31 @@ object Dedup {
     require(edges.length <= cap,
       s"connectedComponentsBounded: edge list exceeds cap=$cap — " +
         "use connectedComponents/connectedComponentsStar")
+    driverUnionFind(s, edges)
+  }
+
+  /** Edge-count cap for [[connectedComponents]]/[[connectedComponentsStar]]'s
+    * adaptive driver-side engine: 2^18 edges of two longs is ~4 MB
+    * serialized — the same order as Spark's own broadcast-collect
+    * decisions and far under `spark.driver.maxResultSize`. Above the cap
+    * the distributed loops run exactly as before; the cap is a dial, not
+    * a correctness bound (labels are identical on both engines).
+    */
+  val CCDriverCap: Int = 1 << 18
+
+  /** Min-label union-find over a collected edge list — the shared driver
+    * kernel of [[connectedComponentsBounded]] and the adaptive dispatch in
+    * [[connectedComponents]]/[[connectedComponentsStar]]. Null ids are
+    * refused loudly (r16 ADVICE: Row.getLong on a null id threw an opaque
+    * driver NPE; the distributed variants never see the null because join
+    * keys drop it — callers feed non-null ids by construction, so this is
+    * a contract check, not a data path).
+    */
+  private def driverUnionFind(s: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    require(!edges.exists(e => e.isNullAt(0) || e.isNullAt(1)),
+      "driver-side connected components: null node id in the edge list — " +
+        "filter nulls out (or fix the upstream join) before clustering")
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -388,6 +434,25 @@ object Dedup {
     labels.toDF("id", "cluster_id")
   }
 
+  /** The adaptive probe both CC variants share: collect at most
+    * `driverCap + 1` rows of the ALREADY-CHECKPOINTED edge frame; if the
+    * list fits, both ids are longs and none is null, run the driver
+    * union-find; otherwise signal the caller to run its distributed loop.
+    * `driverCap <= 0` disables the dispatch (tests pin the distributed
+    * engines through it).
+    */
+  private def ccDriverAttempt(fwd: DataFrame,
+      driverCap: Int): Option[DataFrame] = {
+    if (driverCap <= 0) return None
+    val longIds = fwd.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (!longIds) return None
+    val edges = fwd.limit(driverCap + 1).collect()
+    if (edges.length > driverCap ||
+      edges.exists(e => e.isNullAt(0) || e.isNullAt(1))) None
+    else Some(driverUnionFind(fwd.sparkSession, edges))
+  }
+
   /** Skew-and-diameter-safe connected components: alternating large-star /
     * small-star contraction (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SOCC'14). Each round rewires edges toward the
@@ -406,9 +471,17 @@ object Dedup {
     * equal 64-bit hash sums within one run.
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, driverCap: Int = CCDriverCap): DataFrame = {
     val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v")).localCheckpoint()
+    // r17 adaptive engine selection — see [[connectedComponents]]. The
+    // self-loop filter above already matches star's output contract
+    // (self-loop-only nodes never appear), so the driver union-find over
+    // `fwd` is label-identical to the contraction loop below.
+    ccDriverAttempt(fwd, driverCap) match {
+      case Some(labels) => return labels
+      case None => ()
+    }
     val nodes = fwd.select(col("u")).union(fwd.select(col("v").as("u")))
       .distinct().localCheckpoint()
     // canonical undirected form: u = max endpoint, v = min endpoint
@@ -638,9 +711,20 @@ object Dedup {
     * materialized-view analog, same posture as the trained codebook/BPE
     * caches. `key` should identify the corpus (e.g. the fixture dir).
     */
-  private val simhashCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(String, String, String, String), DataFrame]
+  // r16 ADVICE: TrieMap.getOrElseUpdate may evaluate its thunk more than
+  // once under concurrent first callers, duplicating an expensive eager
+  // checkpoint build (wasted jobs + an orphaned checkpoint until GC).
+  // ConcurrentHashMap.computeIfAbsent evaluates exactly once per key; the
+  // builds never re-enter the same map, so the in-computation lock is safe.
+  private type CacheKey = (String, String, String, String)
+  private def newCache() =
+    new java.util.concurrent.ConcurrentHashMap[CacheKey, DataFrame]()
+  private def evictApp(
+      m: java.util.concurrent.ConcurrentHashMap[CacheKey, DataFrame],
+      app: String): Unit =
+    m.keySet().removeIf(k => k._1 == app)
+
+  private val simhashCache = newCache()
 
   def simhashCached(docs: DataFrame, key: String,
       idCol: String, textCol: String): DataFrame = {
@@ -649,8 +733,8 @@ object Dedup {
     // a session restart in the same JVM re-trains instead of handing out
     // stale handles
     val app = docs.sparkSession.sparkContext.applicationId
-    simhashCache.getOrElseUpdate((app, key, idCol, textCol),
-      simhash(docs, idCol, textCol).localCheckpoint())
+    simhashCache.computeIfAbsent((app, key, idCol, textCol),
+      _ => simhash(docs, idCol, textCol).localCheckpoint())
   }
 
   /** Session-scoped cache of the MinHash/LSH substrate — the hashed
@@ -663,15 +747,9 @@ object Dedup {
     * Bench attribution: the build is benched as its own named line
     * (q00a_sub_minhash, [[graft.Substrates]]) so consumers measure warm.
     */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(String, String, String, String), DataFrame]
-  private val bandCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(String, String, String, String), DataFrame]
-  private val candCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(String, String, String, String), DataFrame]
+  private val shingleCache = newCache()
+  private val bandCache = newCache()
+  private val candCache = newCache()
 
   /** The hashed-shingle layer alone (r16): q265 and the field-similarity
     * substrate (q00g) consume ONLY the shingles — building bands +
@@ -683,8 +761,8 @@ object Dedup {
   def hashedShinglesCached(docs: DataFrame, key: String,
       idCol: String, textCol: String): DataFrame = {
     val app = docs.sparkSession.sparkContext.applicationId
-    shingleCache.getOrElseUpdate((app, key, idCol, textCol),
-      hashedShingleRows(docs, idCol, textCol).localCheckpoint())
+    shingleCache.computeIfAbsent((app, key, idCol, textCol),
+      _ => hashedShingleRows(docs, idCol, textCol).localCheckpoint())
   }
 
   /** (hashedShingles, bandRows, candidatePairs) for a corpus, cached per
@@ -695,10 +773,10 @@ object Dedup {
     val app = docs.sparkSession.sparkContext.applicationId
     val k = (app, key, idCol, textCol)
     val sh = hashedShinglesCached(docs, key, idCol, textCol)
-    val bands = bandCache.getOrElseUpdate(k,
-      bandRows(minhashSignaturesAgg(sh, idCol), idCol).localCheckpoint())
-    val cands = candCache.getOrElseUpdate(k,
-      candidatePairs(bands, idCol).localCheckpoint())
+    val bands = bandCache.computeIfAbsent(k,
+      _ => bandRows(minhashSignaturesAgg(sh, idCol), idCol).localCheckpoint())
+    val cands = candCache.computeIfAbsent(k,
+      _ => candidatePairs(bands, idCol).localCheckpoint())
     (sh, bands, cands)
   }
 
@@ -710,13 +788,13 @@ object Dedup {
     * ContextCleaner once unreferenced; substrate size is fixture-bounded.
     */
   private[graft] def invalidateMinhash(app: String): Unit = {
-    shingleCache.keys.filter(_._1 == app).foreach(shingleCache.remove)
-    bandCache.keys.filter(_._1 == app).foreach(bandCache.remove)
-    candCache.keys.filter(_._1 == app).foreach(candCache.remove)
+    evictApp(shingleCache, app)
+    evictApp(bandCache, app)
+    evictApp(candCache, app)
   }
 
   private[graft] def invalidateSimhash(app: String): Unit =
-    simhashCache.keys.filter(_._1 == app).foreach(simhashCache.remove)
+    evictApp(simhashCache, app)
 
   /** 32-bit SimHash per document: for each bit j, sum ±1 votes of the
     * distinct-token hash bits; bit set iff the vote is positive. One

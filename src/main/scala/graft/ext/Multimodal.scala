@@ -101,10 +101,29 @@ object Multimodal {
         scala.collection.mutable.Map.empty[String, javax.imageio.ImageWriter]
     }
 
+  /** Pick the JDK's own plugin (r16 ADVICE): by-format-name lookup returns
+    * registry order, so a third-party ImageIO plugin on the classpath
+    * (e.g. TwelveMonkeys) could silently swap the decoder and change
+    * decoded pixels — and with them every phash/dedup result downstream.
+    * Preferring the `com.sun.imageio` provider pins the stock-JDK pixels
+    * regardless of classpath; absent one (non-Hotspot JDKs), the first
+    * registered plugin is the pre-r17 behavior.
+    */
+  private def preferJdk[T](it: java.util.Iterator[T]): T = {
+    var first: Option[T] = None
+    while (it.hasNext) {
+      val c = it.next()
+      if (c.getClass.getName.startsWith("com.sun.imageio.")) return c
+      if (first.isEmpty) first = Some(c)
+    }
+    first.getOrElse(throw new java.util.NoSuchElementException(
+      "no ImageIO plugin for the requested format"))
+  }
+
   private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
     def viaReader(fmt: String): java.awt.image.BufferedImage = {
       val r = readersTL.get().getOrElseUpdate(fmt,
-        javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
+        preferJdk(javax.imageio.ImageIO.getImageReadersByFormatName(fmt)))
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try { r.setInput(iis, true, true); r.read(0) }
@@ -127,7 +146,7 @@ object Multimodal {
   private def writeImage(img: java.awt.image.BufferedImage, fmt: String,
       param: javax.imageio.ImageWriteParam): Array[Byte] = {
     val w = writersTL.get().getOrElseUpdate(fmt,
-      javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next())
+      preferJdk(javax.imageio.ImageIO.getImageWritersByFormatName(fmt)))
     val out = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     try {

@@ -849,9 +849,6 @@ object SimilarityQueries {
         val edges = knnEdgesCached(s, dir).select($"src", $"dst")
         val outd = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
         val ewd = edges.join(outd, "src").localCheckpoint()
-        val nodes = edges.select($"src".as("vec_id"))
-          .union(edges.select($"dst".as("vec_id"))).distinct()
-          .localCheckpoint()
         // r16 optimization (the q205 treatment): ranks iterate SPARSELY
         // over nodes with in-edges; a node with no in-edge holds the
         // CONSTANT teleport rank (round 0: the uniform seed) forever, so
@@ -859,26 +856,38 @@ object SimilarityQueries {
         // edge side instead of a full dense node fill + checkpoint per
         // round. The keyed sums checkpoint once per round; absent nodes
         // re-join at the END with the same teleport constant.
-        var prS: Option[org.apache.spark.sql.DataFrame] = None
-        var absentPr = 1000000000L // round 0: uniform seed on every node
-        for (_ <- 1 to 5) {
-          val contrib = prS match {
-            case None => ewd
-              .select($"dst", expr(s"${absentPr}L div outdeg").as("c"))
-            case Some(p) => ewd
-              .join(p.withColumnRenamed("vec_id", "src"), Seq("src"), "left")
-              .select($"dst",
-                expr(s"coalesce(pr, ${absentPr}L) div outdeg").as("c"))
+        // r17: under the measured edge cap the five fixed-point rounds
+        // run as the identical longs on the driver
+        // (BoundedGraph.pageRankFixed; Round17OptSpec pins kernel ≡
+        // loop); over the cap the distributed loop is unchanged.
+        val pr = graft.ext.BoundedGraph
+          .pageRankFixed(ewd, 5, 1000000000L, 150000000L).getOrElse {
+            val nodes = edges.select($"src".as("vec_id"))
+              .union(edges.select($"dst".as("vec_id"))).distinct()
+              .localCheckpoint()
+            var prS: Option[org.apache.spark.sql.DataFrame] = None
+            var absentPr = 1000000000L // round 0: uniform seed everywhere
+            for (_ <- 1 to 5) {
+              val contrib = prS match {
+                case None => ewd
+                  .select($"dst", expr(s"${absentPr}L div outdeg").as("c"))
+                case Some(p) => ewd
+                  .join(p.withColumnRenamed("vec_id", "src"),
+                    Seq("src"), "left")
+                  .select($"dst",
+                    expr(s"coalesce(pr, ${absentPr}L) div outdeg").as("c"))
+              }
+              val sc = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
+                .localCheckpoint()
+              prS = Some(sc.select($"dst".as("vec_id"),
+                (lit(150000000L) + expr("(85 * sc) div 100")).as("pr")))
+              absentPr = 150000000L // no-in-edge nodes: teleport only
+            }
+            nodes
+              .join(prS.get, Seq("vec_id"), "left")
+              .select($"vec_id",
+                coalesce($"pr", lit(150000000L)).as("pr"))
           }
-          val sc = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
-            .localCheckpoint()
-          prS = Some(sc.select($"dst".as("vec_id"),
-            (lit(150000000L) + expr("(85 * sc) div 100")).as("pr")))
-          absentPr = 150000000L // no-in-edge nodes: teleport only
-        }
-        val pr = nodes
-          .join(prS.get, Seq("vec_id"), "left")
-          .select($"vec_id", coalesce($"pr", lit(150000000L)).as("pr"))
         val top = pr.orderBy($"pr".desc, $"vec_id".asc).limit(20)
         top.withColumn("rank",
             row_number().over(Window.orderBy($"pr".desc, $"vec_id".asc))
@@ -1174,9 +1183,6 @@ object SimilarityQueries {
       (s, dir) => {
         import s.implicits._
         val edges = knnEdgesCached(s, dir).select($"src", $"dst")
-        val nodes = edges.select($"src".as("vec_id"))
-          .union(edges.select($"dst".as("vec_id"))).distinct()
-          .localCheckpoint()
         // r16 optimization (guide §2.3/§2.4): scores iterate SPARSELY.
         // Every edge's src has an out-edge and every dst an in-edge, so
         // the keyed sums lose nothing when absent-score nodes (whose
@@ -1188,30 +1194,42 @@ object SimilarityQueries {
         // now the raw sums checkpoint once per half-step and the max +
         // renorm read that checkpoint. Nodes without an in-/out-edge
         // re-enter at the END with the same 0 they always had.
-        var h = nodes.withColumn("h", lit(1000000L))
-        var a = nodes.withColumn("a", lit(0L))
-        for (_ <- 1 to 4) {
-          val rawa = edges
-            .join(h.withColumnRenamed("vec_id", "src"), "src")
-            .groupBy($"dst").agg(sum($"h").as("ra"))
-            .localCheckpoint()
-          val am = rawa.agg(max($"ra").as("m"))
-          a = rawa.withColumnRenamed("dst", "vec_id")
-            .crossJoin(broadcast(am))
-            .select($"vec_id", expr("ra div (m div 1000000 + 1)").as("a"))
-          val rawh = edges
-            .join(a.withColumnRenamed("vec_id", "dst"), "dst")
-            .groupBy($"src").agg(sum($"a").as("rh"))
-            .localCheckpoint()
-          val hm = rawh.agg(max($"rh").as("m"))
-          h = rawh.withColumnRenamed("src", "vec_id")
-            .crossJoin(broadcast(hm))
-            .select($"vec_id", expr("rh div (m div 1000000 + 1)").as("h"))
-        }
-        val joined = nodes
-          .join(a, Seq("vec_id"), "left")
-          .join(h, Seq("vec_id"), "left")
-          .na.fill(0L, Seq("a", "h"))
+        // r17: under the measured edge cap the whole 8-half-step
+        // iteration runs as the identical fixed-point longs on the
+        // driver (BoundedGraph.hitsFixed; Round17OptSpec pins kernel ≡
+        // loop); over the cap the distributed loop is unchanged.
+        val joined = graft.ext.BoundedGraph.hitsFixed(edges, 4)
+          .getOrElse {
+            val nodes = edges.select($"src".as("vec_id"))
+              .union(edges.select($"dst".as("vec_id"))).distinct()
+              .localCheckpoint()
+            var h = nodes.withColumn("h", lit(1000000L))
+            var a = nodes.withColumn("a", lit(0L))
+            for (_ <- 1 to 4) {
+              val rawa = edges
+                .join(h.withColumnRenamed("vec_id", "src"), "src")
+                .groupBy($"dst").agg(sum($"h").as("ra"))
+                .localCheckpoint()
+              val am = rawa.agg(max($"ra").as("m"))
+              a = rawa.withColumnRenamed("dst", "vec_id")
+                .crossJoin(broadcast(am))
+                .select($"vec_id",
+                  expr("ra div (m div 1000000 + 1)").as("a"))
+              val rawh = edges
+                .join(a.withColumnRenamed("vec_id", "dst"), "dst")
+                .groupBy($"src").agg(sum($"a").as("rh"))
+                .localCheckpoint()
+              val hm = rawh.agg(max($"rh").as("m"))
+              h = rawh.withColumnRenamed("src", "vec_id")
+                .crossJoin(broadcast(hm))
+                .select($"vec_id",
+                  expr("rh div (m div 1000000 + 1)").as("h"))
+            }
+            nodes
+              .join(a, Seq("vec_id"), "left")
+              .join(h, Seq("vec_id"), "left")
+              .na.fill(0L, Seq("a", "h"))
+          }
         joined.orderBy($"a".desc, $"vec_id".asc).limit(20)
           .withColumn("rank", row_number().over(
             Window.orderBy($"a".desc, $"vec_id".asc)).cast("int"))
@@ -1312,30 +1330,39 @@ object SimilarityQueries {
       "q214_kcore",
       (s, dir) => {
         import s.implicits._
-        var e = knnEdgesCached(s, dir)
+        val und = knnEdgesCached(s, dir)
           .select(least($"src", $"dst").as("u"),
             greatest($"src", $"dst").as("v"))
           .distinct()
           .localCheckpoint()
-        var prev = e.count()
-        var stable = false
-        for (_ <- 1 to KcoreMaxRounds if !stable) {
-          val deg = e.select($"u".as("vtx"))
-            .unionByName(e.select($"v".as("vtx")))
-            .groupBy($"vtx").agg(count(lit(1)).as("d"))
-          val keep = deg.where($"d" >= 3).select($"vtx")
-          e = e
-            .join(keep.select($"vtx".as("u")), Seq("u"), "left_semi")
-            .join(keep.select($"vtx".as("v")), Seq("v"), "left_semi")
-            .localCheckpoint()
-          val cnt = e.count()
-          stable = cnt == prev
-          prev = cnt
-        }
-        require(stable,
-          s"q214_kcore: peeling did not converge in $KcoreMaxRounds rounds")
-        val nodes = e.select($"u".as("vec_id"))
-          .unionByName(e.select($"v".as("vec_id"))).distinct()
+        // r17: under the measured edge cap the peel runs on the driver
+        // (BoundedGraph.kcoreNodes — integer degrees, observed fixpoint;
+        // Round17OptSpec pins kernel ≡ loop); over the cap the
+        // distributed peel below is unchanged, round-capped fail-loud.
+        val nodes = graft.ext.BoundedGraph.kcoreNodes(und, 3)
+          .getOrElse {
+            var e = und
+            var prev = e.count()
+            var stable = false
+            for (_ <- 1 to KcoreMaxRounds if !stable) {
+              val deg = e.select($"u".as("vtx"))
+                .unionByName(e.select($"v".as("vtx")))
+                .groupBy($"vtx").agg(count(lit(1)).as("d"))
+              val keep = deg.where($"d" >= 3).select($"vtx")
+              e = e
+                .join(keep.select($"vtx".as("u")), Seq("u"), "left_semi")
+                .join(keep.select($"vtx".as("v")), Seq("v"), "left_semi")
+                .localCheckpoint()
+              val cnt = e.count()
+              stable = cnt == prev
+              prev = cnt
+            }
+            require(stable,
+              s"q214_kcore: peeling did not converge in " +
+                s"$KcoreMaxRounds rounds")
+            e.select($"u".as("vec_id"))
+              .unionByName(e.select($"v".as("vec_id"))).distinct()
+          }
         nodes
           .join(Tables.embeddings(s, dir).select($"vec_id", $"label"),
             "vec_id")
@@ -1432,18 +1459,28 @@ object SimilarityQueries {
         val und = ed
           .unionByName(ed.select($"dst".as("src"), $"src".as("dst")))
           .distinct().localCheckpoint()
-        var visited = Tables.embeddings(s, dir)
+        val seeds = Tables.embeddings(s, dir)
           .select($"vec_id").where($"vec_id" < 10)
-          .withColumn("dist", lit(0)).localCheckpoint()
-        for (r <- 1 to BfsHops) {
-          val frontier = visited.where($"dist" === r - 1)
-            .select($"vec_id".as("src"))
-          val next = und.join(frontier, "src")
-            .select($"dst".as("vec_id")).distinct()
-            .join(visited.select($"vec_id"), Seq("vec_id"), "left_anti")
-            .withColumn("dist", lit(r))
-          visited = visited.unionByName(next).localCheckpoint()
-        }
+        // r17 adaptive dispatch (the CC pattern, guide §1.2 "remove
+        // passes"): at or under the measured edge cap the whole frontier
+        // loop — BfsHops × (join + distinct + anti-join + checkpoint) —
+        // runs as the identical integer BFS on the driver; over the cap
+        // the distributed loop below is unchanged. Round17OptSpec pins
+        // kernel ≡ loop.
+        val visited = graft.ext.BoundedGraph
+          .bfsVisited(und, seeds, BfsHops).getOrElse {
+            var v = seeds.withColumn("dist", lit(0)).localCheckpoint()
+            for (r <- 1 to BfsHops) {
+              val frontier = v.where($"dist" === r - 1)
+                .select($"vec_id".as("src"))
+              val next = und.join(frontier, "src")
+                .select($"dst".as("vec_id")).distinct()
+                .join(v.select($"vec_id"), Seq("vec_id"), "left_anti")
+                .withColumn("dist", lit(r))
+              v = v.unionByName(next).localCheckpoint()
+            }
+            v
+          }
         Tables.embeddings(s, dir).select($"vec_id")
           .join(visited, Seq("vec_id"), "left")
           .select(coalesce($"dist", lit(-1)).as("dist"))
@@ -1821,17 +1858,26 @@ object SimilarityQueries {
             expr("1000000000 - CAST(floor(cos * 1e9) AS BIGINT)")
               .as("w"))
           .distinct().localCheckpoint()
-        var d = Tables.embeddings(s, dir)
+        val seeds = Tables.embeddings(s, dir)
           .select($"vec_id").where($"vec_id" < 10)
-          .withColumn("cost", lit(0L)).localCheckpoint()
-        for (_ <- 1 to BfsHops) {
-          val relax = w
-            .join(d.select($"vec_id".as("src"), $"cost"), "src")
-            .select($"dst".as("vec_id"), ($"cost" + $"w").as("cost"))
-          d = d.unionByName(relax)
-            .groupBy($"vec_id").agg(min($"cost").as("cost"))
-            .localCheckpoint()
-        }
+        // r17 adaptive dispatch: hop-bounded Bellman-Ford is pure long
+        // arithmetic (seed 0, +w, MIN folds), so the driver kernel under
+        // the measured edge cap computes the identical cost table; over
+        // the cap the full-relax distributed loop below is unchanged
+        // (Round17OptSpec pins kernel ≡ loop).
+        val d = graft.ext.BoundedGraph
+          .bellmanFord(w, seeds, BfsHops).getOrElse {
+            var dd = seeds.withColumn("cost", lit(0L)).localCheckpoint()
+            for (_ <- 1 to BfsHops) {
+              val relax = w
+                .join(dd.select($"vec_id".as("src"), $"cost"), "src")
+                .select($"dst".as("vec_id"), ($"cost" + $"w").as("cost"))
+              dd = dd.unionByName(relax)
+                .groupBy($"vec_id").agg(min($"cost").as("cost"))
+                .localCheckpoint()
+            }
+            dd
+          }
         Tables.embeddings(s, dir).select($"vec_id")
           .join(d, Seq("vec_id"), "left")
           .select($"vec_id",
@@ -2011,20 +2057,29 @@ object SimilarityQueries {
         val und = ed
           .unionByName(ed.select($"dst".as("src"), $"src".as("dst")))
           .distinct().localCheckpoint()
-        var visited = Tables.embeddings(s, dir)
+        val seeds = Tables.embeddings(s, dir)
           .select($"vec_id").where($"vec_id" < 10)
-          .select($"vec_id".as("seed"), $"vec_id", lit(0).as("dist"))
-          .localCheckpoint()
-        for (r <- 1 to BfsHops) {
-          val frontier = visited.where($"dist" === r - 1)
-            .select($"seed", $"vec_id".as("src"))
-          val next = und.join(frontier, "src")
-            .select($"seed", $"dst".as("vec_id")).distinct()
-            .join(visited.select($"seed", $"vec_id"),
-              Seq("seed", "vec_id"), "left_anti")
-            .withColumn("dist", lit(r))
-          visited = visited.unionByName(next).localCheckpoint()
-        }
+        // r17 adaptive dispatch — q220's pattern with the labeled state:
+        // per-seed ego-BFS on the driver under the measured edge cap,
+        // the distributed keyed loop above it (Round17OptSpec pins
+        // kernel ≡ loop including the per-seed anti-join semantics).
+        val visited = graft.ext.BoundedGraph
+          .bfsVisitedPerSeed(und, seeds, BfsHops).getOrElse {
+            var v = seeds
+              .select($"vec_id".as("seed"), $"vec_id", lit(0).as("dist"))
+              .localCheckpoint()
+            for (r <- 1 to BfsHops) {
+              val frontier = v.where($"dist" === r - 1)
+                .select($"seed", $"vec_id".as("src"))
+              val next = und.join(frontier, "src")
+                .select($"seed", $"dst".as("vec_id")).distinct()
+                .join(v.select($"seed", $"vec_id"),
+                  Seq("seed", "vec_id"), "left_anti")
+                .withColumn("dist", lit(r))
+              v = v.unionByName(next).localCheckpoint()
+            }
+            v
+          }
         visited.where($"dist" > 0)
           .groupBy($"seed")
           .agg(count(lit(1)).as("n_reached"),
