@@ -154,8 +154,12 @@ class PropertySpec extends SparkSpec {
     // a path 0-1-…-12 has diameter 12: label propagation with maxRounds=5
     // CANNOT finish and must throw instead of returning partial labels
     val path = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    // driverCap = 0 forces the distributed loop: the r17 adaptive
+    // dispatch would otherwise (correctly) hand this 12-edge list to
+    // the driver union-find, which has no round cap to pin
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(path, "a", "b", maxRounds = 5)
+      Dedup.connectedComponents(path, "a", "b", maxRounds = 5,
+        driverCap = 0)
     }
     // star contraction halves path length per round: well within 50
     val got = Dedup.connectedComponentsStar(path, "a", "b")
