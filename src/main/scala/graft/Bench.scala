@@ -543,6 +543,15 @@ object Bench {
       .getOrElse(0)
     val erred: Set[String] =
       results.collect { case (n, _, _, "err", _) => n }.toSet
+    // r17: when the oracle replay RAN but covered nothing (the window's
+    // FIRST oracle alone blows the DuckDB budget — observed at offset 73,
+    // where q74_semdedup stalls >2x budget), the old nextOffset fallback
+    // re-tried the same offset forever and the rotation wedged: every
+    // subsequent full run (the driver's included) paired n=0. Track that
+    // case so nextOffset can step PAST the stalling oracle; genuine
+    // environment failures (no python3/duckdb, parse error) still leave
+    // the offset untouched.
+    var oracleRanEmpty = false
     val oraclePair: Option[String] =
       if (only.nonEmpty) None
       else try {
@@ -599,6 +608,7 @@ object Bench {
                 .map(m => m.group(1) -> m.group(2).toDouble).toMap
             val covered = duckTimes.keySet
             val valid = covered -- erred
+            if (covered.isEmpty) oracleRanEmpty = true
             if (valid.nonEmpty) {
               val sparkSub = results
                 .filter { case (n, _, _, _, _) => valid.contains(n) }
@@ -615,13 +625,15 @@ object Bench {
             } else None
           }
       } catch { case scala.util.control.NonFatal(_) => None }
-    // the NEXT full run's window starts where this one's ended
+    // the NEXT full run's window starts where this one's ended; an
+    // empty-but-ran window steps one query forward so a single
+    // over-budget oracle can never wedge the rotation
     val nextOffset: Int = oraclePair
       .flatMap(o => "\"n\":([0-9]+)".r.findFirstMatchIn(o)
         .map(m => oracleOffset + m.group(1).toInt +
           "\"excluded\":([0-9]+)".r.findFirstMatchIn(o)
             .map(_.group(1).toInt).getOrElse(0)))
-      .getOrElse(oracleOffset)
+      .getOrElse(if (oracleRanEmpty) oracleOffset + 1 else oracleOffset)
     val canaryArr = canaries.map(f3).mkString("[", ",", "]")
     val ioArr = ioCanaries.map(f3).mkString("[", ",", "]")
     val calib =
