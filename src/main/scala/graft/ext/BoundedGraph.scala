@@ -32,9 +32,13 @@ object BoundedGraph {
   private def collectLongs(df: DataFrame, cap: Int): Option[Array[Row]] = {
     if (cap <= 0) return None
     if (!df.schema.fields.forall(_.dataType == LongType)) return None
+    // size probe FIRST (a bounded count — per-partition counts cross, no
+    // rows): an over-cap edge list must not ship cap+1 rows to the driver
+    // just to be discarded (measured ~+1 s on q313's corpus-proportional
+    // pair list at gen-sf1)
+    if (df.limit(cap + 1).count() > cap) return None
     val rows = df.limit(cap + 1).collect()
-    if (rows.length > cap || rows.exists(r =>
-      (0 until r.length).exists(r.isNullAt))) None
+    if (rows.exists(r => (0 until r.length).exists(r.isNullAt))) None
     else Some(rows)
   }
 

@@ -447,9 +447,12 @@ object Dedup {
     val longIds = fwd.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (!longIds) return None
+    // size probe FIRST (bounded count, no rows to the driver) — an
+    // over-cap list pays only the counting job, never a cap+1-row
+    // collect it would discard
+    if (fwd.limit(driverCap + 1).count() > driverCap) return None
     val edges = fwd.limit(driverCap + 1).collect()
-    if (edges.length > driverCap ||
-      edges.exists(e => e.isNullAt(0) || e.isNullAt(1))) None
+    if (edges.exists(e => e.isNullAt(0) || e.isNullAt(1))) None
     else Some(driverUnionFind(fwd.sparkSession, edges))
   }
 
